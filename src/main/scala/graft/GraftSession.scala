@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the knobs every graft job needs.
+  *
+  * Locally we run `local[N]` with `spark.sql.shuffle.partitions = N`; on a
+  * real cluster the same builder is used with `master`/partitions supplied by
+  * the deployment (documented knob: shuffle partitions ≈ 2-3× total cores,
+  * AQE coalesces the rest). Session timezone is pinned to UTC so epoch math
+  * and `date_format` output are deployment-independent — the reference's
+  * entire data model is epoch-seconds plus an explicit UTC offset
+  * (/root/reference/index.js:401), so nothing may depend on machine TZ.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos
+      // timestamp — read as long and convert in the loader (Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 32): SparkSession = {
+    val s = builder(s"local[$cores]", math.max(cores, 8)).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

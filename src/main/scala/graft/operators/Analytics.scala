@@ -1,0 +1,352 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.2 analytics core.
+  *
+  * Exactness strategy (shared with every oracle in this repo): monetary
+  * doubles are converted to integer cents (`round(x*100)` as BIGINT) before
+  * any aggregation. Integer sums are associative, so the result is
+  * independent of partition count and execution order — the same number
+  * falls out of a 32-thread local run, a 1000-executor cluster, and the
+  * DuckDB oracle. Only a final single division converts back to dollars;
+  * one IEEE division of identical exact operands is deterministic.
+  * Plain double sums would differ run-to-run at scale (float addition is
+  * not associative), which would make hash-verification impossible.
+  */
+object Analytics {
+
+  /** Dollars-as-double column → exact integer cents. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  // --- q1_pricing_summary -------------------------------------------------
+  // TPC-H Q1 shape: scan-heavy grouped aggregate; map-side partial agg does
+  // nearly all the work, the shuffle carries |groups| ≈ 6 rows.
+  def q1PricingSummary(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate")
+      .filter(col("l_shipdate") <= ts("1998-09-01 00:00:00"))
+    val qc = cents(col("l_quantity"))
+    val epc = cents(col("l_extendedprice"))
+    val dc = cents(col("l_discount"))
+    val tc = cents(col("l_tax"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(qc) / 100.0).as("sum_qty"),
+        (sum(epc) / 100.0).as("sum_base_price"),
+        (sum(epc * (lit(100L) - dc)) / 10000.0).as("sum_disc_price"),
+        (sum(epc * (lit(100L) - dc) * (lit(100L) + tc)) / 1000000.0).as("sum_charge"),
+        ((sum(qc) / 100.0) / count(lit(1))).as("avg_qty"),
+        ((sum(epc) / 100.0) / count(lit(1))).as("avg_price"),
+        ((sum(dc) / 100.0) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_qty,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_base_price,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS sum_disc_price,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))*(100+CAST(round(l_tax*100) AS BIGINT))) AS BIGINT)/1000000.0 AS sum_charge,
+      | (CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)/100.0)/count(*) AS avg_qty,
+      | (CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0)/count(*) AS avg_price,
+      | (CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)/100.0)/count(*) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- q3_topk_revenue ----------------------------------------------------
+  // 3-way join + group + top-k. customer is a dimension → explicit
+  // broadcast; the orders⨝customer side stays small so AQE may broadcast it
+  // into lineitem too. Top-k is a total sort of |groups| rows only.
+  def q3TopkRevenue(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
+        l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+        col("o_orderpriority"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, o_orderpriority,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // --- q5_region_join -----------------------------------------------------
+  // 5-way star join: every dimension side is broadcast, so lineitem (the
+  // fact) is never shuffled for the join — only the final tiny group-by
+  // shuffles |nations| rows.
+  def q5RegionJoin(spark: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(spark, d).filter(col("r_name") === "EUROPE").select("r_regionkey")
+    val n = Tables.nation(spark, d).select("n_nationkey", "n_name", "n_regionkey")
+    val c = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // --- q_topk_per_group ---------------------------------------------------
+  def qTopkPerGroup(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, d)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  val qTopkPerGroupSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+      | SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      | FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_orderpriority, rk""".stripMargin
+
+  // --- q_window_running ---------------------------------------------------
+  // Running sums in exact cents: the frame is explicit ROWS (not the RANGE
+  // default) and the order key (ts, event_id) is unique, so the prefix sums
+  // are reproducible anywhere.
+  def qWindowRunning(spark: SparkSession, d: String): DataFrame = {
+    val vc = cents(col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"), vc.as("value_c"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        sum(col("value_c")).over(wRun).as("run_sum_c"),
+        (col("value_c") - lag(col("value_c"), 1).over(w)).as("delta_c"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      | CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_sum_c,
+      | CAST(round(value*100) AS BIGINT) - lag(CAST(round(value*100) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_c
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // --- q_rollup -----------------------------------------------------------
+  def qRollup(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d)
+      .select("o_orderpriority", "o_orderstatus", "o_totalprice")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("o_totalprice"))) / 100.0).as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy("priority", "status")
+  }
+
+  val qRollupSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      | coalesce(o_orderstatus, 'ALL') AS status,
+      | count(*) AS n,
+      | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_price
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  // --- q_semi_anti --------------------------------------------------------
+  // Left-semi then left-anti: customers with an open ('O') order but no
+  // finished ('F') order. Both join sides after filtering are key-only
+  // projections → small, broadcastable.
+  def qSemiAnti(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d).select("c_custkey", "c_name")
+    val o = Tables.orders(spark, d).select("o_custkey", "o_orderstatus")
+    val hasOpen = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val hasFinished = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    c.join(hasOpen, c("c_custkey") === hasOpen("o_custkey"), "left_semi")
+      .join(hasFinished, c("c_custkey") === hasFinished("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- q_events_hourly ----------------------------------------------------
+  def qEventsHourly(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .select(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_s"),
+        col("user_id"), cents(col("value")).as("vc"))
+      .groupBy("event_type", "hour_s")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"),
+        (sum(col("vc")) / 100.0).as("sum_value"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  val qEventsHourlySql: String =
+    """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_s,
+      | count(*) AS n,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+      | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // --- q_sessionize -------------------------------------------------------
+  // Gap>30min sessionization via the classic lag → flag → prefix-sum trick:
+  // two window passes over data partitioned by user_id, no self-join.
+  def qSessionize(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .select("user_id", "event_id", "ts")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull, 1L)
+          .when(col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_s"),
+        (max(col("ts")).cast("long") - min(col("ts")).cast("long")).as("dur_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val qSessionizeSql: String =
+    """WITH flagged AS (
+      | SELECT user_id, event_id, ts,
+      |  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |       WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+      |       ELSE 0 END AS new_sess
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      | SELECT user_id, ts,
+      |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM flagged
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+      | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+      | CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur_sec
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // --- q_percentiles ------------------------------------------------------
+  // Exact *discrete* percentiles (value at rank ceil(p·n)) rather than
+  // interpolated ones: the output is a raw data value, so Spark and any
+  // oracle agree exactly — no float interpolation to diverge on.
+  def qPercentiles(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val wAll = Window.partitionBy("event_type")
+    val ranked = Tables.events(spark, d)
+      .select("event_type", "event_id", "value")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    def pick(p: Double) = max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("value")))
+    ranked.groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        pick(0.25).as("p25"), pick(0.5).as("p50"),
+        pick(0.75).as("p75"), pick(0.9).as("p90"))
+      .orderBy("event_type")
+  }
+
+  val qPercentilesSql: String =
+    """WITH r AS (
+      | SELECT event_type, value,
+      |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS n
+      | FROM events
+      |)
+      |SELECT event_type, max(n) AS n,
+      | max(CASE WHEN rn = CAST(ceil(0.25*n) AS BIGINT) THEN value END) AS p25,
+      | max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN value END) AS p50,
+      | max(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN value END) AS p75,
+      | max(CASE WHEN rn = CAST(ceil(0.9*n) AS BIGINT) THEN value END) AS p90
+      |FROM r
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_topk_revenue" -> q3TopkRevenue,
+    "q5_region_join" -> q5RegionJoin,
+    "q_topk_per_group" -> qTopkPerGroup,
+    "q_window_running" -> qWindowRunning,
+    "q_rollup" -> qRollup,
+    "q_semi_anti" -> qSemiAnti,
+    "q_events_hourly" -> qEventsHourly,
+    "q_sessionize" -> qSessionize,
+    "q_percentiles" -> qPercentiles)
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_topk_revenue" -> q3Sql,
+    "q5_region_join" -> q5Sql,
+    "q_topk_per_group" -> qTopkPerGroupSql,
+    "q_window_running" -> qWindowRunningSql,
+    "q_rollup" -> qRollupSql,
+    "q_semi_anti" -> qSemiAntiSql,
+    "q_events_hourly" -> qEventsHourlySql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_percentiles" -> qPercentilesSql)
+}

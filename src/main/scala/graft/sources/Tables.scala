@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parquet table loaders for the driver testdata plus a reader for the
+  * reference's own JSON series format.
+  *
+  * Loaders are thin on purpose: `spark.read.parquet` hands Catalyst a
+  * relation it can push filters and column pruning into — wrapping it in
+  * anything eager would defeat that. Each operator selects only the columns
+  * it needs, so `ReadSchema` in the physical plan stays minimal.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
+  /** events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as a nanos long
+    * (spark.sql.legacy.parquet.nanosAsLong); truncate to micros exactly like
+    * engines with micro timestamps (e.g. DuckDB) do when reading the file.
+    */
+  def events(spark: SparkSession, d: String): DataFrame =
+    load(spark, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Schema of the reference's per-compound JSON arrays
+    * (/root/reference/example/data/ethane.json): epoch-seconds `date` /
+    * `meas_date`, a `value`, a uniqueness salt (`flask_number`), and numeric
+    * plot attributes. Kept permissive — extra fields are simply not read
+    * (column pruning at the source).
+    */
+  val seriesSchema: StructType = StructType(Seq(
+    StructField("date", DoubleType),
+    StructField("meas_date", DoubleType),
+    StructField("value", DoubleType),
+    StructField("flask_number", StringType),
+    StructField("year", IntegerType),
+    StructField("month", IntegerType),
+    StructField("day", IntegerType),
+    StructField("lat", DoubleType),
+    StructField("lon", DoubleType),
+    StructField("alt", DoubleType)
+  ))
+
+  /** Read one reference-shaped JSON series file as the generic graft model
+    * `(series, epoch, salt, value, ...attrs)`. `multiLine = true` because the
+    * reference files are one JSON array per compound, not JSON-lines.
+    * The compound name is injected (it lives in the filename/config, not the
+    * records — /root/reference/example/config.js JSONFiles map).
+    */
+  def seriesJson(spark: SparkSession, path: String, compound: String): DataFrame =
+    spark.read
+      .schema(seriesSchema)
+      .option("multiLine", "true")
+      .json(path)
+      .select(
+        lit(compound).as("series"),
+        col("date").as("epoch"),
+        col("flask_number").as("salt"),
+        col("value"),
+        col("year"), col("month"), col("day"),
+        col("lat"), col("lon"), col("alt")
+      )
+}

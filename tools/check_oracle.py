@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Dev-side replica of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB against the sfDir parquet tables,
+sorts columns by name and rows by all columns, and compares values. Exit 1 on
+any mismatch. Run before every commit.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            failures.append((name, f"spark output unreadable: {e}"))
+            continue
+        try:
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            failures.append((name, f"oracle sql failed: {e}"))
+            continue
+        s, d = canon(spark_df), canon(duck_df)
+        if list(s.columns) != list(d.columns):
+            failures.append((name, f"columns differ: spark={list(s.columns)} duck={list(d.columns)}"))
+            continue
+        if len(s) != len(d):
+            failures.append((name, f"row count differs: spark={len(s)} duck={len(d)}"))
+            continue
+        bad = None
+        for col in s.columns:
+            sv, dv = list(s[col]), list(d[col])
+            for i, (x, y) in enumerate(zip(sv, dv)):
+                if not values_equal(x, y):
+                    bad = f"col {col} row {i}: spark={x!r} duck={y!r}"
+                    break
+            if bad:
+                break
+        if bad:
+            failures.append((name, bad))
+        else:
+            print(f"  OK  {name}: {len(s)} rows, {len(s.columns)} cols")
+
+    if failures:
+        for name, msg in failures:
+            print(f" FAIL {name}: {msg}")
+        sys.exit(1)
+    print(f"all {len(oracle)} queries match")
+
+
+if __name__ == "__main__":
+    main()
