@@ -14,10 +14,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries
+    Selection.queries ++ Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
-    Analytics.oracle
+    Selection.oracle ++ Analytics.oracle
 }

@@ -1,0 +1,332 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.1 reference-core: DataSelector's time-series QC semantics as
+  * distributed DataFrames.
+  *
+  * Mapping of the reference's data model onto the `events` table:
+  * compound = event_type, epoch = ts (floored to seconds), salt = user_id
+  * (like flask_number, shared across compounds so selection keys collide
+  * meaningfully), value = value.
+  *
+  * Reference semantics reproduced (file:line cites into /root/reference):
+  *  - epoch + 3600·UTCoffset correction, offset = -2 (index.js:401,
+  *    example/config.js UTCCorrection)
+  *  - selection key = `yyyy-MM-dd HH:mm` ISO string (seconds stripped)
+  *    + ' ' + salt (index.js:726-735 formatISODate)
+  *  - rectangle select adds points in the box; alt-rect removes them;
+  *    click toggles (index.js:243-254, 510-534 updateClicked)
+  *  - selectionsByDate inverted index + per-key compound counts
+  *    (index.js:797-813 commitSelections, 746-755 updateTextBoxes)
+  *  - sorted JSON export key → [compounds] (index.js:818-836 getJSONfile)
+  *  - zoom window clamp: out-of-bounds → full extent, width < limit →
+  *    mid ± limit/2 (index.js:230-240, config xZoomLimit = 31 days)
+  *  - numeric axis rounding floor/ceil to yAxisRound = 50 (index.js:277-317)
+  *
+  * Scale design: selections are DataFrames of (compound, sel_key) — set
+  * union/difference/toggle are distributed set ops partitioned by key, and
+  * `ds_apply_filter` is a broadcast left-anti join (a selection list is
+  * always ≪ the raw data, so the fact table never shuffles).
+  */
+object Selection {
+
+  private val UtcOffsetSec = -2 * 3600L // config.js UTCCorrection = -2
+  private val ZoomLimitMs = 31L * 24 * 3600 * 1000 // config.js xZoomLimit
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  /** Events with corrected time and reference-format selection keys. */
+  private def keyed(spark: SparkSession, d: String): DataFrame = {
+    val epochSec = unix_timestamp(col("ts")) + lit(UtcOffsetSec)
+    Tables.events(spark, d)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .withColumn("cts", timestamp_seconds(epochSec))
+      .withColumn("ms", epochSec * 1000)
+      .withColumn("key_m", date_format(col("cts"), "yyyy-MM-dd HH:mm"))
+      .withColumn("sel_key", concat(col("key_m"), lit(" "), col("user_id").cast("string")))
+      .withColumnRenamed("event_type", "compound")
+  }
+
+  /** Shared oracle CTE: same correction + keys in DuckDB terms. */
+  private val KeyedCte: String =
+    """WITH k AS (
+      | SELECT event_id, user_id, event_type AS compound, value,
+      |  make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) - 7200)*1000000) AS cts,
+      |  (CAST(floor(epoch(ts)) AS BIGINT) - 7200)*1000 AS ms,
+      |  strftime(make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) - 7200)*1000000), '%Y-%m-%d %H:%M') AS key_m,
+      |  strftime(make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) - 7200)*1000000), '%Y-%m-%d %H:%M') || ' ' || CAST(user_id AS VARCHAR) AS sel_key
+      | FROM events
+      |)""".stripMargin
+
+  // --- ds_load_epoch ------------------------------------------------------
+  def dsLoadEpoch(spark: SparkSession, d: String): DataFrame =
+    keyed(spark, d).select(
+      col("event_id"), col("compound"), col("value"), col("sel_key"),
+      date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy("event_id")
+
+  val dsLoadEpochSql: String = KeyedCte +
+    """
+      |SELECT event_id, compound, value, sel_key,
+      | strftime(cts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      |FROM k ORDER BY event_id""".stripMargin
+
+  // --- ds_extent ----------------------------------------------------------
+  // Date axis boxes get the ISO day floor (index.js:295-296); numeric axis
+  // rounds to yAxisRound = 50 (floor min, ceil max).
+  def dsExtent(spark: SparkSession, d: String): DataFrame =
+    keyed(spark, d).groupBy("compound").agg(
+      date_format(min(col("cts")), "yyyy-MM-dd'T'00:00").as("x_min_s"),
+      date_format(max(col("cts")), "yyyy-MM-dd'T'00:00").as("x_max_s"),
+      (floor(min(col("value")) / 50) * 50).cast("double").as("y_min"),
+      (ceil(max(col("value")) / 50) * 50).cast("double").as("y_max"))
+      .orderBy("compound")
+
+  val dsExtentSql: String = KeyedCte +
+    """
+      |SELECT compound,
+      | strftime(min(cts), '%Y-%m-%dT00:00') AS x_min_s,
+      | strftime(max(cts), '%Y-%m-%dT00:00') AS x_max_s,
+      | CAST(floor(min(value)/50)*50 AS DOUBLE) AS y_min,
+      | CAST(ceil(max(value)/50)*50 AS DOUBLE) AS y_max
+      |FROM k GROUP BY compound ORDER BY compound""".stripMargin
+
+  // --- ds_range_filter ----------------------------------------------------
+  // Visible data = rows inside the axis box (index.js:413-416).
+  def dsRangeFilter(spark: SparkSession, d: String): DataFrame =
+    keyed(spark, d)
+      .filter(col("cts") >= ts("2024-01-05 00:00:00") && col("cts") <= ts("2024-01-20 00:00:00") &&
+        col("value") >= 50.0 && col("value") <= 250.0)
+      .select("event_id", "compound", "sel_key", "value")
+      .orderBy("event_id")
+
+  val dsRangeFilterSql: String = KeyedCte +
+    """
+      |SELECT event_id, compound, sel_key, value FROM k
+      |WHERE cts >= TIMESTAMP '2024-01-05 00:00:00' AND cts <= TIMESTAMP '2024-01-20 00:00:00'
+      |  AND value >= 50.0 AND value <= 250.0
+      |ORDER BY event_id""".stripMargin
+
+  // rect-A / rect-B / click parameters shared by select, antiselect, toggle
+  private def rectA(df: DataFrame): DataFrame =
+    df.filter(col("compound") === "error" &&
+      col("cts") >= ts("2024-01-08 00:00:00") && col("cts") <= ts("2024-01-18 00:00:00") &&
+      col("value") >= 100.0 && col("value") <= 300.0)
+  private val RectASqlWhere =
+    """compound = 'error'
+      |  AND cts >= TIMESTAMP '2024-01-08 00:00:00' AND cts <= TIMESTAMP '2024-01-18 00:00:00'
+      |  AND value >= 100.0 AND value <= 300.0""".stripMargin
+
+  // --- ds_rect_select -----------------------------------------------------
+  def dsRectSelect(spark: SparkSession, d: String): DataFrame =
+    rectA(keyed(spark, d)).select("compound", "sel_key").distinct().orderBy("sel_key")
+
+  val dsRectSelectSql: String = KeyedCte +
+    s"""
+       |SELECT DISTINCT compound, sel_key FROM k
+       |WHERE $RectASqlWhere
+       |ORDER BY sel_key""".stripMargin
+
+  // --- ds_rect_antiselect -------------------------------------------------
+  // Selection from rect A minus the points inside alt-rect B
+  // (index.js:253 removeOnDupe, 516-526).
+  def dsRectAntiselect(spark: SparkSession, d: String): DataFrame = {
+    val k = keyed(spark, d)
+    val a = rectA(k).select("compound", "sel_key").distinct()
+    val b = k.filter(
+      col("cts") >= ts("2024-01-10 00:00:00") && col("cts") <= ts("2024-01-14 00:00:00") &&
+        col("value") >= 150.0 && col("value") <= 300.0)
+      .select("compound", "sel_key").distinct()
+    a.join(b, Seq("compound", "sel_key"), "left_anti").orderBy("sel_key")
+  }
+
+  val dsRectAntiselectSql: String = KeyedCte +
+    s"""
+       |SELECT compound, sel_key FROM k
+       |WHERE $RectASqlWhere
+       |EXCEPT
+       |SELECT compound, sel_key FROM k
+       |WHERE cts >= TIMESTAMP '2024-01-10 00:00:00' AND cts <= TIMESTAMP '2024-01-14 00:00:00'
+       |  AND value >= 150.0 AND value <= 300.0
+       |ORDER BY sel_key""".stripMargin
+
+  // --- ds_click_toggle ----------------------------------------------------
+  // Symmetric difference: clicking an already-selected point removes it,
+  // clicking an unselected one adds it (index.js:510-534).
+  def dsClickToggle(spark: SparkSession, d: String): DataFrame = {
+    val k = keyed(spark, d)
+    val a = rectA(k).select("sel_key").distinct()
+    val c = k.filter(col("compound") === "error" && col("event_id") % 7 === 0 &&
+        col("cts") >= ts("2024-01-05 00:00:00") && col("cts") <= ts("2024-01-25 00:00:00") &&
+        col("value") >= 50.0 && col("value") <= 320.0)
+      .select("sel_key").distinct()
+    a.except(c).union(c.except(a)).distinct()
+      .select(lit("error").as("compound"), col("sel_key"))
+      .orderBy("sel_key")
+  }
+
+  val dsClickToggleSql: String = KeyedCte + s""",
+    |a AS (SELECT DISTINCT sel_key FROM k WHERE $RectASqlWhere),
+    |c AS (SELECT DISTINCT sel_key FROM k
+    |      WHERE compound = 'error' AND event_id % 7 = 0
+    |        AND cts >= TIMESTAMP '2024-01-05 00:00:00' AND cts <= TIMESTAMP '2024-01-25 00:00:00'
+    |        AND value >= 50.0 AND value <= 320.0)
+    |SELECT 'error' AS compound, sel_key FROM (
+    | (SELECT sel_key FROM a EXCEPT SELECT sel_key FROM c)
+    | UNION
+    | (SELECT sel_key FROM c EXCEPT SELECT sel_key FROM a)
+    |) ORDER BY sel_key""".stripMargin
+
+  // selection used by the by-date / counts / export / apply / clear family:
+  // outlier box value > 280 across all compounds (salted keys).
+  private def outlierSel(spark: SparkSession, d: String): DataFrame =
+    keyed(spark, d).filter(col("value") > 280.0)
+  private val OutlierSqlWhere = "value > 280.0"
+
+  // --- ds_sel_by_date -----------------------------------------------------
+  // Inverted index selectionsByDate: key → set of compounds
+  // (index.js:797-813) keyed by the minute key (no salt → collisions across
+  // compounds are the interesting part).
+  def dsSelByDate(spark: SparkSession, d: String): DataFrame =
+    outlierSel(spark, d).select("key_m", "compound").distinct()
+      .groupBy("key_m")
+      .agg(array_join(sort_array(collect_set(col("compound"))), ",").as("compounds"))
+      .orderBy("key_m")
+
+  val dsSelByDateSql: String = KeyedCte + s""",
+    |s AS (SELECT DISTINCT key_m, compound FROM k WHERE $OutlierSqlWhere)
+    |SELECT key_m, string_agg(compound, ',' ORDER BY compound) AS compounds
+    |FROM s GROUP BY key_m ORDER BY key_m""".stripMargin
+
+  // --- ds_sel_counts ------------------------------------------------------
+  // Text box shows `key (countOfCompounds)` (index.js:746-755).
+  def dsSelCounts(spark: SparkSession, d: String): DataFrame =
+    outlierSel(spark, d).select("key_m", "compound").distinct()
+      .groupBy("key_m").agg(count(lit(1)).as("ct"))
+      .select(col("key_m"), col("ct"),
+        concat(col("key_m"), lit(" ("), col("ct").cast("string"), lit(")")).as("display"))
+      .orderBy("key_m")
+
+  val dsSelCountsSql: String = KeyedCte + s""",
+    |s AS (SELECT DISTINCT key_m, compound FROM k WHERE $OutlierSqlWhere)
+    |SELECT key_m, count(*) AS ct,
+    | key_m || ' (' || CAST(count(*) AS VARCHAR) || ')' AS display
+    |FROM s GROUP BY key_m ORDER BY key_m""".stripMargin
+
+  // --- ds_sel_export ------------------------------------------------------
+  // Sorted export: salted key → sorted [compounds] (index.js:818-836).
+  def dsSelExport(spark: SparkSession, d: String): DataFrame =
+    outlierSel(spark, d).select("sel_key", "compound").distinct()
+      .groupBy("sel_key")
+      .agg(array_join(sort_array(collect_set(col("compound"))), ",").as("compounds"))
+      .orderBy("sel_key")
+
+  val dsSelExportSql: String = KeyedCte + s""",
+    |s AS (SELECT DISTINCT sel_key, compound FROM k WHERE $OutlierSqlWhere)
+    |SELECT sel_key, string_agg(compound, ',' ORDER BY compound) AS compounds
+    |FROM s GROUP BY sel_key ORDER BY sel_key""".stripMargin
+
+  // --- ds_apply_filter ----------------------------------------------------
+  // The README's downstream purpose: apply the exported selection list to
+  // the raw data (anti-join) to produce the QC'd dataset. The selection side
+  // is broadcast — at 100 TB the fact table never moves.
+  def dsApplyFilter(spark: SparkSession, d: String): DataFrame = {
+    val k = keyed(spark, d)
+    val sel = outlierSel(spark, d).select("compound", "sel_key").distinct()
+    k.join(broadcast(sel), Seq("compound", "sel_key"), "left_anti")
+      .select("event_id", "compound", "sel_key", "value")
+      .orderBy("event_id")
+  }
+
+  val dsApplyFilterSql: String = KeyedCte + s""",
+    |s AS (SELECT DISTINCT compound, sel_key FROM k WHERE $OutlierSqlWhere)
+    |SELECT event_id, compound, sel_key, value FROM k
+    |WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.compound = k.compound AND s.sel_key = k.sel_key)
+    |ORDER BY event_id""".stripMargin
+
+  // --- ds_zoom_clamp ------------------------------------------------------
+  // index.js:230-240: requested window out of bounds → full extent; width
+  // under xZoomLimit → expand to mid ± limit/2 (no re-clamp, as in the
+  // reference). All math in integer epoch-millis, like the reference's Date
+  // arithmetic.
+  def dsZoomClamp(spark: SparkSession, d: String): DataFrame = {
+    val q0 = lit(java.time.Instant.parse("2024-01-01T00:30:00Z").toEpochMilli - 7200 * 1000L)
+    val q1 = lit(java.time.Instant.parse("2024-01-28T00:30:00Z").toEpochMilli - 7200 * 1000L)
+    val ext = keyed(spark, d).groupBy("compound")
+      .agg(min(col("ms")).as("mn"), max(col("ms")).as("mx"))
+    val oob = q0 < col("mn") || q1 > col("mx")
+    val narrow = (q1 - q0) < lit(ZoomLimitMs)
+    // long/long is double division in Spark; the sum is even and < 2^53 so
+    // the cast back to long is exact (matches the oracle's `//` intdiv).
+    val mid = ((q0 + q1) / lit(2L)).cast("long")
+    val z0 = when(oob, col("mn")).when(narrow, mid - lit(ZoomLimitMs / 2)).otherwise(q0)
+    val z1 = when(oob, col("mx")).when(narrow, mid + lit(ZoomLimitMs / 2)).otherwise(q1)
+    ext.select(col("compound"),
+      date_format(timestamp_millis(z0), "yyyy-MM-dd HH:mm:ss").as("z0_s"),
+      date_format(timestamp_millis(z1), "yyyy-MM-dd HH:mm:ss").as("z1_s"))
+      .orderBy("compound")
+  }
+
+  val dsZoomClampSql: String = KeyedCte + """,
+    |ext AS (SELECT compound, min(ms) AS mn, max(ms) AS mx FROM k GROUP BY compound),
+    |p AS (SELECT compound, mn, mx,
+    |  (CAST(floor(epoch(TIMESTAMP '2024-01-01 00:30:00')) AS BIGINT) - 7200)*1000 AS q0,
+    |  (CAST(floor(epoch(TIMESTAMP '2024-01-28 00:30:00')) AS BIGINT) - 7200)*1000 AS q1
+    | FROM ext)
+    |SELECT compound,
+    | strftime(make_timestamp(CASE WHEN q0 < mn OR q1 > mx THEN mn
+    |   WHEN q1 - q0 < 2678400000 THEN (q0+q1)//2 - 1339200000 ELSE q0 END * 1000), '%Y-%m-%d %H:%M:%S') AS z0_s,
+    | strftime(make_timestamp(CASE WHEN q0 < mn OR q1 > mx THEN mx
+    |   WHEN q1 - q0 < 2678400000 THEN (q0+q1)//2 + 1339200000 ELSE q1 END * 1000), '%Y-%m-%d %H:%M:%S') AS z1_s
+    |FROM p ORDER BY compound""".stripMargin
+
+  // --- ds_clear_compound --------------------------------------------------
+  // cleanPlot: drop one compound's selections, keep the inverted index
+  // consistent — keys whose compound set empties disappear
+  // (index.js:843-860).
+  def dsClearCompound(spark: SparkSession, d: String): DataFrame =
+    outlierSel(spark, d).filter(col("compound") =!= "error")
+      .select("sel_key", "compound").distinct()
+      .groupBy("sel_key")
+      .agg(array_join(sort_array(collect_set(col("compound"))), ",").as("compounds"),
+        count(lit(1)).as("ct"))
+      .orderBy("sel_key")
+
+  val dsClearCompoundSql: String = KeyedCte + s""",
+    |s AS (SELECT DISTINCT sel_key, compound FROM k
+    |      WHERE $OutlierSqlWhere AND compound <> 'error')
+    |SELECT sel_key, string_agg(compound, ',' ORDER BY compound) AS compounds,
+    | count(*) AS ct
+    |FROM s GROUP BY sel_key ORDER BY sel_key""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_load_epoch" -> dsLoadEpoch,
+    "ds_extent" -> dsExtent,
+    "ds_range_filter" -> dsRangeFilter,
+    "ds_rect_select" -> dsRectSelect,
+    "ds_rect_antiselect" -> dsRectAntiselect,
+    "ds_click_toggle" -> dsClickToggle,
+    "ds_sel_by_date" -> dsSelByDate,
+    "ds_sel_counts" -> dsSelCounts,
+    "ds_sel_export" -> dsSelExport,
+    "ds_apply_filter" -> dsApplyFilter,
+    "ds_zoom_clamp" -> dsZoomClamp,
+    "ds_clear_compound" -> dsClearCompound)
+
+  val oracle: Map[String, String] = Map(
+    "ds_load_epoch" -> dsLoadEpochSql,
+    "ds_extent" -> dsExtentSql,
+    "ds_range_filter" -> dsRangeFilterSql,
+    "ds_rect_select" -> dsRectSelectSql,
+    "ds_rect_antiselect" -> dsRectAntiselectSql,
+    "ds_click_toggle" -> dsClickToggleSql,
+    "ds_sel_by_date" -> dsSelByDateSql,
+    "ds_sel_counts" -> dsSelCountsSql,
+    "ds_sel_export" -> dsSelExportSql,
+    "ds_apply_filter" -> dsApplyFilterSql,
+    "ds_zoom_clamp" -> dsZoomClampSql,
+    "ds_clear_compound" -> dsClearCompoundSql)
+}
