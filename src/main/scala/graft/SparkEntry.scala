@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each operator family contributes (queries, oracle) pairs; the maps are
@@ -14,10 +15,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Selection.queries ++ Analytics.queries
+    Selection.queries ++ Analytics.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextAnalysis.queries ++
+      Map("mm_binary_meta" -> (Multimodal.mmBinaryMeta _)) ++ EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
-    Selection.oracle ++ Analytics.oracle
+    Selection.oracle ++ Analytics.oracle ++ Dedup.oracle ++
+      Similarity.oracle ++ TextAnalysis.oracle ++
+      Map("mm_binary_meta" -> Multimodal.mmBinaryMetaSql) ++ EventStream.oracle
 }

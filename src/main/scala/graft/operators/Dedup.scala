@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.3 training-data dedup over `documents`.
+  *
+  * 100 TB design notes (SURVEY §5):
+  *  - Nothing here ever forms an all-pairs cross join. Near-dup candidates
+  *    come from banded MinHash-LSH buckets (minhash/ngram) or 16-bit
+  *    SimHash chunk buckets (simhash) or sign-buckets (embedding); the
+  *    quadratic step runs only inside a bucket.
+  *  - Degenerate buckets (> cap members) are dropped before pairing — the
+  *    standard production skew guard: a bucket that collects half the
+  *    corpus contributes O(n²) garbage pairs and no real near-dups.
+  *  - MinHash = min over md5 hex strings: fixed-width lowercase hex
+  *    compares lexicographically = numerically, is identical in Spark and
+  *    DuckDB, and needs no custom 64-bit hash expression.
+  *  - All per-doc aggregations are map-side combinable groupBys.
+  */
+object Dedup {
+
+  private val NumPerms = 16 // minhash permutations
+  private val Bands = 4 // 4 bands × 4 rows
+  private val BandBucketCap = 50 // drop degenerate LSH buckets
+  private val ChunkBucketCap = 100 // drop degenerate simhash chunk buckets
+  private val JaccardTau = 0.5
+  private val HammingMax = 8L
+  private val CosineTau = 0.3
+
+  // --- dedup_exact --------------------------------------------------------
+  def dedupExact(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+      .orderBy("h")
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS h, min(doc_id) AS canonical_id, count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- dedup_exact_norm ---------------------------------------------------
+  def dedupExactNorm(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"), col("doc_id"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+      .orderBy("h")
+
+  val dedupExactNormSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+      | min(doc_id) AS canonical_id, count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- shared: word 3-shingles, minhash signatures, LSH candidates --------
+
+  /** Distinct word-3-shingles per doc. */
+  private def shingles(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      .distinct()
+
+  /** 16-perm minhash signature per doc: sig[k] = min(md5(k || '|' || s)).
+    * One md5 per (shingle, perm) in a single projection, then 16 parallel
+    * `min` aggregates — a single map-side-combinable shuffle per doc.
+    */
+  private def signatures(spark: SparkSession, d: String): DataFrame = {
+    val hashed = shingles(spark, d).select(
+      col("doc_id") +:
+        (0 until NumPerms).map(k => md5(concat(lit(s"$k|"), col("s"))).as(s"h$k")): _*)
+    hashed.groupBy("doc_id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until NumPerms).map(k => min(col(s"h$k")).as(s"m$k")): _*)
+      .select(col("doc_id"), array((0 until NumPerms).map(k => col(s"m$k")): _*).as("sig"))
+  }
+
+  /** Banded-LSH candidate pairs (da < db), degenerate buckets dropped. */
+  private def lshCandidates(sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> struct(b as band, concat_ws('|', slice(sig, b*${NumPerms / Bands} + 1, ${NumPerms / Bands})) as bk))")).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
+    val sized = bands.withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bk")))
+      .filter(col("bsz") <= BandBucketCap)
+    val a = sized.select(col("band"), col("bk"), col("doc_id").as("da"))
+    val b = sized.select(col("band"), col("bk"), col("doc_id").as("db"))
+    a.join(b, Seq("band", "bk")).filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** Shared oracle CTE chain mirroring shingles→signatures→candidates. */
+  private val LshCte: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS s FROM w)),
+       |mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR)||'|'||s)) AS h
+       |       FROM sh, range(0, $NumPerms) t(seed) GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b,
+       |    list_reduce([sig[CAST(b*${NumPerms / Bands} + r AS INT)] FOR r IN range(1, ${NumPerms / Bands} + 1)], (x, y) -> x||'|'||y) AS bk
+       |  FROM sig, range(0, $Bands) t(b)),
+       |ok AS (SELECT b, bk FROM bands GROUP BY 1, 2 HAVING count(*) <= $BandBucketCap),
+       |bb AS (SELECT bands.* FROM bands JOIN ok USING (b, bk)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bb a JOIN bb b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+
+  // --- dedup_minhash_lsh --------------------------------------------------
+  // Candidate pairs + estimated Jaccard = fraction of matching signature
+  // positions.
+  def dedupMinhashLsh(spark: SparkSession, d: String): DataFrame = {
+    val sig = signatures(spark, d)
+    val cand = lshCandidates(sig)
+    cand
+      .join(sig.select(col("doc_id").as("da"), col("sig").as("sa")), Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("sig").as("sb")), Seq("db"))
+      .select(col("da"), col("db"),
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").cast("long").as("n_match"))
+      .withColumn("est_jaccard", col("n_match") / lit(NumPerms.toDouble))
+      .orderBy("da", "db")
+  }
+
+  val dedupMinhashLshSql: String = LshCte +
+    s"""
+       |SELECT da, db,
+       | CAST(len(list_filter(range(1, ${NumPerms + 1}), i -> x.sig[CAST(i AS INT)] = y.sig[CAST(i AS INT)])) AS BIGINT) AS n_match,
+       | CAST(len(list_filter(range(1, ${NumPerms + 1}), i -> x.sig[CAST(i AS INT)] = y.sig[CAST(i AS INT)])) AS BIGINT) / $NumPerms.0 AS est_jaccard
+       |FROM cand JOIN sig x ON cand.da = x.doc_id JOIN sig y ON cand.db = y.doc_id
+       |ORDER BY da, db""".stripMargin
+
+  // --- dedup_ngram_jaccard ------------------------------------------------
+  // Exact Jaccard verification on the LSH candidates only: the intersection
+  // is counted with a shingle-equijoin restricted to candidate pairs — no
+  // per-pair set materialization, no cross join.
+  def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame = {
+    val sh = shingles(spark, d)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = lshCandidates(signatures(spark, d))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= JaccardTau)
+      .select("da", "db", "inter", "jaccard")
+      .orderBy("da", "db")
+  }
+
+  val dedupNgramJaccardSql: String = LshCte +
+    s""",
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT cand.da, cand.db, count(*) AS inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = cand.da
+       |  JOIN sh b ON b.doc_id = cand.db AND b.s = a.s
+       |  GROUP BY 1, 2)
+       |SELECT da, db, inter,
+       | CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+       |FROM inter JOIN sz x ON inter.da = x.doc_id JOIN sz y ON inter.db = y.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardTau
+       |ORDER BY da, db""".stripMargin
+
+  // --- dedup_simhash ------------------------------------------------------
+  // 64-bit SimHash: bit b comes from nibble bits of each token's md5,
+  // weighted by token frequency; fingerprint kept as a 64-char '0'/'1'
+  // string (portable across engines — no unsigned-64 headaches). Candidates
+  // via the classic 4×16-bit chunk blocking, output pairs with hamming ≤ 8.
+  def dedupSimhash(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val bits = tok
+      .withColumn("m", md5(col("t"))) // hash once, not once per bit
+      .select(col("doc_id"), col("c"),
+        explode(expr(
+          """transform(sequence(0, 63), b -> struct(b as b,
+            |  ((locate(substring(m, 1 + CAST(b div 4 AS INT), 1), '0123456789abcdef') - 1)
+            |    div element_at(array(8, 4, 2, 1), CAST(b % 4 AS INT) + 1)) % 2 as bit))""".stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.b").as("b"),
+        (col("c") * (col("x.bit") * 2 - 1)).as("wt"))
+      .groupBy("doc_id", "b").agg(sum(col("wt")).as("s"))
+      .select(col("doc_id"), col("b"), when(col("s") > 0, lit("1")).otherwise(lit("0")).as("bit"))
+    val fp = bits.groupBy("doc_id")
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(b, bit))), x -> x.bit), '')").as("fp"))
+    val chunks = fp.select(col("doc_id"), col("fp"),
+      explode(expr("transform(sequence(0, 3), c -> struct(c as c, substring(fp, c*16 + 1, 16) as ck))")).as("x"))
+      .select(col("doc_id"), col("fp"), col("x.c").as("c"), col("x.ck").as("ck"))
+    val sized = chunks.withColumn("bsz", count(lit(1)).over(Window.partitionBy("c", "ck")))
+      .filter(col("bsz") <= ChunkBucketCap)
+    val a = sized.select(col("c"), col("ck"), col("doc_id").as("da"), col("fp").as("fa"))
+    val b = sized.select(col("c"), col("ck"), col("doc_id").as("db"), col("fp").as("fb"))
+    a.join(b, Seq("c", "ck")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("fa"), col("fb")).distinct()
+      .withColumn("hamming",
+        expr("size(filter(sequence(1, 64), i -> substring(fa, i, 1) != substring(fb, i, 1)))").cast("long"))
+      .filter(col("hamming") <= HammingMax)
+      .select("da", "db", "hamming")
+      .orderBy("da", "db")
+  }
+
+  val dedupSimhashSql: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |tok AS (SELECT doc_id, t, count(*) AS c FROM (SELECT doc_id, unnest(w) AS t FROM w) GROUP BY 1, 2),
+       |bits AS (
+       | SELECT doc_id, b,
+       |  CASE WHEN sum(c * (2*(((strpos('0123456789abcdef', substr(md5(t), 1 + CAST(b//4 AS INT), 1)) - 1)
+       |    // ([8,4,2,1][CAST(b%4 AS INT)+1])) % 2) - 1)) > 0 THEN '1' ELSE '0' END AS bit
+       | FROM tok, range(0, 64) r(b) GROUP BY doc_id, b),
+       |fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY b) AS fp FROM bits GROUP BY doc_id),
+       |ch AS (SELECT doc_id, fp, c, substr(fp, CAST(c*16 + 1 AS INT), 16) AS ck FROM fp, range(0, 4) r(c)),
+       |ok AS (SELECT c, ck FROM ch GROUP BY 1, 2 HAVING count(*) <= $ChunkBucketCap),
+       |bb AS (SELECT ch.* FROM ch JOIN ok USING (c, ck)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.fp AS fa, b.fp AS fb
+       |         FROM bb a JOIN bb b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+       |SELECT da, db,
+       | CAST(len(list_filter(range(1, 65), i -> substr(fa, CAST(i AS INT), 1) <> substr(fb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE CAST(len(list_filter(range(1, 65), i -> substr(fa, CAST(i AS INT), 1) <> substr(fb, CAST(i AS INT), 1))) AS BIGINT) <= $HammingMax
+       |ORDER BY da, db""".stripMargin
+
+  // --- dedup_embedding ----------------------------------------------------
+  // Cosine ≥ τ near-dup pairs with sign-bucket blocking on the first 8
+  // dimensions. Dot products fold left-to-right in both engines (Spark
+  // `aggregate`, DuckDB `list_reduce`), so the doubles agree bitwise.
+  def dedupEmbedding(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("bucket",
+        expr("concat_ws('', transform(slice(v, 1, 8), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"))
+    val a = e.select(col("bucket"), col("vec_id").as("ia"), col("v").as("va"))
+    val b = e.select(col("bucket"), col("vec_id").as("ib"), col("v").as("vb"))
+    a.join(b, Seq("bucket")).filter(col("ia") < col("ib"))
+      .withColumn("cos", expr(
+        """aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
+          |sqrt(aggregate(transform(va, x -> x * x), 0D, (acc, x) -> acc + x) *
+          |     aggregate(transform(vb, x -> x * x), 0D, (acc, x) -> acc + x))""".stripMargin))
+      .filter(col("cos") >= CosineTau)
+      .select("ia", "ib", "cos")
+      .orderBy("ia", "ib")
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  list_reduce(list_transform(range(1, 9), i -> CASE WHEN v[CAST(i AS INT)] >= 0 THEN '1' ELSE '0' END), (a, x) -> a||x) AS bucket FROM e),
+       |p AS (SELECT a.vec_id AS ia, b2.vec_id AS ib, a.v AS va, b2.v AS vb
+       |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+       |c AS (SELECT ia, ib,
+       |  list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> va[CAST(k AS INT)]*vb[CAST(k AS INT)])), (acc, x) -> acc + x) /
+       |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> va[CAST(k AS INT)]*va[CAST(k AS INT)])), (acc, x) -> acc + x) *
+       |       list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> vb[CAST(k AS INT)]*vb[CAST(k AS INT)])), (acc, x) -> acc + x)) AS cos
+       | FROM p)
+       |SELECT ia, ib, cos FROM c WHERE cos >= $CosineTau ORDER BY ia, ib""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_exact_norm" -> dedupExactNorm,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding" -> dedupEmbedding)
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_exact_norm" -> dedupExactNormSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
+}

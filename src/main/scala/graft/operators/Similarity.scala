@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.4 similarity search over `embeddings` (64-dim float vectors).
+  *
+  * `ann_bruteforce` is the exact-recall baseline: the query set is tiny and
+  * broadcast, so the "cross join" is really a map-side nested loop over the
+  * corpus — it scans each corpus partition once and never shuffles the
+  * vectors; only (queries × k) rows reach the final top-k.
+  *
+  * `ann_lsh` is the scale path: sign-LSH restricts scoring to bucket-equal
+  * pairs, turning O(Q·N) scoring into O(Q·N/2^bits) with the shuffle
+  * partitioned by bucket.
+  *
+  * Cosines fold left-to-right (Spark `aggregate`), matching the oracle's
+  * `list_reduce` — bit-identical doubles, so even the ranking ties agree.
+  */
+object Similarity {
+
+  private val K = 10
+  private val NumQueries = 5 // vec_id < 5 are the query set
+  private val cosExpr = expr(
+    """aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
+      |sqrt(aggregate(transform(qv, x -> x * x), 0D, (acc, x) -> acc + x) *
+      |     aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))""".stripMargin)
+
+  private def vectors(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d).select(
+      col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  private val CosSqlFor = (a: String, b: String) =>
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[CAST(k AS INT)]*$b[CAST(k AS INT)])), (acc, x) -> acc + x) /
+       |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[CAST(k AS INT)]*$a[CAST(k AS INT)])), (acc, x) -> acc + x) *
+       |       list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $b[CAST(k AS INT)]*$b[CAST(k AS INT)])), (acc, x) -> acc + x))""".stripMargin
+
+  // --- ann_bruteforce -----------------------------------------------------
+  def annBruteforce(spark: SparkSession, d: String): DataFrame = {
+    val e = vectors(spark, d)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    e.crossJoin(broadcast(q))
+      .withColumn("sim", cosExpr)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("qid", "rank", "vec_id", "sim")
+      .orderBy("qid", "rank")
+  }
+
+  val annBruteforceSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |s AS (SELECT qid, vec_id, ${CosSqlFor("qv", "v")} AS sim FROM e CROSS JOIN q),
+       |r AS (SELECT qid, vec_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM s)
+       |SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
+  // --- ann_lsh ------------------------------------------------------------
+  // Approximate top-k: score only vectors in the query's 8-bit sign bucket.
+  def annLsh(spark: SparkSession, d: String): DataFrame = {
+    val bucketed = vectors(spark, d).withColumn("bucket",
+      expr("concat_ws('', transform(slice(v, 1, 8), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"))
+    val q = bucketed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    bucketed.join(broadcast(q), Seq("bucket"))
+      .withColumn("sim", cosExpr)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("qid", "rank", "vec_id", "sim")
+      .orderBy("qid", "rank")
+  }
+
+  val annLshSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  list_reduce(list_transform(range(1, 9), i -> CASE WHEN v[CAST(i AS INT)] >= 0 THEN '1' ELSE '0' END), (a, x) -> a||x) AS bucket FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < $NumQueries),
+       |s AS (SELECT qid, b.vec_id, ${CosSqlFor("qv", "v")} AS sim
+       |      FROM b JOIN q USING (bucket)),
+       |r AS (SELECT qid, vec_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM s)
+       |SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> annBruteforce,
+    "ann_lsh" -> annLsh)
+
+  val oracle: Map[String, String] = Map(
+    "ann_bruteforce" -> annBruteforceSql,
+    "ann_lsh" -> annLshSql)
+}

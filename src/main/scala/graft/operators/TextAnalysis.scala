@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.5 text analysis over `documents` — all built from codegen'd Catalyst
+  * functions (split/transform/aggregate/regexp), zero Scala UDFs, so every
+  * operator stays inside whole-stage codegen and scales linearly with
+  * input splits (no shuffle except the final per-doc aggregations, which
+  * are map-side combinable).
+  */
+object TextAnalysis {
+
+  private def words = split(trim(col("text")), "\\s+")
+
+  // --- text_tokens --------------------------------------------------------
+  // Whitespace tokens plus a BPE-ish regex segmentation (letter runs,
+  // digit runs, single other symbols) — the two counts a token-budget
+  // pipeline needs.
+  def textTokens(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d).select(
+      col("doc_id"),
+      size(words).cast("long").as("ws_tokens"),
+      size(array_distinct(words)).cast("long").as("distinct_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("re_tokens"))
+      .orderBy("doc_id")
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+      | CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS distinct_tokens,
+      | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- text_quality -------------------------------------------------------
+  // Length / stopword / word-length heuristics combined into a [0,1] score.
+  // All divisions are single ops on exact integer operands → deterministic.
+  def textQuality(spark: SparkSession, d: String): DataFrame = {
+    val nWords = size(words).cast("long")
+    val sumLen = expr("aggregate(transform(split(trim(text), '\\\\s+'), x -> length(x)), 0L, (acc, x) -> acc + x)")
+    val stopCnt = size(expr("filter(split(trim(text), '\\\\s+'), x -> x IN ('the', 'a'))")).cast("long")
+    Tables.documents(spark, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      nWords.as("n_words"),
+      (sumLen.cast("double") / nWords).as("avg_word_len"),
+      (stopCnt.cast("double") / nWords).as("stop_ratio"),
+      round((stopCnt.cast("double") / nWords) * 0.5 +
+        least(sumLen.cast("double") / nWords / 10.0, lit(1.0)) * 0.5, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val textQualitySql: String =
+    """WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+      |SELECT doc_id,
+      | CAST(length(text) AS BIGINT) AS n_chars_calc,
+      | CAST(len(w) AS BIGINT) AS n_words,
+      | CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS BIGINT) AS avg_word_len,
+      | CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / CAST(len(w) AS BIGINT) AS stop_ratio,
+      | round(CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / CAST(len(w) AS BIGINT) * 0.5 +
+      |   least(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS BIGINT) / 10.0, 1.0) * 0.5, 6) AS quality
+      |FROM w ORDER BY doc_id""".stripMargin
+
+  // --- text_langid --------------------------------------------------------
+  // Deterministic n-gram-profile language ID: each token votes for one of 5
+  // languages via a hash of its md5 head; argmax with lexicographic
+  // tie-break. (The synthetic corpus shares one vocabulary across langs, so
+  // the interesting part is the deterministic argmax machinery, which is
+  // exactly what a real stopword-profile classifier needs at scale.)
+  def textLangid(spark: SparkSession, d: String): DataFrame = {
+    val langs = array(lit("de"), lit("en"), lit("es"), lit("fr"), lit("zh"))
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), explode(words).as("t"))
+      .withColumn("idx", expr("(locate(substring(md5(t), 1, 1), '0123456789abcdef') - 1) % 5").cast("long"))
+    val counts = tok.groupBy("doc_id", "lang", "idx").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("cnt"), asc("idx"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        element_at(langs, col("idx").cast("int") + 1).as("pred_lang"),
+        col("lang"),
+        (element_at(langs, col("idx").cast("int") + 1) === col("lang")).cast("long").as("hit"))
+      .orderBy("doc_id")
+  }
+
+  val textLangidSql: String =
+    """WITH tok AS (
+      | SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents
+      |), idx AS (
+      | SELECT doc_id, lang, CAST((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) % 5 AS BIGINT) AS idx FROM tok
+      |), counts AS (
+      | SELECT doc_id, lang, idx, count(*) AS cnt FROM idx GROUP BY 1, 2, 3
+      |), top AS (
+      | SELECT doc_id, lang, idx, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, idx) AS rn FROM counts
+      |)
+      |SELECT doc_id,
+      | (['de','en','es','fr','zh'])[CAST(idx AS INT)+1] AS pred_lang,
+      | lang,
+      | CAST((['de','en','es','fr','zh'])[CAST(idx AS INT)+1] = lang AS BIGINT) AS hit
+      |FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // --- text_fingerprint ---------------------------------------------------
+  // Min-k-of-shingle-hashes (k=3) document fingerprint: the 3 smallest md5s
+  // of distinct word-3-shingles, concatenated.
+  def textFingerprint(spark: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(spark, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      .distinct()
+      .select(col("doc_id"), md5(col("s")).as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("h")
+    sh.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy("doc_id")
+      .agg(array_join(sort_array(collect_list(col("h"))), "").as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val textFingerprintSql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest([w[CAST(i AS INT)+1]||' '||w[CAST(i AS INT)+2]||' '||w[CAST(i AS INT)+3] FOR i IN range(0, greatest(len(w)-2, 0))]) AS s
+      |  FROM w WHERE len(w) >= 3)),
+      |h AS (SELECT doc_id, md5(s) AS h FROM sh),
+      |r AS (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM h)
+      |SELECT doc_id, string_agg(h, '' ORDER BY h) AS fp
+      |FROM r WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint)
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "text_fingerprint" -> textFingerprintSql)
+}
