@@ -43,12 +43,16 @@ object EventStream {
     hourlyRollup(stream.withWatermark("ts", "2 hours"))
 
   /** Read the events table as a file-source stream (for specs: point it at
-    * a directory of parquet files; availableNow drains it and stops).
+    * a directory of parquet files; availableNow drains it and stops). The
+    * parquet stores TIMESTAMP(NANOS), which Spark reads as a nanos long
+    * (nanosAsLong) — declare it that way and convert to micros here, same
+    * as the batch loader.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   case class EventIn(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionOut(user_id: Long, n_events: Long, start: Timestamp, end: Timestamp)

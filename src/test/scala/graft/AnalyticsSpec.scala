@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+import graft.sources.Tables
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q1 produces the full returnflag × linestatus lattice with consistent sums") {
+    val rows = Analytics.q1PricingSummary(spark, sf).collect()
+    assert(rows.length >= 4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+      assert(r.getAs[Double]("sum_charge") >= r.getAs[Double]("sum_disc_price"))
+      assert(math.abs(r.getAs[Double]("avg_qty") * r.getAs[Long]("count_order")
+        - r.getAs[Double]("sum_qty")) < 1e-6)
+    }
+  }
+
+  test("q3 returns at most 10 rows in descending revenue order") {
+    val revs = Analytics.q3TopkRevenue(spark, sf).collect().map(_.getAs[Double]("revenue"))
+    assert(revs.length <= 10 && revs.nonEmpty)
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("rollup grand total equals the sum of leaf rows") {
+    val rows = Analytics.qRollup(spark, sf).collect()
+    val grand = rows.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    val leaves = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    assert(leaves.map(_.getAs[Long]("n")).sum === grand.getAs[Long]("n"))
+    assert(math.abs(leaves.map(_.getAs[Double]("sum_price")).sum
+      - grand.getAs[Double]("sum_price")) < 1e-6)
+  }
+
+  test("percentiles are actual data values and monotone") {
+    val vals = Tables.events(spark, sf).select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).toSet)
+    Analytics.qPercentiles(spark, sf).collect().foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val ps = Seq("p25", "p50", "p75", "p90").map(r.getAs[Double])
+      assert(ps == ps.sorted, s"$et percentiles not monotone")
+      ps.foreach(p => assert(vals(et).contains(p), s"$et percentile $p not a data value"))
+    }
+  }
+
+  test("sessionize: event counts over sessions equal total events per user") {
+    val sess = Analytics.qSessionize(spark, sf)
+      .groupBy("user_id").agg(sum("n_events").as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    val raw = Tables.events(spark, sf).groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    assert(sess === raw)
+  }
+
+  test("semi/anti composition excludes customers with finished orders") {
+    val res = Analytics.qSemiAnti(spark, sf).select("c_custkey")
+    val withF = Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    assert(res.intersect(withF).count() === 0)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup partitions all docs into hash groups") {
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    val groups = Dedup.dedupExact(spark, sf)
+    assert(groups.agg(sum("n_docs")).head.getLong(0) === total)
+    // canonical id is a member ⇒ canonical ≤ any other member id
+    assert(groups.filter(col("canonical_id") < 0).count() === 0)
+  }
+
+  test("minhash estimate tracks exact jaccard on candidate pairs") {
+    val est = Dedup.dedupMinhashLsh(spark, sf)
+      .select(col("da"), col("db"), col("est_jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.dedupNgramJaccard(spark, sf)
+      .select(col("da"), col("db"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "expected near-dup pairs in the synthetic corpus")
+    // every verified pair is an LSH candidate, and the 16-perm estimate is
+    // within 0.35 of the true jaccard for true near-dups (binomial bound)
+    exact.foreach { case (pair, j) =>
+      assert(est.contains(pair), s"verified pair $pair missing from candidates")
+      assert(math.abs(est(pair) - j) < 0.35, s"pair $pair est=${est(pair)} true=$j")
+    }
+  }
+
+  test("simhash near pairs have genuinely similar fingerprints") {
+    val rows = Dedup.dedupSimhash(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("hamming") <= 8))
+  }
+
+  test("embedding near-dup cosines are within [tau, 1]") {
+    val rows = Dedup.dedupEmbedding(spark, sf).collect()
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(c >= 0.3 && c <= 1.0 + 1e-12)
+    }
+  }
+}

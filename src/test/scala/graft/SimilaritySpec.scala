@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("bruteforce rank 1 is the query itself with cosine ≈ 1") {
+    val top = Similarity.annBruteforce(spark, sf)
+      .filter("rank = 1").collect()
+    assert(top.length === 5)
+    top.foreach { r =>
+      assert(r.getAs[Long]("qid") === r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9)
+    }
+  }
+
+  test("bruteforce similarities are non-increasing with rank") {
+    val byQ = Similarity.annBruteforce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh top-k is a subset of the bucket-restricted exact ranking") {
+    // every LSH hit must also appear in the brute-force ranking with an
+    // equal-or-worse-or-equal similarity (LSH only prunes, never invents)
+    val bf = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("sim")).toMap
+    val lsh = Similarity.annLsh(spark, sf).collect()
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))
+      bf.get(key).foreach(s => assert(math.abs(s - r.getAs[Double]("sim")) < 1e-12))
+    }
+  }
+}
