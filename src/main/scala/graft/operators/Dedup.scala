@@ -176,30 +176,40 @@ object Dedup {
     val tok = Tables.documents(spark, d)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-    val bits = tok
-      .withColumn("m", md5(col("t"))) // hash once, not once per bit
-      .select(col("doc_id"), col("c"),
-        explode(expr(
-          """transform(sequence(0, 63), b -> struct(b as b,
-            |  ((locate(substring(m, 1 + CAST(b div 4 AS INT), 1), '0123456789abcdef') - 1)
-            |    div element_at(array(8, 4, 2, 1), CAST(b % 4 AS INT) + 1)) % 2 as bit))""".stripMargin)).as("x"))
-      .select(col("doc_id"), col("x.b").as("b"),
-        (col("c") * (col("x.bit") * 2 - 1)).as("wt"))
-      .groupBy("doc_id", "b").agg(sum(col("wt")).as("s"))
-      .select(col("doc_id"), col("b"), when(col("s") > 0, lit("1")).otherwise(lit("0")).as("bit"))
-    val fp = bits.groupBy("doc_id")
-      .agg(expr("array_join(transform(sort_array(collect_list(struct(b, bit))), x -> x.bit), '')").as("fp"))
-    val chunks = fp.select(col("doc_id"), col("fp"),
-      explode(expr("transform(sequence(0, 3), c -> struct(c as c, substring(fp, c*16 + 1, 16) as ck))")).as("x"))
-      .select(col("doc_id"), col("fp"), col("x.c").as("c"), col("x.ck").as("ck"))
+    // Codegen-friendly bit extraction: the first 16 md5 hex chars become a
+    // 64-char binary string via conv(); bit i's ±1 weight is then
+    // ascii(bin[i])*2 - 97 ('0'→-1, '1'→+1). 64 SUM aggregates with
+    // map-side combine collapse each partition to one row per doc before
+    // the shuffle (the explode-per-bit alternative shuffles 64× the rows,
+    // and higher-order-function lambdas would run interpreted).
+    val binned = tok.select(col("doc_id"), col("c"),
+      lpad(conv(substring(md5(col("t")), 1, 16), 16, 2), 64, "0").as("bin"))
+    val sums = binned.groupBy("doc_id")
+      .agg(sum(col("c") * (ascii(substring(col("bin"), 1, 1)) * 2 - 97)).as("s0"),
+        (1 until 64).map(i =>
+          sum(col("c") * (ascii(substring(col("bin"), i + 1, 1)) * 2 - 97)).as(s"s$i")): _*)
+    val fp = sums.select(col("doc_id"),
+      concat((0 until 64).map(i => when(col(s"s$i") > 0, lit("1")).otherwise(lit("0"))): _*).as("fp"))
+    // carry the 4 chunk values as ints: the bucket join key is an int, and
+    // hamming distance becomes bit_count(xor) — no per-character lambdas
+    val chunked = fp.select(col("doc_id") +: (0 until 4).map(j =>
+      conv(substring(col("fp"), j * 16 + 1, 16), 2, 10).cast("int").as(s"k$j")): _*)
+    val chunks = chunked.select(col("doc_id"),
+      explode(expr("transform(sequence(0, 3), c -> struct(c as c, element_at(array(k0, k1, k2, k3), c + 1) as ck))")).as("x"),
+      col("k0"), col("k1"), col("k2"), col("k3"))
+      .select(col("doc_id"), col("x.c").as("c"), col("x.ck").as("ck"),
+        col("k0"), col("k1"), col("k2"), col("k3"))
     val sized = chunks.withColumn("bsz", count(lit(1)).over(Window.partitionBy("c", "ck")))
       .filter(col("bsz") <= ChunkBucketCap)
-    val a = sized.select(col("c"), col("ck"), col("doc_id").as("da"), col("fp").as("fa"))
-    val b = sized.select(col("c"), col("ck"), col("doc_id").as("db"), col("fp").as("fb"))
+    val a = sized.select(col("c") :: col("ck") :: col("doc_id").as("da") ::
+      (0 until 4).map(j => col(s"k$j").as(s"a$j")).toList: _*)
+    val b = sized.select(col("c") :: col("ck") :: col("doc_id").as("db") ::
+      (0 until 4).map(j => col(s"k$j").as(s"b$j")).toList: _*)
     a.join(b, Seq("c", "ck")).filter(col("da") < col("db"))
-      .select(col("da"), col("db"), col("fa"), col("fb")).distinct()
+      .select(col("da") :: col("db") ::
+        (0 until 4).flatMap(j => Seq(col(s"a$j"), col(s"b$j"))).toList: _*).distinct()
       .withColumn("hamming",
-        expr("size(filter(sequence(1, 64), i -> substring(fa, i, 1) != substring(fb, i, 1)))").cast("long"))
+        expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + bit_count(a2 ^ b2) + bit_count(a3 ^ b3)").cast("long"))
       .filter(col("hamming") <= HammingMax)
       .select("da", "db", "hamming")
       .orderBy("da", "db")

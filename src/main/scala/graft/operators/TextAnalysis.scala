@@ -113,10 +113,11 @@ object TextAnalysis {
         explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
       .distinct()
       .select(col("doc_id"), md5(col("s")).as("h"))
-    val w = Window.partitionBy("doc_id").orderBy("h")
-    sh.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-      .groupBy("doc_id")
-      .agg(array_join(sort_array(collect_list(col("h"))), "").as("fp"))
+    // single aggregation (shingle hashes are distinct per doc, so the 3
+    // smallest of the collected list == the window-rank≤3 formulation, one
+    // shuffle instead of window-sort + regroup)
+    sh.groupBy("doc_id")
+      .agg(expr("array_join(slice(sort_array(collect_list(h)), 1, 3), '')").as("fp"))
       .orderBy("doc_id")
   }
 
