@@ -24,6 +24,8 @@ object GraftSession {
       // testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos
       // timestamp — read as long and convert in the loader (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native graft functions (cosine_sim) available in SQL + expr()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 

@@ -248,10 +248,9 @@ object Dedup {
     val a = e.select(col("bucket"), col("vec_id").as("ia"), col("v").as("va"))
     val b = e.select(col("bucket"), col("vec_id").as("ib"), col("v").as("vb"))
     a.join(b, Seq("bucket")).filter(col("ia") < col("ib"))
-      .withColumn("cos", expr(
-        """aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
-          |sqrt(aggregate(transform(va, x -> x * x), 0D, (acc, x) -> acc + x) *
-          |     aggregate(transform(vb, x -> x * x), 0D, (acc, x) -> acc + x))""".stripMargin))
+      // native codegen'd cosine (graft.functions.CosineSim) — bit-identical
+      // to the fold-based formula mirrored by the oracle
+      .withColumn("cos", expr("cosine_sim(va, vb)"))
       .filter(col("cos") >= CosineTau)
       .select("ia", "ib", "cos")
       .orderBy("ia", "ib")

@@ -23,10 +23,9 @@ object Similarity {
 
   private val K = 10
   private val NumQueries = 5 // vec_id < 5 are the query set
-  private val cosExpr = expr(
-    """aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
-      |sqrt(aggregate(transform(qv, x -> x * x), 0D, (acc, x) -> acc + x) *
-      |     aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))""".stripMargin)
+  // graft's native codegen'd expression (see graft.functions.CosineSim);
+  // bit-identical to the fold-based formula the oracle uses
+  private val cosExpr = expr("cosine_sim(qv, v)")
 
   private def vectors(spark: SparkSession, d: String): DataFrame =
     Tables.embeddings(spark, d).select(
