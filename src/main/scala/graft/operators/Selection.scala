@@ -61,6 +61,34 @@ object Selection {
       | FROM events
       |)""".stripMargin
 
+  /** The same correction + keying for reference-shaped series data (from
+    * `Tables.seriesJson`): epoch + 3600·offset, `yyyy-MM-dd HH:mm` key,
+    * salt appended — byte-for-byte the reference's `formatISODate` output
+    * (index.js:726-735). This is the switch-over path for a user of the
+    * reference: load their JSON, get the same keys their exports contain.
+    */
+  def keyedSeries(series: DataFrame, utcOffsetHours: Int = -2): DataFrame =
+    series
+      .withColumn("cts", timestamp_seconds((col("epoch") + lit(3600L * utcOffsetHours)).cast("long")))
+      .withColumn("key_m", date_format(col("cts"), "yyyy-MM-dd HH:mm"))
+      .withColumn("sel_key", concat(col("key_m"), lit(" "), col("salt")))
+
+  /** Render a selection DataFrame as the reference's sorted JSON export
+    * (`getJSONfile`, index.js:818-836): `{key: [compounds...]}` with keys
+    * sorted and compound lists sorted. Collects to the driver — selection
+    * lists are ≪ raw data by construction (same contract as the reference's
+    * in-browser export).
+    */
+  def exportJson(sel: DataFrame): String = {
+    val rows = sel.select(col("sel_key"), col("compound")).distinct()
+      .groupBy("sel_key").agg(sort_array(collect_set(col("compound"))).as("compounds"))
+      .orderBy("sel_key").collect()
+    rows.map { r =>
+      val cs = r.getSeq[String](1).map("\"" + _ + "\"").mkString("[", ", ", "]")
+      s""""${r.getString(0)}": $cs"""
+    }.mkString("{\n ", ",\n ", "\n}")
+  }
+
   // --- ds_load_epoch ------------------------------------------------------
   def dsLoadEpoch(spark: SparkSession, d: String): DataFrame =
     keyed(spark, d).select(

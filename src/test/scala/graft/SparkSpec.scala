@@ -6,7 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all specs (getOrCreate → one JVM-wide session). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("local[4]", 8).getOrCreate()
+    val s = GraftSession.builder("local[4]", 8)
+      .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
