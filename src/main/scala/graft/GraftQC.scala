@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Selection
+import graft.sources.Tables
+
+/** User-facing facade for the DataSelector workflow: load series JSON, make
+  * selections (rect / anti-rect / click toggle), inspect them, export them
+  * in the reference's JSON format, and apply them back to the raw data.
+  *
+  * A reference user's session maps 1:1:
+  * {{{
+  * val qc = new GraftQC(spark, utcOffsetHours = -2)            // config.js UTCCorrection
+  * val data = qc.loadSeriesDir("example/data")                 // all compounds at once
+  * val sel  = qc.rectSelect(data, "ethane", "2004-10-01 00:00:00", "2004-11-01 00:00:00", 0, 5000)
+  * val sel2 = qc.toggle(sel, qc.rectSelect(data, "ethane", ..)) // click/alt semantics
+  * val json = qc.exportJson(sel2)                              // getJSONfile output
+  * val qcd  = qc.applyFilter(data, sel2)                       // README's automated filtering
+  * }}}
+  *
+  * Selections are plain DataFrames of (compound, sel_key) — every operation
+  * is a distributed set op, so the same session works on a laptop against
+  * example JSON and on a cluster against years of parquet.
+  */
+class GraftQC(spark: SparkSession, utcOffsetHours: Int = -2) {
+
+  /** Load every `<compound>.json` in a directory as one keyed DataFrame —
+    * compound names come from filenames, exactly like the reference's
+    * JSONFiles config map. One distributed read for all compounds.
+    */
+  def loadSeriesDir(dir: String): DataFrame = {
+    val raw = spark.read
+      .schema(Tables.seriesSchema)
+      .option("multiLine", "true")
+      .json(s"$dir/*.json")
+      .withColumn("series",
+        regexp_extract(input_file_name(), "([^/]+)\\.json$", 1))
+      .withColumnRenamed("flask_number", "salt")
+      .withColumnRenamed("date", "epoch")
+    Selection.keyedSeries(raw, utcOffsetHours).withColumnRenamed("series", "compound")
+  }
+
+  /** Rectangle selection: every point of `compound` inside the box becomes
+    * a selection key (index.js:243-254).
+    */
+  def rectSelect(data: DataFrame, compound: String,
+      t0: String, t1: String, v0: Double, v1: Double): DataFrame =
+    data.filter(col("compound") === compound &&
+        col("cts") >= lit(t0).cast("timestamp") && col("cts") <= lit(t1).cast("timestamp") &&
+        col("value") >= v0 && col("value") <= v1)
+      .select("compound", "sel_key").distinct()
+
+  /** Alt-drag: remove from `sel` everything `box` covers (index.js:253). */
+  def antiSelect(sel: DataFrame, box: DataFrame): DataFrame =
+    sel.join(box.select("compound", "sel_key"), Seq("compound", "sel_key"), "left_anti")
+
+  /** Click-toggle semantics as a set op: symmetric difference
+    * (index.js:510-534).
+    */
+  def toggle(sel: DataFrame, clicks: DataFrame): DataFrame = {
+    val a = sel.select("compound", "sel_key")
+    val c = clicks.select("compound", "sel_key")
+    a.except(c).union(c.except(a))
+  }
+
+  /** Per-key compound counts, the text-box view (index.js:746-755). */
+  def counts(sel: DataFrame): DataFrame =
+    sel.select("compound", "sel_key").distinct()
+      .groupBy("sel_key").agg(count(lit(1)).as("ct"))
+      .orderBy("sel_key")
+
+  /** The reference's sorted JSON export (index.js:818-836). */
+  def exportJson(sel: DataFrame): String = Selection.exportJson(sel)
+
+  /** README's "automated filtering": drop selected points from the raw
+    * data. Selection side broadcast — the raw data never shuffles.
+    */
+  def applyFilter(data: DataFrame, sel: DataFrame): DataFrame =
+    data.join(broadcast(sel.select("compound", "sel_key")),
+      Seq("compound", "sel_key"), "left_anti")
+}

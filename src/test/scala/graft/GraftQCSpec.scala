@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Full reference-user session on the reference's own example data. */
+class GraftQCSpec extends SparkSpec {
+
+  private lazy val qc = new GraftQC(spark, utcOffsetHours = -2)
+  private lazy val data = qc.loadSeriesDir("/root/reference/example/data")
+
+  test("loadSeriesDir derives compounds from filenames and keys every point") {
+    val compounds = data.select("compound").distinct().collect().map(_.getString(0)).sorted
+    assert(compounds.contains("ethane") && compounds.contains("propane"))
+    assert(compounds.length >= 6)
+    assert(data.filter(col("sel_key").isNull).count() === 0)
+  }
+
+  test("select → anti-select → toggle → export → apply round-trip") {
+    val sel = qc.rectSelect(data, "ethane",
+      "2004-10-01 00:00:00", "2009-01-01 00:00:00", 2000.0, 1e9)
+    assert(sel.count() > 0)
+
+    val box = qc.rectSelect(data, "ethane",
+      "2004-10-01 00:00:00", "2006-01-01 00:00:00", 2000.0, 1e9)
+    val anti = qc.antiSelect(sel, box)
+    assert(anti.count() === sel.count() - box.intersect(sel).count())
+
+    val toggled = qc.toggle(anti, box)
+    // toggling a disjoint click set is a pure add
+    assert(toggled.count() === anti.count() + box.count())
+
+    val json = qc.exportJson(toggled)
+    assert(json.startsWith("{") && json.contains("ethane"))
+
+    val kept = qc.applyFilter(data, toggled)
+    assert(kept.count() === data.count() -
+      data.join(toggled, Seq("compound", "sel_key"), "left_semi").count())
+    // nothing kept is still selected
+    assert(kept.join(toggled, Seq("compound", "sel_key"), "left_semi").count() === 0)
+  }
+
+  test("counts view matches the by-key cardinalities") {
+    val sel = qc.rectSelect(data, "ethane",
+      "2004-10-01 00:00:00", "2009-01-01 00:00:00", 2000.0, 1e9)
+      .unionByName(qc.rectSelect(data, "propane",
+        "2004-10-01 00:00:00", "2009-01-01 00:00:00", 1000.0, 1e9))
+    val total = qc.counts(sel).agg(sum("ct")).head.getLong(0)
+    assert(total === sel.select("compound", "sel_key").distinct().count())
+  }
+}
