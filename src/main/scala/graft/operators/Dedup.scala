@@ -57,21 +57,27 @@ object Dedup {
 
   // --- shared: word 3-shingles, minhash signatures, LSH candidates --------
 
-  /** Distinct word-3-shingles per doc. */
-  private def shingles(spark: SparkSession, d: String): DataFrame =
+  /** Word-3-shingles per doc, duplicates included (one narrow pass). */
+  private def shingleStream(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
-      .distinct()
+
+  /** Distinct word-3-shingles per doc (for set semantics: sizes, Jaccard). */
+  private def shingles(spark: SparkSession, d: String): DataFrame =
+    shingleStream(spark, d).distinct()
 
   /** 16-perm minhash signature per doc: sig[k] = min(md5(k || '|' || s)).
     * One md5 per (shingle, perm) in a single projection, then 16 parallel
     * `min` aggregates — a single map-side-combinable shuffle per doc.
+    * Built on the NON-distinct shingle stream: min() is insensitive to
+    * duplicates, so the signature path skips the full-width distinct
+    * exchange entirely (the only shuffle is the tiny per-doc aggregate).
     */
   private def signatures(spark: SparkSession, d: String): DataFrame = {
-    val hashed = shingles(spark, d).select(
+    val hashed = shingleStream(spark, d).select(
       col("doc_id") +:
         (0 until NumPerms).map(k => md5(concat(lit(s"$k|"), col("s"))).as(s"h$k")): _*)
     hashed.groupBy("doc_id")
@@ -80,17 +86,29 @@ object Dedup {
       .select(col("doc_id"), array((0 until NumPerms).map(k => col(s"m$k")): _*).as("sig"))
   }
 
-  /** Banded-LSH candidate pairs (da < db), degenerate buckets dropped. */
-  private def lshCandidates(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"),
+  /** Banded-LSH candidate pairs (da < db) with both signatures attached,
+    * degenerate buckets dropped.
+    *
+    * Signatures ride along through the band explode and the self-join so
+    * the (md5-heavy) signature pipeline runs exactly ONCE per query —
+    * DataFrame reuse does not dedupe lineage, so the join-back-to-sig
+    * formulation recomputed the whole scan+hash chain 3-4×. The self-join
+    * uses one aliased subtree, so its shuffle is a single reused exchange,
+    * and the bucket-size window already partitions by (band, bk) — the join
+    * adds no further shuffle.
+    */
+  private def candidatePairs(sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("doc_id"), col("sig"),
       explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> struct(b as band, concat_ws('|', slice(sig, b*${NumPerms / Bands} + 1, ${NumPerms / Bands})) as bk))")).as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
+      .select(col("doc_id"), col("sig"), col("x.band").as("band"), col("x.bk").as("bk"))
     val sized = bands.withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bk")))
       .filter(col("bsz") <= BandBucketCap)
-    val a = sized.select(col("band"), col("bk"), col("doc_id").as("da"))
-    val b = sized.select(col("band"), col("bk"), col("doc_id").as("db"))
-    a.join(b, Seq("band", "bk")).filter(col("da") < col("db"))
-      .select("da", "db").distinct()
+    sized.as("a").join(sized.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .groupBy("da", "db").agg(first(col("sa")).as("sa"), first(col("sb")).as("sb"))
   }
 
   /** Shared oracle CTE chain mirroring shingles→signatures→candidates. */
@@ -112,17 +130,12 @@ object Dedup {
   // --- dedup_minhash_lsh --------------------------------------------------
   // Candidate pairs + estimated Jaccard = fraction of matching signature
   // positions.
-  def dedupMinhashLsh(spark: SparkSession, d: String): DataFrame = {
-    val sig = signatures(spark, d)
-    val cand = lshCandidates(sig)
-    cand
-      .join(sig.select(col("doc_id").as("da"), col("sig").as("sa")), Seq("da"))
-      .join(sig.select(col("doc_id").as("db"), col("sig").as("sb")), Seq("db"))
+  def dedupMinhashLsh(spark: SparkSession, d: String): DataFrame =
+    candidatePairs(signatures(spark, d))
       .select(col("da"), col("db"),
         expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").cast("long").as("n_match"))
       .withColumn("est_jaccard", col("n_match") / lit(NumPerms.toDouble))
       .orderBy("da", "db")
-  }
 
   val dedupMinhashLshSql: String = LshCte +
     s"""
@@ -139,7 +152,7 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame = {
     val sh = shingles(spark, d)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cand = lshCandidates(signatures(spark, d))
+    val cand = candidatePairs(signatures(spark, d)).select("da", "db")
     val inter = cand
       .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
       .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
