@@ -31,6 +31,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("append mode with watermark emits exactly the closed windows") {
+    val dir = stageEventsDir()
+    val stream = EventStream.eventsStream(spark, dir)
+    val q = EventStream.hourlyRollupStream(stream) // 2h watermark
+      .writeStream.format("memory").queryName("hourly_append")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val appended = spark.table("hourly_append").select("event_type", "hour_s", "n")
+    // the watermark freezes 2h behind the max event time; append emits a
+    // window only once it can no longer change — i.e. window end ≤ watermark
+    val maxTs = graft.sources.Tables.events(spark, sf)
+      .agg(max(col("ts"))).head.getTimestamp(0).getTime / 1000
+    val closed = EventStream.streamHourly(spark, sf)
+      .withColumn("end_s", unix_timestamp(col("hour_s"), "yyyy-MM-dd HH:mm") + 3600)
+      .filter(col("end_s") <= maxTs - 2 * 3600)
+      .select("event_type", "hour_s", "n")
+    assert(appended.count() > 0)
+    assert(appended.except(closed).count() === 0,
+      "append emitted a window the watermark had not closed")
+    assert(closed.except(appended).count() === 0,
+      "a closed window was never emitted")
+  }
+
   test("stateful sessionization via flatMapGroupsWithState matches the window-based batch sessionizer") {
     import spark.implicits._
     val dir = stageEventsDir()
