@@ -79,4 +79,15 @@ class GraftQC(spark: SparkSession, utcOffsetHours: Int = -2) {
   def applyFilter(data: DataFrame, sel: DataFrame): DataFrame =
     data.join(broadcast(sel.select("compound", "sel_key")),
       Seq("compound", "sel_key"), "left_anti")
+
+  /** Materialize the QC'd dataset as compound-partitioned parquet — the
+    * batch analogue of the reference's per-compound JSON files, and the
+    * layout downstream jobs want at scale: partition pruning makes
+    * single-compound reads touch only that compound's files.
+    */
+  def writeFiltered(data: DataFrame, sel: DataFrame, path: String): Unit =
+    applyFilter(data, sel)
+      .write.mode("overwrite")
+      .partitionBy("compound")
+      .parquet(path)
 }

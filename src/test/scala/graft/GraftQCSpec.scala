@@ -39,6 +39,21 @@ class GraftQCSpec extends SparkSpec {
     assert(kept.join(toggled, Seq("compound", "sel_key"), "left_semi").count() === 0)
   }
 
+  test("writeFiltered lays out compound-partitioned parquet and survives a pruned read") {
+    val sel = qc.rectSelect(data, "ethane",
+      "2004-10-01 00:00:00", "2009-01-01 00:00:00", 2000.0, 1e9)
+    val out = java.nio.file.Files.createTempDirectory("graft-qcd-").toString
+    qc.writeFiltered(data, sel, out)
+    // physical layout: one directory per compound
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("compound=ethane")))
+    // pruned single-compound read returns the filtered ethane rows exactly
+    val back = spark.read.parquet(out).filter(col("compound") === "ethane")
+    val expected = qc.applyFilter(data, sel).filter(col("compound") === "ethane")
+    assert(back.count() === expected.count())
+    assert(back.count() < data.filter(col("compound") === "ethane").count())
+  }
+
   test("counts view matches the by-key cardinalities") {
     val sel = qc.rectSelect(data, "ethane",
       "2004-10-01 00:00:00", "2009-01-01 00:00:00", 2000.0, 1e9)
