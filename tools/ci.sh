@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Full local gate for graft — run before every round-end commit.
+#   tools/ci.sh [sfDir]          (default /root/testdata/sf0.01)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.01}"
+OUT="$(mktemp -d /tmp/graft-verify-XXXX)"
+
+echo "== compile + unit/streaming specs"
+sbt -batch test
+
+echo "== correctness: Verify -> DuckDB oracle compare at $SF"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" sbt -batch "runMain graft.Verify $SF $OUT"
+python3 tools/check_oracle.py "$SF" "$OUT"
+
+echo "== plan audit (CartesianProduct / broadcast / pushdown gates)"
+sbt -batch "runMain graft.tools.ExplainDump $SF"
+
+echo "== bench (one JSON line)"
+SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
+  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '^{"metric'
+
+echo "ALL GATES GREEN"
