@@ -30,4 +30,20 @@ class SeriesJsonSpec extends SparkSpec {
     assert(first.getAs[Double]("value") === 2114.881)
     assert(df.columns.contains("lat") && df.columns.contains("alt"))
   }
+
+  test("tolerates records with missing fields — permissive schema, nulls filterable") {
+    // second record lacks flask_number and value: reader must not throw,
+    // and a QC pipeline can drop incomplete rows with a plain filter
+    val json =
+      """[{"flask_number": "A-1", "value": 10.5, "date": 1098130020.0},
+        |{"date": 1098130080.0}]""".stripMargin
+    val f = Files.createTempFile("series-sparse", ".json")
+    Files.writeString(f, json)
+
+    val df = Tables.seriesJson(spark, f.toString, "x")
+    assert(df.count() === 2)
+    val complete = df.filter(df("salt").isNotNull && df("value").isNotNull)
+    assert(complete.count() === 1)
+    assert(complete.head.getAs[String]("salt") === "A-1")
+  }
 }
