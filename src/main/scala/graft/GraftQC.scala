@@ -73,6 +73,25 @@ class GraftQC(spark: SparkSession, utcOffsetHours: Int = -2) {
   /** The reference's sorted JSON export (index.js:818-836). */
   def exportJson(sel: DataFrame): String = Selection.exportJson(sel)
 
+  /** Parse a reference-format export (`{key: [compounds...]}`) back into a
+    * selection DataFrame — the inverse of [[exportJson]], so a selection
+    * file produced by the reference tool (or by graft) drives
+    * [[applyFilter]] directly. Parsed on the driver: exports are small by
+    * contract; the result is distributed for the join.
+    */
+  def importSelections(json: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed = JsonMethods.parse(json)
+    val pairs = for {
+      JObject(fields) <- List(parsed)
+      (key, JArray(compounds)) <- fields
+      JString(compound) <- compounds
+    } yield (compound, key)
+    import spark.implicits._
+    pairs.toDF("compound", "sel_key")
+  }
+
   /** README's "automated filtering": drop selected points from the raw
     * data. Selection side broadcast — the raw data never shuffles.
     */

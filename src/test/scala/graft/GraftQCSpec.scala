@@ -54,6 +54,16 @@ class GraftQCSpec extends SparkSpec {
     assert(back.count() < data.filter(col("compound") === "ethane").count())
   }
 
+  test("exportJson → importSelections round-trips the selection exactly") {
+    val sel = qc.rectSelect(data, "ethane",
+      "2004-10-01 00:00:00", "2009-01-01 00:00:00", 2000.0, 1e9)
+      .unionByName(qc.rectSelect(data, "propane",
+        "2004-10-01 00:00:00", "2009-01-01 00:00:00", 1000.0, 1e9))
+    val back = qc.importSelections(qc.exportJson(sel))
+    assert(back.except(sel).count() === 0)
+    assert(sel.except(back).count() === 0)
+  }
+
   test("counts view matches the by-key cardinalities") {
     val sel = qc.rectSelect(data, "ethane",
       "2004-10-01 00:00:00", "2009-01-01 00:00:00", 2000.0, 1e9)
