@@ -3,15 +3,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Same builder as Verify/ExplainDump — benched plans = audited plans.
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (codegen, parquet footer caches, JIT) on the flagship so
     // the first timed query isn't charged for session startup.
@@ -26,8 +20,11 @@ object Bench {
         Some(name -> (System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
+          // strip EVERY char that can break the single-line JSON (quotes,
+          // backslashes, all control chars) — a parse failure here zeroes
+          // the whole round's bench
           errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
           None
       }
     }

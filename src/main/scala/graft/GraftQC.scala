@@ -30,12 +30,22 @@ class GraftQC(spark: SparkSession, utcOffsetHours: Int = -2) {
     * JSONFiles config map. One distributed read for all compounds.
     */
   def loadSeriesDir(dir: String): DataFrame = {
-    val raw = spark.read
+    val withFile = spark.read
       .schema(Tables.seriesSchema)
       .option("multiLine", "true")
       .json(s"$dir/*.json")
-      .withColumn("series",
-        regexp_extract(input_file_name(), "([^/]+)\\.json$", 1))
+      .withColumn("_file", input_file_name())
+    // input_file_name() is a percent-encoded URI ("n butane" → "n%20butane")
+    // — decode per distinct file on the driver (#files = #compounds, small)
+    // and map back with a broadcast join, so compound names match what the
+    // user types. No UDF needed.
+    import spark.implicits._
+    val files = withFile.select("_file").distinct().as[String].collect()
+    val mapping = files.map { f =>
+      val stem = f.substring(f.lastIndexOf('/') + 1).stripSuffix(".json")
+      f -> java.net.URLDecoder.decode(stem, "UTF-8")
+    }.toSeq.toDF("_file", "series")
+    val raw = withFile.join(broadcast(mapping), Seq("_file")).drop("_file")
       .withColumnRenamed("flask_number", "salt")
       .withColumnRenamed("date", "epoch")
     Selection.keyedSeries(raw, utcOffsetHours).withColumnRenamed("series", "compound")

@@ -65,9 +65,11 @@ object Analytics {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // --- q3_topk_revenue ----------------------------------------------------
-  // 3-way join + group + top-k. customer is a dimension → explicit
-  // broadcast; the orders⨝customer side stays small so AQE may broadcast it
-  // into lineitem too. Top-k is a total sort of |groups| rows only.
+  // 3-way join + group + top-k. customer grows with the scale factor, so
+  // it is NOT hard-broadcast — size-based planning (and AQE at runtime)
+  // broadcasts it while it fits and shuffle-joins it when it doesn't; a
+  // forced broadcast would hit Spark's 8 GB relation limit at large SF.
+  // Top-k is a total sort of |groups| rows only.
   def q3TopkRevenue(spark: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(spark, d)
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
@@ -77,7 +79,7 @@ object Analytics {
     val l = Tables.lineitem(spark, d)
       .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    l.join(o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
+    l.join(o.join(c, o("o_custkey") === c("c_custkey")),
         l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
@@ -102,9 +104,9 @@ object Analytics {
       |LIMIT 10""".stripMargin
 
   // --- q5_region_join -----------------------------------------------------
-  // 5-way star join: every dimension side is broadcast, so lineitem (the
-  // fact) is never shuffled for the join — only the final tiny group-by
-  // shuffles |nations| rows.
+  // 5-way star join. region/nation are FIXED-cardinality (5/25 rows at any
+  // scale) → hard broadcast; customer/supplier grow with SF → size-based
+  // planning decides (broadcast while small, shuffle-join at 100 TB).
   def q5RegionJoin(spark: SparkSession, d: String): DataFrame = {
     val r = Tables.region(spark, d).filter(col("r_name") === "EUROPE").select("r_regionkey")
     val n = Tables.nation(spark, d).select("n_nationkey", "n_name", "n_regionkey")
@@ -115,9 +117,9 @@ object Analytics {
         col("o_orderdate") < ts("1998-01-01 00:00:00"))
       .select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+    l.join(s, l("l_suppkey") === s("s_suppkey"))
       .join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))

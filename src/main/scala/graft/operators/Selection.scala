@@ -80,12 +80,20 @@ object Selection {
     * in-browser export).
     */
   def exportJson(sel: DataFrame): String = {
+    // proper JSON string escaping — salts/compound names are arbitrary
+    // user strings and may contain quotes, backslashes, or control chars
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val rows = sel.select(col("sel_key"), col("compound")).distinct()
       .groupBy("sel_key").agg(sort_array(collect_set(col("compound"))).as("compounds"))
       .orderBy("sel_key").collect()
     rows.map { r =>
-      val cs = r.getSeq[String](1).map("\"" + _ + "\"").mkString("[", ", ", "]")
-      s""""${r.getString(0)}": $cs"""
+      val cs = r.getSeq[String](1).map(q).mkString("[", ", ", "]")
+      s"${q(r.getString(0))}: $cs"
     }.mkString("{\n ", ",\n ", "\n}")
   }
 

@@ -48,8 +48,13 @@ object TextAnalysis {
       nWords.as("n_words"),
       (sumLen.cast("double") / nWords).as("avg_word_len"),
       (stopCnt.cast("double") / nWords).as("stop_ratio"),
-      round((stopCnt.cast("double") / nWords) * 0.5 +
-        least(sumLen.cast("double") / nWords / 10.0, lit(1.0)) * 0.5, 6).as("quality"))
+      // floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): Spark's round()
+      // rounds the shortest-decimal rendering (HALF_UP) while other engines
+      // round the binary double — they can disagree on half-way values.
+      // floor of the identical double product is bitwise-portable.
+      (floor(((stopCnt.cast("double") / nWords) * 0.5 +
+        least(sumLen.cast("double") / nWords / 10.0, lit(1.0)) * 0.5) * 1e6 + 0.5) / 1e6)
+        .as("quality"))
       .orderBy("doc_id")
   }
 
@@ -60,8 +65,8 @@ object TextAnalysis {
       | CAST(len(w) AS BIGINT) AS n_words,
       | CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS BIGINT) AS avg_word_len,
       | CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / CAST(len(w) AS BIGINT) AS stop_ratio,
-      | round(CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / CAST(len(w) AS BIGINT) * 0.5 +
-      |   least(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS BIGINT) / 10.0, 1.0) * 0.5, 6) AS quality
+      | floor((CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / CAST(len(w) AS BIGINT) * 0.5 +
+      |   least(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS BIGINT) / 10.0, 1.0) * 0.5) * 1e6 + 0.5) / 1e6 AS quality
       |FROM w ORDER BY doc_id""".stripMargin
 
   // --- text_langid --------------------------------------------------------

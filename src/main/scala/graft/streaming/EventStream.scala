@@ -56,40 +56,55 @@ object EventStream {
 
   case class EventIn(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionOut(user_id: Long, n_events: Long, start: Timestamp, end: Timestamp)
-  private case class SessionState(n: Long, start: Long, last: Long)
+  /** Open-session state carried across micro-batches (public: the state
+    * encoder's generated code must see the constructor).
+    */
+  case class SessionState(n: Long, start: Long, last: Long)
 
   /** Stateful sessionization (gap > 30 min closes a session) via
-    * `flatMapGroupsWithState` with processing-time timeout. In a real
-    * deployment the timeout flushes idle sessions; in the availableNow spec
-    * the final state flush is asserted against the batch `q_sessionize`
-    * semantics.
+    * `flatMapGroupsWithState` with a processing-time timeout.
+    *
+    * Only CLOSED sessions are emitted; the open session survives in
+    * `GroupState` across micro-batches (so a session spanning two batches
+    * is one session, not two) and is flushed when the user goes idle past
+    * the gap (timeout fires) — the behavior a production job needs.
+    * Bounded replays (availableNow) therefore end with each user's last
+    * session still open in state; specs compare against the batch
+    * sessionizer minus those trailing sessions.
     */
   def sessionize(spark: SparkSession, events: Dataset[EventIn]): Dataset[SessionOut] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout()) {
         (userId: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) =>
-          // Sort within the (small) per-user group — availableNow delivers
-          // the whole history; a production job would rely on watermarked
-          // event-time ordering instead.
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          var st = state.getOption.getOrElse(SessionState(0, 0, Long.MinValue))
-          sorted.foreach { e =>
-            val t = e.ts.getTime / 1000
-            if (st.n == 0) st = SessionState(1, t, t)
-            else if (t - st.last > 1800) {
-              out += SessionOut(userId, st.n, new Timestamp(st.start * 1000), new Timestamp(st.last * 1000))
-              st = SessionState(1, t, t)
-            } else st = SessionState(st.n + 1, st.start, t)
-          }
-          if (st.n > 0) {
-            // flush the trailing session (availableNow = bounded input)
-            out += SessionOut(userId, st.n, new Timestamp(st.start * 1000), new Timestamp(st.last * 1000))
+          def close(st: SessionState) =
+            SessionOut(userId, st.n, new Timestamp(st.start * 1000), new Timestamp(st.last * 1000))
+          if (state.hasTimedOut) {
+            // user idle past the gap: flush the open session
+            val out = state.getOption.map(close).iterator
             state.remove()
+            out
+          } else {
+            // Sort within the per-batch group; a production job would rely
+            // on watermarked event-time ordering instead.
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var st = state.getOption.getOrElse(SessionState(0, 0, Long.MinValue))
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              if (st.n == 0) st = SessionState(1, t, t)
+              else if (t - st.last > 1800) {
+                out += close(st)
+                st = SessionState(1, t, t)
+              } else st = SessionState(st.n + 1, st.start, t)
+            }
+            if (st.n > 0) {
+              state.update(st) // keep the open session across batches
+              state.setTimeoutDuration("30 minutes")
+            }
+            out.iterator
           }
-          out.iterator
       }
   }
 

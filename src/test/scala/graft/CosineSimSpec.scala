@@ -20,6 +20,15 @@ class CosineSimSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("cosine_sim returns null on length mismatch or null elements, like the fold formula") {
+    val mismatch = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d)) AS c").head
+    assert(mismatch.isNullAt(0))
+    val nullElem = spark.sql(
+      "SELECT cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS c").head
+    assert(nullElem.isNullAt(0))
+  }
+
   test("cosine_sim is registered as a SQL function via extensions") {
     val r = spark.sql("SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head.getDouble(0)
     assert(math.abs(r - 1.0) < 1e-15)

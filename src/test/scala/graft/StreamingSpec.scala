@@ -66,12 +66,21 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
 
+    // only CLOSED sessions are emitted — each user's trailing session is
+    // still open in state when the bounded replay ends, so the expectation
+    // is the batch sessionizer minus every user's last session
     val streamed = spark.table("sessions_stream")
-      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
-    val batch = graft.operators.Analytics.qSessionize(spark, sf)
-      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("start_s"))
+    val batchAll = graft.operators.Analytics.qSessionize(spark, sf)
+    val lastPerUser = batchAll.groupBy("user_id")
+      .agg(max(col("session_id")).as("session_id"))
+    val batchClosed = batchAll.join(lastPerUser, Seq("user_id", "session_id"), "left_anti")
+      .select(col("user_id"), col("n_events"), col("start_s"))
     assert(streamed.count() > 0)
-    assert(streamed.except(batch).count() === 0)
-    assert(batch.except(streamed).count() === 0)
+    assert(streamed.except(batchClosed).count() === 0,
+      "stream emitted a session batch did not close")
+    assert(batchClosed.except(streamed).count() === 0,
+      "batch closed a session the stream never emitted")
   }
 }
