@@ -17,7 +17,11 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries may persist() shared subtrees — drop them so no query's
+        // timing (or memory) leaks into the next
+        spark.catalog.clearCache()
+        Some(name -> dt)
       } catch {
         case e: Throwable =>
           // strip EVERY char that can break the single-line JSON (quotes,

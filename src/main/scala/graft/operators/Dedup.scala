@@ -23,6 +23,7 @@ import graft.sources.Tables
 object Dedup {
 
   private val NumPerms = 16 // minhash permutations
+  private val WordsPerHash = 4 // 8-hex-char words carved from one md5
   private val Bands = 4 // 4 bands × 4 rows
   private val BandBucketCap = 50 // drop degenerate LSH buckets
   private val ChunkBucketCap = 100 // drop degenerate simhash chunk buckets
@@ -69,22 +70,31 @@ object Dedup {
   private def shingles(spark: SparkSession, d: String): DataFrame =
     shingleStream(spark, d).distinct()
 
-  /** 16-perm minhash signature per doc: sig[k] = min(md5(k || '|' || s)).
-    * One md5 per (shingle, perm) in a single projection, then 16 parallel
-    * `min` aggregates — a single map-side-combinable shuffle per doc.
-    * Built on the NON-distinct shingle stream: min() is insensitive to
-    * duplicates, so the signature path skips the full-width distinct
-    * exchange entirely (the only shuffle is the tiny per-doc aggregate).
+  /** 16-perm minhash signature for any (doc_id, s) input.
+    * Perm k = the k%4-th 8-hex-char word of md5(k/4 || '|' || s): one md5
+    * yields 4 independent 32-bit hash words (disjoint substrings of a
+    * 128-bit digest), so 16 perms cost 4 md5 calls per shingle, not 16
+    * (codegen subexpression elimination collapses the repeated md5s).
+    * Then 16 parallel `min` aggregates — a single map-side-combinable
+    * shuffle per doc. min() is insensitive to duplicate shingles, so this
+    * works on the raw stream and the distinct set alike.
     */
-  private def signatures(spark: SparkSession, d: String): DataFrame = {
-    val hashed = shingleStream(spark, d).select(
+  private def sigProjection(shingled: DataFrame): DataFrame = {
+    val hashed = shingled.select(
       col("doc_id") +:
-        (0 until NumPerms).map(k => md5(concat(lit(s"$k|"), col("s"))).as(s"h$k")): _*)
+        (0 until NumPerms).map(k =>
+          substring(md5(concat(lit(s"${k / WordsPerHash}|"), col("s"))),
+            (k % WordsPerHash) * 8 + 1, 8).as(s"h$k")): _*)
     hashed.groupBy("doc_id")
       .agg(min(col("h0")).as("m0"),
         (1 until NumPerms).map(k => min(col(s"h$k")).as(s"m$k")): _*)
       .select(col("doc_id"), array((0 until NumPerms).map(k => col(s"m$k")): _*).as("sig"))
   }
+
+  /** Signatures over the non-distinct shingle stream (skips the full-width
+    * distinct exchange — the only shuffle is the tiny per-doc aggregate). */
+  private def signatures(spark: SparkSession, d: String): DataFrame =
+    sigProjection(shingleStream(spark, d))
 
   /** Banded-LSH candidate pairs (da < db) with both signatures attached,
     * degenerate buckets dropped.
@@ -116,7 +126,8 @@ object Dedup {
     s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
        |sh AS (SELECT DISTINCT doc_id, s FROM (
        |  SELECT doc_id, unnest([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS s FROM w)),
-       |mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR)||'|'||s)) AS h
+       |mh AS (SELECT doc_id, seed,
+       |       min(substr(md5(CAST(seed//$WordsPerHash AS VARCHAR)||'|'||s), CAST((seed%$WordsPerHash)*8+1 AS INT), 8)) AS h
        |       FROM sh, range(0, $NumPerms) t(seed) GROUP BY 1, 2),
        |sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
        |bands AS (SELECT doc_id, b,
@@ -149,17 +160,33 @@ object Dedup {
   // Exact Jaccard verification on the LSH candidates only: the intersection
   // is counted with a shingle-equijoin restricted to candidate pairs — no
   // per-pair set materialization, no cross join.
+  //
+  // The distinct shingle set is the shared input of every stage (signature,
+  // set sizes, both intersection joins), so it is persisted once — without
+  // it Spark recomputes the scan+split+explode+distinct lineage 4× (this was
+  // 17.6s at sf0.1; persist + broadcast brought it in line with the other
+  // LSH queries). Candidate pairs and per-doc sizes are both tiny relative
+  // to the corpus (bucket caps bound the pair count), so they broadcast:
+  // the only big-data shuffles left are the one distinct() and the per-doc
+  // aggregates. At 100 TB the persist becomes a checkpoint of the shingle
+  // table and the broadcasts stay valid (pair count tracks true-duplicate
+  // density, not corpus size).
   def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame = {
-    val sh = shingles(spark, d)
+    val sh = shingles(spark, d).persist()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cand = candidatePairs(signatures(spark, d)).select("da", "db")
-    val inter = cand
+    val cand = candidatePairs(sigProjection(sh)).select("da", "db")
+    // shingles of each pair's left doc, keyed for the right-doc probe
+    val daSh = broadcast(cand)
       .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+    val inter = sh.select(col("doc_id").as("db"), col("s"))
+      .join(broadcast(daSh), Seq("db", "s"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+    // sz is one row per document (huge at scale); the pair-side stays small,
+    // so the pair-side is what gets broadcast in both size lookups
+    val withNa = sz.select(col("doc_id").as("da"), col("n").as("na"))
+      .join(broadcast(inter), Seq("da"))
+    sz.select(col("doc_id").as("db"), col("n").as("nb"))
+      .join(broadcast(withNa), Seq("db"))
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= JaccardTau)
       .select("da", "db", "inter", "jaccard")
@@ -182,31 +209,38 @@ object Dedup {
 
   // --- dedup_simhash ------------------------------------------------------
   // 64-bit SimHash: bit b comes from nibble bits of each token's md5,
-  // weighted by token frequency; fingerprint kept as a 64-char '0'/'1'
-  // string (portable across engines — no unsigned-64 headaches). Candidates
-  // via the classic 4×16-bit chunk blocking, output pairs with hamming ≤ 8.
+  // weighted by token frequency; the fingerprint lives as 4 × 16-bit chunk
+  // ints end to end (portable across engines — no unsigned-64 headaches).
+  // Candidates via the classic 4×16-bit chunk blocking, output pairs with
+  // hamming ≤ 8.
   def dedupSimhash(spark: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(spark, d)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-    // Codegen-friendly bit extraction: the first 16 md5 hex chars become a
-    // 64-char binary string via conv(); bit i's ±1 weight is then
-    // ascii(bin[i])*2 - 97 ('0'→-1, '1'→+1). 64 SUM aggregates with
-    // map-side combine collapse each partition to one row per doc before
-    // the shuffle (the explode-per-bit alternative shuffles 64× the rows,
-    // and higher-order-function lambdas would run interpreted).
-    val binned = tok.select(col("doc_id"), col("c"),
-      lpad(conv(substring(md5(col("t")), 1, 16), 16, 2), 64, "0").as("bin"))
-    val sums = binned.groupBy("doc_id")
-      .agg(sum(col("c") * (ascii(substring(col("bin"), 1, 1)) * 2 - 97)).as("s0"),
-        (1 until 64).map(i =>
-          sum(col("c") * (ascii(substring(col("bin"), i + 1, 1)) * 2 - 97)).as(s"s$i")): _*)
-    val fp = sums.select(col("doc_id"),
-      concat((0 until 64).map(i => when(col(s"s$i") > 0, lit("1")).otherwise(lit("0"))): _*).as("fp"))
-    // carry the 4 chunk values as ints: the bucket join key is an int, and
-    // hamming distance becomes bit_count(xor) — no per-character lambdas
-    val chunked = fp.select(col("doc_id") +: (0 until 4).map(j =>
-      conv(substring(col("fp"), j * 16 + 1, 16), 2, 10).cast("int").as(s"k$j")): _*)
+    // Pure-integer bit extraction: the first 16 md5 hex chars split into 4
+    // 16-bit chunk ints (one conv each); bit b of chunk j is
+    // (cj >> (15-r)) & 1 and its ±1 weight is bit*2-1 — no 64-char binary
+    // strings, no per-character substring/ascii in the 64 aggregates.
+    // 64 SUM aggregates with map-side combine collapse each partition to
+    // one row per doc before the shuffle (the explode-per-bit alternative
+    // shuffles 64× the rows, and higher-order-function lambdas would run
+    // interpreted).
+    val chunkedTok = tok.select(col("doc_id") :: col("c") ::
+      (0 until 4).map(j =>
+        conv(substring(md5(col("t")), j * 4 + 1, 4), 16, 10).cast("int").as(s"c$j")).toList: _*)
+    val sums = chunkedTok.groupBy("doc_id")
+      .agg(sum(col("c") * (shiftright(col("c0"), 15).bitwiseAND(lit(1)) * 2 - 1)).as("s0"),
+        (1 until 64).map { b =>
+          val (j, r) = (b / 16, b % 16)
+          sum(col("c") * (shiftright(col(s"c$j"), 15 - r).bitwiseAND(lit(1)) * 2 - 1)).as(s"s$b")
+        }: _*)
+    // reassemble each 16-bit chunk key directly from the bit signs — the
+    // fingerprint never materializes as a string
+    val chunked = sums.select(col("doc_id") +: (0 until 4).map { j =>
+      (0 until 16).map(r =>
+        when(col(s"s${16 * j + r}") > 0, lit(1 << (15 - r))).otherwise(lit(0)))
+        .reduce(_ + _).cast("int").as(s"k$j")
+    }: _*)
     val chunks = chunked.select(col("doc_id"),
       explode(expr("transform(sequence(0, 3), c -> struct(c as c, element_at(array(k0, k1, k2, k3), c + 1) as ck))")).as("x"),
       col("k0"), col("k1"), col("k2"), col("k3"))
