@@ -15,14 +15,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Selection.queries ++ Analytics.queries ++ Dedup.queries ++
+    Selection.queries ++ Analytics.queries ++ Temporal.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++
-      Map("mm_binary_meta" -> (Multimodal.mmBinaryMeta _)) ++ EventStream.queries
+      Map("mm_binary_meta" -> (Multimodal.mmBinaryMeta _),
+        "mm_dedup" -> (Multimodal.mmDedup _)) ++ EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
-    Selection.oracle ++ Analytics.oracle ++ Dedup.oracle ++
+    Selection.oracle ++ Analytics.oracle ++ Temporal.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++
-      Map("mm_binary_meta" -> Multimodal.mmBinaryMetaSql) ++ EventStream.oracle
+      Map("mm_binary_meta" -> Multimodal.mmBinaryMetaSql,
+        "mm_dedup" -> Multimodal.mmDedupSql) ++ EventStream.oracle
 }

@@ -328,6 +328,38 @@ object Analytics {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- q_salted_agg -------------------------------------------------------
+  // Skew-mitigation pattern, demonstrated end-to-end: events has only 5
+  // event_types, so a direct groupBy sends ~20% of ALL rows to one reducer
+  // — the textbook hot-key shuffle. The salted plan spreads each key over
+  // 16 sub-keys (salt = event_id % 16, deterministic), partially aggregates
+  // (event_type, salt), then combines the 16 partials per key — the second
+  // shuffle carries 5·16 rows regardless of input size. Integer-cent sums
+  // make the two-stage result bit-identical to the direct one (associative
+  // regrouping is exact), which is precisely why the exactness contract
+  // bans raw double sums. Oracle = the direct single-stage aggregate.
+  def qSaltedAgg(spark: SparkSession, d: String): DataFrame = {
+    val partial = Tables.events(spark, d)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("vc"))
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(sum(col("vc")).as("s"), count(lit(1)).as("c"))
+    partial.groupBy("event_type")
+      .agg((sum(col("s")) / 100.0).as("sum_value"),
+        sum(col("c")).as("n"),
+        ((sum(col("s")) / 100.0) / sum(col("c"))).as("avg_value"))
+      .orderBy("event_type")
+  }
+
+  val qSaltedAggSql: String =
+    """SELECT event_type,
+      | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value,
+      | count(*) AS n,
+      | (CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0)/count(*) AS avg_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_topk_revenue" -> q3TopkRevenue,
@@ -338,7 +370,8 @@ object Analytics {
     "q_semi_anti" -> qSemiAnti,
     "q_events_hourly" -> qEventsHourly,
     "q_sessionize" -> qSessionize,
-    "q_percentiles" -> qPercentiles)
+    "q_percentiles" -> qPercentiles,
+    "q_salted_agg" -> qSaltedAgg)
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -350,5 +383,6 @@ object Analytics {
     "q_semi_anti" -> qSemiAntiSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_sessionize" -> qSessionizeSql,
-    "q_percentiles" -> qPercentilesSql)
+    "q_percentiles" -> qPercentilesSql,
+    "q_salted_agg" -> qSaltedAggSql)
 }

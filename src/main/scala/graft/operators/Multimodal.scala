@@ -37,6 +37,22 @@ object Multimodal {
       | CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- mm_dedup -----------------------------------------------------------
+  // Exact dedup of opaque binary payloads by content hash — the multimodal
+  // twin of dedup_exact (images/audio dedup by bytes, not by text
+  // normalization). Same scale shape: one hash-groupBy with map-side
+  // combine; the payloads themselves never shuffle, only (hash, id) pairs.
+  def mmDedup(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(sha2(expr("encode(text, 'UTF-8')"), 256).as("h"), col("doc_id"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("h")
+
+  val mmDedupSql: String =
+    """SELECT sha256(text) AS h, min(doc_id) AS canonical_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Decoded-frame record produced by the codec stub. */
   case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int, checksum: Long)
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -338,6 +339,78 @@ object Selection {
     | count(*) AS ct
     |FROM s GROUP BY sel_key ORDER BY sel_key""".stripMargin
 
+  // --- ds_zoom_history ----------------------------------------------------
+  // The reference keeps a zoom-limit stack per (compound, axis-pair):
+  // createScales pushes new limits (only if they differ from the top,
+  // index.js:360-368), zoomOut pops (index.js:644), and rendering peeks the
+  // top (index.js:338-349). Replayed as a DataFrame: a deterministic action
+  // log per compound (the compound's first 12 events by corrected time;
+  // every 5th action is a pop, the rest push limits derived from the event)
+  // folded with pure window functions — running depth = prefix sum of ±1,
+  // and a push survives iff no later depth dips below it (suffix min), the
+  // classic stack-as-prefix-sum encoding. The log construction guarantees
+  // pops never hit an empty stack (pushes strictly outnumber pops in every
+  // prefix) and consecutive limits always differ (widths grow with the
+  // action index), so the push-if-different rule is vacuously honored.
+  // Output: final stack depth + the surviving top limits per compound.
+  // Scale: two window passes over a per-compound log that is bounded by
+  // analyst interaction counts — partitioned by compound, no joins over
+  // the raw data.
+  def dsZoomHistory(spark: SparkSession, d: String): DataFrame = {
+    val wi = Window.partitionBy("compound").orderBy("ms", "event_id")
+    val wRun = Window.partitionBy("compound").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSuf = Window.partitionBy("compound").orderBy("i")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wLast = Window.partitionBy("compound").orderBy(desc("i"))
+    val a = keyed(spark, d)
+      .select("compound", "event_id", "value", "ms")
+      .withColumn("i", row_number().over(wi).cast("long"))
+      .filter(col("i") <= 12)
+    val isPop = col("i") % 5 === 0
+    val act = a.select(col("compound"), col("i"),
+      when(isPop, -1).otherwise(1).as("step"),
+      when(isPop, lit(null)).otherwise(col("ms") - col("ms") % 86400000L).as("x0"),
+      when(isPop, lit(null)).otherwise(col("ms") + col("i") * 86400000L).as("x1"),
+      when(isPop, lit(null)).otherwise((floor(col("value") / 50) * 50).cast("double")).as("y0"),
+      when(isPop, lit(null)).otherwise((ceil(col("value") / 50) * 50).cast("double")).as("y1"))
+    val dep = act.withColumn("depth", sum(col("step")).over(wRun))
+    val surv = dep.withColumn("sufmin", min(col("depth")).over(wSuf))
+      .filter(col("step") === 1 && col("depth") <= coalesce(col("sufmin"), col("depth")))
+      .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+    val fin = dep.withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select(col("compound"), col("depth").as("final_depth"))
+    surv.join(fin, Seq("compound"))
+      .select(col("compound"), col("final_depth"),
+        date_format(timestamp_millis(col("x0")), "yyyy-MM-dd HH:mm:ss").as("x0_s"),
+        date_format(timestamp_millis(col("x1")), "yyyy-MM-dd HH:mm:ss").as("x1_s"),
+        col("y0"), col("y1"))
+      .orderBy("compound")
+  }
+
+  val dsZoomHistorySql: String = KeyedCte + """,
+    |a AS (SELECT compound, event_id, value, ms,
+    |       CAST(row_number() OVER (PARTITION BY compound ORDER BY ms, event_id) AS BIGINT) AS i
+    |      FROM k QUALIFY i <= 12),
+    |act AS (SELECT compound, i,
+    |         CASE WHEN i % 5 = 0 THEN -1 ELSE 1 END AS step,
+    |         CASE WHEN i % 5 = 0 THEN NULL ELSE ms - (ms % 86400000) END AS x0,
+    |         CASE WHEN i % 5 = 0 THEN NULL ELSE ms + i*86400000 END AS x1,
+    |         CASE WHEN i % 5 = 0 THEN NULL ELSE CAST(floor(value/50)*50 AS DOUBLE) END AS y0,
+    |         CASE WHEN i % 5 = 0 THEN NULL ELSE CAST(ceil(value/50)*50 AS DOUBLE) END AS y1
+    |        FROM a),
+    |dep AS (SELECT *, CAST(sum(step) OVER (PARTITION BY compound ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS depth FROM act),
+    |surv AS (SELECT *, min(depth) OVER (PARTITION BY compound ORDER BY i ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS sufmin FROM dep),
+    |top AS (SELECT compound, x0, x1, y0, y1, row_number() OVER (PARTITION BY compound ORDER BY i DESC) AS rn
+    |        FROM surv WHERE step = 1 AND depth <= coalesce(sufmin, depth)),
+    |fin AS (SELECT compound, depth AS final_depth, row_number() OVER (PARTITION BY compound ORDER BY i DESC) AS rn FROM dep)
+    |SELECT t.compound, f.final_depth,
+    | strftime(make_timestamp(t.x0*1000), '%Y-%m-%d %H:%M:%S') AS x0_s,
+    | strftime(make_timestamp(t.x1*1000), '%Y-%m-%d %H:%M:%S') AS x1_s,
+    | t.y0, t.y1
+    |FROM top t JOIN fin f ON t.compound = f.compound AND f.rn = 1
+    |WHERE t.rn = 1 ORDER BY t.compound""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_load_epoch" -> dsLoadEpoch,
     "ds_extent" -> dsExtent,
@@ -350,6 +423,7 @@ object Selection {
     "ds_sel_export" -> dsSelExport,
     "ds_apply_filter" -> dsApplyFilter,
     "ds_zoom_clamp" -> dsZoomClamp,
+    "ds_zoom_history" -> dsZoomHistory,
     "ds_clear_compound" -> dsClearCompound)
 
   val oracle: Map[String, String] = Map(
@@ -364,5 +438,6 @@ object Selection {
     "ds_sel_export" -> dsSelExportSql,
     "ds_apply_filter" -> dsApplyFilterSql,
     "ds_zoom_clamp" -> dsZoomClampSql,
+    "ds_zoom_history" -> dsZoomHistorySql,
     "ds_clear_compound" -> dsClearCompoundSql)
 }

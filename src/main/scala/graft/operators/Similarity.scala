@@ -85,11 +85,66 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM s)
        |SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // --- ann_ivf ------------------------------------------------------------
+  // IVF (inverted-file) ANN, the other standard scale path next to LSH:
+  // a small set of centroids partitions the corpus into cells; queries
+  // probe only their NProbe nearest cells. Here the coarse quantizer is a
+  // fixed, deterministic seed set (vec_id ∈ [100, 116) — 16 cells) so the
+  // oracle can replicate it exactly; at scale you'd swap in k-means||
+  // centroids (driver-side array, same broadcast shape, ~hundreds of KB
+  // for thousands of cells).
+  //
+  // Scale shape: assignment is a broadcast nested loop over 16 centroids —
+  // map-side, no shuffle of the corpus; the cell table is shuffle-
+  // partitioned by cid exactly once; probing joins the tiny query set
+  // (broadcast) to its 2 cells, so scored candidates are ~2/16 of the
+  // corpus per query instead of all of it.
+  private val NumCells = 16
+  private val CentroidBase = 100 // vec_id in [base, base+NumCells) seed the cells
+  private val NProbe = 2
+
+  def annIvf(spark: SparkSession, d: String): DataFrame = {
+    val e = vectors(spark, d)
+    val cents = e.filter(col("vec_id") >= CentroidBase && col("vec_id") < CentroidBase + NumCells)
+      .select((col("vec_id") - CentroidBase).as("cid"), col("v").as("qv"))
+    // rank each vector's cells by cosine (tiebreak: smaller cid)
+    val wAsg = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+    val asg = e.crossJoin(broadcast(cents))
+      .withColumn("csim", cosExpr)
+      .withColumn("arn", row_number().over(wAsg))
+    val cells = asg.filter(col("arn") === 1).select(col("vec_id"), col("v"), col("cid"))
+    val probes = asg.filter(col("vec_id") < NumQueries && col("arn") <= NProbe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    cells.join(broadcast(probes), Seq("cid"))
+      .withColumn("sim", cosExpr)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("qid", "rank", "vec_id", "sim")
+      .orderBy("qid", "rank")
+  }
+
+  val annIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |asg AS (SELECT vec_id, v, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${CosSqlFor("v", "cv")} DESC, cid) AS arn
+       |  FROM e CROSS JOIN c),
+       |cell AS (SELECT vec_id, v, cid FROM asg WHERE arn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, cid FROM asg WHERE vec_id < $NumQueries AND arn <= $NProbe),
+       |s AS (SELECT qid, cell.vec_id, ${CosSqlFor("qv", "v")} AS sim FROM cell JOIN q USING (cid)),
+       |r AS (SELECT qid, vec_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM s)
+       |SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
-    "ann_lsh" -> annLsh)
+    "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf)
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
-    "ann_lsh" -> annLshSql)
+    "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql)
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.2b temporal joins — the two operators classic SQL engines bolt on for
+  * time-series work and Spark has no built-in for: point-in-time (as-of)
+  * join and interval (range) join.
+  *
+  * Both are built so the plan scales linearly in the data:
+  *
+  * - `q_asof_join` uses the union-then-window formulation: tag both sides,
+  *   union, one window pass partitioned by the join key with
+  *   `last(..., ignoreNulls)` carrying the most recent build-side row
+  *   forward. ONE shuffle on the key, no range-condition join, no
+  *   per-probe-row re-scan — the standard scalable as-of shape (what
+  *   dedicated engines' ASOF JOIN lowers to). A naive
+  *   `JOIN ON key = key AND t2 <= t1` + keep-latest explodes to
+  *   O(probe × matching-build) intermediate rows; this stays O(n log n).
+  *
+  * - `q_range_join` blocks time into buckets exactly as wide as the query
+  *   window: each anchor covers ≤ 2 buckets, each probe row lands in
+  *   exactly 1, so the equijoin on bucket produces each true pair once
+  *   (no dedup pass) with ≤ 2× fan-out on the anchor side only. The join
+  *   is a plain shuffle-hash/sort-merge on the bucket key — no
+  *   BroadcastNestedLoopJoin, no CartesianProduct — and skewed buckets
+  *   are split by AQE. This is the interval-join pattern streaming engines
+  *   use for bounded-time correlation.
+  *
+  * Both compare time as integer epoch-micros (`unix_micros` here,
+  * `epoch_us` in the oracle): events.parquet carries TIMESTAMP(NANOS) and
+  * both engines truncate nanos→micros identically, so the comparisons are
+  * bit-for-bit the same.
+  */
+object Temporal {
+
+  /** Interval width for q_range_join = the blocking bucket width (10 min). */
+  private val WindowUs = 600000000L
+
+  /** events projected to integer epoch-micros. */
+  private def ev(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      .withColumn("t", unix_micros(col("ts")))
+
+  // --- q_asof_join --------------------------------------------------------
+  // For every 'purchase': the most recent 'view' by the same user at or
+  // before the purchase time (classic last-touch attribution). Ties on
+  // time break toward the larger view event_id; purchases with no prior
+  // view keep NULLs (left as-of).
+  def qAsofJoin(spark: SparkSession, d: String): DataFrame = {
+    val e = ev(spark, d)
+    // side 0 = build (views), side 1 = probe (purchases): on equal t the
+    // build row sorts first, so "at or before" includes exact ties.
+    val views = e.filter(col("event_type") === "view").select(
+      col("user_id"), col("t"), lit(0).as("side"), col("event_id").as("ord"),
+      col("event_id").as("v_id"), col("value").as("v_value"),
+      lit(null).cast("long").as("p_id"), lit(null).cast("timestamp").as("p_ts"))
+    val purchases = e.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("t"), lit(1).as("side"), col("event_id").as("ord"),
+      lit(null).cast("long").as("v_id"), lit(null).cast("double").as("v_value"),
+      col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val w = Window.partitionBy("user_id").orderBy("t", "side", "ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("view_id", last(col("v_id"), ignoreNulls = true).over(w))
+      .withColumn("view_value", last(col("v_value"), ignoreNulls = true).over(w))
+      .withColumn("vt", last(when(col("v_id").isNotNull, col("t")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("p_id").as("event_id"), col("user_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("view_id"), col("view_value"),
+        (col("t") - col("vt")).as("lag_us"))
+      .orderBy("event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t FROM events WHERE event_type='purchase'),
+      |v AS (SELECT event_id AS v_id, user_id, value AS v_value, epoch_us(ts) AS vt FROM events WHERE event_type='view'),
+      |j AS (SELECT p.event_id, v.v_id, v.v_value, v.vt,
+      |        row_number() OVER (PARTITION BY p.event_id ORDER BY v.vt DESC, v.v_id DESC) AS rn
+      |      FROM p JOIN v ON v.user_id = p.user_id AND v.vt <= p.t)
+      |SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |       j.v_id AS view_id, j.v_value AS view_value, p.t - j.vt AS lag_us
+      |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+      |ORDER BY p.event_id""".stripMargin
+
+  // --- q_range_join -------------------------------------------------------
+  // For every 'error' event: activity stats over ALL events (any user) in
+  // the 10 minutes starting at the error — a pure interval join, no
+  // equality key. Value sums go through integer cents (exactness contract).
+  def qRangeJoin(spark: SparkSession, d: String): DataFrame = {
+    val e = ev(spark, d)
+    val anchors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("a_id"), col("t").as("t0"))
+      .withColumn("b", explode(array(expr(s"t0 div $WindowUs"), expr(s"t0 div $WindowUs") + 1)))
+    val probes = e.select(col("event_id"), col("user_id"), col("t"),
+      round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("b", expr(s"t div $WindowUs"))
+    anchors.join(probes, Seq("b"))
+      .filter(col("t") >= col("t0") && col("t") < col("t0") + lit(WindowUs))
+      .groupBy(col("a_id").as("event_id"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"),
+        (sum(col("vc")) / 100.0).as("sum_value"))
+      .orderBy("event_id")
+  }
+
+  val qRangeJoinSql: String =
+    s"""WITH a AS (SELECT event_id, epoch_us(ts) AS t0 FROM events WHERE event_type='error'),
+       |j AS (SELECT a.event_id, e.user_id, CAST(round(e.value*100) AS BIGINT) AS vc
+       |      FROM a JOIN events e ON epoch_us(e.ts) >= a.t0 AND epoch_us(e.ts) < a.t0 + $WindowUs)
+       |SELECT event_id, count(*) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       |       CAST(sum(vc) AS BIGINT)/100.0 AS sum_value
+       |FROM j GROUP BY event_id ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin)
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_join" -> qAsofJoinSql,
+    "q_range_join" -> qRangeJoinSql)
+}

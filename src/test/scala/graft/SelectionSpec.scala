@@ -74,4 +74,42 @@ class SelectionSpec extends SparkSpec {
       assert(z1 > z0)
     }
   }
+
+  test("zoom history: depth and top limits match a literal stack simulation") {
+    // independently replay the action log with a real mutable stack —
+    // push-if-different and pop semantics exactly as the reference keeps them
+    import graft.sources.Tables
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type").as("compound"), col("event_id"), col("value"),
+        (unix_timestamp(col("ts")) - 7200L).as("sec"))
+      .collect()
+      .map(r => (r.getAs[String]("compound"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value"), r.getAs[Long]("sec") * 1000L))
+    val expected = rows.groupBy(_._1).map { case (compound, rs) =>
+      val log = rs.sortBy(r => (r._4, r._2)).take(12)
+      val stack = scala.collection.mutable.Stack[(Long, Long, Double, Double)]()
+      log.zipWithIndex.foreach { case ((_, _, value, ms), idx) =>
+        val i = idx + 1L
+        if (i % 5 == 0) { if (stack.nonEmpty) stack.pop() }
+        else {
+          val lim = (ms - ms % 86400000L, ms + i * 86400000L,
+            math.floor(value / 50) * 50, math.ceil(value / 50) * 50)
+          if (stack.isEmpty || stack.top != lim) stack.push(lim)
+        }
+      }
+      compound -> (stack.size.toLong, stack.top)
+    }
+    val got = Selection.dsZoomHistory(spark, sf).collect()
+    assert(got.length === expected.size)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    got.foreach { r =>
+      val (depth, (x0, x1, y0, y1)) = expected(r.getAs[String]("compound"))
+      assert(r.getAs[Long]("final_depth") === depth)
+      assert(fmt.parse(r.getAs[String]("x0_s")).getTime === x0)
+      assert(fmt.parse(r.getAs[String]("x1_s")).getTime === x1)
+      assert(r.getAs[Double]("y0") === y0)
+      assert(r.getAs[Double]("y1") === y1)
+    }
+  }
 }

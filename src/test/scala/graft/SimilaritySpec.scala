@@ -34,4 +34,26 @@ class SimilaritySpec extends SparkSpec {
       bf.get(key).foreach(s => assert(math.abs(s - r.getAs[Double]("sim")) < 1e-12))
     }
   }
+
+  test("ivf rank 1 is the query itself with cosine ≈ 1") {
+    // a vector always lands in its own nearest cell, and a query probes its
+    // own top cells first — so IVF can never lose the query itself
+    val top = Similarity.annIvf(spark, sf).filter("rank = 1").collect()
+    assert(top.length === 5)
+    top.foreach { r =>
+      assert(r.getAs[Long]("qid") === r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9)
+    }
+  }
+
+  test("ivf similarities agree bitwise with brute force on shared hits") {
+    val bf = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("sim")).toMap
+    val ivf = Similarity.annIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))
+      bf.get(key).foreach(s => assert(s === r.getAs[Double]("sim")))
+    }
+  }
 }
