@@ -43,7 +43,9 @@ object Selection {
   private def keyed(spark: SparkSession, d: String): DataFrame = {
     val epochSec = unix_timestamp(col("ts")) + lit(UtcOffsetSec)
     Tables.events(spark, d)
-      .select("event_id", "user_id", "event_type", "value", "ts")
+      // props rides along for alternate-axis ops; Catalyst prunes it from
+      // every scan that doesn't use it (checked in EXPLAINS ReadSchema)
+      .select("event_id", "user_id", "event_type", "value", "ts", "props")
       .withColumn("cts", timestamp_seconds(epochSec))
       .withColumn("ms", epochSec * 1000)
       .withColumn("key_m", date_format(col("cts"), "yyyy-MM-dd HH:mm"))
@@ -339,6 +341,36 @@ object Selection {
     | count(*) AS ct
     |FROM s GROUP BY sel_key ORDER BY sel_key""".stripMargin
 
+  // --- ds_axis_select -----------------------------------------------------
+  // The reference plots any configured attribute pair, not just
+  // (date, value): xOptions/yOptions callbacks (index.js:33-39,
+  // example/config.js) project each record onto the chosen axes, and
+  // selections happen in THAT plane. Here the alternate numeric attribute
+  // lives in the `props` JSON (`$.k`, like lat/lon/alt in the reference's
+  // records); a rect select on (k, value) yields the same selection keys
+  // as the (date, value) plane — the key format is axis-independent.
+  // JSON extraction is codegen'd (`get_json_object`) and happens after the
+  // compound pushdown filter, so only the selected compound's rows are
+  // parsed at all.
+  def dsAxisSelect(spark: SparkSession, d: String): DataFrame =
+    keyed(spark, d)
+      .filter(col("compound") === "click")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k") >= 20L && col("k") <= 40L &&
+        col("value") >= 100.0 && col("value") <= 300.0)
+      .select("sel_key", "k", "value")
+      .orderBy("sel_key", "k")
+
+  val dsAxisSelectSql: String = KeyedCte.replace(
+    " FROM events", ", props FROM events") +
+    """
+      |SELECT sel_key, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+      |FROM k
+      |WHERE compound = 'click'
+      |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 20 AND 40
+      |  AND value BETWEEN 100.0 AND 300.0
+      |ORDER BY sel_key, k""".stripMargin
+
   // --- ds_zoom_history ----------------------------------------------------
   // The reference keeps a zoom-limit stack per (compound, axis-pair):
   // createScales pushes new limits (only if they differ from the top,
@@ -424,6 +456,7 @@ object Selection {
     "ds_apply_filter" -> dsApplyFilter,
     "ds_zoom_clamp" -> dsZoomClamp,
     "ds_zoom_history" -> dsZoomHistory,
+    "ds_axis_select" -> dsAxisSelect,
     "ds_clear_compound" -> dsClearCompound)
 
   val oracle: Map[String, String] = Map(
@@ -439,5 +472,6 @@ object Selection {
     "ds_apply_filter" -> dsApplyFilterSql,
     "ds_zoom_clamp" -> dsZoomClampSql,
     "ds_zoom_history" -> dsZoomHistorySql,
+    "ds_axis_select" -> dsAxisSelectSql,
     "ds_clear_compound" -> dsClearCompoundSql)
 }

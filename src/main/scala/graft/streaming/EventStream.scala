@@ -108,9 +108,58 @@ object EventStream {
       }
   }
 
+  /** Streaming dedup: at most one event per (user, minute) — the throttle/
+    * exactly-once-ish pattern every ingest pipeline needs. ONE transform for
+    * batch and stream: batch mode it is a distinct(); stream mode
+    * `dropDuplicates` keeps per-key state, expired by the upstream
+    * watermark. Output is the surviving key set (deterministic — no
+    * arbitrary-winner columns).
+    */
+  def minuteDedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .dropDuplicates("user_id", "minute")
+      .select(col("user_id"), date_format(col("minute"), "yyyy-MM-dd HH:mm").as("minute_s"))
+
+  // --- stream_dedup (batch-parity verification entry) ---------------------
+  def streamDedup(spark: SparkSession, d: String): DataFrame =
+    minuteDedup(Tables.events(spark, d)).orderBy("user_id", "minute_s")
+
+  val streamDedupSql: String =
+    """SELECT DISTINCT user_id, strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute_s
+      |FROM events ORDER BY user_id, minute_s""".stripMargin
+
+  /** Stream-stream interval join: every event within 10 minutes after an
+    * 'error' (the streaming twin of `Temporal.qRangeJoin`, same blocking).
+    * Spark requires an equality predicate in stream-stream joins, and the
+    * batch operator's bucket trick provides exactly that: anchors explode
+    * to their 2 covering 10-min buckets, probes carry their 1 — the join
+    * keys on bucket equality and post-filters the exact range. Both sides
+    * are watermarked, and the event-time range condition bounds the join
+    * state (rows older than watermark+window are evicted) — the only way
+    * a stream-stream join survives unbounded input.
+    */
+  def errorWindowJoin(anchors: DataFrame, probes: DataFrame): DataFrame = {
+    val a = anchors.filter(col("event_type") === "error")
+      .select(col("event_id").as("a_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "30 minutes")
+      .withColumn("b", explode(array(
+        expr("unix_micros(a_ts) div 600000000"),
+        expr("unix_micros(a_ts) div 600000000") + 1)))
+    val p = probes
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+      .withColumn("b", expr("unix_micros(p_ts) div 600000000"))
+    a.join(p, a("b") === p("b") &&
+        expr("p_ts >= a_ts AND p_ts < a_ts + INTERVAL 10 MINUTES"))
+      .select(col("a_id"), col("p_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_hourly" -> streamHourly)
+    "stream_hourly" -> streamHourly,
+    "stream_dedup" -> streamDedup)
 
   val oracle: Map[String, String] = Map(
-    "stream_hourly" -> streamHourlySql)
+    "stream_hourly" -> streamHourlySql,
+    "stream_dedup" -> streamDedupSql)
 }

@@ -88,4 +88,42 @@ class StreamingSpec extends SparkSpec {
     assert(batchClosed.except(streamed).count() === 0,
       "batch closed a session the stream never emitted")
   }
+
+  test("streaming minute-dedup equals the batch distinct (update mode, availableNow)") {
+    val dir = stageEventsDir()
+    val stream = EventStream.eventsStream(spark, dir)
+    val q = EventStream.minuteDedup(stream.withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("dedup_stream").select("user_id", "minute_s")
+    val batch = EventStream.streamDedup(spark, sf)
+    assert(streamed.count() === batch.count()) // dedup emitted each key exactly once
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("stream-stream interval join emits exactly the batch join's pairs") {
+    val dir = stageEventsDir()
+    // two independent readers of the same files = two genuine stream sides
+    val anchors = EventStream.eventsStream(spark, dir)
+    val probes = EventStream.eventsStream(spark, dir)
+    val q = EventStream.errorWindowJoin(anchors, probes)
+      .writeStream.format("memory").queryName("interval_join_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    val streamed = spark.table("interval_join_stream")
+    // batch reference: same join predicate on the batch loader
+    val ev = graft.sources.Tables.events(spark, sf)
+    val ba = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val bp = ev.select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val batch = ba.join(bp, expr("p_ts >= a_ts AND p_ts < a_ts + INTERVAL 10 MINUTES"))
+      .select("a_id", "p_id")
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
 }
