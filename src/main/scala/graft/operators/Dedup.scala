@@ -207,6 +207,65 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardTau
        |ORDER BY da, db""".stripMargin
 
+  // --- dedup_components ---------------------------------------------------
+  // Canonical-document assignment: connected components over the VERIFIED
+  // near-dup pairs (the step after pair generation in every production
+  // dedup pipeline — pairs alone don't tell you which docs to keep).
+  // Algorithm: iterative min-label propagation to a fixpoint — each round,
+  // every doc takes the min of its own label and its neighbors' labels.
+  // The loop runs on the driver but every step is a distributed
+  // join+aggregate partitioned by doc_id (the same shape GraphX/
+  // GraphFrames connected-components lowers to); rounds needed = component
+  // diameter, and near-dup components are clique-like (diameter ~1-2).
+  // At 100 TB: labels are one row per doc, edges track true-duplicate
+  // density; per-round cost is one shuffle of each — no quadratic term.
+  // Deterministic: the converged minimum per component does not depend on
+  // iteration order, so the oracle (transitive closure via recursive CTE)
+  // agrees exactly.
+  def dedupComponents(spark: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, d).select("da", "db")
+    val edges = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .persist()
+    var labels = Tables.documents(spark, d)
+      .select(col("doc_id"), col("doc_id").as("canonical_id")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("da"), col("canonical_id").as("nl")), Seq("da"))
+        .groupBy(col("db").as("doc_id")).agg(min(col("nl")).as("pl"))
+      val next = labels.join(broadcast(prop), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"), coalesce(col("pl"), col("canonical_id"))).as("canonical_id"))
+        .persist()
+      changed = next.join(labels.select(col("doc_id"), col("canonical_id").as("old")), Seq("doc_id"))
+        .filter(col("canonical_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.orderBy("doc_id")
+  }
+
+  val dedupComponentsSql: String = LshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+    s""",
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT cand.da, cand.db, count(*) AS inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = cand.da
+       |  JOIN sh b ON b.doc_id = cand.db AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |vp AS (SELECT da, db FROM inter JOIN sz x ON inter.da = x.doc_id JOIN sz y ON inter.db = y.doc_id
+       |       WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardTau),
+       |e AS (SELECT da AS a, db AS b FROM vp UNION SELECT db, da FROM vp),
+       |reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |canon AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY 1)
+       |SELECT d.doc_id, least(coalesce(c.mn, d.doc_id), d.doc_id) AS canonical_id
+       |FROM documents d LEFT JOIN canon c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // --- dedup_simhash ------------------------------------------------------
   // 64-bit SimHash: bit b comes from nibble bits of each token's md5,
   // weighted by token frequency; the fingerprint lives as 4 × 16-bit chunk
@@ -321,6 +380,7 @@ object Dedup {
     "dedup_exact_norm" -> dedupExactNorm,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_components" -> dedupComponents,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding)
 
@@ -329,6 +389,7 @@ object Dedup {
     "dedup_exact_norm" -> dedupExactNormSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_components" -> dedupComponentsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

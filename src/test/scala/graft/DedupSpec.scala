@@ -41,4 +41,18 @@ class DedupSpec extends SparkSpec {
       assert(c >= 0.3 && c <= 1.0 + 1e-12)
     }
   }
+
+  test("components: canonical ids are component minima and pairs share components") {
+    val labels = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    // canonical is never larger than the doc, and is itself canonical
+    labels.foreach { case (doc, canon) =>
+      assert(canon <= doc)
+      assert(labels(canon) === canon, s"canonical $canon of $doc is not a root")
+    }
+    // every verified near-dup pair ended up in the same component
+    Dedup.dedupNgramJaccard(spark, sf).select("da", "db").collect().foreach { r =>
+      assert(labels(r.getAs[Long]("da")) === labels(r.getAs[Long]("db")))
+    }
+  }
 }
