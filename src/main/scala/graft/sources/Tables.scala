@@ -23,12 +23,20 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as a nanos long
-    * (spark.sql.legacy.parquet.nanosAsLong); truncate to micros exactly like
-    * engines with micro timestamps (e.g. DuckDB) do when reading the file.
+  /** events.ts in the driver testdata is parquet TIMESTAMP(NANOS) — Spark
+    * reads it as a nanos long (spark.sql.legacy.parquet.nanosAsLong);
+    * truncate to micros exactly like engines with micro timestamps (e.g.
+    * DuckDB) do when reading the file. Files that already carry micro
+    * timestamps (the common case for user data) pass straight through —
+    * NTZ variants are cast to the session (UTC) timestamp type.
     */
-  def events(spark: SparkSession, d: String): DataFrame =
-    load(spark, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, d: String): DataFrame = {
+    val df = load(spark, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 
