@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Sinks, Tables}
+
+class SinksSpec extends SparkSpec {
+
+  test("daily-partitioned writes give partition-pruned reads") {
+    val path = java.nio.file.Files.createTempDirectory("graft-part-").toString
+    val ev = Tables.events(spark, sf)
+    Sinks.writePartitionedDaily(ev, "ts", path)
+
+    val day = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .groupBy("d").count().orderBy(desc("count")).first().getString(0)
+    val pruned = spark.read.parquet(path).filter(col("p_date") === day)
+
+    // the day filter must prune at the partition level, not post-scan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_date"),
+      s"expected a partition filter on p_date; plan was:\n$plan")
+    // and the data round-trips exactly for that day
+    val expected = ev.filter(date_format(col("ts"), "yyyy-MM-dd") === day).count()
+    assert(pruned.count() === expected)
+  }
+
+  test("bucketed writes give exchange-free equi-joins") {
+    Seq("orders_s", "lineitem_s").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get("/tmp/graft-test-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    Sinks.writeBucketed(Tables.orders(spark, sf), "orders_s", "o_orderkey", 8)
+    Sinks.writeBucketed(
+      Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_s", "o_orderkey", 8)
+    val joined = spark.table("lineitem_s").hint("merge")
+      .join(spark.table("orders_s"), Seq("o_orderkey"))
+      .select("o_orderkey", "o_orderstatus", "l_quantity")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+}
