@@ -61,6 +61,20 @@ class GraftQC(spark: SparkSession, utcOffsetHours: Int = -2) {
         col("value") >= v0 && col("value") <= v1)
       .select("compound", "sel_key").distinct()
 
+  /** Rectangle selection in an arbitrary axis plane — the reference's
+    * xOptions/yOptions callbacks (index.js:33-39) let the analyst plot and
+    * select on any numeric attribute pair (year, lat, lon, alt, ...); the
+    * selection keys that come out are identical regardless of the plane
+    * they were drawn in, so selections from different axis views compose.
+    */
+  def rectSelectAxes(data: DataFrame, compound: String,
+      xCol: String, x0: Double, x1: Double,
+      yCol: String, y0: Double, y1: Double): DataFrame =
+    data.filter(col("compound") === compound &&
+        col(xCol) >= x0 && col(xCol) <= x1 &&
+        col(yCol) >= y0 && col(yCol) <= y1)
+      .select("compound", "sel_key").distinct()
+
   /** Alt-drag: remove from `sel` everything `box` covers (index.js:253). */
   def antiSelect(sel: DataFrame, box: DataFrame): DataFrame =
     sel.join(box.select("compound", "sel_key"), Seq("compound", "sel_key"), "left_anti")

@@ -136,15 +136,53 @@ object TextAnalysis {
       |SELECT doc_id, string_agg(h, '' ORDER BY h) AS fp
       |FROM r WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- text_top_terms -----------------------------------------------------
+  // TF-IDF-ranked top-3 terms per document. The score is (tf·N)/df computed
+  // as ONE division of exact integers — deterministic and bit-identical in
+  // any engine (a log-based idf would hinge on libm rounding and could not
+  // be hash-verified). Scale: tf is a map-side-combinable groupBy per doc;
+  // df is a groupBy per term (hot "stopword" terms are exactly the
+  // high-df/low-score ones, and AQE splits those reducers); N is one scalar
+  // broadcast; the final top-k is a per-doc window over that doc's terms.
+  def textTopTerms(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(spark, d).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    tf.join(df, Seq("t")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("t").as("term"),
+        ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  val textTopTermsSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |s AS (SELECT doc_id, t AS term, CAST(tf * n AS DOUBLE) / df AS score
+      |      FROM tf JOIN df USING (t) CROSS JOIN n),
+      |r AS (SELECT doc_id, term, score,
+      |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+      |      FROM s)
+      |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
-    "text_fingerprint" -> textFingerprint)
+    "text_fingerprint" -> textFingerprint,
+    "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_top_terms" -> textTopTermsSql)
 }

@@ -72,4 +72,19 @@ class GraftQCSpec extends SparkSpec {
     val total = qc.counts(sel).agg(sum("ct")).head.getLong(0)
     assert(total === sel.select("compound", "sel_key").distinct().count())
   }
+
+  test("alternate-axis selection composes with the time-plane selection") {
+    // select the same physical points two ways: (lat, value) plane and the
+    // (time, value) plane restricted to the matching rows — keys must agree
+    val byAxis = qc.rectSelectAxes(data, "ethane", "lat", 0.0, 90.0, "value", 2000.0, 1e9)
+    val manual = data.filter(col("compound") === "ethane" &&
+        col("lat") >= 0.0 && col("lat") <= 90.0 && col("value") >= 2000.0)
+      .select("compound", "sel_key").distinct()
+    assert(byAxis.except(manual).count() === 0)
+    assert(manual.except(byAxis).count() === 0)
+    assert(byAxis.count() > 0)
+    // and it composes with ordinary selections through toggle/anti-select
+    val t = qc.toggle(byAxis, byAxis)
+    assert(t.count() === 0)
+  }
 }
