@@ -328,6 +328,37 @@ object Analytics {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- q_sliding_window ---------------------------------------------------
+  // Trailing-1-hour sum/count per user at every event — a RANGE frame over
+  // integer epoch-micros, the time-based sibling of q_window_running's ROWS
+  // frame. RANGE frames treat equal-time rows as peers (both engines
+  // include all of them), so the result is deterministic even with
+  // timestamp ties; sums are exact cents. One shuffle on user_id; within a
+  // partition the frame is a sliding two-pointer over the sorted rows.
+  def qSlidingWindow(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("t"), cents(col("value")).as("vc"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        sum(col("vc")).over(w).as("trail_1h_c"),
+        count(lit(1)).over(w).as("trail_1h_n"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qSlidingWindowSql: String =
+    """SELECT user_id, event_id,
+      | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      | CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+      |   PARTITION BY user_id ORDER BY epoch_us(ts)
+      |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_1h_c,
+      | CAST(count(*) OVER (
+      |   PARTITION BY user_id ORDER BY epoch_us(ts)
+      |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_1h_n
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
   // --- q_salted_agg -------------------------------------------------------
   // Skew-mitigation pattern, demonstrated end-to-end: events has only 5
   // event_types, so a direct groupBy sends ~20% of ALL rows to one reducer
@@ -371,7 +402,8 @@ object Analytics {
     "q_events_hourly" -> qEventsHourly,
     "q_sessionize" -> qSessionize,
     "q_percentiles" -> qPercentiles,
-    "q_salted_agg" -> qSaltedAgg)
+    "q_salted_agg" -> qSaltedAgg,
+    "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -384,5 +416,6 @@ object Analytics {
     "q_events_hourly" -> qEventsHourlySql,
     "q_sessionize" -> qSessionizeSql,
     "q_percentiles" -> qPercentilesSql,
-    "q_salted_agg" -> qSaltedAggSql)
+    "q_salted_agg" -> qSaltedAggSql,
+    "q_sliding_window" -> qSlidingWindowSql)
 }
