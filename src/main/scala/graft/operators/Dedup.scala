@@ -239,8 +239,12 @@ object Dedup {
         .select(col("doc_id"),
           least(col("canonical_id"), coalesce(col("pl"), col("canonical_id"))).as("canonical_id"))
         .persist()
-      changed = next.join(labels.select(col("doc_id"), col("canonical_id").as("old")), Seq("doc_id"))
-        .filter(col("canonical_id") =!= col("old")).count()
+      // round 1 always changes labels (any non-trivial edge does), so the
+      // convergence count — a full action — starts at round 2
+      changed =
+        if (rounds == 0) { next.count(); 1L }
+        else next.join(labels.select(col("doc_id"), col("canonical_id").as("old")), Seq("doc_id"))
+          .filter(col("canonical_id") =!= col("old")).count()
       labels.unpersist()
       labels = next
       rounds += 1

@@ -406,13 +406,16 @@ object Selection {
       when(isPop, lit(null)).otherwise(col("ms") + col("i") * 86400000L).as("x1"),
       when(isPop, lit(null)).otherwise((floor(col("value") / 50) * 50).cast("double")).as("y0"),
       when(isPop, lit(null)).otherwise((ceil(col("value") / 50) * 50).cast("double")).as("y1"))
+    val wAll = Window.partitionBy("compound").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // final depth = the last running-depth value, available to every row
+    // through a full-partition window — no separate aggregate + join back
     val dep = act.withColumn("depth", sum(col("step")).over(wRun))
+      .withColumn("final_depth", last(col("depth")).over(wAll))
     val surv = dep.withColumn("sufmin", min(col("depth")).over(wSuf))
       .filter(col("step") === 1 && col("depth") <= coalesce(col("sufmin"), col("depth")))
       .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
-    val fin = dep.withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
-      .select(col("compound"), col("depth").as("final_depth"))
-    surv.join(fin, Seq("compound"))
+    surv
       .select(col("compound"), col("final_depth"),
         date_format(timestamp_millis(col("x0")), "yyyy-MM-dd HH:mm:ss").as("x0_s"),
         date_format(timestamp_millis(col("x1")), "yyyy-MM-dd HH:mm:ss").as("x1_s"),

@@ -147,8 +147,10 @@ object TextAnalysis {
   def textTopTerms(spark: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(spark, d)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
-    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf")).persist()
+    // tf is already one row per (doc, term), so df = plain count per term —
+    // no second explode pass over the corpus, no countDistinct
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, d).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
     tf.join(df, Seq("t")).crossJoin(broadcast(n))
