@@ -18,7 +18,10 @@ object SparkEntry {
     Selection.queries ++ Analytics.queries ++ Temporal.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++
       Map("mm_binary_meta" -> (Multimodal.mmBinaryMeta _),
-        "mm_dedup" -> (Multimodal.mmDedup _)) ++ EventStream.queries
+        "mm_dedup" -> (Multimodal.mmDedup _),
+        // no oracleSql entry on purpose: mapPartitions codec decode is the
+        // designated non-SQL op → driver's weaker rows-only check
+        "mm_frames" -> (Multimodal.mmFrames _)) ++ EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */

@@ -80,6 +80,15 @@ object Multimodal {
       chunk.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
   }
 
+  /** The codec decode as a verification entry — the one deliberately
+    * non-SQL-expressible operator (the driver records a rows-only check for
+    * it; everything SQL-expressible has a full DuckDB oracle). Deterministic
+    * output: the fake codec's frames are pure functions of the payload, and
+    * `MultimodalSpec` independently recomputes the checksums.
+    */
+  def mmFrames(spark: SparkSession, d: String): DataFrame =
+    decodeFrames(spark, d).toDF().orderBy("doc_id", "frame_idx")
+
   /** Run a codec over the documents' binary payloads with per-partition
     * batching (`mapPartitions`, the Scala analogue of an arrow-batched UDF):
     * the codec is instantiated once per partition, rows stream through it.
