@@ -138,6 +138,79 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM s)
        |SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  /** Lloyd-iteration centroid training for IVF — the scale path the
+    * `ann_ivf` Scaladoc promises ("at scale you'd swap in k-means‖
+    * centroids"). Each round: assign every vector to its nearest centroid
+    * (broadcast centroids, map-side), then recompute centroids as per-cell
+    * means (one map-side-combinable groupBy). Centroids live in a
+    * driver-side array between rounds — k·dim doubles, a few hundred KB
+    * even for thousands of cells — and the corpus itself never shuffles.
+    * Initial centroids are the deterministic seed set (in production:
+    * k-means‖ oversampling); not part of the oracle surface because float
+    * means are engine-specific — SimilaritySpec asserts the training
+    * objective (mean assigned cosine) improves instead.
+    */
+  def trainCentroids(spark: SparkSession, d: String, k: Int = NumCells,
+      rounds: Int = 5): Array[Array[Double]] = {
+    val e = vectors(spark, d)
+    var centroids = e
+      .filter(col("vec_id") >= CentroidBase && col("vec_id") < CentroidBase + k)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    for (_ <- 0 until rounds) {
+      val c = centroids // stable reference for the closure
+      val cDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }, 1)
+          .map { case (i, v) => org.apache.spark.sql.Row(i, v) },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("qv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+      val wAsg = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+      val assigned = e.crossJoin(broadcast(cDf))
+        .withColumn("csim", cosExpr)
+        .withColumn("arn", row_number().over(wAsg))
+        .filter(col("arn") === 1)
+      // per-cell mean vector: one groupBy with an elementwise array average
+      val dims = centroids.head.length
+      val means = assigned.groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          (0 until dims).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i")): _*)
+        .collect()
+      means.foreach { r =>
+        val cid = r.getAs[Int]("cid")
+        val n = r.getAs[Long]("n").toDouble
+        centroids(cid) = (0 until dims).map(i => r.getAs[Double](s"s$i") / n).toArray
+      }
+    }
+    centroids
+  }
+
+  /** Mean cosine between each vector and its assigned centroid — the
+    * k-means objective, used by specs to show training improves the
+    * quantizer.
+    */
+  def assignmentObjective(spark: SparkSession, d: String,
+      centroids: Array[Array[Double]]): Double = {
+    val e = vectors(spark, d)
+    val cDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }, 1)
+        .map { case (i, v) => org.apache.spark.sql.Row(i, v) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    e.crossJoin(broadcast(cDf))
+      .withColumn("csim", cosExpr)
+      .groupBy("vec_id").agg(max(col("csim")).as("best"))
+      .agg(avg(col("best"))).head.getDouble(0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,

@@ -56,4 +56,14 @@ class SimilaritySpec extends SparkSpec {
       bf.get(key).foreach(s => assert(s === r.getAs[Double]("sim")))
     }
   }
+
+  test("trained IVF centroids improve the quantizer objective over the seed set") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val seed = Similarity.trainCentroids(spark, sf, rounds = 0)
+    val trained = Similarity.trainCentroids(spark, sf, rounds = 3)
+    val objSeed = Similarity.assignmentObjective(spark, sf, seed)
+    val objTrained = Similarity.assignmentObjective(spark, sf, trained)
+    assert(objTrained > objSeed,
+      s"training should raise mean assigned cosine: seed=$objSeed trained=$objTrained")
+  }
 }
