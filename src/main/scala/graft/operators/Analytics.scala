@@ -208,6 +208,31 @@ object Analytics {
       |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
 
+  // --- q_cube -------------------------------------------------------------
+  // CUBE = all 2^n grouping sets (rollup's lattice-complete sibling); the
+  // Expand operator multiplies each input row by the grouping-set count
+  // before ONE partial-aggregable groupBy — still a single shuffle.
+  def qCube(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d)
+      .select("o_orderpriority", "o_orderstatus", "o_totalprice")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("o_totalprice"))) / 100.0).as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy("priority", "status")
+  }
+
+  val qCubeSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      | coalesce(o_orderstatus, 'ALL') AS status,
+      | count(*) AS n,
+      | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
   // --- q_semi_anti --------------------------------------------------------
   // Left-semi then left-anti: customers with an open ('O') order but no
   // finished ('F') order. Both join sides after filtering are key-only
@@ -398,6 +423,7 @@ object Analytics {
     "q_topk_per_group" -> qTopkPerGroup,
     "q_window_running" -> qWindowRunning,
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
     "q_semi_anti" -> qSemiAnti,
     "q_events_hourly" -> qEventsHourly,
     "q_sessionize" -> qSessionize,
@@ -412,6 +438,7 @@ object Analytics {
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_window_running" -> qWindowRunningSql,
     "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_sessionize" -> qSessionizeSql,
