@@ -126,4 +126,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() === 0)
     assert(batch.except(streamed).count() === 0)
   }
+
+  test("foreachBatch sink writes day-partitioned parquet idempotently per batch") {
+    val dir = stageEventsDir()
+    val out = java.nio.file.Files.createTempDirectory("graft-fb-").toString
+    val stream = EventStream.eventsStream(spark, dir)
+    // the production sink pattern: every micro-batch lands as date-partitioned
+    // parquet (Sinks layout), keyed by batch for idempotent replay
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch
+          .withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.mode("append").partitionBy("p_date").parquet(out)
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val written = spark.read.parquet(out)
+    val src = graft.sources.Tables.events(spark, sf)
+    assert(written.count() === src.count())
+    // layout is the Sinks contract: p_date=yyyy-MM-dd directories, prunable
+    val days = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("p_date="))
+    assert(days.nonEmpty)
+    val oneDay = days.head.stripPrefix("p_date=")
+    val pruned = spark.read.parquet(out).filter(col("p_date") === oneDay)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_date"))
+  }
 }
