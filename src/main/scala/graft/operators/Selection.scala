@@ -446,6 +446,81 @@ object Selection {
     |FROM top t JOIN fin f ON t.compound = f.compound AND f.rn = 1
     |WHERE t.rn = 1 ORDER BY t.compound""".stripMargin
 
+  // --- ds_zoom_planes -----------------------------------------------------
+  // The reference keys one zoom stack PER (compound, axis-pair):
+  // `zoomHistory.get(compound).get(joinXYStrings(x, y))` (index.js:338,
+  // 693-700 builds the two-level map). Same stack replay as
+  // ds_zoom_history, but the action log exists once per plane — the time
+  // plane (x = corrected epoch-millis) and the alternate numeric attribute
+  // plane (x = props.$.k) — and every window partitions by
+  // (compound, plane). Limits here are a ±i window around the event's x
+  // (plane-agnostic); depth evolution is identical across planes (same
+  // pop cadence), top limits differ because x differs.
+  def dsZoomPlanes(spark: SparkSession, d: String): DataFrame = {
+    val base = keyed(spark, d)
+      .select(col("compound"), col("event_id"), col("value"), col("ms"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val planes = base.select(col("compound"), col("event_id"), col("value"), col("ms"),
+      explode(array(
+        struct(lit("time").as("plane"), col("ms").as("x")),
+        struct(lit("attr_k").as("plane"), col("k").as("x")))).as("p"))
+      .select(col("compound"), col("p.plane").as("plane"), col("event_id"),
+        col("value"), col("ms"), col("p.x").as("x"))
+    val wi = Window.partitionBy("compound", "plane").orderBy("ms", "event_id")
+    val wRun = Window.partitionBy("compound", "plane").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("compound", "plane").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wSuf = Window.partitionBy("compound", "plane").orderBy("i")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wLast = Window.partitionBy("compound", "plane").orderBy(desc("i"))
+    val a = planes
+      .withColumn("i", row_number().over(wi).cast("long"))
+      .filter(col("i") <= 12)
+    val isPop = col("i") % 5 === 0
+    val act = a.select(col("compound"), col("plane"), col("i"),
+      when(isPop, -1).otherwise(1).as("step"),
+      when(isPop, lit(null)).otherwise(col("x") - col("i")).as("x0"),
+      when(isPop, lit(null)).otherwise(col("x") + col("i")).as("x1"),
+      when(isPop, lit(null)).otherwise((floor(col("value") / 50) * 50).cast("double")).as("y0"),
+      when(isPop, lit(null)).otherwise((ceil(col("value") / 50) * 50).cast("double")).as("y1"))
+    val dep = act.withColumn("depth", sum(col("step")).over(wRun))
+      .withColumn("final_depth", last(col("depth")).over(wAll))
+    dep.withColumn("sufmin", min(col("depth")).over(wSuf))
+      .filter(col("step") === 1 && col("depth") <= coalesce(col("sufmin"), col("depth")))
+      .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select("compound", "plane", "final_depth", "x0", "x1", "y0", "y1")
+      .orderBy("compound", "plane")
+  }
+
+  val dsZoomPlanesSql: String =
+    """WITH k AS (
+      | SELECT event_id, event_type AS compound, value, props,
+      |  (CAST(floor(epoch(ts)) AS BIGINT) - 7200)*1000 AS ms
+      | FROM events),
+      |p AS (SELECT compound, 'time' AS plane, event_id, value, ms, ms AS x FROM k
+      |      UNION ALL
+      |      SELECT compound, 'attr_k', event_id, value, ms,
+      |             CAST(json_extract_string(props, '$.k') AS BIGINT) FROM k),
+      |a AS (SELECT compound, plane, event_id, value, x,
+      |       CAST(row_number() OVER (PARTITION BY compound, plane ORDER BY ms, event_id) AS BIGINT) AS i
+      |      FROM p QUALIFY i <= 12),
+      |act AS (SELECT compound, plane, i,
+      |         CASE WHEN i % 5 = 0 THEN -1 ELSE 1 END AS step,
+      |         CASE WHEN i % 5 = 0 THEN NULL ELSE x - i END AS x0,
+      |         CASE WHEN i % 5 = 0 THEN NULL ELSE x + i END AS x1,
+      |         CASE WHEN i % 5 = 0 THEN NULL ELSE CAST(floor(value/50)*50 AS DOUBLE) END AS y0,
+      |         CASE WHEN i % 5 = 0 THEN NULL ELSE CAST(ceil(value/50)*50 AS DOUBLE) END AS y1
+      |        FROM a),
+      |dep AS (SELECT *, CAST(sum(step) OVER (PARTITION BY compound, plane ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS depth FROM act),
+      |dep2 AS (SELECT *, last_value(depth) OVER (PARTITION BY compound, plane ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_depth,
+      |          min(depth) OVER (PARTITION BY compound, plane ORDER BY i ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS sufmin FROM dep),
+      |top AS (SELECT compound, plane, final_depth, x0, x1, y0, y1,
+      |         row_number() OVER (PARTITION BY compound, plane ORDER BY i DESC) AS rn
+      |        FROM dep2 WHERE step = 1 AND depth <= coalesce(sufmin, depth))
+      |SELECT compound, plane, final_depth, x0, x1, y0, y1
+      |FROM top WHERE rn = 1 ORDER BY compound, plane""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_load_epoch" -> dsLoadEpoch,
     "ds_extent" -> dsExtent,
@@ -459,6 +534,7 @@ object Selection {
     "ds_apply_filter" -> dsApplyFilter,
     "ds_zoom_clamp" -> dsZoomClamp,
     "ds_zoom_history" -> dsZoomHistory,
+    "ds_zoom_planes" -> dsZoomPlanes,
     "ds_axis_select" -> dsAxisSelect,
     "ds_clear_compound" -> dsClearCompound)
 
@@ -475,6 +551,7 @@ object Selection {
     "ds_apply_filter" -> dsApplyFilterSql,
     "ds_zoom_clamp" -> dsZoomClampSql,
     "ds_zoom_history" -> dsZoomHistorySql,
+    "ds_zoom_planes" -> dsZoomPlanesSql,
     "ds_axis_select" -> dsAxisSelectSql,
     "ds_clear_compound" -> dsClearCompoundSql)
 }

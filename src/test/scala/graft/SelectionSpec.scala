@@ -112,4 +112,16 @@ class SelectionSpec extends SparkSpec {
       assert(r.getAs[Double]("y1") === y1)
     }
   }
+
+  test("zoom planes: one stack per (compound, plane) with identical depth evolution") {
+    val rows = Selection.dsZoomPlanes(spark, sf).collect()
+    val byCompound = rows.groupBy(_.getAs[String]("compound"))
+    byCompound.foreach { case (_, rs) =>
+      // both planes present, and the pop cadence (i % 5) is plane-independent
+      assert(rs.map(_.getAs[String]("plane")).sorted.toSeq === Seq("attr_k", "time"))
+      assert(rs.map(_.getAs[Long]("final_depth")).distinct.length === 1)
+      // each surviving top is a well-formed ±i window
+      rs.foreach(r => assert(r.getAs[Long]("x1") > r.getAs[Long]("x0")))
+    }
+  }
 }
