@@ -147,7 +147,11 @@ object TextAnalysis {
   def textTopTerms(spark: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(spark, d)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
-    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf")).persist()
+    // tf feeds both sides of the join below; no persist needed — both sides
+    // shuffle tf by term, and the identical aggregate subtree means Catalyst
+    // reuses one exchange (a persist here would leak a corpus-sized cache
+    // entry to the caller).
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     // tf is already one row per (doc, term), so df = plain count per term —
     // no second explode pass over the corpus, no countDistinct
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
