@@ -19,8 +19,6 @@ object SparkEntry {
       Similarity.queries ++ TextAnalysis.queries ++
       Map("mm_binary_meta" -> (Multimodal.mmBinaryMeta _),
         "mm_dedup" -> (Multimodal.mmDedup _),
-        // no oracleSql entry on purpose: mapPartitions codec decode is the
-        // designated non-SQL op → driver's weaker rows-only check
         "mm_frames" -> (Multimodal.mmFrames _)) ++ EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +27,8 @@ object SparkEntry {
     Selection.oracle ++ Analytics.oracle ++ Temporal.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++
       Map("mm_binary_meta" -> Multimodal.mmBinaryMetaSql,
-        "mm_dedup" -> Multimodal.mmDedupSql) ++ EventStream.oracle
+        "mm_dedup" -> Multimodal.mmDedupSql,
+        // the mapPartitions codec op runs a FAKE codec whose output is
+        // SQL-expressible, so even the non-SQL operator gets a full oracle
+        "mm_frames" -> Multimodal.mmFramesSql) ++ EventStream.oracle
 }

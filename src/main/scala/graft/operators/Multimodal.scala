@@ -80,14 +80,38 @@ object Multimodal {
       chunk.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
   }
 
-  /** The codec decode as a verification entry — the one deliberately
-    * non-SQL-expressible operator (the driver records a rows-only check for
-    * it; everything SQL-expressible has a full DuckDB oracle). Deterministic
-    * output: the fake codec's frames are pure functions of the payload, and
-    * `MultimodalSpec` independently recomputes the checksums.
+  /** The codec decode as a verification entry. The operator itself is the
+    * designated non-SQL `mapPartitions` op (a real codec cannot run in SQL),
+    * but the FAKE codec's output is fully SQL-expressible, so it still gets
+    * a DuckDB oracle ([[mmFramesSql]]): frames are 64-byte chunks and the
+    * rolling `acc*31 + byte` checksum is a `list_reduce` fold with explicit
+    * mod-2^64 wraparound (HUGEINT accumulator) to mirror JVM Long overflow.
+    * `MultimodalSpec` additionally recomputes the checksums in-process.
     */
   def mmFrames(spark: SparkSession, d: String): DataFrame =
     decodeFrames(spark, d).toDF().orderBy("doc_id", "frame_idx")
+
+  /** Oracle for [[mmFrames]] over the fake codec. Uses character ops as byte
+    * ops, which is exact here: the synthetic corpus is pure ASCII (verified:
+    * octet_length(encode(text)) = length(text) for every row at every SF);
+    * the Spark side operates on real UTF-8 bytes either way.
+    */
+  val mmFramesSql: String =
+    """WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |f AS (SELECT doc_id, n, text,
+      |        CAST(unnest(range(0, CAST(ceil(n/64.0) AS BIGINT))) AS INT) AS frame_idx
+      |      FROM p),
+      |g AS (SELECT doc_id, n, frame_idx, substr(text, frame_idx*64 + 1, 64) AS chunk FROM f),
+      |c AS (SELECT doc_id, frame_idx,
+      |        CAST(length(chunk) AS INT) AS width,
+      |        CAST(n % 1024 AS INT) AS height,
+      |        list_reduce(
+      |          list_prepend(0::HUGEINT, list_transform(range(1, length(chunk)+1), k -> ord(substr(chunk, CAST(k AS INT), 1))::HUGEINT)),
+      |          (acc, b) -> (acc * 31 + b) % 18446744073709551616::HUGEINT) AS cs
+      |      FROM g)
+      |SELECT doc_id, frame_idx, width, height,
+      |  CAST(CASE WHEN cs >= 9223372036854775808::HUGEINT THEN cs - 18446744073709551616::HUGEINT ELSE cs END AS BIGINT) AS checksum
+      |FROM c ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Run a codec over the documents' binary payloads with per-partition
     * batching (`mapPartitions`, the Scala analogue of an arrow-batched UDF):
