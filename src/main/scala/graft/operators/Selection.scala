@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -446,6 +446,130 @@ object Selection {
     |FROM top t JOIN fin f ON t.compound = f.compound AND f.rn = 1
     |WHERE t.rn = 1 ORDER BY t.compound""".stripMargin
 
+  // --- ds_zoom_replay -----------------------------------------------------
+  // The two zoom-stack semantics the windowed ds_zoom_history log cannot
+  // reach (its action log is constructed so consecutive limits always differ
+  // and pushes outnumber pops in every prefix):
+  //  * push-if-different: a push whose limits EQUAL the current top is
+  //    dropped (index.js:360-368 — createScales only pushes a changed
+  //    window);
+  //  * pop-on-empty: zoomOut on an empty stack is a no-op and rendering
+  //    falls back to the data extent (index.js:644-650 pops; createScales →
+  //    processAxis default when no stored limits).
+  // Both rules are STACK-STATE-dependent — whether a push lands depends on
+  // everything before it — so no prefix-sum/window encoding exists. This is
+  // per-group sequential state over a bounded interaction log, exactly what
+  // typed `mapGroups` is for: the log is ≤12 rows per compound, grouped by
+  // compound, folded through a literal stack machine. Scale: the shuffle
+  // moves only the log rows (bounded by analyst interaction counts), never
+  // the raw data; extents are a map-side-combinable groupBy joined back
+  // broadcast.
+  // The log schedule is built to EXERCISE both rules: pops fire at
+  // (i + length(compound)) % 4 == 0 and additionally at i == 7, and push
+  // limits are quantized to blocks of 4 actions (b = i/4), so runs of
+  // consecutive pushes carry equal limits (skipped) and pop bursts hit
+  // empty stacks. Across the five synthetic compounds this yields skips in
+  // all of them, over-pops in two, and both final branches (top-of-stack
+  // and extent-fallback) in the output.
+  case class ZoomAct(compound: String, i: Long, pop: Boolean,
+    x0: Long, x1: Long, y0: Double, y1: Double,
+    ext_x0: Long, ext_x1: Long, ext_y0: Double, ext_y1: Double)
+  case class ZoomFinal(compound: String, final_depth: Long, src: String,
+    x0: Long, x1: Long, y0: Double, y1: Double)
+
+  /** The deterministic replay log: one action per row with push limits,
+    * pop flag, and the compound's full-data extent riding along (public so
+    * the spec can fold it through an independent stack implementation). */
+  def zoomReplayLog(spark: SparkSession, d: String): DataFrame = {
+    val day = 86400000L
+    val wi = Window.partitionBy("compound").orderBy("ms", "event_id")
+    val k = keyed(spark, d)
+    // reference fallback = processAxis over the displayed data: x extent
+    // raw, y extent rounded out to yAxisRound = 50 (index.js:277-317)
+    val ext = k.groupBy("compound").agg(
+      min(col("ms")).as("ext_x0"), max(col("ms")).as("ext_x1"),
+      (floor(min(col("value")) / 50) * 50).cast("double").as("ext_y0"),
+      (ceil(max(col("value")) / 50) * 50).cast("double").as("ext_y1"))
+    val wAll = Window.partitionBy("compound").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val log = k.select("compound", "event_id", "value", "ms")
+      .withColumn("i", row_number().over(wi).cast("long"))
+      .filter(col("i") <= 12)
+      .withColumn("x0f", first(col("ms")).over(wAll))
+    val b = floor(col("i") / lit(4)).cast("long")
+    log.join(broadcast(ext), Seq("compound"))
+      .select(col("compound"), col("i"),
+        (((col("i") + length(col("compound"))) % 4 === 0) || col("i") === 7).as("pop"),
+        (col("x0f") - col("x0f") % day).as("x0"),
+        (col("x0f") - col("x0f") % day + (b + 1) * day).as("x1"),
+        (b * 50).cast("double").as("y0"),
+        ((b + 2) * 50).cast("double").as("y1"),
+        col("ext_x0"), col("ext_x1"), col("ext_y0"), col("ext_y1"))
+  }
+
+  def dsZoomReplay(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    zoomReplayLog(spark, d).as[ZoomAct]
+      .groupByKey(_.compound)
+      .mapGroups { (c, it) =>
+        val acts = it.toArray.sortBy(_.i)
+        var stack = List.empty[(Long, Long, Double, Double)]
+        acts.foreach { a =>
+          if (a.pop) {
+            if (stack.nonEmpty) stack = stack.tail // empty: no-op (644-650)
+          } else {
+            val lim = (a.x0, a.x1, a.y0, a.y1)
+            if (stack.isEmpty || stack.head != lim) stack = lim :: stack // 360-368
+          }
+        }
+        val e = acts.head
+        if (stack.nonEmpty)
+          ZoomFinal(c, stack.size.toLong, "stack",
+            stack.head._1, stack.head._2, stack.head._3, stack.head._4)
+        else ZoomFinal(c, 0L, "extent", e.ext_x0, e.ext_x1, e.ext_y0, e.ext_y1)
+      }
+      .toDF().orderBy("compound")
+  }
+
+  /** Oracle: the SAME stack machine as a DuckDB recursive CTE — the stack is
+    * a LIST of limit STRUCTs threaded through one recursion step per action,
+    * with the push-if-different and pop-on-empty branches spelled out. */
+  val dsZoomReplaySql: String = KeyedCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + """,
+    |a AS (SELECT compound, event_id, value, ms,
+    |       CAST(row_number() OVER (PARTITION BY compound ORDER BY ms, event_id) AS BIGINT) AS i
+    |      FROM k QUALIFY i <= 12),
+    |fst AS (SELECT compound, ms AS x0f FROM a WHERE i = 1),
+    |act AS (SELECT a.compound, i,
+    |         ((i + length(a.compound)) % 4 = 0 OR i = 7) AS pop,
+    |         x0f - x0f % 86400000 AS x0,
+    |         x0f - x0f % 86400000 + (i//4 + 1)*86400000 AS x1,
+    |         CAST((i//4)*50 AS DOUBLE) AS y0,
+    |         CAST((i//4 + 2)*50 AS DOUBLE) AS y1
+    |        FROM a JOIN fst USING (compound)),
+    |ext AS (SELECT compound, min(ms) AS ext_x0, max(ms) AS ext_x1,
+    |         CAST(floor(min(value)/50)*50 AS DOUBLE) AS ext_y0,
+    |         CAST(ceil(max(value)/50)*50 AS DOUBLE) AS ext_y1
+    |        FROM k GROUP BY 1),
+    |rec AS (
+    | SELECT compound, CAST(0 AS BIGINT) AS i,
+    |        CAST([] AS STRUCT(x0 BIGINT, x1 BIGINT, y0 DOUBLE, y1 DOUBLE)[]) AS stack
+    | FROM (SELECT DISTINCT compound FROM act)
+    | UNION ALL
+    | SELECT r.compound, r.i + 1,
+    |   CASE WHEN t.pop THEN (CASE WHEN len(r.stack) > 0 THEN r.stack[1:len(r.stack)-1] ELSE r.stack END)
+    |        WHEN len(r.stack) > 0 AND r.stack[len(r.stack)] = {'x0': t.x0, 'x1': t.x1, 'y0': t.y0, 'y1': t.y1} THEN r.stack
+    |        ELSE list_append(r.stack, {'x0': t.x0, 'x1': t.x1, 'y0': t.y0, 'y1': t.y1}) END
+    | FROM rec r JOIN act t ON t.compound = r.compound AND t.i = r.i + 1),
+    |fin AS (SELECT compound, stack FROM rec
+    |        QUALIFY row_number() OVER (PARTITION BY compound ORDER BY i DESC) = 1)
+    |SELECT f.compound, CAST(len(f.stack) AS BIGINT) AS final_depth,
+    | CASE WHEN len(f.stack) > 0 THEN 'stack' ELSE 'extent' END AS src,
+    | CASE WHEN len(f.stack) > 0 THEN f.stack[len(f.stack)].x0 ELSE e.ext_x0 END AS x0,
+    | CASE WHEN len(f.stack) > 0 THEN f.stack[len(f.stack)].x1 ELSE e.ext_x1 END AS x1,
+    | CASE WHEN len(f.stack) > 0 THEN f.stack[len(f.stack)].y0 ELSE e.ext_y0 END AS y0,
+    | CASE WHEN len(f.stack) > 0 THEN f.stack[len(f.stack)].y1 ELSE e.ext_y1 END AS y1
+    |FROM fin f JOIN ext e USING (compound) ORDER BY f.compound""".stripMargin
+
   // --- ds_zoom_planes -----------------------------------------------------
   // The reference keys one zoom stack PER (compound, axis-pair):
   // `zoomHistory.get(compound).get(joinXYStrings(x, y))` (index.js:338,
@@ -456,16 +580,33 @@ object Selection {
   // (compound, plane). Limits here are a ±i window around the event's x
   // (plane-agnostic); depth evolution is identical across planes (same
   // pop cadence), top limits differ because x differs.
-  def dsZoomPlanes(spark: SparkSession, d: String): DataFrame = {
+  /** One zoom plane = one (xOption, yOption) combination. The reference
+    * initializes a stack for the FULL xOptions × yOptions cross product
+    * (index.js:693-700); the plane list here is the config-driven analogue
+    * (like GraftQC.rectSelectAxes): each entry names the plane and gives the
+    * (x, y) projection as Columns over the keyed event stream (`ms`,
+    * `value`, `props`, ...). x is cast to long, y to double.
+    */
+  final case class ZoomPlane(name: String, x: Column, y: Column)
+
+  /** The reference's default-ish lattice instance: the time plane and the
+    * alternate numeric attribute plane (props.$.k), both against value. */
+  val DefaultZoomPlanes: Seq[ZoomPlane] = Seq(
+    ZoomPlane("time", col("ms"), col("value")),
+    ZoomPlane("attr_k", get_json_object(col("props"), "$.k").cast("long"), col("value")))
+
+  def dsZoomPlanes(spark: SparkSession, d: String): DataFrame =
+    zoomPlanes(spark, d, DefaultZoomPlanes)
+
+  def zoomPlanes(spark: SparkSession, d: String, lattice: Seq[ZoomPlane]): DataFrame = {
+    require(lattice.nonEmpty, "zoomPlanes needs at least one plane")
     val base = keyed(spark, d)
-      .select(col("compound"), col("event_id"), col("value"), col("ms"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-    val planes = base.select(col("compound"), col("event_id"), col("value"), col("ms"),
-      explode(array(
-        struct(lit("time").as("plane"), col("ms").as("x")),
-        struct(lit("attr_k").as("plane"), col("k").as("x")))).as("p"))
+    val planes = base.select(col("compound"), col("event_id"), col("ms"),
+      explode(array(lattice.map(p =>
+        struct(lit(p.name).as("plane"), p.x.cast("long").as("x"),
+          p.y.cast("double").as("value"))): _*)).as("p"))
       .select(col("compound"), col("p.plane").as("plane"), col("event_id"),
-        col("value"), col("ms"), col("p.x").as("x"))
+        col("p.value").as("value"), col("ms"), col("p.x").as("x"))
     val wi = Window.partitionBy("compound", "plane").orderBy("ms", "event_id")
     val wRun = Window.partitionBy("compound", "plane").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -534,6 +675,7 @@ object Selection {
     "ds_apply_filter" -> dsApplyFilter,
     "ds_zoom_clamp" -> dsZoomClamp,
     "ds_zoom_history" -> dsZoomHistory,
+    "ds_zoom_replay" -> dsZoomReplay,
     "ds_zoom_planes" -> dsZoomPlanes,
     "ds_axis_select" -> dsAxisSelect,
     "ds_clear_compound" -> dsClearCompound)
@@ -551,6 +693,7 @@ object Selection {
     "ds_apply_filter" -> dsApplyFilterSql,
     "ds_zoom_clamp" -> dsZoomClampSql,
     "ds_zoom_history" -> dsZoomHistorySql,
+    "ds_zoom_replay" -> dsZoomReplaySql,
     "ds_zoom_planes" -> dsZoomPlanesSql,
     "ds_axis_select" -> dsAxisSelectSql,
     "ds_clear_compound" -> dsClearCompoundSql)

@@ -124,4 +124,69 @@ class SelectionSpec extends SparkSpec {
       rs.foreach(r => assert(r.getAs[Long]("x1") > r.getAs[Long]("x0")))
     }
   }
+
+  test("zoom planes: config-driven lattice covers a 2x2 xOptions x yOptions product") {
+    import org.apache.spark.sql.functions._
+    // the reference initializes one stack per (xOption, yOption) pair
+    // (index.js:693-700); drive the same operator with a 4-plane lattice
+    val lattice = Seq(
+      Selection.ZoomPlane("time_value", col("ms"), col("value")),
+      Selection.ZoomPlane("time_k", col("ms"),
+        get_json_object(col("props"), "$.k").cast("double")),
+      Selection.ZoomPlane("k_value",
+        get_json_object(col("props"), "$.k").cast("long"), col("value")),
+      Selection.ZoomPlane("k_k",
+        get_json_object(col("props"), "$.k").cast("long"),
+        get_json_object(col("props"), "$.k").cast("double")))
+    val rows = Selection.zoomPlanes(spark, sf, lattice).collect()
+    val byCompound = rows.groupBy(_.getAs[String]("compound"))
+    assert(byCompound.nonEmpty)
+    byCompound.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[String]("plane")).sorted.toSeq ===
+        Seq("k_k", "k_value", "time_k", "time_value"))
+      // same pop cadence in every plane ⇒ identical final depth
+      assert(rs.map(_.getAs[Long]("final_depth")).distinct.length === 1)
+      rs.foreach(r => assert(r.getAs[Long]("x1") > r.getAs[Long]("x0")))
+    }
+    // the default 2-plane lattice is exactly the verified oracle instance
+    val defaults = Selection.zoomPlanes(spark, sf, Selection.DefaultZoomPlanes)
+    assert(defaults.collect().toSeq === Selection.dsZoomPlanes(spark, sf).collect().toSeq)
+  }
+
+  test("zoom replay: matches an independent stack machine and exercises both edge rules") {
+    val log = Selection.zoomReplayLog(spark, sf).collect()
+    var skips, overpops = 0
+    val expected = log.groupBy(_.getAs[String]("compound")).map { case (compound, rs) =>
+      val stack = scala.collection.mutable.Stack[(Long, Long, Double, Double)]()
+      rs.sortBy(_.getAs[Long]("i")).foreach { r =>
+        if (r.getAs[Boolean]("pop")) {
+          if (stack.nonEmpty) stack.pop() else overpops += 1
+        } else {
+          val lim = (r.getAs[Long]("x0"), r.getAs[Long]("x1"),
+            r.getAs[Double]("y0"), r.getAs[Double]("y1"))
+          if (stack.nonEmpty && stack.top == lim) skips += 1 else stack.push(lim)
+        }
+      }
+      val e = rs.head
+      compound -> (if (stack.nonEmpty) (stack.size.toLong, "stack", stack.top)
+      else (0L, "extent", (e.getAs[Long]("ext_x0"), e.getAs[Long]("ext_x1"),
+        e.getAs[Double]("ext_y0"), e.getAs[Double]("ext_y1"))))
+    }
+    // the log must actually reach the two stack-state-dependent branches
+    assert(skips > 0, "no equal-limit push was ever skipped")
+    assert(overpops > 0, "no pop ever hit an empty stack")
+    val got = Selection.dsZoomReplay(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (depth, src, (x0, x1, y0, y1)) = expected(r.getAs[String]("compound"))
+      assert(r.getAs[Long]("final_depth") === depth)
+      assert(r.getAs[String]("src") === src)
+      assert(r.getAs[Long]("x0") === x0)
+      assert(r.getAs[Long]("x1") === x1)
+      assert(r.getAs[Double]("y0") === y0)
+      assert(r.getAs[Double]("y1") === y1)
+    }
+    // both final branches appear across compounds
+    assert(got.map(_.getAs[String]("src")).distinct.sorted.toSeq === Seq("extent", "stack"))
+  }
 }
