@@ -173,45 +173,65 @@ object Dedup {
     canonCache.clear()
   }
 
+  /** The four pipeline stages as PURE plans (nothing persisted) — what
+    * lshShared materializes, and what the plan audit (ExplainDump) dumps so
+    * the verification join's strategy stays visible even though the queries
+    * themselves read memoized stage outputs. */
+  private[graft] case class LshBuild(sh: DataFrame, sig: DataFrame,
+    cand: DataFrame, verified: DataFrame)
+
+  private[graft] def buildLsh(spark: SparkSession, d: String): LshBuild = {
+    val sh = shingles(spark, d)
+    val sig = sigProjection(sh)
+    val cand = candidatePairs(sig)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Intersection sizes via a shingle equijoin restricted to candidate
+    // pairs. Only candidate-pair ID lists (bucket-cap-bounded) are ever
+    // broadcast: the left side attaches pair keys to the left doc's
+    // shingles map-side, the right side is semi-filtered to candidate
+    // right-docs map-side — so the corpus-sized shingle table never
+    // shuffles, and the one shuffle join moves two tables sized
+    // pairs × shingles/doc. That quantity tracks duplicate density and is
+    // NOT broadcast-safe at 100 TB (the r3 plan broadcast it — a forced
+    // multi-GB broadcast on a high-dup crawl), but shuffling it is linear
+    // and safe.
+    val daSh = broadcast(cand.select("da", "db"))
+      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+    val dbSh = sh.select(col("doc_id").as("db"), col("s"))
+      .join(broadcast(cand.select("db").distinct()), Seq("db"), "left_semi")
+    // hint("merge") pins the probe to a sort-merge join: Catalyst's SIZE
+    // ESTIMATE for this multi-join subtree would otherwise pick a broadcast
+    // (correct at toy scale, fatal if the estimate is wrong at 100 TB —
+    // join-output stats are multiplicative guesses, and this relation's
+    // true size tracks duplicate density)
+    val inter = dbSh
+      .join(daSh.hint("merge"), Seq("db", "s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    // sz is one row per document (huge at scale); the pair side is what
+    // gets broadcast in both size lookups — `inter` is per-pair-bounded
+    val withNa = sz.select(col("doc_id").as("da"), col("n").as("na"))
+      .join(broadcast(inter), Seq("da"))
+    val verified = sz.select(col("doc_id").as("db"), col("n").as("nb"))
+      .join(broadcast(withNa), Seq("db"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= JaccardTau)
+      .select("da", "db", "inter", "jaccard")
+    LshBuild(sh, sig, cand, verified)
+  }
+
   private def lshShared(spark: SparkSession, d: String): LshShared = synchronized {
     lshCache.get(d).filter(s => isCached(s.cand) && isCached(s.verified)).getOrElse {
-      val sh = shingles(spark, d).persist()
-      // sig feeds the band explode and both signature-attach joins; persisted
-      // only while the pair tables materialize (unpersisted below with sh)
-      val sig = sigProjection(sh).persist()
-      val cand = candidatePairs(sig).persist()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // Intersection sizes via a shingle equijoin restricted to candidate
-      // pairs. Only candidate-pair ID lists (bucket-cap-bounded) are ever
-      // broadcast: the left side attaches pair keys to the left doc's
-      // shingles map-side, the right side is semi-filtered to candidate
-      // right-docs map-side — so the corpus-sized shingle table never
-      // shuffles, and the one shuffle join moves two tables sized
-      // pairs × shingles/doc. That quantity tracks duplicate density and is
-      // NOT broadcast-safe at 100 TB (the r3 plan broadcast it — a forced
-      // multi-GB broadcast on a high-dup crawl), but shuffling it is linear
-      // and safe.
-      val daSh = broadcast(cand.select("da", "db"))
-        .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
-      val dbSh = sh.select(col("doc_id").as("db"), col("s"))
-        .join(broadcast(cand.select("db").distinct()), Seq("db"), "left_semi")
-      val inter = dbSh
-        .join(daSh, Seq("db", "s"))
-        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-      // sz is one row per document (huge at scale); the pair side is what
-      // gets broadcast in both size lookups — `inter` is per-pair-bounded
-      val withNa = sz.select(col("doc_id").as("da"), col("n").as("na"))
-        .join(broadcast(inter), Seq("da"))
-      val verified = sz.select(col("doc_id").as("db"), col("n").as("nb"))
-        .join(broadcast(withNa), Seq("db"))
-        .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= JaccardTau)
-        .select("da", "db", "inter", "jaccard")
-        .persist()
+      val b = buildLsh(spark, d)
+      // corpus-sized intermediates persisted only while the pair tables
+      // materialize (CacheManager substitutes by canonical plan, so every
+      // scan of these subtrees below hits the cache)
+      b.sh.persist(); b.sig.persist()
+      val cand = b.cand.persist()
+      val verified = b.verified.persist()
       // one action materializes BOTH pair caches: verified's plan broadcasts
       // cand, and scanning a persisted input populates its cache en route
       verified.count()
-      sig.unpersist(); sh.unpersist()
+      b.sig.unpersist(); b.sh.unpersist()
       val s = LshShared(cand, verified)
       lshCache(d) = s
       s
