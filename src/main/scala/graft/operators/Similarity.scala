@@ -150,24 +150,29 @@ object Similarity {
     * means are engine-specific — SimilaritySpec asserts the training
     * objective (mean assigned cosine) improves instead.
     */
+  /** (cid, qv) DataFrame from a driver-side centroid array — the broadcast
+    * side of every assignment join (k·dim doubles, KBs). */
+  private def centroidDf(spark: SparkSession, cs: Array[Array[Double]]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cs.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq, 1)
+        .map { case (i, v) => org.apache.spark.sql.Row(i, v) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+
   def trainCentroids(spark: SparkSession, d: String, k: Int = NumCells,
-      rounds: Int = 5): Array[Array[Double]] = {
+      rounds: Int = 5, init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
     val e = vectors(spark, d)
-    var centroids = e
+    var centroids = init.getOrElse(e
       .filter(col("vec_id") >= CentroidBase && col("vec_id") < CentroidBase + k)
       .orderBy("vec_id").collect()
-      .map(_.getSeq[Double](1).toArray)
+      .map(_.getSeq[Double](1).toArray))
     for (_ <- 0 until rounds) {
-      val c = centroids // stable reference for the closure
-      val cDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }, 1)
-          .map { case (i, v) => org.apache.spark.sql.Row(i, v) },
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cid",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("qv",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)))))
+      val cDf = centroidDf(spark, centroids)
       val wAsg = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
       val assigned = e.crossJoin(broadcast(cDf))
         .withColumn("csim", cosExpr)
@@ -193,22 +198,98 @@ object Similarity {
     * quantizer.
     */
   def assignmentObjective(spark: SparkSession, d: String,
-      centroids: Array[Array[Double]]): Double = {
-    val e = vectors(spark, d)
-    val cDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }, 1)
-        .map { case (i, v) => org.apache.spark.sql.Row(i, v) },
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cid",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("qv",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType)))))
-    e.crossJoin(broadcast(cDf))
+      centroids: Array[Array[Double]]): Double =
+    vectors(spark, d).crossJoin(broadcast(centroidDf(spark, centroids)))
       .withColumn("csim", cosExpr)
       .groupBy("vec_id").agg(max(col("csim")).as("best"))
       .agg(avg(col("best"))).head.getDouble(0)
+
+  /** k-means‖ initialization (Bahmani et al., VLDB 2012) — the production
+    * quantizer-seeding path the `ann_ivf`/`trainCentroids` Scaladoc
+    * promises. Each of the few oversampling steps scores the whole corpus
+    * against the current candidate set (broadcast, map-side — the corpus
+    * never shuffles) and samples points with probability proportional to
+    * their squared distance ℓ·d²(x,C)/ψ; the candidate set is then reduced
+    * to k by a driver-side weighted farthest-point pass + weighted Lloyd
+    * over the candidates (|C| ≈ ℓ·steps rows — driver-trivial).
+    *
+    * Deterministic by construction: the "random" draw is a hash fraction
+    * (xxhash64(vec_id, step) mapped to [0,1)), so the same corpus always
+    * yields the same seeds — reproducible jobs, spec-checkable output.
+    * Distance is the cosine distance 1 − cos(x, c), matching the IVF
+    * assignment metric.
+    */
+  def initCentroidsParallel(spark: SparkSession, d: String, k: Int = NumCells,
+      oversample: Int = 2 * NumCells, steps: Int = 3): Array[Array[Double]] = {
+    val e = vectors(spark, d)
+    // seed candidate: the minimum vec_id (any deterministic point works)
+    var cands = e.orderBy("vec_id").limit(1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toVector
+    for (step <- 1 to steps) {
+      val cDf = centroidDf(spark, cands.map(_._2).toArray)
+      val scored = e.crossJoin(broadcast(cDf))
+        .withColumn("csim", cosExpr)
+        .groupBy("vec_id").agg(first(col("v")).as("v"), max(col("csim")).as("best"))
+        .withColumn("d2", pow(lit(1.0) - col("best"), 2))
+      val psi = scored.agg(sum(col("d2"))).head.getDouble(0)
+      if (psi > 0) {
+        val u = (abs(xxhash64(col("vec_id"), lit(step))) % 1000000L) / lit(1000000.0)
+        val picked = scored
+          .filter(u < least(lit(1.0), lit(oversample.toDouble) * col("d2") / lit(psi)))
+          .select("vec_id", "v").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        val known = cands.map(_._1).toSet
+        cands = cands ++ picked.filterNot(p => known(p._1)).sortBy(_._1)
+      }
+    }
+    // weight each candidate by how much of the corpus it attracts
+    val wAsg = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+    val weights = e.crossJoin(broadcast(centroidDf(spark, cands.map(_._2).toArray)))
+      .withColumn("csim", cosExpr)
+      .withColumn("arn", row_number().over(wAsg)).filter(col("arn") === 1)
+      .groupBy("cid").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Int]("cid") -> r.getAs[Long]("n").toDouble).toMap
+    reduceCandidates(cands.map(_._2).toArray,
+      cands.indices.map(i => weights.getOrElse(i, 0.0)).toArray, k)
+  }
+
+  /** Driver-side deterministic weighted reduction of the oversampled
+    * candidate set to k centers: weighted farthest-point seeding (pick the
+    * heaviest, then repeatedly the candidate maximizing w·d² to the chosen
+    * set) followed by a few weighted Lloyd rounds over the candidates. */
+  private def reduceCandidates(cands: Array[Array[Double]],
+      w: Array[Double], k: Int): Array[Array[Double]] = {
+    val dims = cands.head.length
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dims) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    if (cands.length <= k) return cands
+    val chosen = scala.collection.mutable.ArrayBuffer(w.indices.maxBy(i => (w(i), -i)))
+    while (chosen.length < k) {
+      val next = cands.indices.filterNot(chosen.contains)
+        .maxBy { i =>
+          val d2 = chosen.map(c => { val dd = 1.0 - cos(cands(i), cands(c)); dd * dd }).min
+          (w(i) * d2, -i) // deterministic tiebreak
+        }
+      chosen += next
+    }
+    var centers = chosen.map(cands(_)).toArray
+    for (_ <- 0 until 3) { // weighted Lloyd over the candidate set
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val cnt = new Array[Double](k)
+      cands.indices.foreach { i =>
+        val a = centers.indices.maxBy(c => (cos(cands(i), centers(c)), -c))
+        cnt(a) += w(i)
+        var j = 0
+        while (j < dims) { sums(a)(j) += w(i) * cands(i)(j); j += 1 }
+      }
+      centers = centers.indices.map { c =>
+        if (cnt(c) > 0) sums(c).map(_ / cnt(c)) else centers(c)
+      }.toArray
+    }
+    centers
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

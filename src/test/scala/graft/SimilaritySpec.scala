@@ -66,4 +66,23 @@ class SimilaritySpec extends SparkSpec {
     assert(objTrained > objSeed,
       s"training should raise mean assigned cosine: seed=$objSeed trained=$objTrained")
   }
+
+  test("k-means|| init is deterministic, yields k centroids, beats the seed set") {
+    val init1 = Similarity.initCentroidsParallel(spark, sf)
+    val init2 = Similarity.initCentroidsParallel(spark, sf)
+    // hash-fraction sampling ⇒ bit-identical across runs
+    assert(init1.length === 16)
+    assert(init1.map(_.toSeq).toSeq === init2.map(_.toSeq).toSeq)
+    assert(init1.map(_.toSeq).distinct.length === 16, "centroids must be distinct")
+    val objSeed = Similarity.assignmentObjective(spark, sf,
+      Similarity.trainCentroids(spark, sf, rounds = 0))
+    val objInit = Similarity.assignmentObjective(spark, sf, init1)
+    assert(objInit > objSeed,
+      s"k-means|| seeding should beat 16 arbitrary corpus vectors: seed=$objSeed init=$objInit")
+    // and Lloyd from that init stays at least as good as the init itself
+    val objTrained = Similarity.assignmentObjective(spark, sf,
+      Similarity.trainCentroids(spark, sf, rounds = 2, init = Some(init1)))
+    assert(objTrained >= objInit - 1e-9,
+      s"training from k-means|| init regressed: init=$objInit trained=$objTrained")
+  }
 }
