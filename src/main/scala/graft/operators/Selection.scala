@@ -383,7 +383,11 @@ object Selection {
   // classic stack-as-prefix-sum encoding. The log construction guarantees
   // pops never hit an empty stack (pushes strictly outnumber pops in every
   // prefix) and consecutive limits always differ (widths grow with the
-  // action index), so the push-if-different rule is vacuously honored.
+  // action index) — the window encoding is only valid under those two
+  // preconditions. The stack-STATE-dependent rules they exclude
+  // (equal-limit push skipped, pop on empty) are covered by
+  // `ds_zoom_replay` below, which replays an adversarial log through the
+  // exact stack machine.
   // Output: final stack depth + the surviving top limits per compound.
   // Scale: two window passes over a per-compound log that is bounded by
   // analyst interaction counts — partitioned by compound, no joins over
