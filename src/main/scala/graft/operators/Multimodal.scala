@@ -53,6 +53,51 @@ object Multimodal {
     """SELECT sha256(text) AS h, min(doc_id) AS canonical_id, count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- mm_chunk_dedup -----------------------------------------------------
+  // CHUNK-level content dedup: hash every fixed-size chunk of every payload
+  // and report chunks shared across documents — the fixed-block variant of
+  // content-defined-chunking dedup (what storage/backup systems and
+  // multimodal-corpus pipelines use to find embedded shared content:
+  // common headers, repeated segments, boilerplate bytes). Output: one row
+  // per chunk content that appears in MORE than one document, with its
+  // total copy count, distinct-doc count, and canonical (min) location.
+  // Scale: explode is linear in payload bytes; the groupBy on chunk hash is
+  // map-side combinable; only (hash, doc, idx) tuples shuffle — never the
+  // payload bytes themselves.
+  def mmChunkDedup(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), expr("encode(text, 'UTF-8')").as("payload"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, CAST(ceil(octet_length(payload)/64.0) AS INT) - 1)," +
+            " i -> substring(payload, i*64 + 1, 64))")).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        sha2(col("chunk"), 256).as("h"))
+      // canonical location = lexicographic min of (doc_id, chunk_idx),
+      // packed into one integer (chunk_idx < 2^20 for any sane payload) so
+      // the aggregate is a plain MIN in both engines
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * lit(1048576L) + col("chunk_idx")).as("loc"))
+      .filter(col("n_docs") > 1)
+      .select(col("h"), col("n_copies"), col("n_docs"),
+        (col("loc") / lit(1048576L)).cast("long").as("canonical_doc"),
+        (col("loc") % lit(1048576L)).as("canonical_idx"))
+      .orderBy("h")
+
+  val mmChunkDedupSql: String =
+    """WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |f AS (SELECT doc_id, n, text,
+      |        CAST(unnest(range(0, CAST(ceil(n/64.0) AS BIGINT))) AS BIGINT) AS chunk_idx
+      |      FROM p),
+      |c AS (SELECT doc_id, chunk_idx, sha256(substr(text, CAST(chunk_idx*64 + 1 AS INT), 64)) AS h FROM f),
+      |g AS (SELECT h, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs,
+      |        min(doc_id*1048576 + chunk_idx) AS loc
+      |      FROM c GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+      |SELECT h, n_copies, n_docs, loc//1048576 AS canonical_doc, loc%1048576 AS canonical_idx
+      |FROM g ORDER BY h""".stripMargin
+
   /** Decoded-frame record produced by the codec stub. */
   case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int, checksum: Long)
 

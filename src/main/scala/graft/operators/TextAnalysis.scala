@@ -178,7 +178,52 @@ object TextAnalysis {
       |      FROM s)
       |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // --- text_boilerplate ---------------------------------------------------
+  // Corpus-level boilerplate detection — the template-stripping signal every
+  // crawl-cleaning pipeline computes (shared headers/footers/nav text shows
+  // up as n-grams with abnormally high document frequency). A shingle is
+  // boilerplate iff its document frequency exceeds BOTH an absolute floor
+  // (df > 2 — excludes the degenerate tiny-corpus case) and a relative 1%
+  // rule (df·100 > N, exact integer compare — no float threshold to drift
+  // between engines). Output: per-doc shingle count, boilerplate-shingle
+  // count, and ratio (single final division — bit-identical IEEE in both
+  // engines).
+  // Scale: the shingle df groupBy and the join back to per-doc shingles
+  // share one exchange on `s` (identical subtree); hot shingles are exactly
+  // the boilerplate ones and AQE splits those reducers; the per-doc
+  // aggregate is map-side combinable; N is one broadcast scalar.
+  def textBoilerplate(spark: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(spark, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      .distinct()
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, d).agg(count(lit(1)).as("n"))
+    sh.join(df, Seq("s")).crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 2 && col("df") * 100 > col("n"), 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio", col("n_boiler").cast("double") / col("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val textBoilerplateSql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest([w[CAST(i AS INT)+1]||' '||w[CAST(i AS INT)+2]||' '||w[CAST(i AS INT)+3] FOR i IN range(0, greatest(len(w)-2, 0))]) AS s
+      |  FROM w WHERE len(w) >= 3)),
+      |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN df > 2 AND df*100 > n THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  CAST(sum(CASE WHEN df > 2 AND df*100 > n THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS boiler_ratio
+      |FROM sh JOIN df USING (s) CROSS JOIN n
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> textBoilerplate,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -186,6 +231,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "text_boilerplate" -> textBoilerplateSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,

@@ -32,4 +32,33 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("frame_idx").collect().map(_.checksum).toSeq
     assert(actual === expected)
   }
+
+  test("chunk dedup matches a local recomputation over raw payload chunks") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes(StandardCharsets.UTF_8))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    val chunks = docs.flatMap { case (id, payload) =>
+      payload.grouped(64).zipWithIndex.map { case (c, i) =>
+        (hex(md.digest(c)), id, i.toLong)
+      }
+    }
+    val expected = chunks.groupBy(_._1)
+      .filter { case (_, rs) => rs.map(_._2).distinct.length > 1 }
+      .map { case (h, rs) =>
+        val loc = rs.map { case (_, id, i) => (id, i) }.min
+        h -> (rs.length.toLong, rs.map(_._2).distinct.length.toLong, loc._1, loc._2)
+      }
+    val got = Multimodal.mmChunkDedup(spark, sf).collect()
+    assert(got.length === expected.size)
+    assert(got.nonEmpty, "synthetic corpus should contain cross-doc duplicate chunks")
+    got.foreach { r =>
+      val (copies, ndocs, cdoc, cidx) = expected(r.getAs[String]("h"))
+      assert(r.getAs[Long]("n_copies") === copies)
+      assert(r.getAs[Long]("n_docs") === ndocs)
+      assert(r.getAs[Long]("canonical_doc") === cdoc)
+      assert(r.getAs[Long]("canonical_idx") === cidx)
+    }
+  }
 }

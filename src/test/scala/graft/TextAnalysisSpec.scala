@@ -27,6 +27,27 @@ class TextAnalysisSpec extends SparkSpec {
     rows.foreach(r => assert(langs.contains(r.getAs[String]("pred_lang"))))
   }
 
+  test("boilerplate ratio matches a local df recomputation") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val n = docs.length
+    val shingles = docs.map { case (id, w) =>
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val df = shingles.flatMap(_._2).groupBy(identity).map { case (s, xs) => s -> xs.length }
+    val got = TextAnalysis.textBoilerplate(spark, sf).collect()
+    assert(got.length === shingles.length)
+    val byId = shingles.toMap
+    got.foreach { r =>
+      val sh = byId(r.getAs[Long]("doc_id"))
+      val boiler = sh.count(s => df(s) > 2 && df(s) * 100 > n)
+      assert(r.getAs[Long]("n_shingles") === sh.size.toLong)
+      assert(r.getAs[Long]("n_boiler") === boiler.toLong)
+      assert(r.getAs[Double]("boiler_ratio") === boiler.toDouble / sh.size)
+    }
+  }
+
   test("fingerprints are 3 concatenated md5s and stable across runs") {
     val a = TextAnalysis.textFingerprint(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
