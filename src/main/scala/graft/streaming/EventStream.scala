@@ -129,6 +129,20 @@ object EventStream {
     """SELECT DISTINCT user_id, strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute_s
       |FROM events ORDER BY user_id, minute_s""".stripMargin
 
+  /** Dedup for at-least-once ingest where RETRIES arrive with slightly
+    * different event times — same business key, perturbed ts, so a plain
+    * key+time dropDuplicates keeps both copies. `dropDuplicatesWithinWatermark`
+    * dedupes on the key ALONE and holds per-key state only until the
+    * watermark passes the first-seen event time + delay: bounded state on
+    * unbounded streams, the API built for exactly this. Emits the first
+    * arrival of each key (retries within the 10-minute horizon are dropped).
+    */
+  def retryDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"))
+
   /** Stream-stream interval join: every event within 10 minutes after an
     * 'error' (the streaming twin of `Temporal.qRangeJoin`, same blocking).
     * Spark requires an equality predicate in stream-stream joins, and the

@@ -104,6 +104,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("dropDuplicatesWithinWatermark collapses retries with perturbed event times") {
+    val dir = stageEventsDir()
+    // simulate at-least-once delivery: every event is retried 30s later —
+    // same event_id, different ts, so a key+minute dedup would keep both
+    val raw = spark.read.parquet(dir) // nanos-long ts (nanosAsLong conf)
+    raw.withColumn("ts", col("ts") + lit(30000000000L))
+      .write.mode("append").parquet(dir)
+    val q = EventStream.retryDedup(EventStream.eventsStream(spark, dir))
+      .writeStream.format("memory").queryName("retry_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("retry_dedup")
+    val nIds = graft.sources.Tables.events(spark, sf)
+      .select("event_id").distinct().count()
+    assert(got.count() === nIds, "exactly one survivor per event_id")
+    assert(got.select("event_id").distinct().count() === nIds)
+  }
+
   test("stream-stream interval join emits exactly the batch join's pairs") {
     val dir = stageEventsDir()
     // two independent readers of the same files = two genuine stream sides
