@@ -133,4 +133,59 @@ class GraftQC(spark: SparkSession, utcOffsetHours: Int = -2) {
       .write.mode("overwrite")
       .partitionBy("compound")
       .parquet(path)
+
+  /** One zoom stack per (compound, plane) with the reference's exact rules:
+    * a new limit is pushed only if it differs from the current top
+    * (index.js:360-368), zoomOut pops and is a no-op on an empty stack, and
+    * with no stored limits the view falls back to the data extent with the
+    * numeric axis rounded out to yAxisRound = 50 (index.js:644-650 +
+    * processAxis). Interaction state lives on the driver — analyst-sized by
+    * contract, the same boundary as [[exportJson]] — while the extent
+    * fallback is one distributed aggregate, collected lazily once per
+    * session (one row per compound).
+    */
+  def zoomSession(data: DataFrame): ZoomSession = new ZoomSession(data)
+
+  final class ZoomSession private[GraftQC] (data: DataFrame) {
+    import GraftQC.Limits
+    private val stacks =
+      scala.collection.mutable.Map.empty[(String, String), List[Limits]]
+    private lazy val extents: Map[String, Limits] =
+      data.groupBy("compound").agg(
+        min(col("epoch")).as("x0"), max(col("epoch")).as("x1"),
+        (floor(min(col("value")) / 50) * 50).cast("double").as("y0"),
+        (ceil(max(col("value")) / 50) * 50).cast("double").as("y1"))
+        .collect()
+        .map(r => r.getAs[String]("compound") -> Limits(
+          r.getAs[Double]("x0"), r.getAs[Double]("x1"),
+          r.getAs[Double]("y0"), r.getAs[Double]("y1"))).toMap
+
+    /** createScales' push-if-different (index.js:360-368). */
+    def push(compound: String, lim: Limits, plane: String = "default"): Unit = {
+      val k = (compound, plane)
+      val st = stacks.getOrElse(k, Nil)
+      if (!st.headOption.contains(lim)) stacks(k) = lim :: st
+    }
+
+    /** zoomOut (index.js:644): pop; empty stack is a no-op. */
+    def zoomOut(compound: String, plane: String = "default"): Unit = {
+      val k = (compound, plane)
+      stacks.get(k).filter(_.nonEmpty).foreach(st => stacks(k) = st.tail)
+    }
+
+    def depth(compound: String, plane: String = "default"): Int =
+      stacks.getOrElse((compound, plane), Nil).length
+
+    /** The limits the view renders with: top of the stack, or the data
+      * extent when nothing is stored (createScales → processAxis default).
+      */
+    def current(compound: String, plane: String = "default"): Limits =
+      stacks.getOrElse((compound, plane), Nil).headOption
+        .getOrElse(extents(compound))
+  }
+}
+
+object GraftQC {
+  /** A stored zoom window: x in the data's epoch units, y in value units. */
+  final case class Limits(x0: Double, x1: Double, y0: Double, y1: Double)
 }

@@ -87,4 +87,32 @@ class GraftQCSpec extends SparkSpec {
     val t = qc.toggle(byAxis, byAxis)
     assert(t.count() === 0)
   }
+
+  test("zoom session honors push-if-different, pop-on-empty, and the extent fallback") {
+    import graft.GraftQC.Limits
+    val z = qc.zoomSession(data)
+    // extent fallback on a fresh session = distributed min/max with y
+    // rounded out to 50 (processAxis default)
+    val e = data.filter(col("compound") === "ethane")
+      .agg(min("epoch"), max("epoch"), min("value"), max("value")).head
+    val expected = Limits(e.getDouble(0), e.getDouble(1),
+      math.floor(e.getDouble(2) / 50) * 50, math.ceil(e.getDouble(3) / 50) * 50)
+    assert(z.current("ethane") === expected)
+    // push-if-different: an equal consecutive push is dropped
+    val lim = Limits(1.0e9, 1.1e9, 0.0, 500.0)
+    z.push("ethane", lim)
+    z.push("ethane", lim)
+    assert(z.depth("ethane") === 1)
+    assert(z.current("ethane") === lim)
+    val lim2 = Limits(1.02e9, 1.08e9, 50.0, 450.0)
+    z.push("ethane", lim2)
+    assert(z.depth("ethane") === 2 && z.current("ethane") === lim2)
+    // stacks are per (compound, plane): other planes/compounds untouched
+    assert(z.depth("ethane", "lat_value") === 0)
+    assert(z.depth("propane") === 0)
+    // pop to empty, then pop again (no-op), then fall back to the extent
+    z.zoomOut("ethane"); z.zoomOut("ethane"); z.zoomOut("ethane")
+    assert(z.depth("ethane") === 0)
+    assert(z.current("ethane") === expected)
+  }
 }
