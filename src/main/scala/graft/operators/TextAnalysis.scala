@@ -222,7 +222,36 @@ object TextAnalysis {
       |FROM sh JOIN df USING (s) CROSS JOIN n
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- doc_split ----------------------------------------------------------
+  // Deterministic train/val/test assignment — the reproducibility primitive
+  // every training pipeline needs: membership must be a pure function of
+  // the example's identity (never of partitioning, sampling order, or a
+  // seed file), so reruns, incremental ingests, and different engines all
+  // agree. The hash bucket is the first two hex chars of md5(doc_id) —
+  // 256 buckets, split 80/10/10 at integer thresholds 204/230. Pure map;
+  // no shuffle at all (the output sort is for the deterministic dump).
+  def docSplit(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 204, "train")
+          .when(col("bucket") < 230, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  val docSplitSql: String =
+    """WITH b AS (SELECT doc_id,
+      |  CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_split" -> docSplit,
     "text_boilerplate" -> textBoilerplate,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -231,6 +260,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "doc_split" -> docSplitSql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

@@ -48,6 +48,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("doc_split is a pure function of doc_id with roughly 80/10/10 mass") {
+    val rows = TextAnalysis.docSplit(spark, sf).collect()
+    val n = rows.length.toDouble
+    rows.foreach { r =>
+      // recompute the bucket locally: first two hex chars of md5(doc_id)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(r.getAs[Long]("doc_id").toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(hex.take(2), 16)
+      assert(r.getAs[Long]("bucket") === bucket)
+      val expected = if (bucket < 204) "train" else if (bucket < 230) "val" else "test"
+      assert(r.getAs[String]("split") === expected)
+    }
+    val frac = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+    assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
+  }
+
   test("fingerprints are 3 concatenated md5s and stable across runs") {
     val a = TextAnalysis.textFingerprint(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
