@@ -42,6 +42,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("degenerate LSH buckets are dropped (skew guard); exact dedup still groups them") {
+    // pathological corpus: 200 byte-identical docs — every band bucket they
+    // share holds 200 > cap(50) members, so the guard must refuse the
+    // C(200,2) = 19,900 garbage pairs; exact dedup handles true duplicates
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-").toString
+    import spark.implicits._
+    val hot = (0L until 200L).map(i =>
+      (i, "the same exact boilerplate text repeated verbatim on every mirror page of the crawl"))
+    val normal = (200L until 250L).map(i =>
+      (i, s"unique document number $i with words token${i * 7} item${i * 13} filler${i * 3} that differ per doc"))
+    (hot ++ normal).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synthetic"))
+      .withColumn("n_chars", octet_length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val hotIds = (0L until 200L).toSet
+      val pairs = Dedup.dedupMinhashLsh(spark, dir).collect()
+      assert(!pairs.exists(r => hotIds(r.getAs[Long]("da")) && hotIds(r.getAs[Long]("db"))),
+        "bucket cap must drop the degenerate 200-doc bucket, not pair it quadratically")
+      val exactGroups = Dedup.dedupExact(spark, dir)
+        .filter(col("n_docs") === 200).collect()
+      assert(exactGroups.length === 1, "exact dedup must still collapse the 200 identical docs")
+      assert(exactGroups.head.getAs[Long]("canonical_id") === 0L)
+    } finally Dedup.releaseCaches()
+  }
+
   test("components: canonical ids are component minima and pairs share components") {
     val labels = Dedup.dedupComponents(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
