@@ -59,16 +59,16 @@ object Dedup {
   // --- shared: word 3-shingles, minhash signatures, LSH candidates --------
 
   /** Word-3-shingles per doc, duplicates included (one narrow pass). */
-  private def shingleStream(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+  private def shingleStream(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
 
   /** Distinct word-3-shingles per doc (for set semantics: sizes, Jaccard). */
-  private def shingles(spark: SparkSession, d: String): DataFrame =
-    shingleStream(spark, d).distinct()
+  private def shingles(docs: DataFrame): DataFrame =
+    shingleStream(docs).distinct()
 
   /** 16-perm minhash signature for any (doc_id, s) input.
     * Perm k = the k%4-th 8-hex-char word of md5(k/4 || '|' || s): one md5
@@ -180,8 +180,18 @@ object Dedup {
   private[graft] case class LshBuild(sh: DataFrame, sig: DataFrame,
     cand: DataFrame, verified: DataFrame)
 
-  private[graft] def buildLsh(spark: SparkSession, d: String): LshBuild = {
-    val sh = shingles(spark, d)
+  private[graft] def buildLsh(spark: SparkSession, d: String): LshBuild =
+    buildLshFrom(Tables.documents(spark, d))
+
+  /** DataFrame-in variant of the near-dup pipeline for library callers
+    * composing their own jobs: `docs` needs (doc_id, text); the returned
+    * plans are unpersisted — persist/checkpoint the stage outputs you reuse
+    * (the (SparkSession, dir) query entries do exactly that via the memo).
+    */
+  def nearDupPairsFrom(docs: DataFrame): DataFrame = buildLshFrom(docs).verified
+
+  private[graft] def buildLshFrom(docs: DataFrame): LshBuild = {
+    val sh = shingles(docs)
     val sig = sigProjection(sh)
     val cand = candidatePairs(sig)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -50,7 +50,9 @@ object Temporal {
   // before the purchase time (classic last-touch attribution). Ties on
   // time break toward the larger view event_id; purchases with no prior
   // view keep NULLs (left as-of).
-  def qAsofJoin(spark: SparkSession, d: String): DataFrame = {
+  /** The union+window carry shared by both as-of variants: every purchase
+    * row annotated with the most recent prior view (or NULLs). */
+  private def asofCarried(spark: SparkSession, d: String): DataFrame = {
     val e = ev(spark, d)
     // side 0 = build (views), side 1 = probe (purchases): on equal t the
     // build row sorts first, so "at or before" includes exact ties.
@@ -69,12 +71,15 @@ object Temporal {
       .withColumn("view_value", last(col("v_value"), ignoreNulls = true).over(w))
       .withColumn("vt", last(when(col("v_id").isNotNull, col("t")), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
+  }
+
+  def qAsofJoin(spark: SparkSession, d: String): DataFrame =
+    asofCarried(spark, d)
       .select(col("p_id").as("event_id"), col("user_id"),
         date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         col("view_id"), col("view_value"),
         (col("t") - col("vt")).as("lag_us"))
       .orderBy("event_id")
-  }
 
   val qAsofJoinSql: String =
     """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t FROM events WHERE event_type='purchase'),
@@ -86,6 +91,38 @@ object Temporal {
       |       j.v_id AS view_id, j.v_value AS view_value, p.t - j.vt AS lag_us
       |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
       |ORDER BY p.event_id""".stripMargin
+
+  // --- q_asof_tolerance ---------------------------------------------------
+  // Bounded-staleness as-of: the matched view must be within MAX_STALENESS
+  // (1 hour) of the purchase — the form real feature-store lookups take
+  // ("the latest reading, unless it has gone stale"). Key property: the
+  // MOST RECENT prior view being out of tolerance implies every prior view
+  // is, so the bound is a pure post-filter on the carried columns and the
+  // plan keeps qAsofJoin's single key shuffle (no second window, no range
+  // join).
+  private val AsofTolUs = 3600000000L // 1 hour
+
+  def qAsofTolerance(spark: SparkSession, d: String): DataFrame = {
+    val fresh = (col("t") - col("vt")) <= AsofTolUs
+    asofCarried(spark, d)
+      .select(col("p_id").as("event_id"), col("user_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        when(fresh, col("view_id")).as("view_id"),
+        when(fresh, col("view_value")).as("view_value"),
+        when(fresh, col("t") - col("vt")).as("lag_us"))
+      .orderBy("event_id")
+  }
+
+  val qAsofToleranceSql: String =
+    s"""WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t FROM events WHERE event_type='purchase'),
+       |v AS (SELECT event_id AS v_id, user_id, value AS v_value, epoch_us(ts) AS vt FROM events WHERE event_type='view'),
+       |j AS (SELECT p.event_id, v.v_id, v.v_value, v.vt,
+       |        row_number() OVER (PARTITION BY p.event_id ORDER BY v.vt DESC, v.v_id DESC) AS rn
+       |      FROM p JOIN v ON v.user_id = p.user_id AND v.vt <= p.t AND p.t - v.vt <= $AsofTolUs)
+       |SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       |       j.v_id AS view_id, j.v_value AS view_value, p.t - j.vt AS lag_us
+       |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+       |ORDER BY p.event_id""".stripMargin
 
   // --- q_range_join -------------------------------------------------------
   // For every 'error' event: activity stats over ALL events (any user) in
@@ -118,9 +155,11 @@ object Temporal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> qAsofJoin,
+    "q_asof_tolerance" -> qAsofTolerance,
     "q_range_join" -> qRangeJoin)
 
   val oracle: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinSql,
+    "q_asof_tolerance" -> qAsofToleranceSql,
     "q_range_join" -> qRangeJoinSql)
 }

@@ -34,6 +34,29 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asof tolerance: equals plain as-of with stale matches nulled") {
+    val plain = Temporal.qAsofJoin(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("lag_us"))) None else Some(r.getAs[Long]("lag_us")))).toMap
+    val bounded = Temporal.qAsofTolerance(spark, sf).collect()
+    assert(bounded.length === plain.size)
+    var nulledByBound = 0
+    bounded.foreach { r =>
+      val lag = plain(r.getAs[Long]("event_id"))
+      lag match {
+        case Some(l) if l <= 3600000000L =>
+          assert(r.getAs[Long]("lag_us") === l)
+          assert(!r.isNullAt(r.fieldIndex("view_id")))
+        case Some(_) => // stale: the bound must null the match
+          assert(r.isNullAt(r.fieldIndex("view_id")))
+          nulledByBound += 1
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("view_id")))
+      }
+    }
+    assert(nulledByBound > 0, "the 1h bound should actually reject some stale matches")
+  }
+
   test("range join: counts equal an independently computed interval scan") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("t"))
