@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Per-query time = MINIMUM over this many cold-cache passes. The shared
+    // box this runs on has multi-second CPU-steal spikes (round 3's single
+    // pass recorded 159s for a workload that measures 43s clean); min-of-k
+    // is the standard noise estimator (and what the round-3 review asked
+    // for). Caches are wiped BETWEEN passes, so each pass pays the full
+    // pipeline costs exactly like a single-pass run would.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     // Same builder as Verify/ExplainDump — benched plans = audited plans.
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -13,34 +20,40 @@ object Bench {
     // A failing query must not bench as "fast": errors are reported in a
     // separate map and excluded from timings.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Operators manage their own cache hygiene: corpus-sized
-        // intermediates are unpersisted before a query returns, and the only
-        // retained tables are Dedup's memoized pipeline-stage outputs
-        // (bounded by duplicate density, shared by the three LSH queries —
-        // wiping them here would charge the md5 signature pipeline to every
-        // stage of what is one pipeline in any real deployment).
-        Some(name -> dt)
-      } catch {
-        case e: Throwable =>
-          // strip EVERY char that can break the single-line JSON (quotes,
-          // backslashes, all control chars) — a parse failure here zeroes
-          // the whole round's bench
-          errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
-          None
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (_ <- 1 to passes) {
+      // cold caches per pass; WITHIN a pass operators manage their own
+      // hygiene: corpus-sized intermediates are unpersisted before a query
+      // returns, and the only retained tables are Dedup's memoized
+      // pipeline-stage outputs (duplicate-density-bounded, shared by the
+      // three LSH queries — wiping them mid-pass would charge the md5
+      // signature pipeline to every stage of what is one pipeline in any
+      // real deployment).
+      graft.operators.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (!best.get(name).exists(_ <= dt)) best(name) = dt
+        } catch {
+          case e: Throwable =>
+            // strip EVERY char that can break the single-line JSON (quotes,
+            // backslashes, all control chars) — a parse failure here zeroes
+            // the whole round's bench
+            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
+        }
       }
     }
+    val results = best.filterNot { case (k, _) => errors.contains(k) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"sf":"$sfDir"}""")
     graft.operators.Dedup.releaseCaches()
     spark.stop()
   }
