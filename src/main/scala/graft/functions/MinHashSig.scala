@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 16-permutation MinHash signature over a document string — the
+  * whole signature in ONE map-side pass per document.
+  *
+  * The composable formulation (shingle explode → 16 substring(md5(...))
+  * columns → 16 `min` aggregates) is semantically identical but pays a
+  * corpus-wide explode plus a full aggregate SHUFFLE just to get one row
+  * per doc back. At 100 TB that shuffle moves (shingles × 16 hex words)
+  * for no reason: the signature is a pure function of the document, so it
+  * belongs in the scan's project list. This expression computes it there —
+  * no explode, no aggregate exchange; the md5 math is the hot loop and
+  * runs on the raw shingle stream (min is duplicate-insensitive).
+  *
+  * Exactness contract (hash-verified against the DuckDB oracle): space-trim
+  * then regex split with limit -1 — exactly Spark's `split(trim(text),
+  * "\\s+")`; shingle = three words joined by single spaces (`concat_ws`);
+  * perm k = the (k%4)-th 8-hex-char word of md5("k/4|" || shingle),
+  * lowercase; min = byte-wise comparison over fixed-width lowercase hex,
+  * identical to UTF8String/DuckDB string min. Documents with fewer than 3
+  * words yield NULL (the composable path filters them before shingling).
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // heavy lifting in a static kernel; the generated code stays inside
+      // whole-stage codegen (one static call, no interpreted fallback)
+      s"""
+         |${ev.value} = graft.functions.MinHashKernel.compute($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashKernel {
+  private val NumPerms = 16
+  private val WordsPerHash = 4
+  private val Seeds = NumPerms / WordsPerHash
+  // one MessageDigest per thread — codegen calls this from task threads
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Null (not an empty array) when the doc has < 3 words. */
+  def compute(text: UTF8String): ArrayData = {
+    // trim = Spark's `trim` (spaces only); split = Spark's `split(s, re)`
+    // which uses Pattern.split with limit -1 (trailing empties kept)
+    var s = text.toString
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s = s.substring(b, e)
+    val words = java.util.regex.Pattern.compile("\\s+").split(s, -1)
+    if (words.length < 3) return null
+    val md = digests.get()
+    val mins = new Array[String](NumPerms)
+    var i = 0
+    while (i <= words.length - 3) {
+      val shingle = words(i) + " " + words(i + 1) + " " + words(i + 2)
+      var seed = 0
+      while (seed < Seeds) {
+        val hex = md5Hex(md, s"$seed|$shingle")
+        var j = 0
+        while (j < WordsPerHash) {
+          val k = seed * WordsPerHash + j
+          val w = hex.substring(j * 8, j * 8 + 8)
+          if (mins(k) == null || w.compareTo(mins(k)) < 0) mins(k) = w
+          j += 1
+        }
+        seed += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(UTF8String.fromString(_)).toIndexedSeq)
+  }
+}

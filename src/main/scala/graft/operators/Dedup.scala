@@ -70,26 +70,14 @@ object Dedup {
   private def shingles(docs: DataFrame): DataFrame =
     shingleStream(docs).distinct()
 
-  /** 16-perm minhash signature for any (doc_id, s) input.
-    * Perm k = the k%4-th 8-hex-char word of md5(k/4 || '|' || s): one md5
-    * yields 4 independent 32-bit hash words (disjoint substrings of a
-    * 128-bit digest), so 16 perms cost 4 md5 calls per shingle, not 16
-    * (codegen subexpression elimination collapses the repeated md5s).
-    * Then 16 parallel `min` aggregates — a single map-side-combinable
-    * shuffle per doc. min() is insensitive to duplicate shingles, so this
-    * works on the raw stream and the distinct set alike.
-    */
-  private def sigProjection(shingled: DataFrame): DataFrame = {
-    val hashed = shingled.select(
-      col("doc_id") +:
-        (0 until NumPerms).map(k =>
-          substring(md5(concat(lit(s"${k / WordsPerHash}|"), col("s"))),
-            (k % WordsPerHash) * 8 + 1, 8).as(s"h$k")): _*)
-    hashed.groupBy("doc_id")
-      .agg(min(col("h0")).as("m0"),
-        (1 until NumPerms).map(k => min(col(s"h$k")).as(s"m$k")): _*)
-      .select(col("doc_id"), array((0 until NumPerms).map(k => col(s"m$k")): _*).as("sig"))
-  }
+  // 16-perm minhash signatures come from the native `minhash_sig`
+  // expression (graft.functions.MinHashSig): perm k = the k%4-th
+  // 8-hex-char word of md5(k/4 || '|' || shingle) — one md5 yields 4
+  // independent 32-bit hash words, so 16 perms cost 4 md5 calls per
+  // shingle — and the whole signature computes map-side in the scan's
+  // project list (no shingle explode, no aggregate shuffle). DedupSpec
+  // asserts bitwise equality against the composable explode+16-min
+  // formulation that the DuckDB oracle mirrors.
 
   /** Banded-LSH candidate pairs (da < db) with both signatures attached,
     * degenerate buckets dropped.
@@ -192,7 +180,14 @@ object Dedup {
 
   private[graft] def buildLshFrom(docs: DataFrame): LshBuild = {
     val sh = shingles(docs)
-    val sig = sigProjection(sh)
+    // signatures via the native minhash_sig expression: the whole 16-perm
+    // signature is a pure function of the document, so it computes in the
+    // scan's project list — no shingle explode, no 16-min aggregate
+    // exchange (the sigProjection formulation, kept for the bitwise-
+    // equality spec, pays a corpus-wide shuffle for the same bytes)
+    val sig = docs
+      .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
+      .filter(col("sig").isNotNull)
     val cand = candidatePairs(sig)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Intersection sizes via a shingle equijoin restricted to candidate

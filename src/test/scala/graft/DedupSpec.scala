@@ -68,6 +68,30 @@ class DedupSpec extends SparkSpec {
     } finally Dedup.releaseCaches()
   }
 
+  test("native minhash_sig equals the explode+aggregate signature bitwise") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val native = docs.select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
+      .filter(col("sig").isNotNull).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    // the composable formulation the oracle mirrors: shingle explode →
+    // 16 substring(md5) columns → 16 min aggregates
+    val sh = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+    val hashed = sh.select(
+      col("doc_id") +: (0 until 16).map(k =>
+        substring(md5(concat(lit(s"${k / 4}|"), col("s"))), (k % 4) * 8 + 1, 8).as(s"h$k")): _*)
+    val agg = hashed.groupBy("doc_id")
+      .agg(min(col("h0")).as("m0"), (1 until 16).map(k => min(col(s"h$k")).as(s"m$k")): _*)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 16).map(k => r.getAs[String](s"m$k")))
+    assert(agg.nonEmpty && agg.length === native.size)
+    agg.foreach { case (id, sig) => assert(native(id) === sig, s"doc $id") }
+  }
+
   test("components: canonical ids are component minima and pairs share components") {
     val labels = Dedup.dedupComponents(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
