@@ -48,6 +48,34 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native 64-bit SimHash over a document string, as the 4 × 16-bit chunk
+  * keys the blocking join uses — one map-side pass per document.
+  *
+  * The composable formulation (token explode → groupBy(doc, token) counts →
+  * 64 weighted SUM aggregates) is exact but pays a corpus-wide explode and
+  * an aggregate exchange for what is a pure function of the document.
+  * Iterating raw token OCCURRENCES and adding ±1 per bit is integer-exact
+  * and order-insensitive, so it equals the count-weighted sums bit for bit
+  * (asserted per doc in DedupSpec); the DuckDB oracle still verifies the
+  * operator end-to-end. Splitting matches `split(trim(text), "\\s+")`
+  * exactly (see [[MinHashKernel.splitWords]]) — including the single empty
+  * token an all-space document yields.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object MinHashKernel {
   private val NumPerms = 16
   private val WordsPerHash = 4
@@ -69,16 +97,56 @@ object MinHashKernel {
     new String(out)
   }
 
-  /** Null (not an empty array) when the doc has < 3 words. */
-  def compute(text: UTF8String): ArrayData = {
-    // trim = Spark's `trim` (spaces only); split = Spark's `split(s, re)`
-    // which uses Pattern.split with limit -1 (trailing empties kept)
+  /** Exactly `split(trim(text), "\\s+")`: trim = Spark's `trim` (spaces
+    * only); split = Spark's `split(s, re)` which uses Pattern.split with
+    * limit -1 (trailing empties kept). */
+  private def splitWords(text: UTF8String): Array[String] = {
     var s = text.toString
     var b = 0; var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1
     while (e > b && s.charAt(e - 1) == ' ') e -= 1
     s = s.substring(b, e)
-    val words = java.util.regex.Pattern.compile("\\s+").split(s, -1)
+    java.util.regex.Pattern.compile("\\s+").split(s, -1)
+  }
+
+  /** 64-bit simhash as 4 × 16-bit chunk ints (see [[SimHash64]]). */
+  def simhash(text: UTF8String): ArrayData = {
+    val words = splitWords(text)
+    val md = digests.get()
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      val hex = md5Hex(md, words(i))
+      var j = 0
+      while (j < 4) {
+        val cj = Integer.parseInt(hex.substring(j * 4, j * 4 + 4), 16)
+        var r = 0
+        while (r < 16) {
+          acc(j * 16 + r) += (((cj >> (15 - r)) & 1) * 2 - 1)
+          r += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val keys = new Array[Int](4)
+    var j = 0
+    while (j < 4) {
+      var k = 0
+      var r = 0
+      while (r < 16) {
+        if (acc(j * 16 + r) > 0) k |= 1 << (15 - r)
+        r += 1
+      }
+      keys(j) = k
+      j += 1
+    }
+    new GenericArrayData(keys.toIndexedSeq)
+  }
+
+  /** Null (not an empty array) when the doc has < 3 words. */
+  def compute(text: UTF8String): ArrayData = {
+    val words = splitWords(text)
     if (words.length < 3) return null
     val md = digests.get()
     val mins = new Array[String](NumPerms)

@@ -376,33 +376,14 @@ object Dedup {
   // Candidates via the classic 4×16-bit chunk blocking, output pairs with
   // hamming ≤ 8.
   def dedupSimhash(spark: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(spark, d)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-    // Pure-integer bit extraction: the first 16 md5 hex chars split into 4
-    // 16-bit chunk ints (one conv each); bit b of chunk j is
-    // (cj >> (15-r)) & 1 and its ±1 weight is bit*2-1 — no 64-char binary
-    // strings, no per-character substring/ascii in the 64 aggregates.
-    // 64 SUM aggregates with map-side combine collapse each partition to
-    // one row per doc before the shuffle (the explode-per-bit alternative
-    // shuffles 64× the rows, and higher-order-function lambdas would run
-    // interpreted).
-    val chunkedTok = tok.select(col("doc_id") :: col("c") ::
-      (0 until 4).map(j =>
-        conv(substring(md5(col("t")), j * 4 + 1, 4), 16, 10).cast("int").as(s"c$j")).toList: _*)
-    val sums = chunkedTok.groupBy("doc_id")
-      .agg(sum(col("c") * (shiftright(col("c0"), 15).bitwiseAND(lit(1)) * 2 - 1)).as("s0"),
-        (1 until 64).map { b =>
-          val (j, r) = (b / 16, b % 16)
-          sum(col("c") * (shiftright(col(s"c$j"), 15 - r).bitwiseAND(lit(1)) * 2 - 1)).as(s"s$b")
-        }: _*)
-    // reassemble each 16-bit chunk key directly from the bit signs — the
-    // fingerprint never materializes as a string
-    val chunked = sums.select(col("doc_id") +: (0 until 4).map { j =>
-      (0 until 16).map(r =>
-        when(col(s"s${16 * j + r}") > 0, lit(1 << (15 - r))).otherwise(lit(0)))
-        .reduce(_ + _).cast("int").as(s"k$j")
-    }: _*)
+    // Fingerprints via the native simhash64 expression: the whole 64-bit
+    // fingerprint (as 4 × 16-bit chunk ints) computes in the scan's project
+    // list — a pure per-doc function, so no token explode and no 64-SUM
+    // aggregate exchange (the composable formulation DedupSpec keeps for
+    // the bitwise-equality check pays both).
+    val chunked = Tables.documents(spark, d)
+      .select(col("doc_id") +: (0 until 4).map(j =>
+        element_at(expr("simhash64(text)"), j + 1).as(s"k$j")): _*)
     val chunks = chunked.select(col("doc_id"),
       explode(expr("transform(sequence(0, 3), c -> struct(c as c, element_at(array(k0, k1, k2, k3), c + 1) as ck))")).as("x"),
       col("k0"), col("k1"), col("k2"), col("k3"))

@@ -92,6 +92,34 @@ class DedupSpec extends SparkSpec {
     agg.foreach { case (id, sig) => assert(native(id) === sig, s"doc $id") }
   }
 
+  test("native simhash64 equals the count-weighted 64-sum formulation bitwise") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val native = docs.select(col("doc_id"), expr("simhash64(text)").as("ks")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1)).toMap
+    // composable formulation: token counts → 64 weighted SUMs → sign bits
+    val tok = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val chunkedTok = tok.select(col("doc_id") :: col("c") ::
+      (0 until 4).map(j =>
+        conv(substring(md5(col("t")), j * 4 + 1, 4), 16, 10).cast("int").as(s"c$j")).toList: _*)
+    val sums = chunkedTok.groupBy("doc_id")
+      .agg(sum(col("c") * (shiftright(col("c0"), 15).bitwiseAND(lit(1)) * 2 - 1)).as("s0"),
+        (1 until 64).map { b =>
+          val (j, r) = (b / 16, b % 16)
+          sum(col("c") * (shiftright(col(s"c$j"), 15 - r).bitwiseAND(lit(1)) * 2 - 1)).as(s"s$b")
+        }: _*)
+    val expected = sums.select(col("doc_id") +: (0 until 4).map { j =>
+      (0 until 16).map(r =>
+        when(col(s"s${16 * j + r}") > 0, lit(1 << (15 - r))).otherwise(lit(0)))
+        .reduce(_ + _).cast("int").as(s"k$j")
+    }: _*).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 4).map(j => r.getAs[Int](s"k$j")))
+    assert(expected.nonEmpty && expected.length === native.size)
+    expected.foreach { case (id, ks) => assert(native(id) === ks, s"doc $id") }
+  }
+
   test("components: canonical ids are component minima and pairs share components") {
     val labels = Dedup.dedupComponents(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
