@@ -48,6 +48,36 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native distinct word-3-shingle set of a document — another pure per-doc
+  * function that belongs in the scan's project list: `explode(shingle_set
+  * (text))` yields exactly the rows of `explode(all-shingles).distinct()`
+  * WITHOUT the corpus-wide distinct exchange (dedup happens inside the row
+  * it belongs to). First-occurrence order; downstream consumers are set
+  * ops (sizes, equijoins, document frequencies), so order is irrelevant —
+  * DedupSpec still asserts per-doc set equality with the composable
+  * formulation. NULL for documents with fewer than 3 words (the
+  * composable path filters those before shingling).
+  */
+case class ShingleSet(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_set"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.shingleSet(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.MinHashKernel.shingleSet($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
 /** Native 64-bit SimHash over a document string, as the 4 × 16-bit chunk
   * keys the blocking join uses — one map-side pass per document.
   *
@@ -142,6 +172,23 @@ object MinHashKernel {
       j += 1
     }
     new GenericArrayData(keys.toIndexedSeq)
+  }
+
+  /** Distinct 3-shingles in first-occurrence order; null when < 3 words. */
+  def shingleSet(text: UTF8String): ArrayData = {
+    val words = splitWords(text)
+    if (words.length < 3) return null
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= words.length - 3) {
+      seen.add(words(i) + " " + words(i + 1) + " " + words(i + 2))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
   }
 
   /** Null (not an empty array) when the doc has < 3 words. */

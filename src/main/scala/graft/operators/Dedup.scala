@@ -58,17 +58,16 @@ object Dedup {
 
   // --- shared: word 3-shingles, minhash signatures, LSH candidates --------
 
-  /** Word-3-shingles per doc, duplicates included (one narrow pass). */
-  private def shingleStream(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
-
-  /** Distinct word-3-shingles per doc (for set semantics: sizes, Jaccard). */
+  /** Distinct word-3-shingles per doc (for set semantics: sizes, Jaccard).
+    * The native `shingle_set` expression dedupes INSIDE each document's row
+    * map-side, so this is a pure explode — the composable formulation paid
+    * a corpus-wide `.distinct()` exchange here, the heaviest stage of the
+    * pipeline at scale (the dedup happens where the data already is).
+    */
   private def shingles(docs: DataFrame): DataFrame =
-    shingleStream(docs).distinct()
+    docs.select(col("doc_id"), expr("shingle_set(text)").as("ss"))
+      .filter(col("ss").isNotNull)
+      .select(col("doc_id"), explode(col("ss")).as("s"))
 
   // 16-perm minhash signatures come from the native `minhash_sig`
   // expression (graft.functions.MinHashSig): perm k = the k%4-th

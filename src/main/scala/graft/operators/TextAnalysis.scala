@@ -110,21 +110,18 @@ object TextAnalysis {
   // --- text_fingerprint ---------------------------------------------------
   // Min-k-of-shingle-hashes (k=3) document fingerprint: the 3 smallest md5s
   // of distinct word-3-shingles, concatenated.
-  def textFingerprint(spark: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(spark, d)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .filter(size(col("w")) >= 3)
+  // The fingerprint is a pure function of one document, so with the native
+  // shingle_set expression the whole operator is a map — no explode, no
+  // distinct exchange, no aggregate (the r3 formulation paid a corpus-wide
+  // distinct + a collect_list shuffle for the same bytes). Only the
+  // deterministic output sort remains.
+  def textFingerprint(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), expr("shingle_set(text)").as("ss"))
+      .filter(col("ss").isNotNull)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
-      .distinct()
-      .select(col("doc_id"), md5(col("s")).as("h"))
-    // single aggregation (shingle hashes are distinct per doc, so the 3
-    // smallest of the collected list == the window-rank≤3 formulation, one
-    // shuffle instead of window-sort + regroup)
-    sh.groupBy("doc_id")
-      .agg(expr("array_join(slice(sort_array(collect_list(h)), 1, 3), '')").as("fp"))
+        expr("array_join(slice(sort_array(transform(ss, s -> md5(s))), 1, 3), '')").as("fp"))
       .orderBy("doc_id")
-  }
 
   val textFingerprintSql: String =
     """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
@@ -193,12 +190,12 @@ object TextAnalysis {
   // the boilerplate ones and AQE splits those reducers; the per-doc
   // aggregate is map-side combinable; N is one broadcast scalar.
   def textBoilerplate(spark: SparkSession, d: String): DataFrame = {
+    // per-doc distinct shingles via the native shingle_set expression —
+    // map-side dedup, no corpus-wide distinct exchange
     val sh = Tables.documents(spark, d)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
-      .distinct()
+      .select(col("doc_id"), expr("shingle_set(text)").as("ss"))
+      .filter(col("ss").isNotNull)
+      .select(col("doc_id"), explode(col("ss")).as("s"))
     val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, d).agg(count(lit(1)).as("n"))
     sh.join(df, Seq("s")).crossJoin(broadcast(n))

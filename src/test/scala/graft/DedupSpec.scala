@@ -92,6 +92,27 @@ class DedupSpec extends SparkSpec {
     agg.foreach { case (id, sig) => assert(native(id) === sig, s"doc $id") }
   }
 
+  test("native shingle_set equals the explode+distinct formulation as a set") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val native = docs.select(col("doc_id"), expr("shingle_set(text)").as("ss"))
+      .filter(col("ss").isNotNull).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    val composable = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      .distinct().collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[String]("s")).toSet }
+    assert(composable.nonEmpty && composable.size === native.size)
+    composable.foreach { case (id, s) =>
+      assert(native(id).toSet === s, s"doc $id")
+      assert(native(id).distinct.length === native(id).length, s"doc $id has dupes")
+    }
+  }
+
   test("native simhash64 equals the count-weighted 64-sum formulation bitwise") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sf)
