@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Adversarial-input equivalence for the native fingerprint expressions.
+  *
+  * The synthetic corpus is single-spaced ASCII, so the oracle alone cannot
+  * distinguish "replicates `split(trim(text), "\\s+")` exactly" from
+  * "close enough on clean text". These inputs can: leading/trailing
+  * whitespace of every kind (Spark's `trim` strips ONLY spaces — a leading
+  * tab must produce the empty first token `split` emits), multi-char
+  * whitespace runs, empty and sub-3-word strings (must be filtered/NULL in
+  * both formulations), duplicate shingles, non-ASCII text (md5 over UTF-8
+  * bytes), and a literal NULL.
+  */
+class NativeKernelSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq[(Long, String)](
+      (0L, ""),
+      (1L, " "),
+      (2L, "a"),
+      (3L, "a b"),
+      (4L, "a b c"),
+      (5L, " a  b\tc "),
+      (6L, "a\nb c d"),
+      (7L, "\ta b c"),
+      (8L, "a  b   c  d"),
+      (9L, "héllo wörld ünïcode test"),
+      (10L, "a b c a b c a b c"),
+      (11L, "x\t\ny  z\r\nw"),
+      (12L, "trailing newline a b c\n"),
+      (13L, (1 to 40).map(i => s"w${i % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .union(Seq((14L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+  }
+
+  test("shingle_set equals explode+distinct on adversarial whitespace/unicode") {
+    val native = docs.select(col("doc_id"), expr("shingle_set(text)").as("ss"))
+      .filter(col("ss").isNotNull).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    val composable = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      .distinct().collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[String]("s")).toSet }
+    // identical doc membership (<3 words and NULL filtered the same way)
+    assert(native.keySet === composable.keySet)
+    assert(native.keySet === Set(4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 12L, 13L))
+    composable.foreach { case (id, s) => assert(native(id).toSet === s, s"doc $id") }
+    // duplicate shingles collapse (doc 10 repeats "a b c" three times)
+    assert(native(10L).length === native(10L).distinct.length)
+  }
+
+  test("minhash_sig equals the explode+16-min formulation on adversarial input") {
+    val native = docs.select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
+      .filter(col("sig").isNotNull).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    val sh = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+    val hashed = sh.select(
+      col("doc_id") +: (0 until 16).map(k =>
+        substring(md5(concat(lit(s"${k / 4}|"), col("s"))), (k % 4) * 8 + 1, 8).as(s"h$k")): _*)
+    val expected = hashed.groupBy("doc_id")
+      .agg(min(col("h0")).as("m0"), (1 until 16).map(k => min(col(s"h$k")).as(s"m$k")): _*)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 16).map(k => r.getAs[String](s"m$k")))
+      .toMap
+    assert(native.keySet === expected.keySet)
+    expected.foreach { case (id, sig) => assert(native(id) === sig, s"doc $id") }
+  }
+
+  test("simhash64 equals the weighted-sum formulation on adversarial input") {
+    val native = docs.select(col("doc_id"), expr("simhash64(text)").as("ks"))
+      .filter(col("ks").isNotNull).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1)).toMap
+    val tok = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val chunkedTok = tok.select(col("doc_id") :: col("c") ::
+      (0 until 4).map(j =>
+        conv(substring(md5(col("t")), j * 4 + 1, 4), 16, 10).cast("int").as(s"c$j")).toList: _*)
+    val sums = chunkedTok.groupBy("doc_id")
+      .agg(sum(col("c") * (shiftright(col("c0"), 15).bitwiseAND(lit(1)) * 2 - 1)).as("s0"),
+        (1 until 64).map { b =>
+          val (j, r) = (b / 16, b % 16)
+          sum(col("c") * (shiftright(col(s"c$j"), 15 - r).bitwiseAND(lit(1)) * 2 - 1)).as(s"s$b")
+        }: _*)
+    val expected = sums.select(col("doc_id") +: (0 until 4).map { j =>
+      (0 until 16).map(r =>
+        when(col(s"s${16 * j + r}") > 0, lit(1 << (15 - r))).otherwise(lit(0)))
+        .reduce(_ + _).cast("int").as(s"k$j")
+    }: _*).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 4).map(j => r.getAs[Int](s"k$j"))).toMap
+    // NULL text yields NULL fingerprint natively and no row composably
+    assert(native.keySet === expected.keySet)
+    expected.foreach { case (id, ks) => assert(native(id) === ks, s"doc $id") }
+  }
+}
