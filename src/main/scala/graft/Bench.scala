@@ -17,10 +17,14 @@ object Bench {
     // Warm the JVM (codegen, parquet footer caches, JIT) on the flagship so
     // the first timed query isn't charged for session startup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // A failing query must not bench as "fast": errors are reported in a
-    // separate map and excluded from timings.
+    // A failing query must not bench as "fast": a query is excluded from
+    // timings (and reported under "errors") only if it failed in EVERY
+    // pass; one flaky failure with a later success keeps its timing.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val succeeded = scala.collection.mutable.Set[String]()
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
+    val passClean = scala.collection.mutable.ArrayBuffer[Boolean]()
     for (_ <- 1 to passes) {
       // cold caches per pass; WITHIN a pass operators manage their own
       // hygiene: corpus-sized intermediates are unpersisted before a query
@@ -31,14 +35,19 @@ object Bench {
       // real deployment).
       graft.operators.Dedup.releaseCaches()
       spark.catalog.clearCache()
+      var passTotal = 0.0
+      var clean = true
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
+          succeeded += name
+          passTotal += dt
           if (!best.get(name).exists(_ <= dt)) best(name) = dt
         } catch {
           case e: Throwable =>
+            clean = false
             // strip EVERY char that can break the single-line JSON (quotes,
             // backslashes, all control chars) — a parse failure here zeroes
             // the whole round's bench
@@ -46,14 +55,26 @@ object Bench {
               .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
         }
       }
+      passTotals += passTotal
+      passClean += clean
     }
-    val results = best.filterNot { case (k, _) => errors.contains(k) }
+    val results = best.filter { case (k, _) => succeeded(k) }
+    val permanent = errors.filterNot { case (k, _) => succeeded(k) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+    val es = permanent.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"sf":"$sfDir"}""")
+    // Headline "value" = the best SINGLE-PASS total over error-free passes —
+    // a total one run actually achieved (the per-query-minimum sum mixes
+    // passes and understates any real run). Falls back to the min-sum only
+    // if no pass was clean. Caveat stays: passes after the first run with a
+    // warm OS page cache (Spark/operator caches ARE wiped per pass), so
+    // "cold" here means cold JVM-side state, not cold files.
+    val sumOfMins = if (results.nonEmpty) results.values.sum else 0.0
+    val cleanTotals = passTotals.zip(passClean).collect { case (t, true) => t }
+    val total = if (cleanTotals.nonEmpty) cleanTotals.min else sumOfMins
+    val pts = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"pass_totals":$pts,"sum_of_query_mins":$sumOfMins,"sf":"$sfDir"}""")
     graft.operators.Dedup.releaseCaches()
     spark.stop()
   }

@@ -114,6 +114,9 @@ object MinHashKernel {
   private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
   private val HexChars = "0123456789abcdef".toCharArray
+  // Compiled once: Pattern is immutable and thread-safe for split; compiling
+  // per row in the map-side kernel was measurable regex+GC overhead.
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
 
   private def md5Hex(md: java.security.MessageDigest, s: String): String = {
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -136,7 +139,7 @@ object MinHashKernel {
     while (b < e && s.charAt(b) == ' ') b += 1
     while (e > b && s.charAt(e - 1) == ' ') e -= 1
     s = s.substring(b, e)
-    java.util.regex.Pattern.compile("\\s+").split(s, -1)
+    WsPattern.split(s, -1)
   }
 
   /** 64-bit simhash as 4 × 16-bit chunk ints (see [[SimHash64]]). */

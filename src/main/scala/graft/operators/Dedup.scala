@@ -144,8 +144,12 @@ object Dedup {
   // stage outputs materialize and unpersisted before the pipeline returns.
   // `releaseCaches()` drops everything for callers that want a clean session.
   private case class LshShared(cand: DataFrame, verified: DataFrame)
-  private val lshCache = scala.collection.concurrent.TrieMap.empty[String, LshShared]
-  private val canonCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // Keyed by (SparkSession, dir), not dir alone: a cached DataFrame is bound
+  // to the session that built it, so a second or restarted session reading
+  // the same dir must rebuild rather than inherit plans tied to a stopped
+  // session (whose isCached check can throw or mislead).
+  private val lshCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LshShared]
+  private val canonCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** True while `df` is still registered in the cache manager — a
     * `spark.catalog.clearCache()` by the caller evicts memoized stage
@@ -224,7 +228,7 @@ object Dedup {
   }
 
   private def lshShared(spark: SparkSession, d: String): LshShared = synchronized {
-    lshCache.get(d).filter(s => isCached(s.cand) && isCached(s.verified)).getOrElse {
+    lshCache.get((spark, d)).filter(s => isCached(s.cand) && isCached(s.verified)).getOrElse {
       val b = buildLsh(spark, d)
       // corpus-sized intermediates persisted only while the pair tables
       // materialize (CacheManager substitutes by canonical plan, so every
@@ -237,7 +241,7 @@ object Dedup {
       verified.count()
       b.sig.unpersist(); b.sh.unpersist()
       val s = LshShared(cand, verified)
-      lshCache(d) = s
+      lshCache((spark, d)) = s
       s
     }
   }
@@ -303,7 +307,7 @@ object Dedup {
   // iteration order, so the oracle (transitive closure via recursive CTE)
   // agrees exactly.
   def dedupComponents(spark: SparkSession, d: String): DataFrame = {
-    val canon = canonCache.get(d).filter(isCached).getOrElse {
+    val canon = canonCache.get((spark, d)).filter(isCached).getOrElse {
       val pairs = lshShared(spark, d).verified.select("da", "db")
       // localCheckpoint (not persist) on every iteration input: a persisted
       // DataFrame keeps its FULL logical plan, so each round's plan would
@@ -341,7 +345,7 @@ object Dedup {
       // eviction check (isCached) sees it; tiny — O(docs with a neighbor)
       val converged = labels.persist()
       converged.count()
-      canonCache(d) = converged
+      canonCache((spark, d)) = converged
       converged
     }
     Tables.documents(spark, d).select(col("doc_id"))

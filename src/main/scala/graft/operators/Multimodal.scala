@@ -65,8 +65,18 @@ object Multimodal {
   // map-side combinable; only (hash, doc, idx) tuples shuffle — never the
   // payload bytes themselves.
   def mmChunkDedup(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+    mmChunkDedupFrom(Tables.documents(spark, d))
+
+  /** DataFrame-in variant: `docs` needs (doc_id, text). */
+  def mmChunkDedupFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), expr("encode(text, 'UTF-8')").as("payload"))
+      // Empty payloads produce ZERO chunks. Without this filter the chunk
+      // count `ceil(0/64)-1 = -1` makes `sequence(0, -1)` emit a DESCENDING
+      // [0, -1] (Spark sequence steps toward the stop value) — two spurious
+      // sha256-of-empty chunks per empty doc, where the oracle's
+      // `range(0, 0)` correctly emits none.
+      .filter(expr("octet_length(payload) > 0"))
       .select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, CAST(ceil(octet_length(payload)/64.0) AS INT) - 1)," +

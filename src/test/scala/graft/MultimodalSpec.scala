@@ -61,4 +61,18 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("canonical_idx") === cidx)
     }
   }
+
+  test("chunk dedup: empty payloads produce zero chunks (no sha256-of-empty pairs)") {
+    // sequence(0, ceil(0/64)-1) = sequence(0, -1) is DESCENDING in Spark:
+    // without the empty-payload guard, two empty docs would pair up on the
+    // sha256 of the empty chunk — a row the DuckDB oracle (range(0,0) = no
+    // rows) never emits.
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, ""), (3L, "shared-chunk"), (4L, "shared-chunk"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.mmChunkDedupFrom(docs).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("n_docs") === 2)
+    assert(got.head.getAs[Long]("canonical_doc") === 3L)
+  }
 }
