@@ -416,7 +416,42 @@ object Analytics {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- q_pivot ------------------------------------------------------------
+  // Wide-format pivot: documents count + total chars per source, one column
+  // pair per language. The pivot value list is EXPLICIT — with it, Spark
+  // skips the distinct-values collection pass AND the output schema is
+  // static, which is what keeps the operator a single map-side-combinable
+  // aggregate at 100 TB (Expand-free: pivot with known values compiles to
+  // one aggregate with 2·|langs| conditional branches; nothing shuffles but
+  // the 20-source group keys). Missing (source, lang) cells are zero-filled
+  // to match the oracle's FILTER-based conditional aggregation.
+  private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
+
+  def qPivot(spark: SparkSession, d: String): DataFrame = {
+    val cols = PivotLangs.flatMap { l =>
+      Seq(coalesce(col(s"${l}_cnt"), lit(0L)).as(s"${l}_cnt"),
+        coalesce(col(s"${l}_chars"), lit(0L)).as(s"${l}_chars"))
+    }
+    Tables.documents(spark, d)
+      .groupBy("source")
+      .pivot("lang", PivotLangs)
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+      .select(col("source") +: cols: _*)
+      .orderBy("source")
+  }
+
+  val qPivotSql: String = {
+    val cells = PivotLangs.map { l =>
+      s"""  coalesce(count(*) FILTER (WHERE lang = '$l'), 0) AS ${l}_cnt,
+         |  coalesce(sum(n_chars) FILTER (WHERE lang = '$l'), 0) AS ${l}_chars""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT source,
+       |$cells
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> qPivot,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_topk_revenue" -> q3TopkRevenue,
     "q5_region_join" -> q5RegionJoin,
@@ -432,6 +467,7 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_pivot" -> qPivotSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_topk_revenue" -> q3Sql,
     "q5_region_join" -> q5Sql,

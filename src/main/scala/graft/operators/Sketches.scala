@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Sketch operators — approximate aggregates built so that the SKETCH
+  * CONTENTS are a deterministic pure function of the data, which is what
+  * makes them (a) mergeable across 100 TB of partitions with a tiny,
+  * fixed-size shuffle, and (b) exactly reproducible by the DuckDB oracle
+  * (unlike e.g. Spark's approx_count_distinct, whose HLL++ register layout
+  * is engine-private).
+  *
+  * Every arithmetic step that feeds the driver's hash compare is either
+  * exact integer math or ONE final IEEE double operation, mirroring the
+  * repo-wide exactness strategy.
+  */
+object Sketches {
+
+  // --- sketch_hll ---------------------------------------------------------
+  // Flajolet–Martin / HyperLogLog distinct-count sketch, m = 64 registers
+  // (p = 6), per event_type over user_id. Construction:
+  //   h     = first 60 bits of md5(user_id)  (15 hex chars → BIGINT)
+  //   idx   = h mod 64                       (register index)
+  //   rest  = h div 64                       (54-bit rank field)
+  //   rho   = leading zeros of rest within 54 bits + 1 = 55 - bitlen(rest)
+  //   M[j]  = max rho over values hashing to register j
+  //   E     = alpha_64 · m² / Σ_j 2^{-M[j]},  alpha_64 = 0.709
+  // The harmonic sum is computed in SCALED INTEGERS — Σ 2^(55-M[j]) plus
+  // 2^55 per never-touched register — so no float summation order can
+  // diverge between engines; max term 2^55, 64 terms, sum ≤ 2^61 < 2^63.
+  // The estimate is then alpha·m²·2^55 (one double product chain of
+  // constants) divided by the sum — a single IEEE division, identical in
+  // both engines — and snapped to 1e-6 with the repo's floor-rounding.
+  // Exact distinct count rides along for calibration.
+  //
+  // Scale shape: register extraction is a pure map; max-per-register is a
+  // map-side-combinable aggregate over ≤ (types × 64) keys; the final
+  // reduce touches 64 rows per group. This is THE cardinality pattern for
+  // 100 TB — the alternative (exact countDistinct) shuffles every distinct
+  // value. The exact count included here is for the oracle/calibration
+  // only; a production run would drop that column and keep the sketch.
+  private val M = 64 // registers (p = 6)
+  private val Alpha = 0.709 // standard HLL alpha for m = 64
+
+  def sketchHll(spark: SparkSession, d: String): DataFrame = {
+    val regs = Tables.events(spark, d)
+      .select(col("event_type"),
+        col("user_id"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .select(col("event_type"), col("user_id"),
+        (col("h") % M).as("idx"), expr(s"h div $M").as("rest"))
+      .select(col("event_type"), col("user_id"), col("idx"),
+        when(col("rest") === 0, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("rest")))).as("rho"))
+    val sketch = regs
+      .groupBy("event_type", "idx").agg(max(col("rho")).as("m_j"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(1L, CAST(55 - m_j AS INT))")).as("sum_present"))
+      .select(col("event_type"), col("n_regs"),
+        (col("sum_present") + (lit(M.toLong) - col("n_regs")) * lit(1L << 55))
+          .as("sum_scaled"))
+    val exact = Tables.events(spark, d)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+    // Small-range correction (the HLL paper's linear-counting branch): with
+    // V = m - touched registers empty and a raw estimate ≤ 2.5m, the raw
+    // harmonic estimate overshoots badly and m·ln(m/V) is the right
+    // estimator. ln() is the ONE libm call in the repo's oracle surface —
+    // admissible because its argument is one of only 63 discrete values
+    // (m/V, V ∈ 1..63), and JVM Math.log and DuckDB ln were verified to
+    // agree on all 63 at the 1e-6 floor granularity.
+    val vEmpty = lit(M.toLong) - col("n_regs")
+    val raw = lit(Alpha * M * M) * lit(math.pow(2.0, 55)) / col("sum_scaled").cast("double")
+    val est = when(raw <= lit(2.5 * M) && vEmpty > 0,
+      lit(M.toDouble) * log(lit(M.toDouble) / vEmpty.cast("double"))).otherwise(raw)
+    sketch.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (floor(est * 1e6 + 0.5) / 1e6).as("hll_est"))
+      .orderBy("event_type")
+  }
+
+  val sketchHllSql: String =
+    s"""WITH h AS (SELECT event_type, user_id,
+       |  CAST(list_reduce(
+       |    list_transform(range(1, 16),
+       |      i -> strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+       |    (a, b) -> a * 16 + b) AS BIGINT) AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h % $M AS idx, h // $M AS rest FROM h),
+       |rho AS (SELECT event_type, idx,
+       |  CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END AS rho FROM r),
+       |m AS (SELECT event_type, idx, max(rho) AS m_j FROM rho GROUP BY 1, 2),
+       |s AS (SELECT event_type, count(*) AS n_regs,
+       |  sum(1::BIGINT << CAST(55 - m_j AS INT)) AS sum_present FROM m GROUP BY 1),
+       |e AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1),
+       |est AS (SELECT event_type, n_regs,
+       |  ${Alpha * M * M} * power(2.0, 55)
+       |    / CAST(sum_present + ($M - n_regs) * (1::BIGINT << 55) AS DOUBLE) AS raw FROM s)
+       |SELECT est.event_type, e.n_exact,
+       |  floor(CASE WHEN raw <= ${2.5 * M} AND $M - n_regs > 0
+       |             THEN $M.0 * ln($M.0 / CAST($M - n_regs AS DOUBLE))
+       |             ELSE raw END * 1e6 + 0.5) / 1e6 AS hll_est
+       |FROM est JOIN e ON est.event_type = e.event_type ORDER BY est.event_type""".stripMargin
+
+  // --- sketch_cms ---------------------------------------------------------
+  // Count-Min sketch for per-key frequency (the heavy-hitter primitive):
+  // depth 4 hash rows × width 64 integer counters over event user_ids.
+  // Counter construction is one map-side-combinable groupBy on (row, idx) —
+  // at 100 TB the sketch state is a CONSTANT 256 counters per partition
+  // merged by addition, vs. an exact per-key count that shuffles every key.
+  // The point estimate for a key is min over rows of its counter, always an
+  // OVERestimate (collisions only add) — the spec asserts est ≥ exact for
+  // every key and the oracle reproduces the counters exactly (pure integer
+  // math, seeded md5 row hashes, no float anywhere).
+  // The exact per-key count rides along for calibration, as in sketch_hll.
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+
+  def sketchCms(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    // row hashes: idx_i(k) = first 60 bits of md5(i || ':' || k) mod width
+    def rowIdx(i: Int, key: org.apache.spark.sql.Column) =
+      (conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))), 1, 15), 16, 10)
+        .cast("long") % CmsWidth).as(s"idx$i")
+    val hashed = ev.select(Seq(col("user_id")) ++ (0 until CmsDepth).map(i => rowIdx(i, col("user_id"))): _*)
+    // counters: depth × width cells, each a plain conditional count — ONE
+    // aggregate pass over the data (explode to (row, idx) pairs first)
+    val cells = hashed.select(col("user_id"),
+      explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("r"), col(s"idx$i").as("idx"))): _*)).as("cell"))
+      .select(col("cell.r").as("r"), col("cell.idx").as("idx"))
+      .groupBy("r", "idx").agg(count(lit(1)).as("c"))
+    // per-key estimate: min over the key's depth cells; the key set and the
+    // counter table are both tiny (≤ distinct keys, depth·width rows), the
+    // join is broadcast by size
+    val keys = hashed.groupBy(Seq(col("user_id")) ++ (0 until CmsDepth).map(i => col(s"idx$i")): _*)
+      .agg(count(lit(1)).as("n_exact"))
+    val perRow = keys.select(col("user_id"), col("n_exact"),
+      explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("r"), col(s"idx$i").as("idx"))): _*)).as("cell"))
+      .select(col("user_id"), col("n_exact"), col("cell.r").as("r"), col("cell.idx").as("idx"))
+    perRow.join(broadcast(cells), Seq("r", "idx"))
+      .groupBy("user_id").agg(max(col("n_exact")).as("n_exact"), min(col("c")).as("cms_est"))
+      .orderBy("user_id")
+  }
+
+  val sketchCmsSql: String = {
+    val idxCols = (0 until CmsDepth).map(i =>
+      s"""  CAST(list_reduce(list_transform(range(1, 16),
+         |    j -> strpos('0123456789abcdef', substr(md5('$i:' || CAST(user_id AS VARCHAR)), CAST(j AS INT), 1)) - 1),
+         |    (a, b) -> a * 16 + b) AS BIGINT) % $CmsWidth AS idx$i""".stripMargin).mkString(",\n")
+    val cellUnion = (0 until CmsDepth).map(i =>
+      s"SELECT $i AS r, idx$i AS idx FROM h").mkString("\nUNION ALL\n")
+    val perRowUnion = (0 until CmsDepth).map(i =>
+      s"SELECT user_id, n_exact, $i AS r, idx$i AS idx FROM k").mkString("\nUNION ALL\n")
+    s"""WITH h AS (SELECT user_id,
+       |$idxCols
+       |FROM events),
+       |cells AS (SELECT r, idx, count(*) AS c FROM ($cellUnion) GROUP BY 1, 2),
+       |k AS (SELECT user_id, idx0, idx1, idx2, idx3, count(*) AS n_exact FROM h GROUP BY 1, 2, 3, 4, 5),
+       |pr AS ($perRowUnion)
+       |SELECT user_id, max(n_exact) AS n_exact, min(c) AS cms_est
+       |FROM pr JOIN cells USING (r, idx)
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll" -> sketchHll,
+    "sketch_cms" -> sketchCms)
+
+  val oracle: Map[String, String] = Map(
+    "sketch_hll" -> sketchHllSql,
+    "sketch_cms" -> sketchCmsSql)
+}

@@ -247,7 +247,143 @@ object TextAnalysis {
       |  CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
       |FROM b ORDER BY doc_id""".stripMargin
 
+  // --- text_repetition ----------------------------------------------------
+  // Within-document repetition signals (the Gopher/C4-style quality rules
+  // that catch templated or looping text): duplicate-word ratio plus the
+  // count and coverage ratio of the most frequent word bigram and trigram.
+  // Only the top COUNT is output (never the winning n-gram itself), so ties
+  // need no tie-break and both engines agree exactly; every ratio is one
+  // final division of exact integers.
+  // Scale: the n-gram frequency groupBy is map-side combinable and the
+  // per-doc max is a second tiny combinable aggregate; only (doc_id, gram)
+  // pairs shuffle, and the heaviest key load is bounded by document length.
+  def textRepetition(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("nw"),
+        size(array_distinct(col("w"))).cast("long").as("ndw"))
+    def topGram(k: Int, alias: String): DataFrame =
+      base.filter(col("nw") >= k)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(w) - $k), i -> " +
+            (1 to k).map(j => s"element_at(w, i + $j)").mkString("concat_ws(' ', ", ", ", ")") +
+            ")")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as(alias))
+    base
+      .join(topGram(2, "top_bigram_n"), Seq("doc_id"), "left")
+      .join(topGram(3, "top_trigram_n"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nw").as("n_words"),
+        ((col("nw") - col("ndw")).cast("double") / col("nw")).as("dup_word_ratio"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        when(col("nw") > 1, coalesce(col("top_bigram_n"), lit(0L)).cast("double") / (col("nw") - 1))
+          .otherwise(0.0).as("top_bigram_ratio"),
+        coalesce(col("top_trigram_n"), lit(0L)).as("top_trigram_n"),
+        when(col("nw") > 2, coalesce(col("top_trigram_n"), lit(0L)).cast("double") / (col("nw") - 2))
+          .otherwise(0.0).as("top_trigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |b AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS ndw FROM w),
+      |bg AS (SELECT doc_id, unnest([w[CAST(i AS INT)+1]||' '||w[CAST(i AS INT)+2] FOR i IN range(0, greatest(len(w)-1, 0))]) AS g
+      |       FROM w WHERE len(w) >= 2),
+      |bt AS (SELECT doc_id, max(c) AS top2 FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+      |tg AS (SELECT doc_id, unnest([w[CAST(i AS INT)+1]||' '||w[CAST(i AS INT)+2]||' '||w[CAST(i AS INT)+3] FOR i IN range(0, greatest(len(w)-2, 0))]) AS g
+      |       FROM w WHERE len(w) >= 3),
+      |tt AS (SELECT doc_id, max(c) AS top3 FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2) GROUP BY 1)
+      |SELECT b.doc_id, CAST(nw AS BIGINT) AS n_words,
+      |  CAST(nw - ndw AS DOUBLE) / nw AS dup_word_ratio,
+      |  CAST(coalesce(top2, 0) AS BIGINT) AS top_bigram_n,
+      |  CASE WHEN nw > 1 THEN CAST(coalesce(top2, 0) AS DOUBLE) / (nw - 1) ELSE 0.0 END AS top_bigram_ratio,
+      |  CAST(coalesce(top3, 0) AS BIGINT) AS top_trigram_n,
+      |  CASE WHEN nw > 2 THEN CAST(coalesce(top3, 0) AS DOUBLE) / (nw - 2) ELSE 0.0 END AS top_trigram_ratio
+      |FROM b LEFT JOIN bt ON b.doc_id = bt.doc_id LEFT JOIN tt ON b.doc_id = tt.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
+  // --- text_pii -----------------------------------------------------------
+  // PII surface scan — counts of email / IPv4 / SSN-form / phone-form
+  // matches per document plus an any-hit flag, the filtering signal a
+  // training-data pipeline runs before redaction. Patterns stick to syntax
+  // with identical semantics in Java regex and RE2 (no backrefs, no
+  // lookaround), so both engines count the same non-overlapping matches.
+  // The synthetic corpus is digit-free (verified), so the corpus-level
+  // oracle run exercises the all-zeros path; `TextAnalysisSpec` proves the
+  // positive path on synthetic documents through the same code.
+  // Scale: pure map over the scan, no shuffle at all.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val PhoneRe = "\\d{3}[- ]\\d{3}[- ]\\d{4}"
+
+  def textPii(spark: SparkSession, d: String): DataFrame =
+    textPiiFrom(Tables.documents(spark, d))
+
+  /** DataFrame-in variant: `docs` needs (doc_id, text). */
+  def textPiiFrom(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_email"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ipv4"),
+      size(regexp_extract_all(col("text"), lit(SsnRe), lit(0))).cast("long").as("n_ssn"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phone"))
+      .withColumn("has_pii",
+        (col("n_email") + col("n_ipv4") + col("n_ssn") + col("n_phone")) > 0)
+      .orderBy("doc_id")
+
+  val textPiiSql: String =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+       | CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+       | CAST(len(regexp_extract_all(text, '$SsnRe')) AS BIGINT) AS n_ssn,
+       | CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phone,
+       | len(regexp_extract_all(text, '$EmailRe')) + len(regexp_extract_all(text, '$Ipv4Re'))
+       |   + len(regexp_extract_all(text, '$SsnRe')) + len(regexp_extract_all(text, '$PhoneRe')) > 0 AS has_pii
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- doc_pack -----------------------------------------------------------
+  // Sequence packing — concatenate-then-chunk assignment of documents into
+  // fixed token-budget bins (what an LLM pre-training pipeline does to fill
+  // context windows): within each source, documents in doc_id order are
+  // laid end-to-end and cut every 256 whitespace tokens. Output per doc:
+  // its bin, its offset inside the bin, and whether it straddles a bin
+  // boundary. Assignment is a pure function of (source, doc_id order,
+  // token counts) — reproducible across engines and reruns.
+  // Scale: ONE shuffle, the window partitioned by source (packing is
+  // per-shard by construction, so no global sort; a skewed source is
+  // bounded by that source's corpus share). Integer div/mod only.
+  private val PackBudget = 256
+
+  def docPack(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), size(words).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"start_off div $PackBudget").as("bin_id"),
+        (col("start_off") % PackBudget).as("bin_offset"),
+        (expr(s"(start_off + n_tokens - 1) div $PackBudget") >
+          expr(s"start_off div $PackBudget")).as("spans_boundary"))
+      .orderBy("doc_id")
+  }
+
+  val docPackSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off FROM t)
+       |SELECT doc_id, source, n_tokens,
+       |  start_off // $PackBudget AS bin_id,
+       |  start_off % $PackBudget AS bin_offset,
+       |  (start_off + n_tokens - 1) // $PackBudget > start_off // $PackBudget AS spans_boundary
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_pack" -> docPack,
+    "text_repetition" -> textRepetition,
+    "text_pii" -> textPii,
     "doc_split" -> docSplit,
     "text_boilerplate" -> textBoilerplate,
     "text_tokens" -> textTokens,
@@ -257,6 +393,9 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "doc_pack" -> docPackSql,
+    "text_repetition" -> textRepetitionSql,
+    "text_pii" -> textPiiSql,
     "doc_split" -> docSplitSql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_tokens" -> textTokensSql,

@@ -58,4 +58,17 @@ class AnalyticsSpec extends SparkSpec {
       .select(col("o_custkey").as("c_custkey")).distinct()
     assert(res.intersect(withF).count() === 0)
   }
+
+  test("pivot conserves document and char totals across the lang columns") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val total = docs.count()
+    val totalChars = docs.agg(sum(col("n_chars"))).head.getLong(0)
+    val rows = Analytics.qPivot(spark, sf).collect()
+    assert(rows.length === docs.select("source").distinct().count())
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val cntSum = rows.map(r => langs.map(l => r.getAs[Long](s"${l}_cnt")).sum).sum
+    val charSum = rows.map(r => langs.map(l => r.getAs[Long](s"${l}_chars")).sum).sum
+    assert(cntSum === total)
+    assert(charSum === totalChars)
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("hll sketch equals an exact local recomputation of the register definition") {
+    val events = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = events.groupBy(_._1).map { case (et, rs) =>
+      val regs = scala.collection.mutable.Map[Long, Long]()
+      rs.map(_._2).distinct.foreach { uid =>
+        val h = java.lang.Long.parseLong(md5Hex(uid.toString).take(15), 16)
+        val idx = h % 64
+        val rest = h / 64
+        val rho = if (rest == 0) 55L else 55L - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+        regs(idx) = math.max(regs.getOrElse(idx, 0L), rho)
+      }
+      val sumScaled = regs.values.map(m => 1L << (55 - m)).sum + (64 - regs.size) * (1L << 55)
+      val raw = 0.709 * 64 * 64 * math.pow(2.0, 55) / sumScaled.toDouble
+      val v = 64 - regs.size
+      val corrected = if (raw <= 2.5 * 64 && v > 0) 64.0 * math.log(64.0 / v) else raw
+      val est = math.floor(corrected * 1e6 + 0.5) / 1e6
+      et -> (rs.map(_._2).distinct.length.toLong, est)
+    }
+    val got = Sketches.sketchHll(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nExact, est) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_exact") === nExact)
+      assert(r.getAs[Double]("hll_est") === est)
+    }
+  }
+
+  test("cms estimate is an overestimate for every key and exact for collision-free keys") {
+    val rows = Sketches.sketchCms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("n_exact"),
+        s"user ${r.getLong(0)}: CMS must never underestimate")
+    }
+    // total mass conservation: sum of exact counts = total events
+    val totalEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_exact")).sum === totalEvents)
+    // the sketch must be informative, not saturated: at least half the keys
+    // within 2x of truth at this density (64-wide rows, ~150 keys)
+    val tight = rows.count(r => r.getAs[Long]("cms_est") <= 2 * r.getAs[Long]("n_exact"))
+    assert(tight * 2 >= rows.length)
+  }
+
+  test("hll estimate lands within the expected error band of the exact count") {
+    // standard error for m=64 is 1.04/sqrt(64) = 13%; allow 3 sigma
+    Sketches.sketchHll(spark, sf).collect().foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("hll_est")
+      assert(math.abs(est - exact) / exact < 0.39,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+}

@@ -74,4 +74,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a === b)
     a.values.foreach(fp => assert(fp.length === 96 && fp.matches("[0-9a-f]+")))
   }
+
+  test("pii scan counts synthetic emails/ips/ssns/phones exactly (corpus itself is digit-free)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob.smith+tag@mail.co today"),
+      (2L, "server at 10.0.0.1 and 192.168.001.255 responded"),
+      (3L, "ssn 123-45-6789 phone 555-123-4567 and 555 987 6543"),
+      (4L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.textPiiFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(1L) === ((2L, 0L, 0L, 0L, true)))
+    assert(got(2L) === ((0L, 2L, 0L, 0L, true)))
+    // 555-123-4567 matches BOTH the ssn-form (no: 3-2-4 ≠ 3-3-4) and the
+    // phone-form pattern; 123-45-6789 matches only the ssn form
+    assert(got(3L) === ((0L, 0L, 1L, 2L, true)))
+    assert(got(4L) === ((0L, 0L, 0L, 0L, false)))
+    // the shipped corpus is digit-free: every count must be zero
+    val corpus = TextAnalysis.textPii(spark, sf)
+    assert(corpus.filter(org.apache.spark.sql.functions.col("has_pii")).count() === 0)
+  }
+
+  test("repetition: top-bigram count matches a local recomputation and ratios are bounded") {
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.textRepetition(spark, sf).collect()
+    assert(rows.length === texts.size)
+    rows.take(50).foreach { r =>
+      val w = texts(r.getLong(0)).trim.split("\\s+", -1)
+      val top2 = if (w.length < 2) 0L
+        else w.sliding(2).map(_.mkString(" ")).toSeq.groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getAs[Long]("top_bigram_n") === top2)
+      assert(r.getAs[Double]("top_bigram_ratio") >= 0.0 && r.getAs[Double]("top_bigram_ratio") <= 1.0)
+      assert(r.getAs[Double]("dup_word_ratio") >= 0.0 && r.getAs[Double]("dup_word_ratio") < 1.0)
+    }
+  }
+
+  test("doc_pack: offsets advance by token count within each source and stay under budget") {
+    val rows = TextAnalysis.docPack(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset"), r.getAs[Boolean]("spans_boundary")))
+    rows.foreach { case (_, _, _, _, off, _) => assert(off >= 0 && off < 256) }
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      // global start offset of each doc = cumsum of predecessors; bin/offset/straddle all derive from it
+      var cum = 0L
+      sorted.foreach { case (_, _, n, bin, off, spans) =>
+        assert(bin === cum / 256)
+        assert(off === cum % 256)
+        assert(spans === ((cum + n - 1) / 256 > cum / 256))
+        cum += n
+      }
+    }
+  }
 }
