@@ -233,6 +233,37 @@ object Analytics {
       |GROUP BY CUBE(o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
 
+  // --- q_grouping_sets ----------------------------------------------------
+  // Explicit GROUPING SETS — the general form rollup/cube specialize: only
+  // the named set list ((priority, status), (priority), (clerk-prefixed
+  // ALL-rollup omitted), ()) is expanded, so Expand multiplies rows by
+  // |sets| (3 here), not 2^n — cheaper than cube when only some marginals
+  // are needed. Still ONE partial-aggregable shuffle. grouping() flags
+  // disambiguate a real NULL key from a rolled-up one.
+  def qGroupingSets(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d)
+      .select("o_orderpriority", "o_orderstatus", "o_totalprice")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("o_totalprice"))) / 100.0).as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy("priority", "status")
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      | coalesce(o_orderstatus, 'ALL') AS status,
+      | count(*) AS n,
+      | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+      |ORDER BY priority, status""".stripMargin
+
   // --- q_semi_anti --------------------------------------------------------
   // Left-semi then left-anti: customers with an open ('O') order but no
   // finished ('F') order. Both join sides after filtering are key-only
@@ -452,6 +483,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot" -> qPivot,
+    "q_grouping_sets" -> qGroupingSets,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_topk_revenue" -> q3TopkRevenue,
     "q5_region_join" -> q5RegionJoin,
@@ -468,6 +500,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q_pivot" -> qPivotSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_topk_revenue" -> q3Sql,
     "q5_region_join" -> q5Sql,

@@ -43,19 +43,25 @@ object Sketches {
   private val M = 64 // registers (p = 6)
   private val Alpha = 0.709 // standard HLL alpha for m = 64
 
-  def sketchHll(spark: SparkSession, d: String): DataFrame = {
-    val regs = Tables.events(spark, d)
+  /** HLL register table (event_type, idx, m_j) from an events relation —
+    * shared by the batch query and the streaming parity spec (a streaming
+    * `max` aggregate in complete mode computes the SAME registers, which is
+    * the sketch's mergeability property doing the work).
+    */
+  private[graft] def hllRegisters(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"),
-        col("user_id"),
         conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
           .cast("long").as("h"))
-      .select(col("event_type"), col("user_id"),
+      .select(col("event_type"),
         (col("h") % M).as("idx"), expr(s"h div $M").as("rest"))
-      .select(col("event_type"), col("user_id"), col("idx"),
+      .select(col("event_type"), col("idx"),
         when(col("rest") === 0, lit(55L))
           .otherwise(lit(55L) - length(bin(col("rest")))).as("rho"))
-    val sketch = regs
       .groupBy("event_type", "idx").agg(max(col("rho")).as("m_j"))
+
+  def sketchHll(spark: SparkSession, d: String): DataFrame = {
+    val sketch = hllRegisters(Tables.events(spark, d))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_regs"),
         sum(expr("shiftleft(1L, CAST(55 - m_j AS INT))")).as("sum_present"))
@@ -118,28 +124,29 @@ object Sketches {
   private val CmsDepth = 4
   private val CmsWidth = 64
 
+  // row hashes: idx_i(k) = first 60 bits of md5(i || ':' || k) mod width
+  private def cmsRowIdx(i: Int, key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % CmsWidth
+
   def sketchCms(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(spark, d)
-    // row hashes: idx_i(k) = first 60 bits of md5(i || ':' || k) mod width
-    def rowIdx(i: Int, key: org.apache.spark.sql.Column) =
-      (conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))), 1, 15), 16, 10)
-        .cast("long") % CmsWidth).as(s"idx$i")
-    val hashed = ev.select(Seq(col("user_id")) ++ (0 until CmsDepth).map(i => rowIdx(i, col("user_id"))): _*)
-    // counters: depth × width cells, each a plain conditional count — ONE
-    // aggregate pass over the data (explode to (row, idx) pairs first)
-    val cells = hashed.select(col("user_id"),
-      explode(array((0 until CmsDepth).map(i =>
-        struct(lit(i).as("r"), col(s"idx$i").as("idx"))): _*)).as("cell"))
+    // counters straight from the RAW stream: one scan, explode to (row,
+    // idx), map-side combine collapses each partition to ≤ depth·width
+    // cells before the (tiny) shuffle — the construction that never
+    // materializes per-key state, which is the whole point of CMS at scale
+    val cells = ev
+      .select(explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("r"), cmsRowIdx(i, col("user_id")).as("idx"))): _*)).as("cell"))
       .select(col("cell.r").as("r"), col("cell.idx").as("idx"))
       .groupBy("r", "idx").agg(count(lit(1)).as("c"))
-    // per-key estimate: min over the key's depth cells; the key set and the
-    // counter table are both tiny (≤ distinct keys, depth·width rows), the
-    // join is broadcast by size
-    val keys = hashed.groupBy(Seq(col("user_id")) ++ (0 until CmsDepth).map(i => col(s"idx$i")): _*)
-      .agg(count(lit(1)).as("n_exact"))
+    // estimate side: hash the PER-KEY AGGREGATE, not the raw stream — the
+    // distinct-key table is what we're estimating over, and computing the
+    // 4 row hashes there costs |keys|·depth md5s instead of |events|·depth
+    val keys = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
     val perRow = keys.select(col("user_id"), col("n_exact"),
       explode(array((0 until CmsDepth).map(i =>
-        struct(lit(i).as("r"), col(s"idx$i").as("idx"))): _*)).as("cell"))
+        struct(lit(i).as("r"), cmsRowIdx(i, col("user_id")).as("idx"))): _*)).as("cell"))
       .select(col("user_id"), col("n_exact"), col("cell.r").as("r"), col("cell.idx").as("idx"))
     perRow.join(broadcast(cells), Seq("r", "idx"))
       .groupBy("user_id").agg(max(col("n_exact")).as("n_exact"), min(col("c")).as("cms_est"))
@@ -159,7 +166,10 @@ object Sketches {
        |$idxCols
        |FROM events),
        |cells AS (SELECT r, idx, count(*) AS c FROM ($cellUnion) GROUP BY 1, 2),
-       |k AS (SELECT user_id, idx0, idx1, idx2, idx3, count(*) AS n_exact FROM h GROUP BY 1, 2, 3, 4, 5),
+       |g AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
+       |k AS (SELECT user_id, n_exact,
+       |$idxCols
+       |FROM g),
        |pr AS ($perRowUnion)
        |SELECT user_id, max(n_exact) AS n_exact, min(c) AS cms_est
        |FROM pr JOIN cells USING (r, idx)

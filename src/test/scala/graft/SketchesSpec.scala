@@ -53,6 +53,39 @@ class SketchesSpec extends SparkSpec {
     assert(tight * 2 >= rows.length)
   }
 
+  test("sketches merge: half-corpus registers combine to exactly the whole-corpus sketch") {
+    // THE scale property: sketch state computed per partition/shard merges
+    // associatively (max for HLL registers, sum for CMS counters) into the
+    // state a single pass over all data would produce. Verified exactly on
+    // a doc_id-parity split of the events table.
+    val events = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def hllRegs(rs: Seq[(String, Long)]): Map[(String, Long), Long] =
+      rs.groupBy(_._1).flatMap { case (et, g) =>
+        g.map(_._2).distinct.map { uid =>
+          val h = java.lang.Long.parseLong(md5Hex(uid.toString).take(15), 16)
+          val rest = h / 64
+          val rho = if (rest == 0) 55L else 55L - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+          (et, h % 64) -> rho
+        }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+      }
+    val (a, b) = events.partition(_._2 % 2 == 0)
+    val merged = (hllRegs(a.toSeq).toSeq ++ hllRegs(b.toSeq).toSeq)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    assert(merged === hllRegs(events.toSeq))
+
+    def cmsCells(rs: Seq[(String, Long)]): Map[(Int, Long), Long] =
+      rs.flatMap { case (_, uid) =>
+        (0 until 4).map { i =>
+          (i, java.lang.Long.parseLong(md5Hex(s"$i:$uid").take(15), 16) % 64) -> 1L
+        }
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val mergedCms = (cmsCells(a.toSeq).toSeq ++ cmsCells(b.toSeq).toSeq)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(mergedCms === cmsCells(events.toSeq))
+  }
+
   test("hll estimate lands within the expected error band of the exact count") {
     // standard error for m=64 is 1.04/sqrt(64) = 13%; allow 3 sigma
     Sketches.sketchHll(spark, sf).collect().foreach { r =>

@@ -55,6 +55,27 @@ class StreamingSpec extends SparkSpec {
       "a closed window was never emitted")
   }
 
+  test("streaming HLL registers equal the batch sketch registers (complete mode)") {
+    // The register construction is an ordinary max-aggregate, so Structured
+    // Streaming maintains it incrementally — the streaming state IS the
+    // sketch (fixed 5×64 rows), and mergeability guarantees the complete-
+    // mode result equals one batch pass. This is how the sketch family
+    // would run over a 100 TB firehose: constant state, no per-key storage.
+    val dir = stageEventsDir()
+    val stream = EventStream.eventsStream(spark, dir)
+    val q = graft.operators.Sketches.hllRegisters(stream)
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("hll_stream")
+    val batch = graft.operators.Sketches.hllRegisters(
+      graft.sources.Tables.events(spark, sf))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("stateful sessionization via flatMapGroupsWithState matches the window-based batch sessionizer") {
     import spark.implicits._
     val dir = stageEventsDir()
