@@ -666,7 +666,98 @@ object Selection {
       |SELECT compound, plane, final_depth, x0, x1, y0, y1
       |FROM top WHERE rn = 1 ORDER BY compound, plane""".stripMargin
 
+  // --- ds_outlier_mad -----------------------------------------------------
+  // Automated outlier pre-flagging — the batch sibling of the reference's
+  // manual rectangle QC: flag points whose deviation from the per-compound
+  // median exceeds 3× the median absolute deviation (MAD), the robust
+  // outlier rule (mean/stddev would be dragged by the very outliers being
+  // hunted). Medians are DISCRETE (value at rank (n+1) div 2 under a
+  // (value, event_id) total order) like q_percentiles, so both engines
+  // pick the same raw data value; the only arithmetic on doubles is one
+  // subtraction, one abs, one 3× multiply — identical IEEE in both.
+  // Scale: two windowed passes partitioned by compound (the q_percentiles
+  // shape); the per-compound median/MAD relations are |compounds|-sized
+  // and broadcast back. An analyst reviews the flags, not 100 TB.
+  def dsOutlierMad(spark: SparkSession, d: String): DataFrame = {
+    val k = keyed(spark, d).select("event_id", "compound", "value")
+    def discreteMedian(df: DataFrame, valueCol: String, alias: String): DataFrame = {
+      val w = Window.partitionBy("compound").orderBy(col(valueCol), col("event_id"))
+      val wAll = Window.partitionBy("compound")
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("compound"), col(valueCol).as(alias))
+    }
+    val med = discreteMedian(k, "value", "med")
+    val dev = k.join(broadcast(med), Seq("compound"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = discreteMedian(dev.select(col("event_id"), col("compound"), col("dev").as("value")),
+      "value", "mad")
+    dev.join(broadcast(mad), Seq("compound"))
+      .filter(col("dev") > lit(3.0) * col("mad"))
+      .select("event_id", "compound", "value", "med", "mad")
+      .orderBy("event_id")
+  }
+
+  val dsOutlierMadSql: String = KeyedCte +
+    """,
+      |r AS (SELECT event_id, compound, value,
+      |  CAST(row_number() OVER (PARTITION BY compound ORDER BY value, event_id) AS BIGINT) AS rn,
+      |  count(*) OVER (PARTITION BY compound) AS n FROM k),
+      |med AS (SELECT compound, value AS med FROM r WHERE rn = (n + 1) // 2),
+      |dev AS (SELECT event_id, k.compound, k.value, med, abs(k.value - med) AS dev
+      |        FROM k JOIN med ON k.compound = med.compound),
+      |r2 AS (SELECT event_id, compound, dev,
+      |  CAST(row_number() OVER (PARTITION BY compound ORDER BY dev, event_id) AS BIGINT) AS rn,
+      |  count(*) OVER (PARTITION BY compound) AS n FROM dev),
+      |mad AS (SELECT compound, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+      |SELECT event_id, dev.compound, value, med, mad
+      |FROM dev JOIN mad ON dev.compound = mad.compound
+      |WHERE dev > 3.0 * mad ORDER BY event_id""".stripMargin
+
+  // --- ds_gaps ------------------------------------------------------------
+  // Coverage-gap detection — the other automated QC report a time-series
+  // operator owes its users: per compound, consecutive-sample gaps larger
+  // than 4× that compound's MEAN spacing. The relative threshold is the
+  // point (it stays meaningful at every data density, where a fixed "6h"
+  // would go silent at 100× the sampling rate), and it reduces to a pure
+  // INTEGER cross-multiplication — gap·(n−1) > 4·(span) on epoch seconds —
+  // so no division ever happens and both engines agree exactly.
+  // Scale: one windowed lag pass partitioned by compound + a broadcast of
+  // the |compounds|-sized spacing table.
+  def dsGaps(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("compound").orderBy(col("cts"), col("event_id"))
+    val k = keyed(spark, d)
+      .select(col("event_id"), col("compound"), col("cts"), expr("ms div 1000").as("sec"))
+    val spans = k.groupBy("compound").agg(
+      (max(col("sec")) - min(col("sec"))).as("span"), count(lit(1)).as("n"))
+    k.withColumn("prev_sec", lag(col("sec"), 1).over(w))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .filter(col("prev_sec").isNotNull)
+      .join(broadcast(spans), Seq("compound"))
+      .withColumn("gap_sec", col("sec") - col("prev_sec"))
+      .filter(col("gap_sec") * (col("n") - 1) > lit(4L) * col("span"))
+      .select(col("compound"), col("prev_id").as("gap_start_id"),
+        col("event_id").as("gap_end_id"), col("gap_sec"))
+      .orderBy("compound", "gap_end_id")
+  }
+
+  val dsGapsSql: String = KeyedCte +
+    """,
+      |s AS (SELECT event_id, compound, ms // 1000 AS sec, cts FROM k),
+      |sp AS (SELECT compound, max(sec) - min(sec) AS span, count(*) AS n FROM s GROUP BY 1),
+      |l AS (SELECT event_id, compound, sec, cts,
+      |  lag(sec) OVER w AS prev_sec, lag(event_id) OVER w AS prev_id
+      | FROM s WINDOW w AS (PARTITION BY compound ORDER BY cts, event_id))
+      |SELECT l.compound, prev_id AS gap_start_id, event_id AS gap_end_id,
+      | sec - prev_sec AS gap_sec
+      |FROM l JOIN sp ON l.compound = sp.compound
+      |WHERE prev_sec IS NOT NULL AND (sec - prev_sec) * (n - 1) > 4 * span
+      |ORDER BY l.compound, gap_end_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_outlier_mad" -> dsOutlierMad,
+    "ds_gaps" -> dsGaps,
     "ds_load_epoch" -> dsLoadEpoch,
     "ds_extent" -> dsExtent,
     "ds_range_filter" -> dsRangeFilter,
@@ -685,6 +776,8 @@ object Selection {
     "ds_clear_compound" -> dsClearCompound)
 
   val oracle: Map[String, String] = Map(
+    "ds_outlier_mad" -> dsOutlierMadSql,
+    "ds_gaps" -> dsGapsSql,
     "ds_load_epoch" -> dsLoadEpochSql,
     "ds_extent" -> dsExtentSql,
     "ds_range_filter" -> dsRangeFilterSql,

@@ -380,7 +380,41 @@ object TextAnalysis {
        |  (start_off + n_tokens - 1) // $PackBudget > start_off // $PackBudget AS spans_boundary
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // --- doc_chunks ---------------------------------------------------------
+  // Overlapping-window chunking — the RAG/embedding-prep primitive: split
+  // each document into 128-token windows with stride 96 (32-token overlap
+  // so no sentence is orphaned at a boundary). Emits (doc_id, chunk_idx,
+  // start_tok, end_tok, n_tokens); chunk boundaries are a pure function of
+  // the token count, so chunk identity is reproducible across reruns and
+  // engines (the doc_split property, extended to sub-document units).
+  // Scale: pure map + explode, zero shuffle; output is ~nw/96 rows per doc.
+  private val ChunkLen = 128
+  private val ChunkStride = 96
+
+  def docChunks(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), size(words).cast("long").as("nw"))
+      .filter(col("nw") > 0)
+      .select(col("doc_id"), col("nw"),
+        posexplode(expr(s"sequence(0L, nw - 1, $ChunkStride)")).as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok"),
+        least(col("start_tok") + ChunkLen, col("nw")).as("end_tok"))
+      .withColumn("n_tokens", col("end_tok") - col("start_tok"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val docChunksSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nw FROM documents),
+       |c AS (SELECT doc_id, nw, CAST(unnest(range(0, nw, $ChunkStride)) AS BIGINT) AS start_tok
+       |      FROM t WHERE nw > 0)
+       |SELECT doc_id, start_tok // $ChunkStride AS chunk_idx, start_tok,
+       |  least(start_tok + $ChunkLen, nw) AS end_tok,
+       |  least(start_tok + $ChunkLen, nw) - start_tok AS n_tokens
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunks" -> docChunks,
     "doc_pack" -> docPack,
     "text_repetition" -> textRepetition,
     "text_pii" -> textPii,
@@ -393,6 +427,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "doc_chunks" -> docChunksSql,
     "doc_pack" -> docPackSql,
     "text_repetition" -> textRepetitionSql,
     "text_pii" -> textPiiSql,

@@ -189,4 +189,43 @@ class SelectionSpec extends SparkSpec {
     // both final branches appear across compounds
     assert(got.map(_.getAs[String]("src")).distinct.sorted.toSeq === Seq("extent", "stack"))
   }
+
+  test("outlier flags match a local median/MAD recomputation exactly") {
+    val raw = Selection.dsLoadEpoch(spark, sf)
+      .select("event_id", "compound", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def discMedian(xs: Seq[(Double, Long)]): Double =
+      xs.sortBy(identity).apply(((xs.size + 1) / 2) - 1)._1
+    val expected = raw.groupBy(_._2).toSeq.flatMap { case (c, g) =>
+      val med = discMedian(g.map(r => (r._3, r._1)).toSeq)
+      val devs = g.map(r => (r._1, math.abs(r._3 - med)))
+      val mad = discMedian(devs.map { case (id, d) => (d, id) }.toSeq)
+      devs.filter(_._2 > 3.0 * mad).map { case (id, _) => id -> ((c, med, mad)) }.toSeq
+    }.toMap
+    val got = Selection.dsOutlierMad(spark, sf).collect()
+    assert(got.length === expected.size)
+    assert(got.nonEmpty, "synthetic events should contain MAD outliers")
+    got.foreach { r =>
+      val (c, med, mad) = expected(r.getLong(0))
+      assert(r.getString(1) === c)
+      assert(r.getAs[Double]("med") === med)
+      assert(r.getAs[Double]("mad") === mad)
+    }
+  }
+
+  test("every reported gap exceeds 4x its compound's mean spacing") {
+    val gaps = Selection.dsGaps(spark, sf).collect()
+    assert(gaps.nonEmpty, "synthetic events should contain coverage gaps")
+    val spans = Selection.dsLoadEpoch(spark, sf).collect()
+      .map(r => (r.getString(1), r.getAs[String]("ts_s")))
+      .groupBy(_._1).map { case (c, g) =>
+        val secs = g.map(x => java.time.LocalDateTime.parse(x._2.replace(" ", "T"))
+          .toEpochSecond(java.time.ZoneOffset.UTC))
+        c -> ((secs.max - secs.min, secs.length.toLong))
+      }
+    gaps.foreach { r =>
+      val (span, n) = spans(r.getString(0))
+      assert(r.getAs[Long]("gap_sec") * (n - 1) > 4 * span)
+    }
+  }
 }

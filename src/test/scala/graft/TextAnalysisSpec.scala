@@ -111,6 +111,30 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("doc_chunks: windows cover every token with the declared 32-token overlap") {
+    val nw = TextAnalysis.textTokens(spark, sf)
+      .select("doc_id", "ws_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = TextAnalysis.docChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("chunk_idx"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("end_tok"), r.getAs[Long]("n_tokens")))
+    chunks.groupBy(_._1).foreach { case (doc, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.head._3 === 0L)
+      assert(sorted.last._4 === nw(doc), "last chunk ends at the doc's token count")
+      sorted.foreach { case (_, idx, start, end, n) =>
+        assert(start === idx * 96)
+        assert(n === end - start)
+        assert(n <= 128)
+      }
+      // stride 96 < len 128 → consecutive chunks overlap (no token orphaned)
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1)._3 < w(0)._4, "consecutive chunks must overlap")
+      }
+    }
+    assert(chunks.map(_._1).toSet === nw.filter(_._2 > 0).keySet)
+  }
+
   test("doc_pack: offsets advance by token count within each source and stay under budget") {
     val rows = TextAnalysis.docPack(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
