@@ -134,6 +134,21 @@ class GraftQC(spark: SparkSession, utcOffsetHours: Int = -2) {
       .partitionBy("compound")
       .parquet(path)
 
+  /** Automated outlier pre-flags: points > 3 MADs from their compound's
+    * discrete median — a starting selection the analyst refines with the
+    * manual rect/toggle workflow above. Keys the output by `sel_key`, so
+    * it composes directly with `toggle`/`applyFilter`/`exportJson`.
+    */
+  def outliers(data: DataFrame): DataFrame =
+    Selection.outlierMadFrom(data.select("sel_key", "compound", "value"), "sel_key")
+
+  /** Coverage-gap report: consecutive-sample gaps > 4× the compound's mean
+    * spacing (relative threshold — meaningful at any sampling density).
+    * Gap endpoints are `sel_key`s, the same keys the selection ops use.
+    */
+  def gaps(data: DataFrame): DataFrame =
+    Selection.gapsFrom(data.select("sel_key", "compound", "cts"), "sel_key")
+
   /** One zoom stack per (compound, plane) with the reference's exact rules:
     * a new limit is pushed only if it differs from the current top
     * (index.js:360-368), zoomOut pops and is a no-op on an empty stack, and

@@ -678,10 +678,17 @@ object Selection {
   // Scale: two windowed passes partitioned by compound (the q_percentiles
   // shape); the per-compound median/MAD relations are |compounds|-sized
   // and broadcast back. An analyst reviews the flags, not 100 TB.
-  def dsOutlierMad(spark: SparkSession, d: String): DataFrame = {
-    val k = keyed(spark, d).select("event_id", "compound", "value")
+  def dsOutlierMad(spark: SparkSession, d: String): DataFrame =
+    outlierMadFrom(keyed(spark, d).select("event_id", "compound", "value"), "event_id")
+      .orderBy("event_id")
+
+  /** DataFrame-in variant for library callers (and the [[GraftQC]] facade):
+    * `k` needs (`idCol`, compound, value) where `idCol` is any column that
+    * totally orders ties deterministically.
+    */
+  def outlierMadFrom(k: DataFrame, idCol: String): DataFrame = {
     def discreteMedian(df: DataFrame, valueCol: String, alias: String): DataFrame = {
-      val w = Window.partitionBy("compound").orderBy(col(valueCol), col("event_id"))
+      val w = Window.partitionBy("compound").orderBy(col(valueCol), col(idCol))
       val wAll = Window.partitionBy("compound")
       df.withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("n", count(lit(1)).over(wAll))
@@ -691,12 +698,11 @@ object Selection {
     val med = discreteMedian(k, "value", "med")
     val dev = k.join(broadcast(med), Seq("compound"))
       .withColumn("dev", abs(col("value") - col("med")))
-    val mad = discreteMedian(dev.select(col("event_id"), col("compound"), col("dev").as("value")),
+    val mad = discreteMedian(dev.select(col(idCol), col("compound"), col("dev").as("value")),
       "value", "mad")
     dev.join(broadcast(mad), Seq("compound"))
       .filter(col("dev") > lit(3.0) * col("mad"))
-      .select("event_id", "compound", "value", "med", "mad")
-      .orderBy("event_id")
+      .select(idCol, "compound", "value", "med", "mad")
   }
 
   val dsOutlierMadSql: String = KeyedCte +
@@ -725,21 +731,25 @@ object Selection {
   // so no division ever happens and both engines agree exactly.
   // Scale: one windowed lag pass partitioned by compound + a broadcast of
   // the |compounds|-sized spacing table.
-  def dsGaps(spark: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("compound").orderBy(col("cts"), col("event_id"))
-    val k = keyed(spark, d)
-      .select(col("event_id"), col("compound"), col("cts"), expr("ms div 1000").as("sec"))
+  def dsGaps(spark: SparkSession, d: String): DataFrame =
+    gapsFrom(keyed(spark, d).select("event_id", "compound", "cts"), "event_id")
+      .orderBy("compound", "gap_end_id")
+
+  /** DataFrame-in variant for library callers (and the [[GraftQC]] facade):
+    * `k` needs (`idCol`, compound, cts: timestamp). */
+  def gapsFrom(kIn: DataFrame, idCol: String): DataFrame = {
+    val w = Window.partitionBy("compound").orderBy(col("cts"), col(idCol))
+    val k = kIn.withColumn("sec", unix_timestamp(col("cts")))
     val spans = k.groupBy("compound").agg(
       (max(col("sec")) - min(col("sec"))).as("span"), count(lit(1)).as("n"))
     k.withColumn("prev_sec", lag(col("sec"), 1).over(w))
-      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("prev_id", lag(col(idCol), 1).over(w))
       .filter(col("prev_sec").isNotNull)
       .join(broadcast(spans), Seq("compound"))
       .withColumn("gap_sec", col("sec") - col("prev_sec"))
       .filter(col("gap_sec") * (col("n") - 1) > lit(4L) * col("span"))
       .select(col("compound"), col("prev_id").as("gap_start_id"),
-        col("event_id").as("gap_end_id"), col("gap_sec"))
-      .orderBy("compound", "gap_end_id")
+        col(idCol).as("gap_end_id"), col("gap_sec"))
   }
 
   val dsGapsSql: String = KeyedCte +

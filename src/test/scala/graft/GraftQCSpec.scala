@@ -115,4 +115,23 @@ class GraftQCSpec extends SparkSpec {
     assert(z.depth("ethane") === 0)
     assert(z.current("ethane") === expected)
   }
+
+  test("automated QC reports run on the reference's own data and compose with selections") {
+    val flags = qc.outliers(data)
+    // every flag satisfies its own rule (row carries value/med/mad)
+    flags.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("value") - r.getAs[Double]("med"))
+        > 3.0 * r.getAs[Double]("mad"))
+    }
+    // flags are keyed like any selection → they feed applyFilter directly
+    val sel = flags.select("compound", "sel_key")
+    val kept = qc.applyFilter(data, sel)
+    assert(kept.count() === data.count() - data.join(sel, Seq("compound", "sel_key"), "left_semi").count())
+
+    val gs = qc.gaps(data)
+    gs.collect().foreach(r => assert(r.getAs[Long]("gap_sec") > 0))
+    // the reference's flask series are irregular — both reports fire on it
+    assert(flags.count() > 0)
+    assert(gs.count() > 0)
+  }
 }
