@@ -114,5 +114,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
       (children: Seq[Expression]) => ShingleSet(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("top_ngram_counts"),
+      new ExpressionInfo(classOf[TopNgramCounts].getName, "top_ngram_counts"),
+      (children: Seq[Expression]) => TopNgramCounts(children.head)))
   }
 }

@@ -91,6 +91,37 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
   * exactly (see [[MinHashKernel.splitWords]]) — including the single empty
   * token an all-space document yields.
   */
+/** Native [top-bigram-count, top-trigram-count] of a document's word
+  * stream — the repetition signal as a pure per-doc function in the scan's
+  * project list.
+  *
+  * The composable formulation (n-gram explode → groupBy(doc, gram) counts →
+  * per-doc max → join back) is exact but pays TWO corpus-sized (doc, gram)
+  * shuffles for what never needs to leave the row. The kernel counts grams
+  * in one open-hash pass per document (memory bounded by the doc's distinct
+  * grams, the same bound the aggregate's hash table had — just per-row and
+  * short-lived). Only the top COUNT is returned, so ties need no
+  * tie-break. 0 where the doc has fewer than n words, matching the
+  * composable path's left-join + coalesce(0). Word splitting and the
+  * single-space gram join match `split(trim(text), "\\s+")` + `concat_ws`
+  * exactly (asserted per doc vs the composable formulation in
+  * NativeKernelSpec, including on adversarial whitespace/unicode).
+  */
+case class TopNgramCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "top_ngram_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.topNgramCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.topNgramCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramCounts =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -192,6 +223,33 @@ object MinHashKernel {
     var j = 0
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
+  }
+
+  /** [top bigram count, top trigram count] over the word stream; 0 for
+    * n-grams the doc is too short to form (see [[graft.functions.TopNgramCounts]]). */
+  def topNgramCounts(text: UTF8String): ArrayData = {
+    val words = splitWords(text)
+    def top(n: Int): Long = {
+      if (words.length < n) return 0L
+      val m = new java.util.HashMap[String, Integer]()
+      val sb = new java.lang.StringBuilder()
+      var best = 0
+      var i = 0
+      while (i + n <= words.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        val c = m.merge(sb.toString, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+        if (c > best) best = c
+        i += 1
+      }
+      best.toLong
+    }
+    new GenericArrayData(Array[Any](top(2), top(3)))
   }
 
   /** Null (not an empty array) when the doc has < 3 words. */

@@ -257,11 +257,34 @@ object TextAnalysis {
   // Scale: the n-gram frequency groupBy is map-side combinable and the
   // per-doc max is a second tiny combinable aggregate; only (doc_id, gram)
   // pairs shuffle, and the heaviest key load is bounded by document length.
-  def textRepetition(spark: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(spark, d)
-      .select(col("doc_id"), words.as("w"))
-      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("nw"),
-        size(array_distinct(col("w"))).cast("long").as("ndw"))
+  // PURE MAP via the native `top_ngram_counts` expression — the top counts
+  // never leave their row, so the two corpus-sized (doc, gram) shuffles the
+  // composable formulation pays (kept below for the bitwise-equality spec)
+  // disappear; at 100 TB the operator reduces to a scan.
+  def textRepetition(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), words.as("w"), expr("top_ngram_counts(text)").as("tc"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("nw"),
+        size(array_distinct(col("w"))).cast("long").as("ndw"),
+        col("tc").getItem(0).as("top2"), col("tc").getItem(1).as("top3"))
+      .select(col("doc_id"), col("nw").as("n_words"),
+        ((col("nw") - col("ndw")).cast("double") / col("nw")).as("dup_word_ratio"),
+        col("top2").as("top_bigram_n"),
+        when(col("nw") > 1, col("top2").cast("double") / (col("nw") - 1))
+          .otherwise(0.0).as("top_bigram_ratio"),
+        col("top3").as("top_trigram_n"),
+        when(col("nw") > 2, col("top3").cast("double") / (col("nw") - 2))
+          .otherwise(0.0).as("top_trigram_ratio"))
+      .orderBy("doc_id")
+
+  /** The explode/groupBy/max formulation of the top-n-gram counts — what
+    * the oracle mirrors and what NativeKernelSpec proves the native
+    * expression equal to, per doc, on adversarial input. Returns
+    * (doc_id, top_bigram_n, top_trigram_n) with 0 for too-short docs.
+    */
+  private[graft] def topNgramComposable(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("nw"))
     def topGram(k: Int, alias: String): DataFrame =
       base.filter(col("nw") >= k)
         .select(col("doc_id"), explode(expr(
@@ -270,18 +293,12 @@ object TextAnalysis {
             ")")).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max(col("c")).as(alias))
-    base
+    base.select("doc_id")
       .join(topGram(2, "top_bigram_n"), Seq("doc_id"), "left")
       .join(topGram(3, "top_trigram_n"), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("nw").as("n_words"),
-        ((col("nw") - col("ndw")).cast("double") / col("nw")).as("dup_word_ratio"),
+      .select(col("doc_id"),
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
-        when(col("nw") > 1, coalesce(col("top_bigram_n"), lit(0L)).cast("double") / (col("nw") - 1))
-          .otherwise(0.0).as("top_bigram_ratio"),
-        coalesce(col("top_trigram_n"), lit(0L)).as("top_trigram_n"),
-        when(col("nw") > 2, coalesce(col("top_trigram_n"), lit(0L)).cast("double") / (col("nw") - 2))
-          .otherwise(0.0).as("top_trigram_ratio"))
-      .orderBy("doc_id")
+        coalesce(col("top_trigram_n"), lit(0L)).as("top_trigram_n"))
   }
 
   val textRepetitionSql: String =

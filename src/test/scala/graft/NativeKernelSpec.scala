@@ -103,4 +103,23 @@ class NativeKernelSpec extends SparkSpec {
     assert(native.keySet === expected.keySet)
     expected.foreach { case (id, ks) => assert(native(id) === ks, s"doc $id") }
   }
+
+  test("top_ngram_counts equals the explode+groupBy+max formulation on adversarial input") {
+    val native = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("top_ngram_counts(text)").as("tc")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val composable = graft.operators.TextAnalysis
+      .topNgramComposable(docs.filter(col("text").isNotNull)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Seq(r.getAs[Long]("top_bigram_n"), r.getAs[Long]("top_trigram_n"))).toMap
+    assert(native.keySet === composable.keySet)
+    composable.foreach { case (id, c) => assert(native(id) === c, s"doc $id") }
+    // sanity anchors: doc 10 repeats "a b c" 3 times → "a b" ×3, "a b c" ×3
+    assert(native(10L) === Seq(3L, 3L))
+    // doc 13: 40 words from a 7-word alphabet → some bigram repeats
+    assert(native(13L).head >= 2L)
+    // sub-n docs report 0, not null/absent
+    assert(native(2L) === Seq(0L, 0L))
+    assert(native(3L) === Seq(1L, 0L))
+  }
 }
