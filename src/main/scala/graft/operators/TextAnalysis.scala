@@ -430,7 +430,36 @@ object TextAnalysis {
        |  least(start_tok + $ChunkLen, nw) - start_tok AS n_tokens
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // --- corpus_stats -------------------------------------------------------
+  // One-row corpus report — the numbers a dataset card leads with: document
+  // count, total whitespace tokens, vocabulary size, mean document length,
+  // type-token ratio. Both divisions are single IEEE ops on exact integers.
+  // Scale: ONE explode pass; total is a plain count and vocab a distinct
+  // count, both partial-aggregable (Spark plans countDistinct as a
+  // two-stage expand-aggregate — the shuffle carries distinct words once,
+  // not occurrences).
+  def corpusStats(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val tok = docs.select(col("doc_id"), explode(words).as("t"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tok.agg(count(lit(1)).as("total_tokens"), countDistinct(col("t")).as("vocab_size"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("n_docs"), col("total_tokens"), col("vocab_size"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avg_doc_tokens"),
+        (col("vocab_size").cast("double") / col("total_tokens")).as("type_token_ratio"))
+  }
+
+  val corpusStatsSql: String =
+    """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+      |a AS (SELECT count(*) AS total_tokens, count(DISTINCT t) AS vocab_size FROM tok),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT n_docs, total_tokens, vocab_size,
+      |  CAST(total_tokens AS DOUBLE) / n_docs AS avg_doc_tokens,
+      |  CAST(vocab_size AS DOUBLE) / total_tokens AS type_token_ratio
+      |FROM a CROSS JOIN n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_stats" -> corpusStats,
     "doc_chunks" -> docChunks,
     "doc_pack" -> docPack,
     "text_repetition" -> textRepetition,
@@ -444,6 +473,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "corpus_stats" -> corpusStatsSql,
     "doc_chunks" -> docChunksSql,
     "doc_pack" -> docPackSql,
     "text_repetition" -> textRepetitionSql,

@@ -78,4 +78,23 @@ object Tables {
         col("year"), col("month"), col("day"),
         col("lat"), col("lon"), col("alt")
       )
+
+  /** Schema of the `documents` model for text-corpus ingestion. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  /** Read a JSON-lines corpus (one document object per line — the common
+    * crawl/training-data interchange format) as the `documents` model.
+    * An explicit schema means no inference pass over 100 TB, and splittable
+    * line-delimited JSON parallelizes across input splits like any text
+    * source. Missing optional fields read as NULL; extra fields are never
+    * parsed (pruned at the source).
+    */
+  def documentsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(documentsSchema).json(path)
 }

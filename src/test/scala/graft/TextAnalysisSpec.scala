@@ -135,6 +135,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(chunks.map(_._1).toSet === nw.filter(_._2 > 0).keySet)
   }
 
+  test("corpus_stats aggregates are consistent with the per-doc token counts") {
+    val row = TextAnalysis.corpusStats(spark, sf).head()
+    val perDoc = TextAnalysis.textTokens(spark, sf).collect()
+    val nDocs = perDoc.length.toLong
+    val total = perDoc.map(_.getAs[Long]("ws_tokens")).sum
+    assert(row.getAs[Long]("n_docs") === nDocs)
+    assert(row.getAs[Long]("total_tokens") === total)
+    val vocab = row.getAs[Long]("vocab_size")
+    assert(vocab > 0 && vocab <= total)
+    assert(row.getAs[Double]("avg_doc_tokens") === total.toDouble / nDocs)
+    assert(row.getAs[Double]("type_token_ratio") === vocab.toDouble / total)
+  }
+
+  test("documentsJsonl round-trips the documents model and feeds the same operators") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-jsonl-").toString
+    val docs = graft.sources.Tables.documents(spark, sf).limit(50)
+    docs.write.mode("overwrite").json(dir)
+    val back = graft.sources.Tables.documentsJsonl(spark, dir)
+    assert(back.count() === 50)
+    assert(back.except(docs).count() === 0)
+    assert(docs.except(back).count() === 0)
+    // operators accept the JSONL-sourced frame unchanged
+    val chunks = TextAnalysis.docChunks(spark, sf)
+      .join(back.select("doc_id"), Seq("doc_id"), "left_semi")
+    val viaJsonl = graft.operators.Multimodal.mmChunkDedupFrom(back)
+    assert(chunks.count() > 0)
+    assert(viaJsonl.columns.toSeq === Seq("h", "n_copies", "n_docs", "canonical_doc", "canonical_idx"))
+  }
+
   test("doc_pack: offsets advance by token count within each source and stay under budget") {
     val rows = TextAnalysis.docPack(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
