@@ -765,7 +765,81 @@ object Selection {
       |WHERE prev_sec IS NOT NULL AND (sec - prev_sec) * (n - 1) > 4 * span
       |ORDER BY l.compound, gap_end_id""".stripMargin
 
+  // --- ds_resample --------------------------------------------------------
+  // Regular-grid resampling: per compound, linearly interpolate the value
+  // series onto 6-hour grid marks — what a QC tool produces before
+  // cross-series comparison or gap-tolerant plotting of irregular samples.
+  // Construction is the scale-safe as-of shape (q_asof_join's): samples and
+  // grid marks are UNIONED and ONE ordered window pass per direction
+  // carries the nearest sample value/time forward (asc) and backward
+  // (desc) — never a per-grid-point range join. Samples sharing an epoch
+  // second collapse to the max-event_id value first (`max_by`), so
+  // neighbor choice is deterministic. Only interior marks (both neighbors
+  // exist) are emitted. The interpolation
+  //   v = v0 + (v1 − v0) · ((g − t0) / (t1 − t0))
+  // is written as the identical IEEE sequence in both engines over exact
+  // integer second differences; a sample landing on a mark makes the
+  // numerator exactly 0 → v0 exactly, no special case.
+  // Scale: two window shuffles on compound; grid size is span/6h per
+  // compound — output-bounded, not input-bounded.
+  private val ResampleStepSec = 6L * 3600
+
+  def dsResample(spark: SparkSession, d: String): DataFrame = {
+    val s = ResampleStepSec
+    val samples = keyed(spark, d)
+      .select(col("compound"), expr("ms div 1000").as("sec"), col("value"), col("event_id"))
+      .groupBy("compound", "sec").agg(expr("max_by(value, event_id)").as("v"))
+    val grid = samples.groupBy("compound")
+      .agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+      .select(col("compound"),
+        explode(expr(s"sequence(((mn + ${s - 1}) div $s) * $s, mx, $s)")).as("sec"))
+    val unioned = samples.select(col("compound"), col("sec"), lit(0).as("kind"), col("v"))
+      .unionByName(grid.select(col("compound"), col("sec"), lit(1).as("kind"),
+        lit(null).cast("double").as("v")))
+    val wAsc = Window.partitionBy("compound").orderBy(col("sec").asc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // at an equal second the DESC scan must see the grid mark BEFORE the
+    // sample (kind desc), so "next" is strictly after the mark — otherwise
+    // a sample on a mark would be both neighbors (t1 − t0 = 0)
+    val wDesc = Window.partitionBy("compound").orderBy(col("sec").desc, col("kind").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wAsc))
+      .withColumn("ps", last(when(col("kind") === 0, col("sec")), ignoreNulls = true).over(wAsc))
+      .withColumn("nv", last(col("v"), ignoreNulls = true).over(wDesc))
+      .withColumn("ns", last(when(col("kind") === 0, col("sec")), ignoreNulls = true).over(wDesc))
+      .filter(col("kind") === 1 && col("ps").isNotNull && col("ns").isNotNull)
+      .select(col("compound"),
+        date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd HH:mm").as("grid_s"),
+        (col("pv") + (col("nv") - col("pv")) *
+          ((col("sec") - col("ps")).cast("double") / (col("ns") - col("ps")).cast("double")))
+          .as("v_interp"))
+      .orderBy("compound", "grid_s")
+  }
+
+  val dsResampleSql: String = KeyedCte +
+    s""",
+       |sm AS (SELECT compound, ms // 1000 AS sec, arg_max(value, event_id) AS v
+       |       FROM k GROUP BY 1, 2),
+       |sp AS (SELECT compound, min(sec) AS mn, max(sec) AS mx FROM sm GROUP BY 1),
+       |g AS (SELECT compound, CAST(unnest(range(((mn + ${ResampleStepSec - 1}) // $ResampleStepSec) * $ResampleStepSec, mx + 1, $ResampleStepSec)) AS BIGINT) AS sec FROM sp),
+       |u AS (SELECT compound, sec, 0 AS kind, v FROM sm
+       |      UNION ALL SELECT compound, sec, 1, NULL FROM g),
+       |w AS (SELECT compound, sec, kind,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY compound ORDER BY sec ASC, kind ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |  last_value(CASE WHEN kind = 0 THEN sec END IGNORE NULLS) OVER (PARTITION BY compound ORDER BY sec ASC, kind ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY compound ORDER BY sec DESC, kind DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+       |  last_value(CASE WHEN kind = 0 THEN sec END IGNORE NULLS) OVER (PARTITION BY compound ORDER BY sec DESC, kind DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ns
+       | FROM u)
+       |SELECT compound,
+       | strftime(make_timestamp(sec * 1000000), '%Y-%m-%d %H:%M') AS grid_s,
+       | pv + (nv - pv) * (CAST(sec - ps AS DOUBLE) / CAST(ns - ps AS DOUBLE)) AS v_interp
+       |FROM w
+       |WHERE kind = 1 AND ps IS NOT NULL AND ns IS NOT NULL
+       |ORDER BY compound, grid_s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_resample" -> dsResample,
     "ds_outlier_mad" -> dsOutlierMad,
     "ds_gaps" -> dsGaps,
     "ds_load_epoch" -> dsLoadEpoch,
@@ -786,6 +860,7 @@ object Selection {
     "ds_clear_compound" -> dsClearCompound)
 
   val oracle: Map[String, String] = Map(
+    "ds_resample" -> dsResampleSql,
     "ds_outlier_mad" -> dsOutlierMadSql,
     "ds_gaps" -> dsGapsSql,
     "ds_load_epoch" -> dsLoadEpochSql,

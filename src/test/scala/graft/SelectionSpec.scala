@@ -213,6 +213,42 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("resampling matches a local interpolation over collapsed samples exactly") {
+    val raw = Selection.dsLoadEpoch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        java.time.LocalDateTime.parse(r.getAs[String]("ts_s").replace(" ", "T"))
+          .toEpochSecond(java.time.ZoneOffset.UTC)))
+    val step = 6L * 3600
+    val expected = raw.groupBy(_._2).toSeq.flatMap { case (c, g) =>
+      // collapse same-second samples to the max-event_id value
+      val samples = g.groupBy(_._4).map { case (sec, rs) => sec -> rs.maxBy(_._1)._3 }
+        .toSeq.sortBy(_._1)
+      val secs = samples.map(_._1)
+      val g0 = ((secs.min + step - 1) / step) * step
+      (g0 to secs.max by step).flatMap { mark =>
+        val prev = samples.filter(_._1 <= mark).lastOption
+        val next = samples.filter(_._1 > mark).headOption
+        (prev, next) match {
+          case (Some((t0, v0)), Some((t1, v1))) =>
+            Some((c, mark) -> (v0 + (v1 - v0) * ((mark - t0).toDouble / (t1 - t0).toDouble)))
+          // boundary marks (e.g. a mark equal to the LAST sample's second,
+          // which has no strictly-later neighbor) are not emitted
+          case _ => None
+        }
+      }
+    }.toMap
+    val got = Selection.dsResample(spark, sf).collect()
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+    val gotMap = got.map { r =>
+      val sec = java.time.LocalDateTime.parse(r.getString(1), fmt)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      (r.getString(0), sec) -> r.getDouble(2)
+    }.toMap
+    assert(gotMap.keySet === expected.keySet)
+    assert(gotMap.nonEmpty)
+    expected.foreach { case (k, v) => assert(gotMap(k) === v, s"mark $k") }
+  }
+
   test("every reported gap exceeds 4x its compound's mean spacing") {
     val gaps = Selection.dsGaps(spark, sf).collect()
     assert(gaps.nonEmpty, "synthetic events should contain coverage gaps")
