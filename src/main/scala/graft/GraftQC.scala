@@ -149,6 +149,14 @@ class GraftQC(spark: SparkSession, utcOffsetHours: Int = -2) {
   def gaps(data: DataFrame): DataFrame =
     Selection.gapsFrom(data.select("sel_key", "compound", "cts"), "sel_key")
 
+  /** Regular-grid (6 h) linear-interpolation resampling of the loaded
+    * series — the pre-step for cross-compound comparison of irregular
+    * samples. Same-second samples collapse deterministically by `sel_key`.
+    */
+  def resample(data: DataFrame): DataFrame =
+    Selection.resampleFrom(data.select(col("compound"),
+      unix_timestamp(col("cts")).as("sec"), col("value"), col("sel_key").as("tie")))
+
   /** One zoom stack per (compound, plane) with the reference's exact rules:
     * a new limit is pushed only if it differs from the current top
     * (index.js:360-368), zoomOut pops and is a no-op on an empty stack, and

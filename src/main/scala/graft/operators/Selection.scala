@@ -784,11 +784,19 @@ object Selection {
   // compound — output-bounded, not input-bounded.
   private val ResampleStepSec = 6L * 3600
 
-  def dsResample(spark: SparkSession, d: String): DataFrame = {
+  def dsResample(spark: SparkSession, d: String): DataFrame =
+    resampleFrom(
+      keyed(spark, d).select(col("compound"), expr("ms div 1000").as("sec"),
+        col("value"), col("event_id").as("tie")))
+
+  /** DataFrame-in variant for library callers (and the [[GraftQC]] facade):
+    * `kIn` needs (compound, sec: long, value, tie) where `tie` makes
+    * same-second sample choice deterministic (`max_by`).
+    */
+  def resampleFrom(kIn: DataFrame): DataFrame = {
     val s = ResampleStepSec
-    val samples = keyed(spark, d)
-      .select(col("compound"), expr("ms div 1000").as("sec"), col("value"), col("event_id"))
-      .groupBy("compound", "sec").agg(expr("max_by(value, event_id)").as("v"))
+    val samples = kIn
+      .groupBy("compound", "sec").agg(expr("max_by(value, tie)").as("v"))
     val grid = samples.groupBy("compound")
       .agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
       .select(col("compound"),

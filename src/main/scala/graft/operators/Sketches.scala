@@ -129,17 +129,25 @@ object Sketches {
     conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))), 1, 15), 16, 10)
       .cast("long") % CmsWidth
 
+  /** CMS counter table (r, idx, c) from an events relation — shared by the
+    * batch query and the streaming parity spec (a streaming `count`
+    * aggregate in complete mode maintains the SAME 4×64 counters: counter
+    * addition IS the sketch's merge operation).
+    */
+  private[graft] def cmsCells(events: DataFrame): DataFrame =
+    events
+      .select(explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("r"), cmsRowIdx(i, col("user_id")).as("idx"))): _*)).as("cell"))
+      .select(col("cell.r").as("r"), col("cell.idx").as("idx"))
+      .groupBy("r", "idx").agg(count(lit(1)).as("c"))
+
   def sketchCms(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(spark, d)
     // counters straight from the RAW stream: one scan, explode to (row,
     // idx), map-side combine collapses each partition to ≤ depth·width
     // cells before the (tiny) shuffle — the construction that never
     // materializes per-key state, which is the whole point of CMS at scale
-    val cells = ev
-      .select(explode(array((0 until CmsDepth).map(i =>
-        struct(lit(i).as("r"), cmsRowIdx(i, col("user_id")).as("idx"))): _*)).as("cell"))
-      .select(col("cell.r").as("r"), col("cell.idx").as("idx"))
-      .groupBy("r", "idx").agg(count(lit(1)).as("c"))
+    val cells = cmsCells(ev)
     // estimate side: hash the PER-KEY AGGREGATE, not the raw stream — the
     // distinct-key table is what we're estimating over, and computing the
     // 4 row hashes there costs |keys|·depth md5s instead of |events|·depth

@@ -133,5 +133,18 @@ class GraftQCSpec extends SparkSpec {
     // the reference's flask series are irregular — both reports fire on it
     assert(flags.count() > 0)
     assert(gs.count() > 0)
+
+    // resampling produces finite values bounded by each compound's extremes
+    val rs = qc.resample(data).collect()
+    assert(rs.nonEmpty)
+    val bounds = data.groupBy("compound")
+      .agg(org.apache.spark.sql.functions.min("value").as("lo"),
+        org.apache.spark.sql.functions.max("value").as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    rs.foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      val v = r.getAs[Double]("v_interp")
+      assert(v >= lo && v <= hi, s"${r.getString(0)} $v outside [$lo, $hi]")
+    }
   }
 }

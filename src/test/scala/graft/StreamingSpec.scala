@@ -76,6 +76,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming CMS counters equal the batch sketch cells (complete mode)") {
+    // counter addition is the CMS merge, so the streaming count-aggregate
+    // state (fixed 4×64 rows) converges to exactly the batch counters
+    val dir = stageEventsDir()
+    val stream = EventStream.eventsStream(spark, dir)
+    val q = graft.operators.Sketches.cmsCells(stream)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("cms_stream")
+    val batch = graft.operators.Sketches.cmsCells(
+      graft.sources.Tables.events(spark, sf))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("stateful sessionization via flatMapGroupsWithState matches the window-based batch sessionizer") {
     import spark.implicits._
     val dir = stageEventsDir()
