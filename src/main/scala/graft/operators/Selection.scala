@@ -846,7 +846,60 @@ object Selection {
        |WHERE kind = 1 AND ps IS NOT NULL AND ns IS NOT NULL
        |ORDER BY compound, grid_s""".stripMargin
 
+  // --- ds_histogram -------------------------------------------------------
+  // Per-compound value histogram over the reference's OWN axis box: bounds
+  // are ds_extent's rounded y-limits (floor/ceil to yAxisRound = 50,
+  // `index.js:277-317`), split into 20 equal bins — the server-side
+  // aggregation a plotting front-end needs once the data is too big to
+  // ship (the reference plots raw points; at 100 TB you plot THIS).
+  // Bin index = floor((v − lo) / width) with the identical IEEE sequence
+  // in both engines (lo/width derive from the rounded integer bounds);
+  // v = hi lands in a phantom 21st bin and is clamped into bin 19 with an
+  // integer `least`. Empty bins are emitted with n = 0 (a plotting
+  // payload needs the full grid), via a per-compound bin scaffold joined
+  // to the counts — scaffold is |compounds|×20 rows, broadcast.
+  // Scale: ONE map-side-combinable groupBy on (compound, bin); the scan
+  // never shuffles.
+  private val HistBins = 20
+
+  def dsHistogram(spark: SparkSession, d: String): DataFrame = {
+    val k = keyed(spark, d).select("compound", "value")
+    val bounds = k.groupBy("compound").agg(
+      (floor(min(col("value")) / 50) * 50).cast("double").as("lo"),
+      (ceil(max(col("value")) / 50) * 50).cast("double").as("hi"))
+    val binned = k.join(broadcast(bounds), Seq("compound"))
+      .select(col("compound"),
+        least(floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / HistBins)).cast("long"),
+          lit(HistBins - 1L)).as("bin"))
+      .groupBy("compound", "bin").agg(count(lit(1)).as("n"))
+    val scaffold = bounds.select(col("compound"), col("lo"), col("hi"),
+      explode(expr(s"sequence(0L, ${HistBins - 1L})")).as("bin"))
+    scaffold.join(binned, Seq("compound", "bin"), "left")
+      .select(col("compound"), col("bin"),
+        (col("lo") + col("bin") * ((col("hi") - col("lo")) / HistBins)).as("bin_lo"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("compound", "bin")
+  }
+
+  val dsHistogramSql: String = KeyedCte +
+    s""",
+       |b AS (SELECT compound,
+       |  CAST(floor(min(value)/50)*50 AS DOUBLE) AS lo,
+       |  CAST(ceil(max(value)/50)*50 AS DOUBLE) AS hi
+       | FROM k GROUP BY 1),
+       |h AS (SELECT k.compound,
+       |  least(CAST(floor((value - lo) / ((hi - lo) / $HistBins)) AS BIGINT), ${HistBins - 1}) AS bin,
+       |  count(*) AS n
+       | FROM k JOIN b ON k.compound = b.compound GROUP BY 1, 2),
+       |s AS (SELECT compound, lo, hi, CAST(unnest(range(0, $HistBins)) AS BIGINT) AS bin FROM b)
+       |SELECT s.compound, s.bin,
+       | lo + s.bin * ((hi - lo) / $HistBins) AS bin_lo,
+       | coalesce(n, 0) AS n
+       |FROM s LEFT JOIN h ON s.compound = h.compound AND s.bin = h.bin
+       |ORDER BY s.compound, s.bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_histogram" -> dsHistogram,
     "ds_resample" -> dsResample,
     "ds_outlier_mad" -> dsOutlierMad,
     "ds_gaps" -> dsGaps,
@@ -868,6 +921,7 @@ object Selection {
     "ds_clear_compound" -> dsClearCompound)
 
   val oracle: Map[String, String] = Map(
+    "ds_histogram" -> dsHistogramSql,
     "ds_resample" -> dsResampleSql,
     "ds_outlier_mad" -> dsOutlierMadSql,
     "ds_gaps" -> dsGapsSql,

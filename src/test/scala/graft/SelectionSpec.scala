@@ -249,6 +249,22 @@ class SelectionSpec extends SparkSpec {
     expected.foreach { case (k, v) => assert(gotMap(k) === v, s"mark $k") }
   }
 
+  test("histogram emits the full bin grid and conserves per-compound counts") {
+    val hist = Selection.dsHistogram(spark, sf).collect()
+    val perCompound = hist.groupBy(_.getString(0))
+    val data = Selection.dsLoadEpoch(spark, sf).collect()
+      .groupBy(_.getString(1)).map { case (c, rs) => c -> rs.length.toLong }
+    assert(perCompound.keySet === data.keySet)
+    perCompound.foreach { case (c, bins) =>
+      assert(bins.length === 20, s"$c: full 20-bin grid even when bins are empty")
+      assert(bins.map(_.getAs[Long]("n")).sum === data(c), s"$c: counts conserve")
+      // bin_lo advances by a constant width
+      val los = bins.sortBy(_.getAs[Long]("bin")).map(_.getAs[Double]("bin_lo"))
+      val w = los(1) - los(0)
+      los.sliding(2).filter(_.length == 2).foreach(p => assert(math.abs((p(1) - p(0)) - w) < 1e-9))
+    }
+  }
+
   test("every reported gap exceeds 4x its compound's mean spacing") {
     val gaps = Selection.dsGaps(spark, sf).collect()
     assert(gaps.nonEmpty, "synthetic events should contain coverage gaps")
