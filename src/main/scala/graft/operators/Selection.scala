@@ -799,6 +799,10 @@ object Selection {
       .groupBy("compound", "sec").agg(expr("max_by(value, tie)").as("v"))
     val grid = samples.groupBy("compound")
       .agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+      // a span too short to contain an aligned mark makes the first mark
+      // exceed mx — Spark's sequence() THROWS on start > stop (DuckDB's
+      // range() is just empty), so such compounds must be filtered first
+      .filter(expr(s"((mn + ${s - 1}) div $s) * $s <= mx"))
       .select(col("compound"),
         explode(expr(s"sequence(((mn + ${s - 1}) div $s) * $s, mx, $s)")).as("sec"))
     val unioned = samples.select(col("compound"), col("sec"), lit(0).as("kind"), col("v"))
@@ -862,15 +866,24 @@ object Selection {
   // never shuffles.
   private val HistBins = 20
 
-  def dsHistogram(spark: SparkSession, d: String): DataFrame = {
-    val k = keyed(spark, d).select("compound", "value")
+  def dsHistogram(spark: SparkSession, d: String): DataFrame =
+    histogramFrom(keyed(spark, d).select("compound", "value"))
+
+  /** DataFrame-in variant: `k` needs (compound, value). */
+  def histogramFrom(k: DataFrame): DataFrame = {
     val bounds = k.groupBy("compound").agg(
       (floor(min(col("value")) / 50) * 50).cast("double").as("lo"),
       (ceil(max(col("value")) / 50) * 50).cast("double").as("hi"))
+    // hi == lo happens when every value of a compound is the same multiple
+    // of 50: the width is then 0 and the general formula divides by zero
+    // (Spark: NaN→null bin; DuckDB: Inf→error) — both engines must place
+    // such rows in bin 0 explicitly
     val binned = k.join(broadcast(bounds), Seq("compound"))
       .select(col("compound"),
-        least(floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / HistBins)).cast("long"),
-          lit(HistBins - 1L)).as("bin"))
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / HistBins)).cast("long"),
+            lit(HistBins - 1L))).as("bin"))
       .groupBy("compound", "bin").agg(count(lit(1)).as("n"))
     val scaffold = bounds.select(col("compound"), col("lo"), col("hi"),
       explode(expr(s"sequence(0L, ${HistBins - 1L})")).as("bin"))
@@ -888,7 +901,8 @@ object Selection {
        |  CAST(ceil(max(value)/50)*50 AS DOUBLE) AS hi
        | FROM k GROUP BY 1),
        |h AS (SELECT k.compound,
-       |  least(CAST(floor((value - lo) / ((hi - lo) / $HistBins)) AS BIGINT), ${HistBins - 1}) AS bin,
+       |  CASE WHEN hi = lo THEN 0
+       |       ELSE least(CAST(floor((value - lo) / ((hi - lo) / $HistBins)) AS BIGINT), ${HistBins - 1}) END AS bin,
        |  count(*) AS n
        | FROM k JOIN b ON k.compound = b.compound GROUP BY 1, 2),
        |s AS (SELECT compound, lo, hi, CAST(unnest(range(0, $HistBins)) AS BIGINT) AS bin FROM b)

@@ -265,6 +265,24 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("degenerate inputs: constant-valued histogram and mark-free resample spans") {
+    import spark.implicits._
+    // every value the same multiple of 50 → rounded bounds coincide, width
+    // 0: rows must land in bin 0 (not NaN/error) and the grid stays full
+    val const = Seq.fill(7)(("flat", 100.0)).toDF("compound", "value")
+    val hist = Selection.histogramFrom(const).collect()
+    assert(hist.length === 20)
+    assert(hist.filter(_.getAs[Long]("bin") == 0L).head.getAs[Long]("n") === 7L)
+    assert(hist.filter(_.getAs[Long]("bin") != 0L).forall(_.getAs[Long]("n") === 0L))
+
+    // a span too short to contain an aligned 6h mark must yield an empty
+    // result (Spark's sequence() would throw on start > stop without the
+    // guard; DuckDB's range() is empty)
+    val short = Seq(("c", 1000L, 1.0, 1L), ("c", 2000L, 2.0, 2L))
+      .toDF("compound", "sec", "value", "tie")
+    assert(Selection.resampleFrom(short).count() === 0)
+  }
+
   test("every reported gap exceeds 4x its compound's mean spacing") {
     val gaps = Selection.dsGaps(spark, sf).collect()
     assert(gaps.nonEmpty, "synthetic events should contain coverage gaps")
