@@ -372,6 +372,29 @@ object Dedup {
        |FROM documents d LEFT JOIN canon c USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --- dedup_cluster_stats ------------------------------------------------
+  // Duplicate-cluster size distribution — the dedup REPORT a corpus owner
+  // reads before choosing thresholds: how many clusters of each size exist
+  // (size 1 = unique docs). Reuses the memoized canonical assignment, so
+  // after dedup_components the marginal cost is two tiny aggregates over
+  // (doc_id, canonical_id); sizes are duplicate-density-bounded.
+  def dedupClusterStats(spark: SparkSession, d: String): DataFrame =
+    dedupComponents(spark, d)
+      .groupBy("canonical_id").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("sz")
+
+  val dedupClusterStatsSql: String =
+    dedupComponentsSql.replace(
+      """SELECT d.doc_id, least(coalesce(c.mn, d.doc_id), d.doc_id) AS canonical_id
+        |FROM documents d LEFT JOIN canon c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT sz, count(*) AS n_clusters FROM (
+        |  SELECT least(coalesce(c.mn, d.doc_id), d.doc_id) AS canonical_id, count(*) AS sz
+        |  FROM documents d LEFT JOIN canon c USING (doc_id)
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY sz""".stripMargin)
+
   // --- dedup_simhash ------------------------------------------------------
   // 64-bit SimHash: bit b comes from nibble bits of each token's md5,
   // weighted by token frequency; the fingerprint lives as 4 × 16-bit chunk
@@ -468,6 +491,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_components" -> dedupComponents,
+    "dedup_cluster_stats" -> dedupClusterStats,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding)
 
@@ -477,6 +501,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_components" -> dedupComponentsSql,
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -154,4 +154,16 @@ class DedupSpec extends SparkSpec {
       assert(labels(r.getAs[Long]("da")) === labels(r.getAs[Long]("db")))
     }
   }
+
+  test("cluster-size distribution conserves docs and matches the canonical assignment") {
+    val stats = Dedup.dedupClusterStats(spark, sf).collect()
+      .map(r => r.getAs[Long]("sz") -> r.getAs[Long]("n_clusters")).toMap
+    val canon = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => r.getAs[Long]("canonical_id"))
+    // Σ size·clusters = corpus size; distribution equals a local groupBy
+    assert(stats.map { case (sz, n) => sz * n }.sum === canon.length.toLong)
+    val expected = canon.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).map { case (sz, g) => sz -> g.size.toLong }
+    assert(stats === expected)
+  }
 }
