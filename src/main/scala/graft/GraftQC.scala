@@ -157,6 +157,11 @@ class GraftQC(spark: SparkSession, utcOffsetHours: Int = -2) {
     Selection.resampleFrom(data.select(col("compound"),
       unix_timestamp(col("cts")).as("sec"), col("value"), col("sel_key").as("tie")))
 
+  /** Per-compound value histogram over the extent-rounded axis box — the
+    * aggregation to plot when the series outgrows point shipping. */
+  def histogram(data: DataFrame): DataFrame =
+    Selection.histogramFrom(data.select("compound", "value"))
+
   /** One zoom stack per (compound, plane) with the reference's exact rules:
     * a new limit is pushed only if it differs from the current top
     * (index.js:360-368), zoomOut pops and is a no-op on an empty stack, and

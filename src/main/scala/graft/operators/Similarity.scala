@@ -292,13 +292,71 @@ object Similarity {
     centers
   }
 
+  // --- ann_recall ---------------------------------------------------------
+  // Recall@k of both approximate paths against the exact baseline — the
+  // evaluation an ANN deployment runs before trusting its index. Per query:
+  // hits = |approx ∩ exact top-k|, recall = hits / k (single division of
+  // exact integers). Composes the three existing deterministic operators,
+  // so the metric itself is exactly reproducible — at scale this runs on a
+  // sampled query set while the index serves the rest.
+  def annRecall(spark: SparkSession, d: String): DataFrame = {
+    val exact = annBruteforce(spark, d).select(col("qid"), col("vec_id"))
+    def recallOf(approx: DataFrame, method: String): DataFrame =
+      approx.select(col("qid"), col("vec_id"))
+        .join(exact, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+        .select(col("qid"), lit(method).as("method"), col("hits"),
+          (col("hits").cast("double") / K).as("recall"))
+    recallOf(annLsh(spark, d), "lsh")
+      .unionByName(recallOf(annIvf(spark, d), "ivf"))
+      .orderBy("method", "qid")
+  }
+
+  // One WITH holding all three top-k constructions verbatim (shared `e`),
+  // then the semi-join + count. Kept literal rather than assembled from
+  // the other SQL strings — a regex rename of one-letter CTE aliases would
+  // be far too easy to silently break.
+  val annRecallSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |xq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |xs AS (SELECT qid, vec_id, ${CosSqlFor("qv", "v")} AS sim FROM e CROSS JOIN xq),
+       |xtop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM xs)
+       |  WHERE rank <= $K),
+       |lb AS (SELECT vec_id, v,
+       |  list_reduce(list_transform(range(1, 9), i -> CASE WHEN v[CAST(i AS INT)] >= 0 THEN '1' ELSE '0' END), (a, x) -> a||x) AS bucket FROM e),
+       |lq AS (SELECT vec_id AS qid, v AS qv, bucket FROM lb WHERE vec_id < $NumQueries),
+       |ls AS (SELECT qid, lb.vec_id, ${CosSqlFor("qv", "v")} AS sim FROM lb JOIN lq USING (bucket)),
+       |ltop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM ls)
+       |  WHERE rank <= $K),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |asg AS (SELECT vec_id, v, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${CosSqlFor("v", "cv")} DESC, cid) AS arn
+       |  FROM e CROSS JOIN c),
+       |cell AS (SELECT vec_id, v, cid FROM asg WHERE arn = 1),
+       |iq AS (SELECT vec_id AS qid, v AS qv, cid FROM asg WHERE vec_id < $NumQueries AND arn <= $NProbe),
+       |iv AS (SELECT qid, cell.vec_id, ${CosSqlFor("qv", "v")} AS sim FROM cell JOIN iq USING (cid)),
+       |itop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM iv)
+       |  WHERE rank <= $K),
+       |u AS (SELECT 'lsh' AS method, qid, vec_id FROM ltop
+       |      UNION ALL SELECT 'ivf', qid, vec_id FROM itop)
+       |SELECT u.qid, method, count(*) AS hits,
+       |  CAST(count(*) AS DOUBLE) / $K AS recall
+       |FROM u JOIN xtop x ON u.qid = x.qid AND u.vec_id = x.vec_id
+       |GROUP BY 1, 2 ORDER BY method, u.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
-    "ann_ivf" -> annIvf)
+    "ann_ivf" -> annIvf,
+    "ann_recall" -> annRecall)
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
-    "ann_ivf" -> annIvfSql)
+    "ann_ivf" -> annIvfSql,
+    "ann_recall" -> annRecallSql)
 }

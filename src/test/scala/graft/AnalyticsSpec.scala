@@ -59,6 +59,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(res.intersect(withF).count() === 0)
   }
 
+  test("built-in session_window agrees with the cumsum sessionizer on session counts") {
+    // qSessionize derives sessions from a gap>30min window cumsum; Spark's
+    // native session_window must partition events into the same sessions
+    // (same count per user, same total), since both close a session at a
+    // 30-minute silence
+    val builtIn = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    val ours = Analytics.qSessionize(spark, sf)
+    val a = builtIn.groupBy("user_id").agg(count(lit(1)).as("sessions"), sum("n_events").as("events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val b = ours.groupBy("user_id").agg(count(lit(1)).as("sessions"), sum("n_events").as("events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(a === b)
+  }
+
   test("pivot conserves document and char totals across the lang columns") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val total = docs.count()

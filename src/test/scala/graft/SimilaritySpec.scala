@@ -85,4 +85,25 @@ class SimilaritySpec extends SparkSpec {
     assert(objTrained >= objInit - 1e-9,
       s"training from k-means|| init regressed: init=$objInit trained=$objTrained")
   }
+
+  test("recall@k: bounded, self-hit guaranteed, and consistent with the raw top-k sets") {
+    val rows = Similarity.annRecall(spark, sf).collect()
+    // each method reports every query (a query's own vector ranks 1 in
+    // both the exact and approximate lists → at least one hit)
+    assert(rows.groupBy(_.getString(1)).forall(_._2.length == 5))
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 1 && hits <= 10)
+      assert(r.getAs[Double]("recall") === hits / 10.0)
+    }
+    // spot-check against the operator outputs themselves
+    val exact = Similarity.annBruteforce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid")).map { case (q, g) => q -> g.map(_.getAs[Long]("vec_id")).toSet }
+    val lsh = Similarity.annLsh(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid")).map { case (q, g) => q -> g.map(_.getAs[Long]("vec_id")).toSet }
+    rows.filter(_.getString(1) == "lsh").foreach { r =>
+      val q = r.getAs[Long]("qid")
+      assert(r.getAs[Long]("hits") === (lsh(q) & exact(q)).size.toLong)
+    }
+  }
 }
