@@ -458,7 +458,47 @@ object TextAnalysis {
       |  CAST(vocab_size AS DOUBLE) / total_tokens AS type_token_ratio
       |FROM a CROSS JOIN n""".stripMargin
 
+  // --- doc_mixture --------------------------------------------------------
+  // Data mixing — the other reproducibility primitive an LLM pipeline
+  // needs next to doc_split: sample each SOURCE at its own rate (the
+  // "mixture weights" of a training recipe), with membership a pure
+  // function of document identity. A doc is kept iff its md5 bucket
+  // (256 buckets, same construction as doc_split) falls under its
+  // source's integer threshold: src0..src9 at 192/256 (75%), others at
+  // 64/256 (25%). Zero shuffles — a broadcast of the 20-row rate table
+  // against a pure map; reruns, incremental ingests, and both engines
+  // keep exactly the same documents.
+  private val MixtureHighSources: Set[String] = (0 until 10).map(i => s"src$i").toSet
+  private val MixtureHighThresh = 192 // of 256
+  private val MixtureLowThresh = 64
+
+  def docMixture(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long").as("bucket"))
+      .withColumn("threshold",
+        when(col("source").isin(MixtureHighSources.toSeq: _*), lit(MixtureHighThresh.toLong))
+          .otherwise(lit(MixtureLowThresh.toLong)))
+      .filter(col("bucket") < col("threshold"))
+      .select("doc_id", "source", "bucket", "threshold")
+      .orderBy("doc_id")
+
+  val docMixtureSql: String = {
+    val highList = MixtureHighSources.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+    s"""WITH b AS (SELECT doc_id, source,
+       |  CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) AS bucket
+       |  FROM documents),
+       |t AS (SELECT doc_id, source, bucket,
+       |  CASE WHEN source IN ($highList) THEN $MixtureHighThresh ELSE $MixtureLowThresh END AS threshold
+       |  FROM b)
+       |SELECT doc_id, source, bucket, CAST(threshold AS BIGINT) AS threshold
+       |FROM t WHERE bucket < threshold ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_mixture" -> docMixture,
     "corpus_stats" -> corpusStats,
     "doc_chunks" -> docChunks,
     "doc_pack" -> docPack,
@@ -473,6 +513,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "doc_mixture" -> docMixtureSql,
     "corpus_stats" -> corpusStatsSql,
     "doc_chunks" -> docChunksSql,
     "doc_pack" -> docPackSql,

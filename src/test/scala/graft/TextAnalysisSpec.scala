@@ -135,6 +135,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(chunks.map(_._1).toSet === nw.filter(_._2 > 0).keySet)
   }
 
+  test("doc_mixture keeps sources at their configured rates, consistent with doc_split buckets") {
+    val kept = TextAnalysis.docMixture(spark, sf).collect()
+    val buckets = TextAnalysis.docSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("bucket")).toMap
+    // identical md5-bucket construction as doc_split → same bucket per doc
+    kept.foreach { r =>
+      assert(r.getAs[Long]("bucket") === buckets(r.getLong(0)))
+      assert(r.getAs[Long]("bucket") < r.getAs[Long]("threshold"))
+    }
+    // empirical rates land near the configured 75%/25% (binomial, n=25/source)
+    val total = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBySrc = kept.groupBy(_.getString(1)).map { case (s, g) => s -> g.length.toLong }
+    val (hi, lo) = total.keys.toSeq.partition(s => (0 until 10).map(i => s"src$i").contains(s))
+    val hiRate = hi.map(s => keptBySrc.getOrElse(s, 0L)).sum.toDouble / hi.map(total).sum
+    val loRate = lo.map(s => keptBySrc.getOrElse(s, 0L)).sum.toDouble / lo.map(total).sum
+    assert(hiRate > 0.6 && hiRate < 0.9, s"high-rate strata at $hiRate")
+    assert(loRate > 0.1 && loRate < 0.4, s"low-rate strata at $loRate")
+    // rerun is identical — membership is a pure function of identity
+    val again = TextAnalysis.docMixture(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(again === kept.map(_.getLong(0)).toSeq)
+  }
+
   test("corpus_stats aggregates are consistent with the per-doc token counts") {
     val row = TextAnalysis.corpusStats(spark, sf).head()
     val perDoc = TextAnalysis.textTokens(spark, sf).collect()
