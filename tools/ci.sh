@@ -13,6 +13,9 @@ echo "== correctness: Verify -> DuckDB oracle compare at $SF"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" sbt -batch "runMain graft.Verify $SF $OUT"
 python3 tools/check_oracle.py "$SF" "$OUT"
 
+echo "== pii positive-path parity (corpus is digit-free, oracle can't see it)"
+python3 tools/check_pii_parity.py
+
 echo "== plan audit (CartesianProduct / broadcast / pushdown gates)"
 sbt -batch "runMain graft.tools.ExplainDump $SF"
 
