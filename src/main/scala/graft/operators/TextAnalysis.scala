@@ -75,15 +75,28 @@ object TextAnalysis {
   // tie-break. (The synthetic corpus shares one vocabulary across langs, so
   // the interesting part is the deterministic argmax machinery, which is
   // exactly what a real stopword-profile classifier needs at scale.)
+  // PURE MAP: the language profile is an argmax over 5 per-doc hash-bucket
+  // counts — a pure function of one document, so it computes in the scan's
+  // project list with higher-order functions (no explode, no groupBy
+  // shuffle, no window; all codegen'd built-ins — rung (a) of the
+  // extension ladder, no custom kernel needed). The sequential `when`
+  // chain picks the FIRST maximum, which is exactly the old
+  // `orderBy(cnt DESC, idx ASC)` tie-break; the oracle still runs the
+  // explode+groupBy+window formulation and hash-matches.
   def textLangid(spark: SparkSession, d: String): DataFrame = {
     val langs = array(lit("de"), lit("en"), lit("es"), lit("fr"), lit("zh"))
-    val tok = Tables.documents(spark, d)
-      .select(col("doc_id"), col("lang"), explode(words).as("t"))
-      .withColumn("idx", expr("(locate(substring(md5(t), 1, 1), '0123456789abcdef') - 1) % 5").cast("long"))
-    val counts = tok.groupBy("doc_id", "lang", "idx").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("doc_id").orderBy(desc("cnt"), asc("idx"))
-    counts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val ids = expr(
+      "transform(split(trim(text), '\\\\s+'), t -> (locate(substring(md5(t), 1, 1), '0123456789abcdef') - 1) % 5)")
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), ids.as("ids"))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        (0 until 5).map(k => size(expr(s"filter(ids, x -> x = $k)")).cast("long").as(s"c$k")): _*)
+    val cs = (0 until 5).map(k => col(s"c$k"))
+    val idx = (0 until 5).foldRight(lit(4L)) { (k, rest) =>
+      if (k == 4) rest
+      else when(cs.drop(k + 1).map(c => cs(k) >= c).reduce(_ && _), k.toLong).otherwise(rest)
+    }
+    base.withColumn("idx", idx)
       .select(col("doc_id"),
         element_at(langs, col("idx").cast("int") + 1).as("pred_lang"),
         col("lang"),
