@@ -474,7 +474,7 @@ object Analytics {
   val qPivotSql: String = {
     val cells = PivotLangs.map { l =>
       s"""  coalesce(count(*) FILTER (WHERE lang = '$l'), 0) AS ${l}_cnt,
-         |  coalesce(sum(n_chars) FILTER (WHERE lang = '$l'), 0) AS ${l}_chars""".stripMargin
+         |  CAST(coalesce(sum(n_chars) FILTER (WHERE lang = '$l'), 0) AS BIGINT) AS ${l}_chars""".stripMargin
     }.mkString(",\n")
     s"""SELECT source,
        |$cells

@@ -384,8 +384,8 @@ object Dedup {
       .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
       .orderBy("sz")
 
-  val dedupClusterStatsSql: String =
-    dedupComponentsSql.replace(
+  val dedupClusterStatsSql: String = {
+    val replaced = dedupComponentsSql.replace(
       """SELECT d.doc_id, least(coalesce(c.mn, d.doc_id), d.doc_id) AS canonical_id
         |FROM documents d LEFT JOIN canon c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
@@ -394,6 +394,13 @@ object Dedup {
         |  FROM documents d LEFT JOIN canon c USING (doc_id)
         |  GROUP BY 1)
         |GROUP BY 1 ORDER BY sz""".stripMargin)
+    // The tail-swap above is a silent no-op if dedupComponentsSql's final
+    // SELECT is ever reworded — fail loudly at class-init instead of
+    // shipping a duplicate oracle that only surfaces as a column mismatch.
+    require(replaced != dedupComponentsSql,
+      "dedup_cluster_stats oracle: tail replacement did not match dedupComponentsSql")
+    replaced
+  }
 
   // --- dedup_simhash ------------------------------------------------------
   // 64-bit SimHash: bit b comes from nibble bits of each token's md5,

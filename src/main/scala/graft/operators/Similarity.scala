@@ -301,12 +301,21 @@ object Similarity {
   // sampled query set while the index serves the rest.
   def annRecall(spark: SparkSession, d: String): DataFrame = {
     val exact = annBruteforce(spark, d).select(col("qid"), col("vec_id"))
-    def recallOf(approx: DataFrame, method: String): DataFrame =
-      approx.select(col("qid"), col("vec_id"))
+    // Every query appears in the report even when the index returned NOTHING
+    // that overlaps the exact top-k — recall-0 queries are the exact ones an
+    // ANN evaluation exists to surface, and a groupBy over the hit rows
+    // alone would silently drop them. The qid universe is the static query
+    // range, so the left join's build side is NumQueries rows (broadcast).
+    def recallOf(approx: DataFrame, method: String): DataFrame = {
+      val hits = approx.select(col("qid"), col("vec_id"))
         .join(exact, Seq("qid", "vec_id"), "left_semi")
         .groupBy("qid").agg(count(lit(1)).as("hits"))
-        .select(col("qid"), lit(method).as("method"), col("hits"),
-          (col("hits").cast("double") / K).as("recall"))
+      spark.range(NumQueries).select(col("id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), lit(method).as("method"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / K).as("recall"))
+    }
     recallOf(annLsh(spark, d), "lsh")
       .unionByName(recallOf(annIvf(spark, d), "ivf"))
       .orderBy("method", "qid")
@@ -342,11 +351,16 @@ object Similarity {
        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM iv)
        |  WHERE rank <= $K),
        |u AS (SELECT 'lsh' AS method, qid, vec_id FROM ltop
-       |      UNION ALL SELECT 'ivf', qid, vec_id FROM itop)
-       |SELECT u.qid, method, count(*) AS hits,
-       |  CAST(count(*) AS DOUBLE) / $K AS recall
-       |FROM u JOIN xtop x ON u.qid = x.qid AND u.vec_id = x.vec_id
-       |GROUP BY 1, 2 ORDER BY method, u.qid""".stripMargin
+       |      UNION ALL SELECT 'ivf', qid, vec_id FROM itop),
+       |hit AS (SELECT method, u.qid, count(*) AS hits
+       |        FROM u JOIN xtop x ON u.qid = x.qid AND u.vec_id = x.vec_id
+       |        GROUP BY 1, 2),
+       |qm AS (SELECT CAST(range AS BIGINT) AS qid, method
+       |       FROM range(0, $NumQueries) CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'))
+       |SELECT qm.qid, qm.method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(h.hits, 0) AS DOUBLE) / $K AS recall
+       |FROM qm LEFT JOIN hit h ON h.qid = qm.qid AND h.method = qm.method
+       |ORDER BY qm.method, qm.qid""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,

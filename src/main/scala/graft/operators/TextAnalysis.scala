@@ -87,7 +87,14 @@ object TextAnalysis {
     val langs = array(lit("de"), lit("en"), lit("es"), lit("fr"), lit("zh"))
     val ids = expr(
       "transform(split(trim(text), '\\\\s+'), t -> (locate(substring(md5(t), 1, 1), '0123456789abcdef') - 1) % 5)")
+    // NULL-text docs must be DROPPED, not defaulted: with a NULL array every
+    // bucket count is NULL, every when() condition is NULL, and the fold
+    // would fall through to the last-language default — while the oracle's
+    // explode formulation (and the old Spark one) emits no row at all. The
+    // parquet corpus has no NULL text, but documentsJsonl reads missing
+    // fields as NULL, so the guard is load-bearing for that source.
     val base = Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), ids.as("ids"))
       .select(Seq(col("doc_id"), col("lang")) ++
         (0 until 5).map(k => size(expr(s"filter(ids, x -> x = $k)")).cast("long").as(s"c$k")): _*)
@@ -402,8 +409,8 @@ object TextAnalysis {
     s"""WITH t AS (SELECT doc_id, source,
        |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents),
        |c AS (SELECT doc_id, source, n_tokens,
-       |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off FROM t)
+       |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_off FROM t)
        |SELECT doc_id, source, n_tokens,
        |  start_off // $PackBudget AS bin_id,
        |  start_off % $PackBudget AS bin_offset,

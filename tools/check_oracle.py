@@ -62,6 +62,19 @@ def main():
         if len(s) != len(d):
             failures.append((name, f"row count differs: spark={len(s)} duck={len(d)}"))
             continue
+        # dtype-KIND parity: the driver hashes stringified values, so int64 3
+        # vs float64 3.0 is a real mismatch there even though Python == says
+        # equal. Catch it here (DuckDB HUGEINT sums surface as float64 — the
+        # oracle must CAST ... AS BIGINT). Allow int-vs-int width diffs.
+        kind_bad = None
+        for col in s.columns:
+            sk, dk = s[col].dtype.kind, d[col].dtype.kind
+            if sk != dk and {sk, dk} != {"i", "u"} and "O" not in (sk, dk):
+                kind_bad = f"col {col}: dtype kind spark={s[col].dtype} duck={d[col].dtype}"
+                break
+        if kind_bad:
+            failures.append((name, kind_bad))
+            continue
         bad = None
         for col in s.columns:
             sv, dv = list(s[col]), list(d[col])
