@@ -60,7 +60,15 @@ object Bench {
     }
     val results = best.filter { case (k, _) => succeeded(k) }
     val permanent = errors.filterNot { case (k, _) => succeeded(k) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the last ~2000 chars of stdout and parses the
+    // JSON line out of THAT window — round 5's line hit ~2000 chars (71
+    // queries at full Double.toString precision) and the round's bench
+    // parsed as null. Per-query times at 10ms resolution keep the line
+    // ~1600 chars with headroom for more operators; the headline value
+    // keeps millisecond precision.
+    def r(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r(v, 2) }
       .mkString("{", ",", "}")
     val es = permanent.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -73,8 +81,21 @@ object Bench {
     val sumOfMins = if (results.nonEmpty) results.values.sum else 0.0
     val cleanTotals = passTotals.zip(passClean).collect { case (t, true) => t }
     val total = if (cleanTotals.nonEmpty) cleanTotals.min else sumOfMins
-    val pts = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"pass_totals":$pts,"sum_of_query_mins":$sumOfMins,"sf":"$sfDir"}""")
+    // Locale.ROOT everywhere: f"" uses the JVM default locale, and a
+    // comma-decimal locale (de_DE etc.) would corrupt the JSON with [1,234].
+    val pts = passTotals.map(r(_, 3)).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"pass_totals":$pts,"sum_of_query_mins":${r(sumOfMins, 3)},"sf":"$sfDir"}"""
+    // Hard guard against regrowing past the driver's tail window: if the
+    // line is ever too long again, drop per-query precision rather than
+    // lose the whole round's bench to an unparseable line.
+    val out =
+      if (line.length <= 1800) line
+      else {
+        val qs1 = results.map { case (k, v) => "\"" + k + "\":" + r(v, 1) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs1,"errors":$es,"passes":$passes,"pass_totals":$pts,"sf":"$sfDir"}"""
+      }
+    println(out)
     graft.operators.Dedup.releaseCaches()
     spark.stop()
   }
