@@ -362,15 +362,53 @@ object Similarity {
        |FROM qm LEFT JOIN hit h ON h.qid = qm.qid AND h.method = qm.method
        |ORDER BY qm.method, qm.qid""".stripMargin
 
+  // --- embed_cluster ------------------------------------------------------
+  // Embedding-corpus profile: assign EVERY vector to its nearest of the 16
+  // deterministic IVF centroids (argmax cosine, smaller cid on ties — the
+  // same assignment rule ann_ivf's cells use) and report per-cluster size
+  // and similarity extents. This is the cluster-occupancy histogram you
+  // read before trusting an IVF index (empty/overfull cells = bad
+  // quantizer) and the per-topic volume table of an embedding-clustered
+  // corpus. min/max over deterministic per-row cosines are order-free, so
+  // the oracle agrees exactly (a float MEAN would not be).
+  // Scale shape: one broadcast nested loop over k centroids (map-side, no
+  // corpus shuffle), then a map-side-combinable groupBy on k keys.
+  def embedCluster(spark: SparkSession, d: String): DataFrame = {
+    val e = vectors(spark, d)
+    val cents = e.filter(col("vec_id") >= CentroidBase && col("vec_id") < CentroidBase + NumCells)
+      .select((col("vec_id") - CentroidBase).as("cid"), col("v").as("qv"))
+    val wAsg = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim", cosExpr)
+      .withColumn("arn", row_number().over(wAsg))
+      .filter(col("arn") === 1)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("csim")).as("min_sim"), max(col("csim")).as("max_sim"))
+      .orderBy("cid")
+  }
+
+  val embedClusterSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |s AS (SELECT vec_id, cid, ${CosSqlFor("v", "cv")} AS csim FROM e CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid, csim,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS arn FROM s)
+       |SELECT cid, count(*) AS n_vecs, min(csim) AS min_sim, max(csim) AS max_sim
+       |FROM asg WHERE arn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
-    "ann_recall" -> annRecall)
+    "ann_recall" -> annRecall,
+    "embed_cluster" -> embedCluster)
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
-    "ann_recall" -> annRecallSql)
+    "ann_recall" -> annRecallSql,
+    "embed_cluster" -> embedClusterSql)
 }

@@ -517,7 +517,133 @@ object TextAnalysis {
        |FROM t WHERE bucket < threshold ORDER BY doc_id""".stripMargin
   }
 
+  // --- text_quality_gate --------------------------------------------------
+  // C4/Gopher-style composite document filter: each heuristic is its own
+  // 0/1 column so a pipeline can audit WHICH rule rejected a document, and
+  // `pass` is their conjunction. All thresholds are integer
+  // cross-multiplications (3·nw ≤ Σlen, 5·top ≤ nw, 10·sym ≤ chars) — no
+  // float ratio ever materializes, so both engines agree bit-for-bit.
+  // PURE MAP over the scan (higher-order functions only, no explode/
+  // shuffle); the top-token count is O(distinct·len) per doc, bounded by
+  // document size, not corpus size.
+  def textQualityGate(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), words.as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("nw"),
+        expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)").as("sumlen"),
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"),
+        expr("aggregate(transform(array_distinct(w), t -> size(filter(w, x -> x = t))), 0, (a, x) -> greatest(a, x))")
+          .cast("long").as("topn"),
+        size(regexp_extract_all(lower(col("text")), lit("[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("nsym"),
+        length(col("text")).cast("long").as("nchars"))
+    val rMinWords = col("nw") >= 20
+    val rWordLen = col("sumlen") >= col("nw") * 3 && col("sumlen") <= col("nw") * 10
+    val rStopword = col("stopn") >= 1
+    val rRepetition = col("topn") * 5 <= col("nw")
+    val rSymbols = col("nsym") * 10 <= col("nchars")
+    base.select(col("doc_id"),
+      rMinWords.cast("long").as("r_min_words"),
+      rWordLen.cast("long").as("r_word_len"),
+      rStopword.cast("long").as("r_stopword"),
+      rRepetition.cast("long").as("r_repetition"),
+      rSymbols.cast("long").as("r_symbols"),
+      (rMinWords && rWordLen && rStopword && rRepetition && rSymbols)
+        .cast("long").as("pass"))
+      .orderBy("doc_id")
+  }
+
+  val textQualityGateSql: String =
+    """WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |m AS (SELECT doc_id, text, len(w) AS nw,
+      |  list_sum(list_transform(w, x -> length(x))) AS sumlen,
+      |  len(list_filter(w, x -> x IN ('the', 'a'))) AS stopn,
+      |  list_max(list_transform(list_distinct(w), t -> len(list_filter(w, x -> x = t)))) AS topn,
+      |  len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS nsym
+      | FROM w)
+      |SELECT doc_id,
+      | CAST(nw >= 20 AS BIGINT) AS r_min_words,
+      | CAST(sumlen >= 3*nw AND sumlen <= 10*nw AS BIGINT) AS r_word_len,
+      | CAST(stopn >= 1 AS BIGINT) AS r_stopword,
+      | CAST(topn * 5 <= nw AS BIGINT) AS r_repetition,
+      | CAST(nsym * 10 <= length(text) AS BIGINT) AS r_symbols,
+      | CAST(nw >= 20 AND sumlen >= 3*nw AND sumlen <= 10*nw AND stopn >= 1
+      |      AND topn * 5 <= nw AND nsym * 10 <= length(text) AS BIGINT) AS pass
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // --- text_decontaminate -------------------------------------------------
+  // Benchmark decontamination: flag every corpus document sharing a token
+  // 4-gram with the "eval set" (here the deterministic doc_id % 100 == 0
+  // slice, standing in for the benchmark suite). This is the standard
+  // n-gram-overlap decontamination pass every LLM training pipeline runs
+  // before training; 4-grams (not the usual 8-13) because the synthetic
+  // corpus draws from a tiny vocabulary.
+  // Scale shape: the eval side is benchmark-sized (MBs against a 100 TB
+  // corpus), so its distinct gram set BROADCASTS and the corpus-side join
+  // is a map-side hash probe — the corpus never shuffles; the only
+  // exchange carries hit rows (sparse by construction) into a map-side-
+  // combinable per-doc count. Grams are deduped INSIDE each doc's row
+  // (array_distinct before the explode), so n_hits counts distinct
+  // contaminated grams.
+  private val ContamN = 4
+  private val EvalIdMod = 100
+
+  private def contamGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= ContamN)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(w) - ${ContamN - 1}), i -> concat_ws(' ', slice(w, i, $ContamN))))")).as("s"))
+
+  def textDecontaminate(spark: SparkSession, d: String): DataFrame = {
+    val grams = contamGrams(Tables.documents(spark, d))
+    val evalGrams = grams.filter(col("doc_id") % EvalIdMod === 0)
+      .select("s").distinct()
+    grams.filter(col("doc_id") % EvalIdMod =!= 0)
+      .join(broadcast(evalGrams), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  val textDecontaminateSql: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+${ContamN - 1}], ' ') FOR i IN range(1, len(w) - ${ContamN - 2})])) AS s
+       |      FROM w WHERE len(w) >= $ContamN),
+       |ev AS (SELECT DISTINCT s FROM g WHERE doc_id % $EvalIdMod = 0)
+       |SELECT g.doc_id, count(*) AS n_hits FROM g JOIN ev USING (s)
+       |WHERE g.doc_id % $EvalIdMod <> 0 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- doc_source_stats ---------------------------------------------------
+  // Per-source dataset card (the groupBy-source twin of the one-row
+  // corpus_stats): doc count, token mass, char extents, language spread —
+  // the table a data-mixing decision reads. One map-side-combinable
+  // groupBy; countDistinct(lang) plans as Spark's two-stage expand
+  // aggregate, shuffling (source, lang) pairs once, not occurrences. The
+  // single division happens once per source row, after aggregation.
+  def docSourceStats(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("source"), col("lang"), col("n_chars"), size(words).cast("long").as("nw"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nw").as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .withColumn("avg_doc_tokens", col("total_tokens").cast("double") / col("n_docs"))
+      .orderBy("source")
+
+  val docSourceStatsSql: String =
+    """SELECT source, count(*) AS n_docs,
+      | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+      | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE) / count(*) AS avg_doc_tokens
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_gate" -> textQualityGate,
+    "text_decontaminate" -> textDecontaminate,
+    "doc_source_stats" -> docSourceStats,
     "doc_mixture" -> docMixture,
     "corpus_stats" -> corpusStats,
     "doc_chunks" -> docChunks,
@@ -533,6 +659,9 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "text_quality_gate" -> textQualityGateSql,
+    "text_decontaminate" -> textDecontaminateSql,
+    "doc_source_stats" -> docSourceStatsSql,
     "doc_mixture" -> docMixtureSql,
     "corpus_stats" -> corpusStatsSql,
     "doc_chunks" -> docChunksSql,

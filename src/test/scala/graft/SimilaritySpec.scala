@@ -106,4 +106,17 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("hits") === (lsh(q) & exact(q)).size.toLong)
     }
   }
+
+  test("embed_cluster occupancies partition the corpus; every centroid lands in its own cell") {
+    val rows = Similarity.embedCluster(spark, sf).collect()
+    val total = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === total)
+    // all 16 cells present: each centroid assigns to itself (self-cosine ~1)
+    assert(rows.map(_.getAs[Long]("cid")).toSet === (0L until 16L).toSet)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") >= 1L)
+      assert(r.getAs[Double]("max_sim") > 0.999999)
+      assert(r.getAs[Double]("min_sim") <= r.getAs[Double]("max_sim"))
+    }
+  }
 }

@@ -189,6 +189,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaJsonl.columns.toSeq === Seq("h", "n_copies", "n_docs", "canonical_doc", "canonical_idx"))
   }
 
+  test("quality gate flags agree with a local recomputation and pass is their conjunction") {
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.textQualityGate(spark, sf).collect()
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val text = texts(r.getAs[Long]("doc_id"))
+      val w = text.trim.split("\\s+").toSeq
+      val nw = w.length.toLong
+      val sumlen = w.map(_.length.toLong).sum
+      val stopn = w.count(x => x == "the" || x == "a").toLong
+      val topn = w.groupBy(identity).values.map(_.length).max.toLong
+      val nsym = "[^a-z0-9\\s]".r.findAllIn(text.toLowerCase).length.toLong
+      val expect = Seq(
+        "r_min_words" -> (nw >= 20),
+        "r_word_len" -> (sumlen >= 3 * nw && sumlen <= 10 * nw),
+        "r_stopword" -> (stopn >= 1),
+        "r_repetition" -> (topn * 5 <= nw),
+        "r_symbols" -> (nsym * 10 <= text.length))
+      expect.foreach { case (c, v) => assert(r.getAs[Long](c) === (if (v) 1L else 0L), c) }
+      assert(r.getAs[Long]("pass") === (if (expect.forall(_._2)) 1L else 0L))
+    }
+  }
+
+  test("decontaminate flags exactly the non-eval docs sharing a 4-gram with the eval slice") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    def grams(w: Seq[String]): Set[String] =
+      w.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+    val evalGrams = docs.filter(_._1 % 100 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 % 100 != 0)
+      .map { case (id, w) => id -> grams(w).count(evalGrams) }
+      .filter(_._2 > 0).toMap
+    val got = TextAnalysis.textDecontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(got === expected.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("per-source stats partition the corpus and agree with corpus totals") {
+    val rows = TextAnalysis.docSourceStats(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_chars") <= r.getAs[Long]("max_chars"))
+      assert(r.getAs[Long]("n_langs") >= 1 && r.getAs[Long]("n_langs") <= 5)
+      assert(r.getAs[Double]("avg_doc_tokens") ===
+        r.getAs[Long]("total_tokens").toDouble / r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("doc_pack: offsets advance by token count within each source and stay under budget") {
     val rows = TextAnalysis.docPack(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
