@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -91,30 +91,60 @@ object Similarity {
   // probe only their NProbe nearest cells. Here the coarse quantizer is a
   // fixed, deterministic seed set (vec_id ∈ [100, 116) — 16 cells) so the
   // oracle can replicate it exactly; at scale you'd swap in k-means||
-  // centroids (driver-side array, same broadcast shape, ~hundreds of KB
-  // for thousands of cells).
+  // centroids (driver-side array, same literal-injection shape, ~hundreds
+  // of KB for thousands of cells).
   //
-  // Scale shape: assignment is a broadcast nested loop over 16 centroids —
-  // map-side, no shuffle of the corpus; the cell table is shuffle-
-  // partitioned by cid exactly once; probing joins the tiny query set
-  // (broadcast) to its 2 cells, so scored candidates are ~2/16 of the
-  // corpus per query instead of all of it.
+  // Scale shape: the centroids are collected once (k·dim doubles, KBs —
+  // the same array trainCentroids keeps between rounds) and re-injected as
+  // LITERALS, so assignment is an argmax computed in the scan's project
+  // list — a pure map, zero corpus shuffle (r6's formulation paid a
+  // row_number() window partitioned by vec_id, which shuffled the whole
+  // corpus of vectors once; EXPLAINS.md now shows no vec_id Exchange).
+  // Probing joins the tiny query set (broadcast) to its 2 cells, so scored
+  // candidates are ~2/16 of the corpus per query instead of all of it.
   private val NumCells = 16
   private val CentroidBase = 100 // vec_id in [base, base+NumCells) seed the cells
   private val NProbe = 2
 
+  /** The deterministic seed centroids, collected driver-side: k·dim
+    * doubles (KBs) — the quantizer state any IVF index keeps resident. */
+  private def seedCentroids(spark: SparkSession, d: String): Seq[Array[Double]] =
+    vectors(spark, d)
+      .filter(col("vec_id") >= CentroidBase && col("vec_id") < CentroidBase + NumCells)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+
+  /** One struct per centroid scoring `v`: (csim, -cid). Struct max order is
+    * (csim DESC, then -cid DESC = cid ASC) — exactly the old window's
+    * `orderBy(desc("csim"), asc("cid"))` tie-break, now as a projection. */
+  private def centroidStructs(cents: Seq[Array[Double]]): Seq[Column] =
+    cents.zipWithIndex.map { case (cv, cid) =>
+      struct(
+        call_function("cosine_sim", array(cv.toSeq.map(lit): _*), col("v")).as("csim"),
+        lit(-cid).as("ncid"))
+    }
+
+  /** Argmax-cosine centroid assignment as a single codegen'd `greatest`
+    * over the literal centroid structs — the pure-map replacement for the
+    * crossJoin + Window.partitionBy("vec_id") argmax. */
+  private def bestCentroid(cents: Seq[Array[Double]]): Column = {
+    val ss = centroidStructs(cents)
+    if (ss.length == 1) ss.head else greatest(ss: _*)
+  }
+
   def annIvf(spark: SparkSession, d: String): DataFrame = {
     val e = vectors(spark, d)
-    val cents = e.filter(col("vec_id") >= CentroidBase && col("vec_id") < CentroidBase + NumCells)
-      .select((col("vec_id") - CentroidBase).as("cid"), col("v").as("qv"))
-    // rank each vector's cells by cosine (tiebreak: smaller cid)
-    val wAsg = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
-    val asg = e.crossJoin(broadcast(cents))
-      .withColumn("csim", cosExpr)
-      .withColumn("arn", row_number().over(wAsg))
-    val cells = asg.filter(col("arn") === 1).select(col("vec_id"), col("v"), col("cid"))
-    val probes = asg.filter(col("vec_id") < NumQueries && col("arn") <= NProbe)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
+    val cents = seedCentroids(spark, d)
+    // assignment: pure map — cells is a scan-projection of the corpus
+    val cells = e.select(col("vec_id"), col("v"),
+      (-bestCentroid(cents).getField("ncid")).cast("long").as("cid"))
+    // query probes: top-NProbe cells per query vector — sort the 16 literal
+    // scores descending in the projection; NumQueries rows, still a map
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(slice(sort_array(array(centroidStructs(cents): _*), asc = false),
+          1, NProbe)).as("sc"))
+      .select(col("qid"), col("qv"), (-col("sc.ncid")).cast("long").as("cid"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
     cells.join(broadcast(probes), Seq("cid"))
       .withColumn("sim", cosExpr)
@@ -150,20 +180,6 @@ object Similarity {
     * means are engine-specific — SimilaritySpec asserts the training
     * objective (mean assigned cosine) improves instead.
     */
-  /** (cid, qv) DataFrame from a driver-side centroid array — the broadcast
-    * side of every assignment join (k·dim doubles, KBs). */
-  private def centroidDf(spark: SparkSession, cs: Array[Array[Double]]): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        cs.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq, 1)
-        .map { case (i, v) => org.apache.spark.sql.Row(i, v) },
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cid",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("qv",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType)))))
-
   def trainCentroids(spark: SparkSession, d: String, k: Int = NumCells,
       rounds: Int = 5, init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
     val e = vectors(spark, d)
@@ -172,12 +188,10 @@ object Similarity {
       .orderBy("vec_id").collect()
       .map(_.getSeq[Double](1).toArray))
     for (_ <- 0 until rounds) {
-      val cDf = centroidDf(spark, centroids)
-      val wAsg = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
-      val assigned = e.crossJoin(broadcast(cDf))
-        .withColumn("csim", cosExpr)
-        .withColumn("arn", row_number().over(wAsg))
-        .filter(col("arn") === 1)
+      // literal-centroid argmax in the project list — the corpus never
+      // shuffles vectors; the only exchange is the k-key mean groupBy
+      val assigned = e.select(col("v"),
+        (-bestCentroid(centroids.toSeq).getField("ncid")).as("cid"))
       // per-cell mean vector: one groupBy with an elementwise array average
       val dims = centroids.head.length
       val means = assigned.groupBy("cid")
@@ -199,9 +213,8 @@ object Similarity {
     */
   def assignmentObjective(spark: SparkSession, d: String,
       centroids: Array[Array[Double]]): Double =
-    vectors(spark, d).crossJoin(broadcast(centroidDf(spark, centroids)))
-      .withColumn("csim", cosExpr)
-      .groupBy("vec_id").agg(max(col("csim")).as("best"))
+    vectors(spark, d)
+      .select(bestCentroid(centroids.toSeq).getField("csim").as("best"))
       .agg(avg(col("best"))).head.getDouble(0)
 
   /** k-means‖ initialization (Bahmani et al., VLDB 2012) — the production
@@ -226,10 +239,8 @@ object Similarity {
     var cands = e.orderBy("vec_id").limit(1).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toVector
     for (step <- 1 to steps) {
-      val cDf = centroidDf(spark, cands.map(_._2).toArray)
-      val scored = e.crossJoin(broadcast(cDf))
-        .withColumn("csim", cosExpr)
-        .groupBy("vec_id").agg(first(col("v")).as("v"), max(col("csim")).as("best"))
+      val scored = e.select(col("vec_id"), col("v"),
+          bestCentroid(cands.map(_._2)).getField("csim").as("best"))
         .withColumn("d2", pow(lit(1.0) - col("best"), 2))
       val psi = scored.agg(sum(col("d2"))).head.getDouble(0)
       if (psi > 0) {
@@ -243,10 +254,8 @@ object Similarity {
       }
     }
     // weight each candidate by how much of the corpus it attracts
-    val wAsg = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
-    val weights = e.crossJoin(broadcast(centroidDf(spark, cands.map(_._2).toArray)))
-      .withColumn("csim", cosExpr)
-      .withColumn("arn", row_number().over(wAsg)).filter(col("arn") === 1)
+    val weights = e
+      .select((-bestCentroid(cands.map(_._2)).getField("ncid")).as("cid"))
       .groupBy("cid").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getAs[Int]("cid") -> r.getAs[Long]("n").toDouble).toMap
     reduceCandidates(cands.map(_._2).toArray,
@@ -371,17 +380,15 @@ object Similarity {
   // quantizer) and the per-topic volume table of an embedding-clustered
   // corpus. min/max over deterministic per-row cosines are order-free, so
   // the oracle agrees exactly (a float MEAN would not be).
-  // Scale shape: one broadcast nested loop over k centroids (map-side, no
-  // corpus shuffle), then a map-side-combinable groupBy on k keys.
+  // Scale shape: assignment is the literal-centroid argmax computed in the
+  // scan's project list (pure map, zero corpus shuffle — r6's window
+  // argmax shuffled the corpus by vec_id first), then ONE map-side-
+  // combinable groupBy over k keys plus the k-row output sort: exactly 2
+  // Exchanges total, both over k≈16 keys, independent of corpus size.
   def embedCluster(spark: SparkSession, d: String): DataFrame = {
     val e = vectors(spark, d)
-    val cents = e.filter(col("vec_id") >= CentroidBase && col("vec_id") < CentroidBase + NumCells)
-      .select((col("vec_id") - CentroidBase).as("cid"), col("v").as("qv"))
-    val wAsg = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("csim", cosExpr)
-      .withColumn("arn", row_number().over(wAsg))
-      .filter(col("arn") === 1)
+    e.select(bestCentroid(seedCentroids(spark, d)).as("b"))
+      .select((-col("b.ncid")).cast("long").as("cid"), col("b.csim").as("csim"))
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"),
         min(col("csim")).as("min_sim"), max(col("csim")).as("max_sim"))
