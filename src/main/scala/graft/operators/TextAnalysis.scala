@@ -83,7 +83,10 @@ object TextAnalysis {
   // chain picks the FIRST maximum, which is exactly the old
   // `orderBy(cnt DESC, idx ASC)` tie-break; the oracle still runs the
   // explode+groupBy+window formulation and hash-matches.
-  def textLangid(spark: SparkSession, d: String): DataFrame = {
+  def textLangid(spark: SparkSession, d: String): DataFrame =
+    langidOf(Tables.documents(spark, d))
+
+  private def langidOf(docs: DataFrame): DataFrame = {
     val langs = array(lit("de"), lit("en"), lit("es"), lit("fr"), lit("zh"))
     val ids = expr(
       "transform(split(trim(text), '\\\\s+'), t -> (locate(substring(md5(t), 1, 1), '0123456789abcdef') - 1) % 5)")
@@ -92,8 +95,9 @@ object TextAnalysis {
     // would fall through to the last-language default — while the oracle's
     // explode formulation (and the old Spark one) emits no row at all. The
     // parquet corpus has no NULL text, but documentsJsonl reads missing
-    // fields as NULL, so the guard is load-bearing for that source.
-    val base = Tables.documents(spark, d)
+    // fields as NULL, so the guard is load-bearing for that source (and
+    // text_langid_nulls proves the parity at oracle level).
+    val base = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), ids.as("ids"))
       .select(Seq(col("doc_id"), col("lang")) ++
@@ -114,6 +118,37 @@ object TextAnalysis {
   val textLangidSql: String =
     """WITH tok AS (
       | SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents
+      |), idx AS (
+      | SELECT doc_id, lang, CAST((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) % 5 AS BIGINT) AS idx FROM tok
+      |), counts AS (
+      | SELECT doc_id, lang, idx, count(*) AS cnt FROM idx GROUP BY 1, 2, 3
+      |), top AS (
+      | SELECT doc_id, lang, idx, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, idx) AS rn FROM counts
+      |)
+      |SELECT doc_id,
+      | (['de','en','es','fr','zh'])[CAST(idx AS INT)+1] AS pred_lang,
+      | lang,
+      | CAST((['de','en','es','fr','zh'])[CAST(idx AS INT)+1] = lang AS BIGINT) AS hit
+      |FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // --- text_langid_nulls --------------------------------------------------
+  // The same langid core over a corpus where a deterministic slice
+  // (doc_id % 50 == 0) has NULL text — the shape documentsJsonl produces
+  // for records missing the field. The parquet corpus carries no NULL
+  // text, so without this entry the isNotNull guards are only spec-
+  // covered; here BOTH engines must agree that NULL-text docs vanish
+  // (Spark: the filter; DuckDB: unnest(NULL array) emits no row), proving
+  // engine parity on the NULL path at oracle level.
+  def textLangidNulls(spark: SparkSession, d: String): DataFrame =
+    langidOf(Tables.documents(spark, d).withColumn("text",
+      when(col("doc_id") % 50 === 0, lit(null).cast("string"))
+        .otherwise(col("text"))))
+
+  val textLangidNullsSql: String =
+    """WITH dn AS (
+      | SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN NULL ELSE text END AS text, lang FROM documents
+      |), tok AS (
+      | SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM dn
       |), idx AS (
       | SELECT doc_id, lang, CAST((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) % 5 AS BIGINT) AS idx FROM tok
       |), counts AS (
@@ -527,7 +562,12 @@ object TextAnalysis {
   // shuffle); the top-token count is O(distinct·len) per doc, bounded by
   // document size, not corpus size.
   def textQualityGate(spark: SparkSession, d: String): DataFrame = {
+    // NULL-text docs are DROPPED, matching text_langid's convention: with a
+    // NULL array every flag column and `pass` would be NULL — a row that
+    // matches neither pass=1 nor pass=0 downstream. The parquet corpus has
+    // no NULL text, but documentsJsonl reads missing fields as NULL.
     val base = Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"), words.as("w"))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("nw"),
@@ -555,7 +595,7 @@ object TextAnalysis {
   }
 
   val textQualityGateSql: String =
-    """WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+    """WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents WHERE text IS NOT NULL),
       |m AS (SELECT doc_id, text, len(w) AS nw,
       |  list_sum(list_transform(w, x -> length(x))) AS sumlen,
       |  len(list_filter(w, x -> x IN ('the', 'a'))) AS stopn,
@@ -579,13 +619,16 @@ object TextAnalysis {
   // n-gram-overlap decontamination pass every LLM training pipeline runs
   // before training; 4-grams (not the usual 8-13) because the synthetic
   // corpus draws from a tiny vocabulary.
-  // Scale shape: the eval side is benchmark-sized (MBs against a 100 TB
-  // corpus), so its distinct gram set BROADCASTS and the corpus-side join
-  // is a map-side hash probe — the corpus never shuffles; the only
-  // exchange carries hit rows (sparse by construction) into a map-side-
-  // combinable per-doc count. Grams are deduped INSIDE each doc's row
-  // (array_distinct before the explode), so n_hits counts distinct
-  // contaminated grams.
+  // Scale shape: NO forced broadcast anywhere — the eval side's size is a
+  // property of the caller's data, not of this operator, so the join
+  // strategy is left to AQE, which broadcasts a genuinely benchmark-sized
+  // (MBs) eval-gram set from its OBSERVED runtime size and falls back to
+  // a shuffle join if a caller hands it something corpus-proportional
+  // (r6 force-broadcast the eval grams, which died by construction at
+  // 100 TB on the slice instantiation below). The per-doc count exchange
+  // carries only hit rows (sparse by construction) and is map-side
+  // combinable. Grams are deduped INSIDE each doc's row (array_distinct
+  // before the explode), so n_hits counts distinct contaminated grams.
   private val ContamN = 4
   private val EvalIdMod = 100
 
@@ -595,14 +638,27 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         s"array_distinct(transform(sequence(1, size(w) - ${ContamN - 1}), i -> concat_ws(' ', slice(w, i, $ContamN))))")).as("s"))
 
-  def textDecontaminate(spark: SparkSession, d: String): DataFrame = {
-    val grams = contamGrams(Tables.documents(spark, d))
-    val evalGrams = grams.filter(col("doc_id") % EvalIdMod === 0)
-      .select("s").distinct()
-    grams.filter(col("doc_id") % EvalIdMod =!= 0)
-      .join(broadcast(evalGrams), Seq("s"))
+  /** General form — the production contract: `evalDocs` is an EXTERNAL
+    * benchmark suite (load it with `Tables.documentsJsonl` or any
+    * `documents`-shaped frame), not something derived from the corpus.
+    * Returns (doc_id, n_hits) for corpus docs sharing ≥1 distinct token
+    * 4-gram with any eval doc. */
+  def decontaminateAgainst(corpus: DataFrame, evalDocs: DataFrame): DataFrame =
+    contamGrams(corpus)
+      .join(contamGrams(evalDocs).select("s").distinct(), Seq("s"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
+
+  /** Oracle instantiation: the deterministic doc_id % 100 == 0 slice
+    * stands in for the benchmark suite (the driver's DuckDB oracle can
+    * only see the parquet tables). Being a corpus slice it is exactly the
+    * input that must NOT carry a broadcast hint — see the scale-shape
+    * note above. */
+  def textDecontaminate(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    decontaminateAgainst(
+      docs.filter(col("doc_id") % EvalIdMod =!= 0),
+      docs.filter(col("doc_id") % EvalIdMod === 0))
   }
 
   val textDecontaminateSql: String =
@@ -655,6 +711,7 @@ object TextAnalysis {
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
+    "text_langid_nulls" -> textLangidNulls,
     "text_fingerprint" -> textFingerprint,
     "text_top_terms" -> textTopTerms)
 
@@ -673,6 +730,7 @@ object TextAnalysis {
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
+    "text_langid_nulls" -> textLangidNullsSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_top_terms" -> textTopTermsSql)
 }

@@ -229,6 +229,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === expected.map { case (k, v) => k -> v.toLong })
   }
 
+  test("decontaminate's external-eval contract: a jsonl benchmark suite gives the slice result") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-eval-jsonl-").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // the production shape: the eval suite arrives as an EXTERNAL jsonl
+    // table (here: the same % 100 slice exported, so the result must match
+    // the oracle instantiation bit-for-bit) plus a text-less record that
+    // documentsJsonl reads as NULL and contamGrams must ignore
+    docs.filter(col("doc_id") % 100 === 0).write.mode("overwrite").json(dir)
+    Files.writeString(Paths.get(dir, "extra.json"),
+      "{\"doc_id\": 999999, \"lang\": \"en\", \"source\": \"bench\", \"n_chars\": 0}\n")
+    val eval = graft.sources.Tables.documentsJsonl(spark, dir)
+    val viaExternal = TextAnalysis.decontaminateAgainst(
+        docs.filter(col("doc_id") % 100 =!= 0), eval)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSlice = TextAnalysis.textDecontaminate(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExternal === viaSlice)
+  }
+
   test("per-source stats partition the corpus and agree with corpus totals") {
     val rows = TextAnalysis.docSourceStats(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf)

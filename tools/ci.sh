@@ -19,6 +19,20 @@ python3 tools/check_pii_parity.py
 echo "== plan audit (CartesianProduct / broadcast / pushdown gates)"
 sbt -batch "runMain graft.tools.ExplainDump $SF"
 
+echo "== broadcast audit: forced broadcast() call sites vs audited allowlist"
+# Every sql.functions.broadcast() hint pins a build side REGARDLESS of its
+# runtime size, so each call site must be audited as size-BOUNDED (dims,
+# query sets, per-compound rows — never a corpus-proportional intermediate;
+# r6's text_decontaminate broke this and died at 100 TB by construction).
+# A new/changed call site fails here until tools/broadcast_allowlist.txt is
+# regenerated — i.e. until someone deliberately re-audits it:
+#   grep -rh "broadcast(" src/main/scala --include='*.scala' \
+#     | sed 's/^[[:space:]]*//' | sort -u > tools/broadcast_allowlist.txt
+grep -rh "broadcast(" src/main/scala --include='*.scala' \
+  | sed 's/^[[:space:]]*//' | sort -u | diff tools/broadcast_allowlist.txt - \
+  || { echo "broadcast allowlist drift — audit the new call site"; exit 1; }
+
+
 echo "== bench (one JSON line)"
 SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '^{"metric'
