@@ -10,7 +10,10 @@ object Bench {
     // is the standard noise estimator (and what the round-3 review asked
     // for). Caches are wiped BETWEEN passes, so each pass pays the full
     // pipeline costs exactly like a single-pass run would.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // 3 passes by default (r6 review): with the shared box's contention
+    // spikes, 2 passes can't distinguish "one pass was dirty" from "the
+    // workload regressed" — 3 gives a median and a spread.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // Same builder as Verify/ExplainDump — benched plans = audited plans.
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -25,6 +28,11 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
     val passClean = scala.collection.mutable.ArrayBuffer[Boolean]()
+    // full-precision per-pass per-query times, persisted to a side file so
+    // cross-round drift is diagnosable per pass (the stdout JSON line only
+    // has room for the per-query minima at 10ms resolution)
+    val passDetail = scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.LinkedHashMap[String, Double]]()
     for (_ <- 1 to passes) {
       // cold caches per pass; WITHIN a pass operators manage their own
       // hygiene: corpus-sized intermediates are unpersisted before a query
@@ -37,6 +45,7 @@ object Bench {
       spark.catalog.clearCache()
       var passTotal = 0.0
       var clean = true
+      val detail = scala.collection.mutable.LinkedHashMap[String, Double]()
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -44,6 +53,7 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           succeeded += name
           passTotal += dt
+          detail(name) = dt
           if (!best.get(name).exists(_ <= dt)) best(name) = dt
         } catch {
           case e: Throwable =>
@@ -57,6 +67,7 @@ object Bench {
       }
       passTotals += passTotal
       passClean += clean
+      passDetail += detail
     }
     val results = best.filter { case (k, _) => succeeded(k) }
     val permanent = errors.filterNot { case (k, _) => succeeded(k) }
@@ -81,19 +92,38 @@ object Bench {
     val sumOfMins = if (results.nonEmpty) results.values.sum else 0.0
     val cleanTotals = passTotals.zip(passClean).collect { case (t, true) => t }
     val total = if (cleanTotals.nonEmpty) cleanTotals.min else sumOfMins
+    // median over clean passes — min answers "how fast can it go", median
+    // answers "was this run trustworthy" (r6's 100.8s-vs-62.7s spread was
+    // invisible to a min-only headline)
+    val medBase = (if (cleanTotals.nonEmpty) cleanTotals else passTotals).sorted
+    val median =
+      if (medBase.isEmpty) 0.0
+      else if (medBase.length % 2 == 1) medBase(medBase.length / 2)
+      else (medBase(medBase.length / 2 - 1) + medBase(medBase.length / 2)) / 2.0
     // Locale.ROOT everywhere: f"" uses the JVM default locale, and a
     // comma-decimal locale (de_DE etc.) would corrupt the JSON with [1,234].
     val pts = passTotals.map(r(_, 3)).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"pass_totals":$pts,"sum_of_query_mins":${r(sumOfMins, 3)},"sf":"$sfDir"}"""
+    // per-pass per-query detail at full precision → side file (never the
+    // stdout line: 3 passes × 76 queries would blow the driver's tail
+    // window that ate round 5's bench)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_passes.json")
+    val detailJson = passDetail.zipWithIndex.map { case (m, i) =>
+      val qd = m.map { case (k, v) => "\"" + k + "\":" + r(v, 4) }.mkString("{", ",", "}")
+      s"""{"pass":${i + 1},"clean":${passClean(i)},"total":${r(passTotals(i), 3)},"queries":$qd}"""
+    }.mkString("[\n", ",\n", "\n]")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson)
+    catch { case _: Throwable => () } // diagnostics only — never fail the bench
+    val line = s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"pass_totals":$pts,"pass_median":${r(median, 3)},"sum_of_query_mins":${r(sumOfMins, 3)},"sf":"$sfDir"}"""
     // Hard guard against regrowing past the driver's tail window: if the
     // line is ever too long again, drop per-query precision rather than
-    // lose the whole round's bench to an unparseable line.
+    // lose the whole round's bench to an unparseable line. sum_of_query_mins
+    // stays in the fallback — it is the cross-round statistic (r6 review).
     val out =
       if (line.length <= 1800) line
       else {
         val qs1 = results.map { case (k, v) => "\"" + k + "\":" + r(v, 1) }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs1,"errors":$es,"passes":$passes,"pass_totals":$pts,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs1,"errors":$es,"passes":$passes,"pass_totals":$pts,"pass_median":${r(median, 3)},"sum_of_query_mins":${r(sumOfMins, 3)},"sf":"$sfDir"}"""
       }
     println(out)
     graft.operators.Dedup.releaseCaches()

@@ -76,28 +76,45 @@ object Selection {
       .withColumn("key_m", date_format(col("cts"), "yyyy-MM-dd HH:mm"))
       .withColumn("sel_key", concat(col("key_m"), lit(" "), col("salt")))
 
-  /** Render a selection DataFrame as the reference's sorted JSON export
-    * (`getJSONfile`, index.js:818-836): `{key: [compounds...]}` with keys
-    * sorted and compound lists sorted. Collects to the driver — selection
-    * lists are ≪ raw data by construction (same contract as the reference's
-    * in-browser export).
+  /** Render a selection DataFrame as the reference's sorted JSON export —
+    * BYTE-IDENTICAL to `getJSONfile` (index.js:818-836): JS
+    * `JSON.stringify({key: [compounds...]}, mapReplacer, " ")` (one-space
+    * indent, multi-line arrays) followed by the reference's global
+    * `'],' → '],\n'` regexReplace. The replace is applied to the whole
+    * rendered string exactly like the reference does, so it would also
+    * rewrite a `],` INSIDE a key or compound name — bug-compatible on
+    * purpose; ReferenceDataSpec pins the bytes against a node-generated
+    * fixture. Keys sorted, compound lists sorted. Collects to the driver —
+    * selection lists are ≪ raw data by construction (same contract as the
+    * reference's in-browser export).
     */
   def exportJson(sel: DataFrame): String = {
-    // proper JSON string escaping — salts/compound names are arbitrary
-    // user strings and may contain quotes, backslashes, or control chars
+    // JS JSON.stringify string escaping: \" and \\, the \b \t \n \f \r
+    // shortcuts, and \u00XX for the remaining control chars
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
+      case '\b' => "\\b"
+      case '\t' => "\\t"
+      case '\n' => "\\n"
+      case '\f' => "\\f"
+      case '\r' => "\\r"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
     val rows = sel.select(col("sel_key"), col("compound")).distinct()
       .groupBy("sel_key").agg(sort_array(collect_set(col("compound"))).as("compounds"))
       .orderBy("sel_key").collect()
-    rows.map { r =>
-      val cs = r.getSeq[String](1).map(q).mkString("[", ", ", "]")
-      s"${q(r.getString(0))}: $cs"
-    }.mkString("{\n ", ",\n ", "\n}")
+    val json =
+      if (rows.isEmpty) "{}" // JSON.stringify({}) — no newlines
+      else rows.map { r =>
+        val cs = r.getSeq[String](1)
+        val arr =
+          if (cs.isEmpty) "[]"
+          else cs.map("  " + q(_)).mkString("[\n", ",\n", "\n ]")
+        s" ${q(r.getString(0))}: $arr"
+      }.mkString("{\n", ",\n", "\n}")
+    json.replace("],", "],\n")
   }
 
   // --- ds_load_epoch ------------------------------------------------------

@@ -39,13 +39,33 @@ class ReferenceDataSpec extends SparkSpec {
     assert(keyLines.nonEmpty)
     val keys = keyLines.map(_.trim.takeWhile(_ != ':').replaceAll("\"", ""))
     assert(keys == keys.sorted, "export keys must be sorted like getJSONfile")
-    assert(json.contains("[\"ethane\"]") || json.contains("[\"propane\"]")
-      || json.contains("[\"ethane\", \"propane\"]"))
+    assert(json.contains("\"ethane\"") || json.contains("\"propane\""))
 
     // applying the export back as a filter (the README's downstream use)
     // removes exactly the selected points
     val applied = series.join(broadcast(sel), Seq("compound", "sel_key"), "left_anti")
     assert(applied.count() === series.count() - series.join(
       broadcast(sel), Seq("compound", "sel_key"), "left_semi").count())
+  }
+
+  test("exportJson is byte-identical to the reference's getJSONfile rendering") {
+    // The fixture is the reference's own rendering pipeline — JS
+    // JSON.stringify(Object.fromEntries(sorted), mapReplacer, " ") plus the
+    // global '],' → '],\n' regexReplace (index.js:818-836) — executed by
+    // node over the same value>1500 selection on ethane+propane
+    // (tools/gen_export_fixture.mjs regenerates it). 458 keys, one shared
+    // key ("2011-03-07 19:27 3931-99" → both compounds), so multi-entry
+    // objects, multi-element arrays, and the post-],  newline quirk are all
+    // pinned byte-for-byte.
+    val fixture = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource("/reference_export_fixture.json").toURI)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val series = Seq("ethane", "propane").map(c =>
+      Selection.keyedSeries(Tables.seriesJson(spark, s"$dataDir/$c.json", c)))
+      .reduce(_.unionByName(_))
+      .withColumnRenamed("series", "compound")
+    val sel = series.filter(col("value") > 1500.0).select("compound", "sel_key")
+    assert(Selection.exportJson(sel) === fixture)
   }
 }
