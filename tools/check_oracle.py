@@ -67,11 +67,22 @@ def main():
         # equal. Catch it here (DuckDB HUGEINT sums surface as float64 — the
         # oracle must CAST ... AS BIGINT). Allow int-vs-int width diffs.
         kind_bad = None
+        repr_cols = set()
         for col in s.columns:
             sk, dk = s[col].dtype.kind, d[col].dtype.kind
-            if sk != dk and {sk, dk} != {"i", "u"} and "O" not in (sk, dk):
-                kind_bad = f"col {col}: dtype kind spark={s[col].dtype} duck={d[col].dtype}"
-                break
+            if sk == dk or {sk, dk} == {"i", "u"}:
+                continue
+            if "O" in (sk, dk):
+                # object-vs-anything can't be judged from the dtype alone
+                # (all-NULL columns and DuckDB Decimals surface as object) —
+                # don't skip the check: fall through to a strict repr
+                # comparison per value, which mimics the driver's
+                # stringified hash (int 3 vs float 3.0 vs Decimal('3') all
+                # repr differently and must FAIL here like they would there)
+                repr_cols.add(col)
+                continue
+            kind_bad = f"col {col}: dtype kind spark={s[col].dtype} duck={d[col].dtype}"
+            break
         if kind_bad:
             failures.append((name, kind_bad))
             continue
@@ -79,7 +90,12 @@ def main():
         for col in s.columns:
             sv, dv = list(s[col]), list(d[col])
             for i, (x, y) in enumerate(zip(sv, dv)):
-                if not values_equal(x, y):
+                if col in repr_cols:
+                    if repr(x) != repr(y):
+                        bad = (f"col {col} row {i} (object-dtype strict): "
+                               f"spark={x!r} duck={y!r}")
+                        break
+                elif not values_equal(x, y):
                     bad = f"col {col} row {i}: spark={x!r} duck={y!r}"
                     break
             if bad:
