@@ -192,17 +192,30 @@ object Dedup {
       .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
       .filter(col("sig").isNotNull)
     val cand = candidatePairs(sig)
+    val verified = pairOverlap(sh, cand)
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= JaccardTau)
+      .select("da", "db", "inter", "jaccard")
+    LshBuild(sh, sig, cand, verified)
+  }
+
+  /** (da, db, inter, na, nb) for each candidate pair — the overlap facts
+    * every set-similarity measure (Jaccard, containment, overlap
+    * coefficient) is one arithmetic step from.
+    *
+    * Intersection sizes via a shingle equijoin restricted to candidate
+    * pairs. Only candidate-pair ID lists (bucket-cap-bounded) are ever
+    * broadcast: the left side attaches pair keys to the left doc's
+    * shingles map-side, the right side is semi-filtered to candidate
+    * right-docs map-side — so the corpus-sized shingle table never
+    * shuffles, and the one shuffle join moves two tables sized
+    * pairs × shingles/doc. That quantity tracks duplicate density and is
+    * NOT broadcast-safe at 100 TB (the r3 plan broadcast it — a forced
+    * multi-GB broadcast on a high-dup crawl), but shuffling it is linear
+    * and safe.
+    */
+  private def pairOverlap(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // Intersection sizes via a shingle equijoin restricted to candidate
-    // pairs. Only candidate-pair ID lists (bucket-cap-bounded) are ever
-    // broadcast: the left side attaches pair keys to the left doc's
-    // shingles map-side, the right side is semi-filtered to candidate
-    // right-docs map-side — so the corpus-sized shingle table never
-    // shuffles, and the one shuffle join moves two tables sized
-    // pairs × shingles/doc. That quantity tracks duplicate density and is
-    // NOT broadcast-safe at 100 TB (the r3 plan broadcast it — a forced
-    // multi-GB broadcast on a high-dup crawl), but shuffling it is linear
-    // and safe.
     val daSh = broadcast(cand.select("da", "db"))
       .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
     val dbSh = sh.select(col("doc_id").as("db"), col("s"))
@@ -219,12 +232,8 @@ object Dedup {
     // gets broadcast in both size lookups — `inter` is per-pair-bounded
     val withNa = sz.select(col("doc_id").as("da"), col("n").as("na"))
       .join(broadcast(inter), Seq("da"))
-    val verified = sz.select(col("doc_id").as("db"), col("n").as("nb"))
+    sz.select(col("doc_id").as("db"), col("n").as("nb"))
       .join(broadcast(withNa), Seq("db"))
-      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= JaccardTau)
-      .select("da", "db", "inter", "jaccard")
-    LshBuild(sh, sig, cand, verified)
   }
 
   private def lshShared(spark: SparkSession, d: String): LshShared = synchronized {
@@ -284,6 +293,41 @@ object Dedup {
        | CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
        |FROM inter JOIN sz x ON inter.da = x.doc_id JOIN sz y ON inter.db = y.doc_id
        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardTau
+       |ORDER BY da, db""".stripMargin
+
+  // --- dedup_containment --------------------------------------------------
+  // Asymmetric near-dup: containment C(A,B) = |A∩B| / min(|A|,|B|) catches
+  // a short document embedded in a longer one (quote pages, boilerplate-
+  // wrapped copies, sub-document duplication) that symmetric Jaccard
+  // misses — inter/union is diluted by the longer doc, inter/min is not.
+  // Candidates come from the SAME memoized LSH buckets (no second
+  // signature pipeline); scoring reuses the pairOverlap sort-merge probe,
+  // so the scale shape is identical to dedup_ngram_jaccard: only pair-ID
+  // lists broadcast, one density-linear shuffle. Single division of exact
+  // integers → bit-identical across engines.
+  private val ContainTau = 0.9
+
+  def dedupContainment(spark: SparkSession, d: String): DataFrame =
+    pairOverlap(shingles(Tables.documents(spark, d)),
+        lshShared(spark, d).cand.select("da", "db"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= ContainTau)
+      .select("da", "db", "inter", "containment")
+      .orderBy("da", "db")
+
+  val dedupContainmentSql: String = LshCte +
+    s""",
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT cand.da, cand.db, count(*) AS inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = cand.da
+       |  JOIN sh b ON b.doc_id = cand.db AND b.s = a.s
+       |  GROUP BY 1, 2)
+       |SELECT da, db, inter,
+       | CAST(inter AS DOUBLE) / least(x.n, y.n) AS containment
+       |FROM inter JOIN sz x ON inter.da = x.doc_id JOIN sz y ON inter.db = y.doc_id
+       |WHERE CAST(inter AS DOUBLE) / least(x.n, y.n) >= $ContainTau
        |ORDER BY da, db""".stripMargin
 
   // --- dedup_components ---------------------------------------------------
@@ -497,6 +541,7 @@ object Dedup {
     "dedup_exact_norm" -> dedupExactNorm,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_containment" -> dedupContainment,
     "dedup_components" -> dedupComponents,
     "dedup_cluster_stats" -> dedupClusterStats,
     "dedup_simhash" -> dedupSimhash,
@@ -507,6 +552,7 @@ object Dedup {
     "dedup_exact_norm" -> dedupExactNormSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_simhash" -> dedupSimhashSql,

@@ -414,6 +414,73 @@ object TextAnalysis {
        |   + len(regexp_extract_all(text, '$SsnRe')) + len(regexp_extract_all(text, '$PhoneRe')) > 0 AS has_pii
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- text_pii_redact ----------------------------------------------------
+  // The redaction TRANSFORM next to the text_pii scan — the step a training
+  // pipeline actually ships: every email/IPv4/SSN/phone match replaced by a
+  // typed placeholder, plus the applied-redaction count. Replacement order
+  // is fixed (email, ipv4, ssn, phone) and counts are computed on the
+  // ORIGINAL text, so both engines perform the identical global
+  // non-overlapping left-to-right replacements and the redacted strings
+  // agree byte-for-byte (patterns are the Java-regex/RE2-identical set from
+  // text_pii). The corpus-level oracle exercises the no-op path (corpus is
+  // digit-free); tools/check_pii_parity.py proves the positive path on
+  // synthetic PII docs in BOTH engines. PURE MAP over the scan.
+  def textPiiRedact(spark: SparkSession, d: String): DataFrame =
+    textPiiRedactFrom(Tables.documents(spark, d))
+
+  /** DataFrame-in variant: `docs` needs (doc_id, text). */
+  def textPiiRedactFrom(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        lit(EmailRe), lit("[EMAIL]")), lit(Ipv4Re), lit("[IPV4]")),
+        lit(SsnRe), lit("[SSN]")), lit(PhoneRe), lit("[PHONE]")).as("redacted"),
+      (size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        + size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+        + size(regexp_extract_all(col("text"), lit(SsnRe), lit(0)))
+        + size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))))
+        .cast("long").as("n_redacted"))
+      .orderBy("doc_id")
+
+  val textPiiRedactSql: String =
+    s"""SELECT doc_id,
+       | regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+       |   '$EmailRe', '[EMAIL]', 'g'), '$Ipv4Re', '[IPV4]', 'g'),
+       |   '$SsnRe', '[SSN]', 'g'), '$PhoneRe', '[PHONE]', 'g') AS redacted,
+       | CAST(len(regexp_extract_all(text, '$EmailRe')) + len(regexp_extract_all(text, '$Ipv4Re'))
+       |   + len(regexp_extract_all(text, '$SsnRe')) + len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_redacted
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- doc_length_histogram -----------------------------------------------
+  // Log2-bucketed token-count histogram — the length panel on every dataset
+  // card, and the input to context-window budget decisions. bucket =
+  // floor(log2(n_words)) computed EXACTLY as the binary-string length minus
+  // one (bin() of a BIGINT in both engines) — no float log anywhere, so a
+  // doc can never straddle a bucket edge differently per engine. One
+  // map-side-combinable groupBy over ≤64 keys: the full length curve of a
+  // 100 TB corpus moves a few KB of partials per partition.
+  def docLengthHistogram(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(size(words).cast("long").as("nw"))
+      .filter(col("nw") >= 1)
+      .select((length(bin(col("nw"))) - 1).cast("long").as("bucket"), col("nw"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("total_tokens"))
+      .withColumn("lo", expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"))
+      .withColumn("hi", expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) + 1) - 1"))
+      .select("bucket", "lo", "hi", "n_docs", "total_tokens")
+      .orderBy("bucket")
+
+  val docLengthHistogramSql: String =
+    """WITH t AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nw FROM documents),
+      |b AS (SELECT CAST(length(bin(nw)) - 1 AS BIGINT) AS bucket, nw FROM t WHERE nw >= 1)
+      |SELECT bucket,
+      | CAST(CAST(1 AS BIGINT) << CAST(bucket AS INT) AS BIGINT) AS lo,
+      | CAST((CAST(1 AS BIGINT) << (CAST(bucket AS INT) + 1)) - 1 AS BIGINT) AS hi,
+      | count(*) AS n_docs,
+      | CAST(sum(nw) AS BIGINT) AS total_tokens
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- doc_pack -----------------------------------------------------------
   // Sequence packing — concatenate-then-chunk assignment of documents into
   // fixed token-budget bins (what an LLM pre-training pipeline does to fill
@@ -706,6 +773,8 @@ object TextAnalysis {
     "doc_pack" -> docPack,
     "text_repetition" -> textRepetition,
     "text_pii" -> textPii,
+    "text_pii_redact" -> textPiiRedact,
+    "doc_length_histogram" -> docLengthHistogram,
     "doc_split" -> docSplit,
     "text_boilerplate" -> textBoilerplate,
     "text_tokens" -> textTokens,
@@ -725,6 +794,8 @@ object TextAnalysis {
     "doc_pack" -> docPackSql,
     "text_repetition" -> textRepetitionSql,
     "text_pii" -> textPiiSql,
+    "text_pii_redact" -> textPiiRedactSql,
+    "doc_length_histogram" -> docLengthHistogramSql,
     "doc_split" -> docSplitSql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_tokens" -> textTokensSql,

@@ -166,4 +166,26 @@ class DedupSpec extends SparkSpec {
       .groupBy(identity).map { case (sz, g) => sz -> g.size.toLong }
     assert(stats === expected)
   }
+
+  test("containment dominates jaccard on shared pairs and matches a local recomputation") {
+    val cont = Dedup.dedupContainment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment")).toMap
+    val jac = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(cont.nonEmpty, "expected containment pairs in the synthetic corpus")
+    cont.values.foreach(c => assert(c >= 0.9 && c <= 1.0))
+    // inter/min >= inter/union, so every verified pair with jaccard >= 0.9
+    // must surface here, and containment dominates jaccard where both exist
+    jac.filter(_._2 >= 0.9).keys.foreach(k => assert(cont.contains(k)))
+    cont.keys.filter(jac.contains).foreach(k => assert(cont(k) >= jac(k)))
+    // independent local recomputation from raw shingle sets
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq
+        .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet).toMap
+    cont.foreach { case ((da, db), c) =>
+      val (a, b) = (docs(da), docs(db))
+      assert(c === a.intersect(b).size.toDouble / math.min(a.size, b.size))
+    }
+  }
 }

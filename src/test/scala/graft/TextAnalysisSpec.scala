@@ -95,6 +95,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(corpus.filter(org.apache.spark.sql.functions.col("has_pii")).count() === 0)
   }
 
+  test("pii redaction replaces synthetic matches with typed placeholders; corpus is a no-op") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob.smith+tag@mail.co today"),
+      (2L, "server at 10.0.0.1 and 192.168.001.255 responded"),
+      (3L, "ssn 123-45-6789 phone 555-123-4567 and 555 987 6543"),
+      (4L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.textPiiRedactFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === (("contact [EMAIL] or [EMAIL] today", 2L)))
+    assert(got(2L) === (("server at [IPV4] and [IPV4] responded", 2L)))
+    assert(got(3L) === (("ssn [SSN] phone [PHONE] and [PHONE]", 3L)))
+    assert(got(4L) === (("nothing sensitive here at all", 0L)))
+    // digit-free corpus: redaction must be the identity with zero counts
+    val corpus = TextAnalysis.textPiiRedact(spark, sf)
+      .join(graft.sources.Tables.documents(spark, sf), Seq("doc_id"))
+    assert(corpus.filter(org.apache.spark.sql.functions.col("n_redacted") =!= 0L).count() === 0)
+    assert(corpus.filter(
+      org.apache.spark.sql.functions.col("redacted") =!=
+        org.apache.spark.sql.functions.col("text")).count() === 0)
+  }
+
+  test("doc length histogram partitions the corpus with exact power-of-two edges") {
+    val rows = TextAnalysis.docLengthHistogram(spark, sf).collect()
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0).trim.split("\\s+").length.toLong)
+      .filter(_ >= 1)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === lens.length)
+    assert(rows.map(_.getAs[Long]("total_tokens")).sum === lens.sum)
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getAs[Long]("bucket"), r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+      assert(lo === (1L << b) && hi === (1L << (b + 1)) - 1)
+      // every doc in this bucket has lo <= nw <= hi — recompute locally
+      assert(lens.count(n => n >= lo && n <= hi).toLong === r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("repetition: top-bigram count matches a local recomputation and ratios are bounded") {
     val texts = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()

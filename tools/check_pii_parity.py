@@ -25,6 +25,20 @@ CASES = [
     ("nothing sensitive here at all", (0, 0, 0, 0)),
 ]
 
+# (text, redacted) — the strings TextAnalysisSpec asserts for the SPARK
+# side of text_pii_redact on the same documents (same replacement order:
+# email, ipv4, ssn, phone)
+REDACT_CASES = [
+    ("contact alice@example.com or bob.smith+tag@mail.co today",
+     "contact [EMAIL] or [EMAIL] today"),
+    ("server at 10.0.0.1 and 192.168.001.255 responded",
+     "server at [IPV4] and [IPV4] responded"),
+    ("ssn 123-45-6789 phone 555-123-4567 and 555 987 6543",
+     "ssn [SSN] phone [PHONE] and [PHONE]"),
+    ("nothing sensitive here at all", "nothing sensitive here at all"),
+]
+
+
 def main():
     con = duckdb.connect()
     bad = []
@@ -35,11 +49,19 @@ def main():
             [text, EMAIL, text, IPV4, text, SSN, text, PHONE]).fetchone()
         if tuple(got) != want:
             bad.append((text, want, tuple(got)))
+    for text, want in REDACT_CASES:
+        got = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(?,"
+            " ?, '[EMAIL]', 'g'), ?, '[IPV4]', 'g'), ?, '[SSN]', 'g'), ?, '[PHONE]', 'g')",
+            [text, EMAIL, IPV4, SSN, PHONE]).fetchone()[0]
+        if got != want:
+            bad.append((text, want, got))
     if bad:
         for text, want, got in bad:
-            print(f"MISMATCH {text!r}: spark-spec {want} vs duckdb {got}")
+            print(f"MISMATCH {text!r}: spark-spec {want!r} vs duckdb {got!r}")
         sys.exit(1)
-    print(f"pii parity: all {len(CASES)} synthetic docs count identically in DuckDB")
+    print(f"pii parity: all {len(CASES)} count cases and {len(REDACT_CASES)} "
+          "redaction cases match DuckDB")
 
 if __name__ == "__main__":
     main()
