@@ -446,6 +446,42 @@ object Dedup {
     replaced
   }
 
+  // --- dedup_apply --------------------------------------------------------
+  // The step everything upstream exists for: materialize the DEDUPLICATED
+  // corpus — every near-dup cluster collapsed to its canonical doc (the
+  // component minimum), untouched docs passed through. Composes the
+  // memoized canonical assignment with the corpus exactly like
+  // ds_apply_filter composes a QC selection with raw data: the corpus
+  // streams through ONE anti-join against the duplicate-density-bounded
+  // non-canonical id list (no forced hint — AQE broadcasts it when small,
+  // shuffles when a high-dup crawl makes it big). At 100 TB this is the
+  // pipeline's output job: scan + sparse anti-join + write.
+  def dedupApply(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .join(dedupComponents(spark, d)
+          .filter(col("canonical_id") =!= col("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val dedupApplySql: String = LshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+    s""",
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT cand.da, cand.db, count(*) AS inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = cand.da
+       |  JOIN sh b ON b.doc_id = cand.db AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |vp AS (SELECT da, db FROM inter JOIN sz x ON inter.da = x.doc_id JOIN sz y ON inter.db = y.doc_id
+       |       WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardTau),
+       |e AS (SELECT da AS a, db AS b FROM vp UNION SELECT db, da FROM vp),
+       |reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |canon AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY 1)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d LEFT JOIN canon c USING (doc_id)
+       |WHERE least(coalesce(c.mn, d.doc_id), d.doc_id) = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // --- dedup_simhash ------------------------------------------------------
   // 64-bit SimHash: bit b comes from nibble bits of each token's md5,
   // weighted by token frequency; the fingerprint lives as 4 × 16-bit chunk
@@ -543,6 +579,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_components" -> dedupComponents,
+    "dedup_apply" -> dedupApply,
     "dedup_cluster_stats" -> dedupClusterStats,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding)
@@ -554,6 +591,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_components" -> dedupComponentsSql,
+    "dedup_apply" -> dedupApplySql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql)

@@ -167,6 +167,17 @@ class DedupSpec extends SparkSpec {
     assert(stats === expected)
   }
 
+  test("dedup_apply keeps exactly the canonical docs") {
+    val mapping = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = Dedup.dedupApply(spark, sf).collect().map(_.getLong(0)).toSet
+    val canonical = mapping.filter { case (id, c) => id == c }.keySet
+    assert(kept === canonical)
+    // every dropped doc's canonical survives
+    mapping.filterNot { case (id, c) => id == c }
+      .values.foreach(c => assert(kept(c)))
+  }
+
   test("containment dominates jaccard on shared pairs and matches a local recomputation") {
     val cont = Dedup.dedupContainment(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment")).toMap
