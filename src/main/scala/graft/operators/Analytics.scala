@@ -481,7 +481,81 @@ object Analytics {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --- q_retention --------------------------------------------------------
+  // Cohort retention: users grouped by first-seen day, counted on each
+  // later active day as an offset from their cohort — the product-
+  // analytics table behind every retention curve. All integer/date math.
+  // Scale shape: per-user first-day is one map-side-combinable min; the
+  // (user, day) distinct collapses partitions before its shuffle; both
+  // shuffles hash on user_id (co-partitioned, AQE may broadcast the tiny
+  // cohort side), and the final groupBy is over cohorts×offsets — report-
+  // sized. No windows, no self-joins over raw events.
+  def qRetention(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val fu = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    ev.distinct()
+      .join(fu, Seq("user_id"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_s"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_s", "day_offset")
+  }
+
+  val qRetentionSql: String =
+    """WITH fu AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_s,
+      | CAST(datediff('day', cohort, day) AS BIGINT) AS day_offset,
+      | CAST(count(*) AS BIGINT) AS n_users
+      |FROM act JOIN fu USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- q_funnel -----------------------------------------------------------
+  // Ordered conversion funnel with a bounded window: first view → first
+  // click within 1 day of it → first purchase within 1 day of that click.
+  // Each stage anchors on the PREVIOUS stage's min timestamp (strictly
+  // later, ≤ anchor + 1 day), so the count sequence is monotone by
+  // construction. Timestamps compare exactly (µs precision both engines).
+  // Scale shape: three aggregations all hashed on user_id — co-partitioned
+  // chain, each stage's table shrinks (funnels only narrow); the stage
+  // frames join the raw scan once each, never stage-to-stage over events.
+  private val FunnelWindowSec = 86400L
+
+  def qFunnel(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    def within(anchor: Column) = col("ts") > anchor &&
+      col("ts") <= anchor + expr(s"INTERVAL $FunnelWindowSec SECOND")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(within(col("t1")))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(within(col("t2")))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users")).select(lit("2_click").as("stage"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users")).select(lit("3_purchase").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  val qFunnelSql: String =
+    s"""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON v.user_id = e.user_id
+       |      AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL $FunnelWindowSec SECOND
+       |      WHERE e.event_type = 'click' GROUP BY 1),
+       |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON c.user_id = e.user_id
+       |      AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL $FunnelWindowSec SECOND
+       |      WHERE e.event_type = 'purchase' GROUP BY 1)
+       |SELECT stage, n_users FROM (
+       | SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+       | UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+       | UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p)
+       |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention" -> qRetention,
+    "q_funnel" -> qFunnel,
     "q_pivot" -> qPivot,
     "q_grouping_sets" -> qGroupingSets,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -499,6 +573,8 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_retention" -> qRetentionSql,
+    "q_funnel" -> qFunnelSql,
     "q_pivot" -> qPivotSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q1_pricing_summary" -> q1Sql,

@@ -482,6 +482,50 @@ object Dedup {
        |WHERE least(coalesce(c.mn, d.doc_id), d.doc_id) = d.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --- dedup_substring ----------------------------------------------------
+  // Exact-substring dedup (the Lee et al., "Deduplicating Training Data
+  // Makes Language Models Better" shape, scaled down from 50-token to
+  // 16-token spans for this corpus): a doc's 16-token window is
+  // "duplicated" when the SAME window text occurs in at least one other
+  // document. Output per doc: distinct windows, duplicated windows, and
+  // their ratio — the span-level report a substring-dedup pass trims from.
+  // Windows are md5-hashed in the scan's project list (fixed 32-char keys
+  // instead of ~120-char strings through the shuffles) and deduped
+  // WITHIN the doc map-side via array_distinct, so cross-doc frequency is
+  // distinct-doc frequency. Scale shape: two gram-table shuffles (df
+  // groupBy + the df join, which reuses the same hash exchange) and one
+  // map-side-combinable per-doc groupBy — the same class as
+  // text_boilerplate's df-join; no all-pairs step anywhere. A doc whose
+  // window count is below W yields no windows and is dropped (n_windows
+  // would be 0 — nothing to report).
+  private val SubstrW = 16
+
+  def dedupSubstring(spark: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(spark, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= SubstrW)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(w) - ${SubstrW - 1}), i -> md5(concat_ws(' ', slice(w, i, $SubstrW)))))")).as("g"))
+    val df = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+    grams.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio", col("n_dup").cast("double") / col("n_windows"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSubstringSql: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS w FROM documents),
+       |g AS (SELECT DISTINCT doc_id, unnest([md5(array_to_string(w[i:i+${SubstrW - 1}],' ')) FOR i IN range(1, len(w)-${SubstrW - 2})]) AS g
+       |      FROM w WHERE len(w) >= $SubstrW),
+       |df AS (SELECT g, count(*) AS nd FROM g GROUP BY 1),
+       |per AS (SELECT g.doc_id, count(*) AS n_windows, count(*) FILTER (df.nd > 1) AS n_dup
+       |        FROM g JOIN df USING (g) GROUP BY 1)
+       |SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows, CAST(n_dup AS BIGINT) AS n_dup,
+       | CAST(n_dup AS DOUBLE) / n_windows AS dup_ratio
+       |FROM per ORDER BY doc_id""".stripMargin
+
   // --- dedup_simhash ------------------------------------------------------
   // 64-bit SimHash: bit b comes from nibble bits of each token's md5,
   // weighted by token frequency; the fingerprint lives as 4 × 16-bit chunk
@@ -581,6 +625,7 @@ object Dedup {
     "dedup_components" -> dedupComponents,
     "dedup_apply" -> dedupApply,
     "dedup_cluster_stats" -> dedupClusterStats,
+    "dedup_substring" -> dedupSubstring,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding)
 
@@ -593,6 +638,7 @@ object Dedup {
     "dedup_components" -> dedupComponentsSql,
     "dedup_apply" -> dedupApplySql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -302,7 +302,7 @@ object Similarity {
   }
 
   // --- ann_recall ---------------------------------------------------------
-  // Recall@k of both approximate paths against the exact baseline — the
+  // Recall@k of the approximate paths against the exact baseline — the
   // evaluation an ANN deployment runs before trusting its index. Per query:
   // hits = |approx ∩ exact top-k|, recall = hits / k (single division of
   // exact integers). Composes the three existing deterministic operators,
@@ -327,6 +327,7 @@ object Similarity {
     }
     recallOf(annLsh(spark, d), "lsh")
       .unionByName(recallOf(annIvf(spark, d), "ivf"))
+      .unionByName(recallOf(annQuantized(spark, d), "quantized"))
       .orderBy("method", "qid")
   }
 
@@ -359,17 +360,73 @@ object Similarity {
        |itop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM iv)
        |  WHERE rank <= $K),
+       |qsc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
+       |qqn AS (SELECT vec_id, [CAST(floor((x * 127.0) / sc) AS BIGINT) FOR x IN v] AS q FROM qsc WHERE sc > 0),
+       |qqs AS (SELECT vec_id AS qid, q AS qq FROM qqn WHERE vec_id < $NumQueries),
+       |qd AS (SELECT qid, vec_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), [qq[CAST(k AS INT)]*q[CAST(k AS INT)] FOR k IN range(1,65)]), (a, x) -> a + x) AS score
+       |  FROM qqn CROSS JOIN qqs),
+       |qtop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM qd)
+       |  WHERE rank <= $K),
        |u AS (SELECT 'lsh' AS method, qid, vec_id FROM ltop
-       |      UNION ALL SELECT 'ivf', qid, vec_id FROM itop),
+       |      UNION ALL SELECT 'ivf', qid, vec_id FROM itop
+       |      UNION ALL SELECT 'quantized', qid, vec_id FROM qtop),
        |hit AS (SELECT method, u.qid, count(*) AS hits
        |        FROM u JOIN xtop x ON u.qid = x.qid AND u.vec_id = x.vec_id
        |        GROUP BY 1, 2),
        |qm AS (SELECT CAST(range AS BIGINT) AS qid, method
-       |       FROM range(0, $NumQueries) CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'))
+       |       FROM range(0, $NumQueries) CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf' UNION ALL SELECT 'quantized'))
        |SELECT qm.qid, qm.method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
        |  CAST(coalesce(h.hits, 0) AS DOUBLE) / $K AS recall
        |FROM qm LEFT JOIN hit h ON h.qid = qm.qid AND h.method = qm.method
        |ORDER BY qm.method, qm.qid""".stripMargin
+
+  // --- ann_quantized ------------------------------------------------------
+  // Int8-quantized brute-force top-k — the memory-bound scale path real
+  // vector stores ship (FAISS SQ8-style scalar quantization): each vector
+  // is quantized per-vector-symmetric to 8-bit ints, q_i = floor(v_i·127 /
+  // max|v|), and scoring is an INTEGER dot product (MIPS ranking — equal
+  // to cosine ranking here because the corpus embeddings are unit-norm,
+  // which is also why the self-hit survives quantization) — 8× smaller resident
+  // vectors and SIMD-friendly integer math, at a small recall cost
+  // (ann_recall's harness applies unchanged if wired to this method).
+  // Exactness: quantization is floor() of one double product-then-divide
+  // (identical IEEE sequence in both engines — the repo's floor-rounding
+  // strategy), and scores are pure BIGINT sums, so ranks carry no float
+  // ties at all. Scale shape = ann_bruteforce's: quantization is a pure
+  // map in the scan's project list, the tiny quantized query set
+  // broadcasts (size-BOUNDED: NumQueries rows — audited in
+  // tools/broadcast_allowlist.txt), the corpus never shuffles, and only
+  // (queries × k) rows leave the per-partition top-k.
+  def annQuantized(spark: SparkSession, d: String): DataFrame = {
+    val qn = vectors(spark, d)
+      .withColumn("sc", array_max(expr("transform(v, x -> abs(x))")))
+      .filter(col("sc") > 0)
+      .select(col("vec_id"),
+        expr("transform(v, x -> CAST(floor((x * 127.0D) / sc) AS BIGINT))").as("q"))
+    val qs = qn.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
+    qn.crossJoin(broadcast(qs))
+      .withColumn("score", expr("aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("qid", "rank", "vec_id", "score")
+      .orderBy("qid", "rank")
+  }
+
+  val annQuantizedSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
+       |qn AS (SELECT vec_id, [CAST(floor((x * 127.0) / sc) AS BIGINT) FOR x IN v] AS q FROM s WHERE sc > 0),
+       |qs AS (SELECT vec_id AS qid, q AS qq FROM qn WHERE vec_id < $NumQueries),
+       |d AS (SELECT qid, vec_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), [qq[CAST(k AS INT)]*q[CAST(k AS INT)] FOR k IN range(1,65)]), (a, x) -> a + x) AS score
+       |  FROM qn CROSS JOIN qs),
+       |r AS (SELECT qid, vec_id, score,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank FROM d)
+       |SELECT qid, rank, vec_id, score FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
   // --- embed_cluster ------------------------------------------------------
   // Embedding-corpus profile: assign EVERY vector to its nearest of the 16
@@ -409,6 +466,7 @@ object Similarity {
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_quantized" -> annQuantized,
     "ann_recall" -> annRecall,
     "embed_cluster" -> embedCluster)
 
@@ -416,6 +474,7 @@ object Similarity {
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_quantized" -> annQuantizedSql,
     "ann_recall" -> annRecallSql,
     "embed_cluster" -> embedClusterSql)
 }

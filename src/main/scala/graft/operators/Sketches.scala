@@ -184,11 +184,86 @@ object Sketches {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  // --- sketch_bloom -------------------------------------------------------
+  // Bloom-filter membership sketch per event_type over user_ids: m = 4096
+  // bits, k = 4 hash positions carved from md5(user_id) (3 hex chars per
+  // position — the same carve-independent-hashes-from-one-md5 trick as
+  // minhash_sig). A probe is "maybe present" iff ALL k bits are set; the
+  // exact membership flag rides along for calibration, so the output
+  // exposes false positives directly (bloom_hit=1 ∧ exact_hit=0 — at this
+  // load factor, 150·4/4096 ≈ 0.15, the expected FP rate is ~1e-3;
+  // SketchesSpec proves the FP mechanics on a saturated 64-bit filter).
+  // Scale shape: the bit set is a distinct over (type, pos) — map-side
+  // partial dedup collapses every partition to ≤ types·m rows before the
+  // one tiny shuffle, i.e. CONSTANT sketch state per partition merged by
+  // set-union, the Bloom merge law. The probe grid (types × 20 uids × k)
+  // is constant-sized; no corpus-sized movement anywhere but the scan.
+  // Pure integer/string math — no floats at all.
+  private val BloomK = 4 // hash functions (3 hex chars each → m = 4096)
+  private val ProbeLo = 140L
+  private val ProbeHi = 160L // probe uids straddle the corpus max (149)
+
+  // position j of key k = int value of md5 hex chars [3j+1, 3j+3] — 12 of
+  // the 32 md5 chars used, 4 independent 12-bit positions
+  private def bloomPos(key: org.apache.spark.sql.Column, j: Int) =
+    conv(substring(md5(key.cast("string")), 3 * j + 1, 3), 16, 10).cast("long")
+
+  def sketchBloom(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val bits = ev.select(col("event_type"),
+      explode(array((0 until BloomK).map(j =>
+        bloomPos(col("user_id"), j)): _*)).as("pos"))
+      .distinct()
+    val types = ev.select("event_type").distinct()
+    val probes = types.crossJoin(
+      spark.range(ProbeLo, ProbeHi).toDF("probe_uid"))
+    val pp = probes.select(col("event_type"), col("probe_uid"),
+      explode(array((0 until BloomK).map(j =>
+        struct(lit(j).as("j"), bloomPos(col("probe_uid"), j).as("pos"))): _*)).as("x"))
+      .select(col("event_type"), col("probe_uid"),
+        col("x.j").as("j"), col("x.pos").as("pos"))
+    val hit = pp.join(bits, Seq("event_type", "pos"))
+      .groupBy("event_type", "probe_uid").agg(countDistinct(col("j")).as("nhit"))
+    val exact = ev.select(col("event_type"), col("user_id").as("probe_uid"))
+      .distinct().withColumn("ex", lit(1L))
+    probes.join(hit, Seq("event_type", "probe_uid"), "left")
+      .join(exact, Seq("event_type", "probe_uid"), "left")
+      .select(col("event_type"), col("probe_uid"),
+        (coalesce(col("nhit"), lit(0L)) === BloomK).cast("long").as("bloom_hit"),
+        coalesce(col("ex"), lit(0L)).as("exact_hit"))
+      .orderBy("event_type", "probe_uid")
+  }
+
+  val sketchBloomSql: String = {
+    def posSql(key: String, j: String): String =
+      s"""(strpos('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), CAST(3*$j+1 AS INT), 1)) - 1) * 256 +
+         |  (strpos('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), CAST(3*$j+2 AS INT), 1)) - 1) * 16 +
+         |  (strpos('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), CAST(3*$j+3 AS INT), 1)) - 1)""".stripMargin
+    s"""WITH h AS (SELECT DISTINCT event_type, user_id FROM events),
+       |bits AS (SELECT DISTINCT event_type,
+       |  ${posSql("user_id", "j")} AS pos
+       |  FROM h, range(0, $BloomK) t(j)),
+       |types AS (SELECT DISTINCT event_type FROM events),
+       |probe AS (SELECT event_type, CAST(u AS BIGINT) AS probe_uid FROM types, range($ProbeLo, $ProbeHi) t(u)),
+       |pp AS (SELECT event_type, probe_uid,
+       |  ${posSql("probe_uid", "j")} AS pos, j
+       |  FROM probe, range(0, $BloomK) t(j)),
+       |hit AS (SELECT pp.event_type, pp.probe_uid, count(DISTINCT pp.j) AS nhit
+       |        FROM pp JOIN bits ON bits.event_type = pp.event_type AND bits.pos = pp.pos GROUP BY 1, 2)
+       |SELECT p.event_type, p.probe_uid,
+       | CAST(coalesce(h2.nhit, 0) = $BloomK AS BIGINT) AS bloom_hit,
+       | CAST(EXISTS (SELECT 1 FROM h WHERE h.event_type = p.event_type AND h.user_id = p.probe_uid) AS BIGINT) AS exact_hit
+       |FROM probe p LEFT JOIN hit h2 ON h2.event_type = p.event_type AND h2.probe_uid = p.probe_uid
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> sketchHll,
-    "sketch_cms" -> sketchCms)
+    "sketch_cms" -> sketchCms,
+    "sketch_bloom" -> sketchBloom)
 
   val oracle: Map[String, String] = Map(
     "sketch_hll" -> sketchHllSql,
-    "sketch_cms" -> sketchCmsSql)
+    "sketch_cms" -> sketchCmsSql,
+    "sketch_bloom" -> sketchBloomSql)
 }

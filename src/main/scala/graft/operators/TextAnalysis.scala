@@ -763,7 +763,72 @@ object TextAnalysis {
       | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE) / count(*) AS avg_doc_tokens
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- select_token_budget ------------------------------------------------
+  // Data selection under a token budget — the step that turns quality
+  // scores into a training set: rank documents by an integer quality score
+  // (stopword density per 100k tokens; ties by doc_id) and keep the prefix
+  // whose running token total stays within the budget. nw ≥ 1 for every
+  // doc, so the running total is strictly increasing and "cum ≤ budget" IS
+  // a prefix — no skip-over ambiguity.
+  //
+  // Scale shape: the oracle's single global window (ORDER BY score, no
+  // partition) would funnel the corpus through ONE partition, so the Spark
+  // formulation decomposes the prefix sum the way a distributed scan does:
+  // (1) per-score-bucket token totals — a map-side-combinable groupBy over
+  // ≤100,001 keys; (2) the budget threshold found by a cumulative window
+  // over that BUCKET table (bounded by score resolution, never corpus
+  // size); (3) docs join their bucket's cum-before offset (AQE broadcasts
+  // the bounded bucket table) — fully-covered buckets pass outright, and
+  // only CANDIDATE buckets (cum_before < budget) reach the per-bucket
+  // doc_id-ordered window that settles the boundary. The two formulations
+  // are provably equal because the global order is exactly (score DESC,
+  // doc_id): bucket cum-before + within-bucket running = global running.
+  private val TokenBudget = 15000L
+  private val ScoreScale = 100000L
+
+  def selectTokenBudget(spark: SparkSession, d: String): DataFrame =
+    selectTokenBudgetWith(spark, d, TokenBudget)
+
+  /** Budget-parameterized form — the library entry point (the oracle entry
+    * pins budget = [[TokenBudget]]); also lets the spec exercise the
+    * boundary bucket at sf0.001, where the default budget exceeds the
+    * whole corpus. */
+  private[graft] def selectTokenBudgetWith(spark: SparkSession, d: String, budget: Long): DataFrame = {
+    val m = Tables.documents(spark, d)
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("nw"),
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"))
+      .select(col("doc_id"), col("nw"),
+        expr(s"($ScoreScale * stopn) div nw").as("iq"))
+    val wBucket = Window.orderBy(desc("iq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = m.groupBy("iq").agg(sum(col("nw")).as("bw"))
+      .withColumn("cumw", sum(col("bw")).over(wBucket))
+      .withColumn("cum_before", col("cumw") - col("bw"))
+      .filter(col("cum_before") < budget)
+    val wDoc = Window.partitionBy("iq").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.join(buckets.select("iq", "cum_before"), Seq("iq"))
+      .withColumn("cum_tokens", col("cum_before") + sum(col("nw")).over(wDoc))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "iq", "nw", "cum_tokens")
+      .orderBy(desc("iq"), col("doc_id"))
+  }
+
+  val selectTokenBudgetSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) AS nw,
+       |  CAST($ScoreScale * len(list_filter(regexp_split_to_array(trim(text),'\\s+'), x -> x IN ('the','a')))
+       |       // len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) AS iq
+       |  FROM documents),
+       |c AS (SELECT doc_id, iq, nw,
+       |      sum(nw) OVER (ORDER BY iq DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM m)
+       |SELECT doc_id, iq, nw, CAST(cum AS BIGINT) AS cum_tokens
+       |FROM c WHERE cum <= $TokenBudget ORDER BY iq DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "select_token_budget" -> selectTokenBudget,
     "text_quality_gate" -> textQualityGate,
     "text_decontaminate" -> textDecontaminate,
     "doc_source_stats" -> docSourceStats,
@@ -785,6 +850,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "select_token_budget" -> selectTokenBudgetSql,
     "text_quality_gate" -> textQualityGateSql,
     "text_decontaminate" -> textDecontaminateSql,
     "doc_source_stats" -> docSourceStatsSql,

@@ -87,4 +87,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(cntSum === total)
     assert(charSum === totalChars)
   }
+
+  test("funnel stages narrow monotonically and stage 1 counts distinct viewers") {
+    val rows = graft.operators.Analytics.qFunnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    assert(rows.keySet === Set("1_view", "2_click", "3_purchase"))
+    val viewers = graft.sources.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(rows("1_view") === viewers)
+    assert(rows("1_view") >= rows("2_click"))
+    assert(rows("2_click") >= rows("3_purchase"))
+  }
+
+  test("retention day-0 covers every user once and totals count distinct user-days") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val rows = graft.operators.Analytics.qRetention(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+    val users = ev.select("user_id").distinct().count()
+    val userDays = ev.select(col("user_id"), to_date(col("ts"))).distinct().count()
+    // every user is active on their own cohort day, exactly once
+    assert(rows.filter(_.getAs[Long]("day_offset") == 0L).map(_.getAs[Long]("n_users")).sum === users)
+    // the table partitions the distinct (user, day) set
+    assert(rows.map(_.getAs[Long]("n_users")).sum === userDays)
+    rows.foreach(r => assert(r.getAs[Long]("day_offset") >= 0L))
+  }
 }

@@ -199,4 +199,26 @@ class DedupSpec extends SparkSpec {
       assert(c === a.intersect(b).size.toDouble / math.min(a.size, b.size))
     }
   }
+
+  test("substring dedup matches a local recomputation of 16-token window sharing") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val wins = docs.collect { case (id, w) if w.length >= 16 =>
+      id -> w.sliding(16).map(_.mkString(" ")).toSet
+    }.toMap
+    val freq = scala.collection.mutable.Map[String, Int]()
+    wins.values.foreach(_.foreach(g => freq(g) = freq.getOrElse(g, 0) + 1))
+    val got = graft.operators.Dedup.dedupSubstring(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup"), r.getAs[Double]("dup_ratio")))).toMap
+    assert(got.keySet === wins.keySet)
+    wins.foreach { case (id, ws) =>
+      val nd = ws.count(g => freq(g) > 1).toLong
+      val (nw, gnd, ratio) = got(id)
+      assert(nw === ws.size.toLong, s"doc $id window count")
+      assert(gnd === nd, s"doc $id duplicated-window count")
+      assert(ratio === nd.toDouble / ws.size)
+    }
+  }
 }

@@ -119,4 +119,31 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("min_sim") <= r.getAs[Double]("max_sim"))
     }
   }
+
+  test("quantized ANN matches a local int8 dot-product recomputation") {
+    val raw = graft.sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val q = raw.collect { case (id, v) if v.map(math.abs).max > 0 =>
+      val sc = v.map(math.abs).max
+      id -> v.map(x => math.floor(x * 127.0 / sc).toLong)
+    }.toMap
+    val queries = q.filter(_._1 < 5)
+    val got = graft.operators.Similarity.annQuantized(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val score = queries(r.getAs[Long]("qid")).zip(q(r.getAs[Long]("vec_id")))
+        .map { case (a, b) => a * b }.sum
+      assert(r.getAs[Long]("score") === score)
+    }
+    // per-query: the emitted ranks are exactly the true top-10 by
+    // (integer score desc, vec_id asc) — no float ties exist by design
+    got.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      val expTop = q.toSeq.map { case (vid, qv) =>
+        (vid, queries(qid).zip(qv).map { case (a, b) => a * b }.sum)
+      }.sortBy { case (vid, s) => (-s, vid) }.take(10)
+      val gotTop = rs.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score"))).toSeq
+      assert(gotTop === expTop)
+    }
+  }
 }

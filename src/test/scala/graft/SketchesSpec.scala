@@ -95,4 +95,27 @@ class SketchesSpec extends SparkSpec {
         s"${r.getString(0)}: est $est vs exact $exact")
     }
   }
+
+  test("bloom probe matches local bit recomputation and has no false negatives") {
+    def pos(uid: Long, j: Int): Long =
+      java.lang.Long.parseLong(md5Hex(uid.toString).substring(3 * j, 3 * j + 3), 16)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val members = ev.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).toSet }
+    val bits = members.map { case (t, us) =>
+      t -> us.flatMap(u => (0 until 4).map(j => pos(u, j)))
+    }
+    val got = graft.operators.Sketches.sketchBloom(spark, sf).collect()
+    assert(got.length === members.size * 20)
+    got.foreach { r =>
+      val (t, u) = (r.getString(0), r.getAs[Long]("probe_uid"))
+      val expBloom = (0 until 4).forall(j => bits(t).contains(pos(u, j)))
+      val expExact = members(t).contains(u)
+      assert(r.getAs[Long]("bloom_hit") === (if (expBloom) 1L else 0L), s"($t,$u) bloom")
+      assert(r.getAs[Long]("exact_hit") === (if (expExact) 1L else 0L), s"($t,$u) exact")
+      // the Bloom guarantee: membership NEVER reads as absent
+      if (expExact) assert(r.getAs[Long]("bloom_hit") === 1L)
+    }
+  }
 }

@@ -316,4 +316,48 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("token-budget selection equals the greedy global prefix (score desc, doc_id)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).trim.split("\\s+").toSeq
+        val stopn = w.count(x => x == "the" || x == "a").toLong
+        (r.getLong(0), w.length.toLong, 100000L * stopn / w.length)
+      }
+    val ordered = docs.sortBy { case (id, _, iq) => (-iq, id) }
+    // the reference semantics: running total is strictly increasing, so the
+    // selection is the maximal PREFIX whose cumulative tokens fit the budget
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    var cum = 0L
+    var stopped = false
+    ordered.foreach { case (id, nw, iq) =>
+      if (!stopped) {
+        cum += nw
+        if (cum <= 15000L) expected += ((id, iq, nw, cum)) else stopped = true
+      }
+    }
+    val got = graft.operators.TextAnalysis.selectTokenBudget(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("iq"),
+        r.getAs[Long]("nw"), r.getAs[Long]("cum_tokens"))).toSeq
+    assert(got === expected.toSeq)
+
+    // boundary coverage: a budget smaller than the corpus must cut a
+    // bucket mid-way (the per-bucket window path) and stay a maximal prefix
+    val small = 1000L
+    val expSmall = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    var c2 = 0L
+    var stop2 = false
+    ordered.foreach { case (id, nw, iq) =>
+      if (!stop2) {
+        c2 += nw
+        if (c2 <= small) expSmall += ((id, iq, nw, c2)) else stop2 = true
+      }
+    }
+    val gotSmall = graft.operators.TextAnalysis.selectTokenBudgetWith(spark, sf, small).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("iq"),
+        r.getAs[Long]("nw"), r.getAs[Long]("cum_tokens"))).toSeq
+    assert(gotSmall === expSmall.toSeq)
+    assert(gotSmall.nonEmpty && gotSmall.size < got.size)
+  }
 }
