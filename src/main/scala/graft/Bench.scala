@@ -29,8 +29,8 @@ object Bench {
     val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
     val passClean = scala.collection.mutable.ArrayBuffer[Boolean]()
     // full-precision per-pass per-query times, persisted to a side file so
-    // cross-round drift is diagnosable per pass (the stdout JSON line only
-    // has room for the per-query minima at 10ms resolution)
+    // cross-round drift is diagnosable per pass (the stdout headline line
+    // carries NO per-query data — see the tail-window note below)
     val passDetail = scala.collection.mutable.ArrayBuffer[
       scala.collection.mutable.LinkedHashMap[String, Double]]()
     for (_ <- 1 to passes) {
@@ -71,30 +71,18 @@ object Bench {
     }
     val results = best.filter { case (k, _) => succeeded(k) }
     val permanent = errors.filterNot { case (k, _) => succeeded(k) }
-    // The driver keeps only the last ~2000 chars of stdout and parses the
-    // JSON line out of THAT window — round 5's line hit ~2000 chars (71
-    // queries at full Double.toString precision) and the round's bench
-    // parsed as null. Per-query times at 10ms resolution keep the line
-    // ~1600 chars with headroom for more operators; the headline value
-    // keeps millisecond precision.
     def r(v: Double, places: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r(v, 2) }
-      .mkString("{", ",", "}")
-    val es = permanent.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
-    // Headline "value" = the best SINGLE-PASS total over error-free passes —
-    // a total one run actually achieved (the per-query-minimum sum mixes
-    // passes and understates any real run). Falls back to the min-sum only
-    // if no pass was clean. Caveat stays: passes after the first run with a
-    // warm OS page cache (Spark/operator caches ARE wiped per pass), so
-    // "cold" here means cold JVM-side state, not cold files.
+    // Headline metric (r7 review): SUM OF PER-QUERY MINIMA across passes.
+    // On the shared driver box, per-pass totals swing 3.5× under CPU steal
+    // (r7: 80.7s / 224.2s / 284.2s for identical code) while the min-sum
+    // stays stable round over round (44.2 → 44.6s) — it is the only
+    // cross-round-comparable statistic this box can produce.
     val sumOfMins = if (results.nonEmpty) results.values.sum else 0.0
     val cleanTotals = passTotals.zip(passClean).collect { case (t, true) => t }
+    // best single-pass total — a total one run actually achieved — kept as
+    // a secondary field
     val total = if (cleanTotals.nonEmpty) cleanTotals.min else sumOfMins
-    // median over clean passes — min answers "how fast can it go", median
-    // answers "was this run trustworthy" (r6's 100.8s-vs-62.7s spread was
-    // invisible to a min-only headline)
     val medBase = (if (cleanTotals.nonEmpty) cleanTotals else passTotals).sorted
     val median =
       if (medBase.isEmpty) 0.0
@@ -103,29 +91,28 @@ object Bench {
     // Locale.ROOT everywhere: f"" uses the JVM default locale, and a
     // comma-decimal locale (de_DE etc.) would corrupt the JSON with [1,234].
     val pts = passTotals.map(r(_, 3)).mkString("[", ",", "]")
-    // per-pass per-query detail at full precision → side file (never the
-    // stdout line: 3 passes × 76 queries would blow the driver's tail
-    // window that ate round 5's bench)
+    val es = permanent.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    // ALL per-query detail (minima + per-pass times, full precision) goes
+    // to the side file, NEVER the stdout line: the driver parses its JSON
+    // out of a ~2000-char stdout tail window, and a per-query map at 86+
+    // queries overflows it — that zeroed the official bench number in
+    // round 5 AND round 7. The side file is a JSON object so both views
+    // live in one artifact.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_passes.json")
-    val detailJson = passDetail.zipWithIndex.map { case (m, i) =>
+    val minJson = results.map { case (k, v) => "\"" + k + "\":" + r(v, 4) }
+      .mkString("{", ",", "}")
+    val passesJson = passDetail.zipWithIndex.map { case (m, i) =>
       val qd = m.map { case (k, v) => "\"" + k + "\":" + r(v, 4) }.mkString("{", ",", "}")
       s"""{"pass":${i + 1},"clean":${passClean(i)},"total":${r(passTotals(i), 3)},"queries":$qd}"""
     }.mkString("[\n", ",\n", "\n]")
+    val detailJson = s"""{"query_mins":$minJson,\n"passes":$passesJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson)
     catch { case _: Throwable => () } // diagnostics only — never fail the bench
-    val line = s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"pass_totals":$pts,"pass_median":${r(median, 3)},"sum_of_query_mins":${r(sumOfMins, 3)},"sf":"$sfDir"}"""
-    // Hard guard against regrowing past the driver's tail window: if the
-    // line is ever too long again, drop per-query precision rather than
-    // lose the whole round's bench to an unparseable line. sum_of_query_mins
-    // stays in the fallback — it is the cross-round statistic (r6 review).
-    val out =
-      if (line.length <= 1800) line
-      else {
-        val qs1 = results.map { case (k, v) => "\"" + k + "\":" + r(v, 1) }
-          .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs1,"errors":$es,"passes":$passes,"pass_totals":$pts,"pass_median":${r(median, 3)},"sum_of_query_mins":${r(sumOfMins, 3)},"sf":"$sfDir"}"""
-      }
-    println(out)
+    // The LAST stdout line is a SHORT fixed-field headline (~250 chars —
+    // an order of magnitude of headroom in the tail window): metric,
+    // value, pass stats, error map (normally {}), query count, sf.
+    println(s"""{"metric":"sum_of_query_mins","value":${r(sumOfMins, 3)},"unit":"sec","n_queries":${results.size},"best_pass_total":${r(total, 3)},"pass_totals":$pts,"pass_median":${r(median, 3)},"passes":$passes,"errors":$es,"sf":"$sfDir"}""")
     graft.operators.Dedup.releaseCaches()
     spark.stop()
   }

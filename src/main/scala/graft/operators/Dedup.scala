@@ -85,9 +85,13 @@ object Dedup {
     * SLIM rows — (doc_id, band, bk) only. Carrying the 16-element signature
     * arrays through that explode made the window/self-join shuffle ~5× wider
     * for no benefit (that was the r3 shape). Signatures are attached to the
-    * surviving pairs afterwards with two map-side joins: the pair side
-    * (bucket-cap-bounded, O(duplicate density)) broadcasts, so the
-    * corpus-sized signature table never shuffles. Caller must pass a
+    * surviving pairs afterwards with two joins keyed on doc_id. NO forced
+    * broadcast on the pair side: the bucket cap bounds pairs PER BUCKET, not
+    * globally — total candidate pairs grow with true-duplicate density, and
+    * a 30%-near-dup 100 TB crawl makes that billions of rows. AQE broadcasts
+    * the pair side when its OBSERVED size is small (every toy/test scale)
+    * and falls back to a doc_id-hash shuffle join when it isn't — the same
+    * contract dedup_apply uses for its anti-join. Caller must pass a
     * persisted `sig`, or its md5 pipeline recomputes once per use.
     * The self-join uses one aliased subtree, so its shuffle is a single
     * reused exchange, and the bucket-size window already partitions by
@@ -104,8 +108,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    broadcast(broadcast(pairs)
-        .join(sig.select(col("doc_id").as("da"), col("sig").as("sa")), Seq("da")))
+    pairs
+      .join(sig.select(col("doc_id").as("da"), col("sig").as("sa")), Seq("da"))
       .join(sig.select(col("doc_id").as("db"), col("sig").as("sb")), Seq("db"))
       .select("da", "db", "sa", "sb")
   }
@@ -136,14 +140,15 @@ object Dedup {
   // recomputing the md5-heavy signature pipeline from scratch (which tripled
   // the cost of the family when each query rebuilt it).
   //
-  // Caching contract: the retained tables (`cand`, `verified`, the
-  // components' `canon`) are bounded by TRUE-DUPLICATE DENSITY (bucket caps
-  // bound the candidate count), not corpus size — at 100 TB these are
-  // exactly the small stage outputs you'd persist. The corpus-sized
-  // intermediate (the distinct shingle set) is persisted only while the
-  // stage outputs materialize and unpersisted before the pipeline returns.
-  // `releaseCaches()` drops everything for callers that want a clean session.
-  private case class LshShared(cand: DataFrame, verified: DataFrame)
+  // Caching contract: the retained tables (`cand`, the unfiltered `overlap`
+  // facts, `verified`, the components' `canon`) are bounded by
+  // TRUE-DUPLICATE DENSITY (bucket caps bound the candidate count), not
+  // corpus size — at 100 TB these are exactly the small stage outputs you'd
+  // persist. The corpus-sized intermediate (the distinct shingle set) is
+  // persisted only while the stage outputs materialize and unpersisted
+  // before the pipeline returns. `releaseCaches()` drops everything for
+  // callers that want a clean session.
+  private case class LshShared(cand: DataFrame, overlap: DataFrame, verified: DataFrame)
   // Keyed by (SparkSession, dir), not dir alone: a cached DataFrame is bound
   // to the session that built it, so a second or restarted session reading
   // the same dir must rebuild rather than inherit plans tied to a stopped
@@ -158,7 +163,9 @@ object Dedup {
     df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
 
   def releaseCaches(): Unit = synchronized {
-    lshCache.values.foreach { s => s.cand.unpersist(); s.verified.unpersist() }
+    lshCache.values.foreach { s =>
+      s.cand.unpersist(); s.overlap.unpersist(); s.verified.unpersist()
+    }
     lshCache.clear()
     canonCache.values.foreach(_.unpersist())
     canonCache.clear()
@@ -169,7 +176,7 @@ object Dedup {
     * the verification join's strategy stays visible even though the queries
     * themselves read memoized stage outputs. */
   private[graft] case class LshBuild(sh: DataFrame, sig: DataFrame,
-    cand: DataFrame, verified: DataFrame)
+    cand: DataFrame, overlap: DataFrame, verified: DataFrame)
 
   private[graft] def buildLsh(spark: SparkSession, d: String): LshBuild =
     buildLshFrom(Tables.documents(spark, d))
@@ -192,11 +199,17 @@ object Dedup {
       .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
       .filter(col("sig").isNotNull)
     val cand = candidatePairs(sig)
-    val verified = pairOverlap(sh, cand)
+    // UNFILTERED overlap facts (da, db, inter, na, nb) — one row per
+    // candidate pair. Every set-similarity measure the family offers
+    // (Jaccard, containment) is one arithmetic step from this table, so
+    // computing it once means the corpus-sized shingle table is scanned by
+    // exactly one probe join for the whole family.
+    val overlap = pairOverlap(sh, cand)
+    val verified = overlap
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= JaccardTau)
       .select("da", "db", "inter", "jaccard")
-    LshBuild(sh, sig, cand, verified)
+    LshBuild(sh, sig, cand, overlap, verified)
   }
 
   /** (da, db, inter, na, nb) for each candidate pair — the overlap facts
@@ -204,55 +217,63 @@ object Dedup {
     * coefficient) is one arithmetic step from.
     *
     * Intersection sizes via a shingle equijoin restricted to candidate
-    * pairs. Only candidate-pair ID lists (bucket-cap-bounded) are ever
-    * broadcast: the left side attaches pair keys to the left doc's
-    * shingles map-side, the right side is semi-filtered to candidate
-    * right-docs map-side — so the corpus-sized shingle table never
-    * shuffles, and the one shuffle join moves two tables sized
-    * pairs × shingles/doc. That quantity tracks duplicate density and is
-    * NOT broadcast-safe at 100 TB (the r3 plan broadcast it — a forced
-    * multi-GB broadcast on a high-dup crawl), but shuffling it is linear
-    * and safe.
+    * pairs: the left side attaches pair keys to the left doc's shingles,
+    * the right side is semi-filtered to candidate right-docs, and the one
+    * heavy join moves two tables sized pairs × shingles/doc. EVERY join
+    * here is hint-free: pair-derived tables are bounded by duplicate
+    * DENSITY, not corpus size, and a realistic 100 TB crawl is 30%+
+    * near-duplicate — billions of pairs, which a forced broadcast hint would
+    * ship to every executor and the driver regardless (the r3–r7 plans
+    * did; same flaw class as r6's text_decontaminate). AQE still picks a
+    * runtime broadcast at toy scale from OBSERVED sizes — with a shuffle
+    * fallback that a hint forecloses — and the shuffled form is linear in
+    * density, partitioned by doc_id / (db, s).
     */
   private def pairOverlap(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val daSh = broadcast(cand.select("da", "db"))
+    val daSh = cand.select("da", "db")
       .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
     val dbSh = sh.select(col("doc_id").as("db"), col("s"))
-      .join(broadcast(cand.select("db").distinct()), Seq("db"), "left_semi")
+      .join(cand.select("db").distinct(), Seq("db"), "left_semi")
     // hint("merge") pins the probe to a sort-merge join: Catalyst's SIZE
     // ESTIMATE for this multi-join subtree would otherwise pick a broadcast
     // (correct at toy scale, fatal if the estimate is wrong at 100 TB —
     // join-output stats are multiplicative guesses, and this relation's
-    // true size tracks duplicate density)
+    // true size tracks duplicate density). A merge hint only pins the
+    // STRATEGY of this one join; unlike a broadcast hint it cannot blow up.
     val inter = dbSh
       .join(daSh.hint("merge"), Seq("db", "s"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    // sz is one row per document (huge at scale); the pair side is what
-    // gets broadcast in both size lookups — `inter` is per-pair-bounded
+    // sz is one row per document (huge at scale); `inter` is per-pair-
+    // bounded, so AQE broadcasts it into the two size lookups when small
+    // and shuffles by doc_id when a high-dup corpus makes it big
     val withNa = sz.select(col("doc_id").as("da"), col("n").as("na"))
-      .join(broadcast(inter), Seq("da"))
+      .join(inter, Seq("da"))
     sz.select(col("doc_id").as("db"), col("n").as("nb"))
-      .join(broadcast(withNa), Seq("db"))
+      .join(withNa, Seq("db"))
   }
 
   private def lshShared(spark: SparkSession, d: String): LshShared = synchronized {
-    lshCache.get((spark, d)).filter(s => isCached(s.cand) && isCached(s.verified)).getOrElse {
-      val b = buildLsh(spark, d)
-      // corpus-sized intermediates persisted only while the pair tables
-      // materialize (CacheManager substitutes by canonical plan, so every
-      // scan of these subtrees below hits the cache)
-      b.sh.persist(); b.sig.persist()
-      val cand = b.cand.persist()
-      val verified = b.verified.persist()
-      // one action materializes BOTH pair caches: verified's plan broadcasts
-      // cand, and scanning a persisted input populates its cache en route
-      verified.count()
-      b.sig.unpersist(); b.sh.unpersist()
-      val s = LshShared(cand, verified)
-      lshCache((spark, d)) = s
-      s
-    }
+    lshCache.get((spark, d))
+      .filter(s => isCached(s.cand) && isCached(s.overlap) && isCached(s.verified))
+      .getOrElse {
+        val b = buildLsh(spark, d)
+        // corpus-sized intermediates persisted only while the pair tables
+        // materialize (CacheManager substitutes by canonical plan, so every
+        // scan of these subtrees below hits the cache)
+        b.sh.persist(); b.sig.persist()
+        val cand = b.cand.persist()
+        val overlap = b.overlap.persist()
+        val verified = b.verified.persist()
+        // one action materializes ALL pair caches: verified scans overlap,
+        // overlap scans cand, and scanning a persisted input populates its
+        // cache en route
+        verified.count()
+        b.sig.unpersist(); b.sh.unpersist()
+        val s = LshShared(cand, overlap, verified)
+        lshCache((spark, d)) = s
+        s
+      }
   }
 
   // --- dedup_minhash_lsh --------------------------------------------------
@@ -300,16 +321,17 @@ object Dedup {
   // a short document embedded in a longer one (quote pages, boilerplate-
   // wrapped copies, sub-document duplication) that symmetric Jaccard
   // misses — inter/union is diluted by the longer doc, inter/min is not.
-  // Candidates come from the SAME memoized LSH buckets (no second
-  // signature pipeline); scoring reuses the pairOverlap sort-merge probe,
-  // so the scale shape is identical to dedup_ngram_jaccard: only pair-ID
-  // lists broadcast, one density-linear shuffle. Single division of exact
-  // integers → bit-identical across engines.
+  // Scoring reads the SAME memoized overlap facts as dedup_ngram_jaccard
+  // (no second signature pipeline, no second shingle pass — r7 paid a full
+  // extra corpus shingle scan here): containment is one arithmetic step on
+  // the cached (da, db, inter, na, nb) table, so after any family member
+  // has run, this query's marginal cost is a scan of a density-bounded
+  // cache. Single division of exact integers → bit-identical across
+  // engines.
   private val ContainTau = 0.9
 
   def dedupContainment(spark: SparkSession, d: String): DataFrame =
-    pairOverlap(shingles(Tables.documents(spark, d)),
-        lshShared(spark, d).cand.select("da", "db"))
+    lshShared(spark, d).overlap
       .withColumn("containment",
         col("inter").cast("double") / least(col("na"), col("nb")))
       .filter(col("containment") >= ContainTau)
@@ -489,42 +511,54 @@ object Dedup {
   // "duplicated" when the SAME window text occurs in at least one other
   // document. Output per doc: distinct windows, duplicated windows, and
   // their ratio — the span-level report a substring-dedup pass trims from.
-  // Windows are md5-hashed in the scan's project list (fixed 32-char keys
-  // instead of ~120-char strings through the shuffles) and deduped
+  // Windows are hashed to 16-BYTE BINARY keys in the scan's project list
+  // (unhex(md5(…)): half the bytes of the r7 hex keys, ~8× smaller than
+  // the raw ~120-char window strings — the gram table is the widest
+  // shuffle in the repo, so key width is the dominant cost) and deduped
   // WITHIN the doc map-side via array_distinct, so cross-doc frequency is
   // distinct-doc frequency. Scale shape: two gram-table shuffles (df
   // groupBy + the df join, which reuses the same hash exchange) and one
   // map-side-combinable per-doc groupBy — the same class as
-  // text_boilerplate's df-join; no all-pairs step anywhere. A doc whose
-  // window count is below W yields no windows and is dropped (n_windows
-  // would be 0 — nothing to report).
+  // text_boilerplate's df-join; no all-pairs step anywhere. Docs with
+  // fewer than W tokens yield no windows but are REPORTED (n_windows=0,
+  // dup_ratio NULL) via the final corpus left join — r7 dropped them,
+  // which made corpus-level dup-ratio aggregations over this output
+  // overstate coverage (r7 advice).
   private val SubstrW = 16
 
   def dedupSubstring(spark: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(spark, d)
+    val docs = Tables.documents(spark, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    val grams = docs
       .filter(size(col("w")) >= SubstrW)
       .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, size(w) - ${SubstrW - 1}), i -> md5(concat_ws(' ', slice(w, i, $SubstrW)))))")).as("g"))
+        s"array_distinct(transform(sequence(1, size(w) - ${SubstrW - 1}), i -> unhex(md5(concat_ws(' ', slice(w, i, $SubstrW))))))")).as("g"))
     val df = grams.groupBy("g").agg(count(lit(1)).as("nd"))
-    grams.join(df, Seq("g"))
+    val per = grams.join(df, Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
-      .withColumn("dup_ratio", col("n_dup").cast("double") / col("n_windows"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        when(col("n_windows") > 0, col("n_dup").cast("double") / col("n_windows")))
       .orderBy("doc_id")
   }
 
   val dedupSubstringSql: String =
     s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS w FROM documents),
-       |g AS (SELECT DISTINCT doc_id, unnest([md5(array_to_string(w[i:i+${SubstrW - 1}],' ')) FOR i IN range(1, len(w)-${SubstrW - 2})]) AS g
+       |g AS (SELECT DISTINCT doc_id, unnest([unhex(md5(array_to_string(w[i:i+${SubstrW - 1}],' '))) FOR i IN range(1, len(w)-${SubstrW - 2})]) AS g
        |      FROM w WHERE len(w) >= $SubstrW),
        |df AS (SELECT g, count(*) AS nd FROM g GROUP BY 1),
        |per AS (SELECT g.doc_id, count(*) AS n_windows, count(*) FILTER (df.nd > 1) AS n_dup
        |        FROM g JOIN df USING (g) GROUP BY 1)
-       |SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows, CAST(n_dup AS BIGINT) AS n_dup,
-       | CAST(n_dup AS DOUBLE) / n_windows AS dup_ratio
-       |FROM per ORDER BY doc_id""".stripMargin
+       |SELECT d.doc_id, CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+       | CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup,
+       | CASE WHEN per.n_windows > 0 THEN CAST(per.n_dup AS DOUBLE) / per.n_windows END AS dup_ratio
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // --- dedup_simhash ------------------------------------------------------
   // 64-bit SimHash: bit b comes from nibble bits of each token's md5,

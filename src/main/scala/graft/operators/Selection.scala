@@ -287,12 +287,18 @@ object Selection {
 
   // --- ds_apply_filter ----------------------------------------------------
   // The README's downstream purpose: apply the exported selection list to
-  // the raw data (anti-join) to produce the QC'd dataset. The selection side
-  // is broadcast — at 100 TB the fact table never moves.
+  // the raw data (anti-join) to produce the QC'd dataset. NO forced
+  // broadcast: this instantiation's selection is MACHINE-generated
+  // (ds_outlier_mad flags ~11% of the corpus here), so its size scales
+  // with the data — a hint would pin an O(corpus) build side at 100 TB.
+  // AQE broadcasts it when the observed size is small and shuffles
+  // otherwise, exactly like dedup_apply's anti-join. The analyst-sized
+  // GraftQC.applyFilter facade keeps its hint: ITS selection is bounded by
+  // the facade's hand-curated-list contract, not by the data.
   def dsApplyFilter(spark: SparkSession, d: String): DataFrame = {
     val k = keyed(spark, d)
     val sel = outlierSel(spark, d).select("compound", "sel_key").distinct()
-    k.join(broadcast(sel), Seq("compound", "sel_key"), "left_anti")
+    k.join(sel, Seq("compound", "sel_key"), "left_anti")
       .select("event_id", "compound", "sel_key", "value")
       .orderBy("event_id")
   }

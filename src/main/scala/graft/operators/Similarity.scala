@@ -23,6 +23,12 @@ object Similarity {
 
   private val K = 10
   private val NumQueries = 5 // vec_id < 5 are the query set
+  // Embedding dimensionality — EVERY oracle SQL dot product below derives
+  // its range(…) bound from this one constant (the Spark side is
+  // dimension-agnostic via zip_with/aggregate, so a dim change that only
+  // updated the data would otherwise silently truncate the oracle's
+  // scores instead of failing).
+  private val Dim = 64
   // graft's native codegen'd expression (see graft.functions.CosineSim);
   // bit-identical to the fold-based formula the oracle uses
   private val cosExpr = expr("cosine_sim(qv, v)")
@@ -32,9 +38,9 @@ object Similarity {
       col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
   private val CosSqlFor = (a: String, b: String) =>
-    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[CAST(k AS INT)]*$b[CAST(k AS INT)])), (acc, x) -> acc + x) /
-       |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[CAST(k AS INT)]*$a[CAST(k AS INT)])), (acc, x) -> acc + x) *
-       |       list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $b[CAST(k AS INT)]*$b[CAST(k AS INT)])), (acc, x) -> acc + x))""".stripMargin
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), k -> $a[CAST(k AS INT)]*$b[CAST(k AS INT)])), (acc, x) -> acc + x) /
+       |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), k -> $a[CAST(k AS INT)]*$a[CAST(k AS INT)])), (acc, x) -> acc + x) *
+       |       list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), k -> $b[CAST(k AS INT)]*$b[CAST(k AS INT)])), (acc, x) -> acc + x))""".stripMargin
 
   // --- ann_bruteforce -----------------------------------------------------
   def annBruteforce(spark: SparkSession, d: String): DataFrame = {
@@ -364,7 +370,7 @@ object Similarity {
        |qqn AS (SELECT vec_id, [CAST(floor((x * 127.0) / sc) AS BIGINT) FOR x IN v] AS q FROM qsc WHERE sc > 0),
        |qqs AS (SELECT vec_id AS qid, q AS qq FROM qqn WHERE vec_id < $NumQueries),
        |qd AS (SELECT qid, vec_id,
-       |  list_reduce(list_prepend(CAST(0 AS BIGINT), [qq[CAST(k AS INT)]*q[CAST(k AS INT)] FOR k IN range(1,65)]), (a, x) -> a + x) AS score
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), [qq[CAST(k AS INT)]*q[CAST(k AS INT)] FOR k IN range(1,${Dim + 1})]), (a, x) -> a + x) AS score
        |  FROM qqn CROSS JOIN qqs),
        |qtop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM qd)
@@ -422,7 +428,7 @@ object Similarity {
        |qn AS (SELECT vec_id, [CAST(floor((x * 127.0) / sc) AS BIGINT) FOR x IN v] AS q FROM s WHERE sc > 0),
        |qs AS (SELECT vec_id AS qid, q AS qq FROM qn WHERE vec_id < $NumQueries),
        |d AS (SELECT qid, vec_id,
-       |  list_reduce(list_prepend(CAST(0 AS BIGINT), [qq[CAST(k AS INT)]*q[CAST(k AS INT)] FOR k IN range(1,65)]), (a, x) -> a + x) AS score
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), [qq[CAST(k AS INT)]*q[CAST(k AS INT)] FOR k IN range(1,${Dim + 1})]), (a, x) -> a + x) AS score
        |  FROM qn CROSS JOIN qs),
        |r AS (SELECT qid, vec_id, score,
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank FROM d)

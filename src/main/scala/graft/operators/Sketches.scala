@@ -199,9 +199,14 @@ object Sketches {
   // set-union, the Bloom merge law. The probe grid (types × 20 uids × k)
   // is constant-sized; no corpus-sized movement anywhere but the scan.
   // Pure integer/string math — no floats at all.
+  // The probe band is DERIVED from the corpus: [max(user_id) − SPAN,
+  // max(user_id) + SPAN), so it straddles the membership boundary at
+  // every scale factor (r7 hardcoded 140–160 around sf0.01's max of 149;
+  // at sf0.1+ every probe was a member and the false-positive surface the
+  // operator exists to expose degenerated to all-1s — r7 advice). The max
+  // is a one-row aggregate crossed into the grid — no driver round-trip.
   private val BloomK = 4 // hash functions (3 hex chars each → m = 4096)
-  private val ProbeLo = 140L
-  private val ProbeHi = 160L // probe uids straddle the corpus max (149)
+  private val ProbeSpan = 10L // probe band half-width around max(user_id)
 
   // position j of key k = int value of md5 hex chars [3j+1, 3j+3] — 12 of
   // the 32 md5 chars used, 4 independent 12-bit positions
@@ -215,8 +220,11 @@ object Sketches {
         bloomPos(col("user_id"), j)): _*)).as("pos"))
       .distinct()
     val types = ev.select("event_type").distinct()
-    val probes = types.crossJoin(
-      spark.range(ProbeLo, ProbeHi).toDF("probe_uid"))
+    // one-row corpus max → 20-probe band straddling the membership boundary
+    val mx = ev.agg(max(col("user_id")).as("mx"))
+    val probes = types.crossJoin(broadcast(mx))
+      .select(col("event_type"),
+        explode(sequence(col("mx") - ProbeSpan, col("mx") + ProbeSpan - 1)).as("probe_uid"))
     val pp = probes.select(col("event_type"), col("probe_uid"),
       explode(array((0 until BloomK).map(j =>
         struct(lit(j).as("j"), bloomPos(col("probe_uid"), j).as("pos"))): _*)).as("x"))
@@ -244,7 +252,9 @@ object Sketches {
        |  ${posSql("user_id", "j")} AS pos
        |  FROM h, range(0, $BloomK) t(j)),
        |types AS (SELECT DISTINCT event_type FROM events),
-       |probe AS (SELECT event_type, CAST(u AS BIGINT) AS probe_uid FROM types, range($ProbeLo, $ProbeHi) t(u)),
+       |mx AS (SELECT max(user_id) AS mx FROM events),
+       |probe AS (SELECT event_type, CAST(mx - $ProbeSpan + u AS BIGINT) AS probe_uid
+       |          FROM types, mx, range(0, ${2 * ProbeSpan}) t(u)),
        |pp AS (SELECT event_type, probe_uid,
        |  ${posSql("probe_uid", "j")} AS pos, j
        |  FROM probe, range(0, $BloomK) t(j)),

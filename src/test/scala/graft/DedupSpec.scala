@@ -200,7 +200,7 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("substring dedup matches a local recomputation of 16-token window sharing") {
+  test("substring dedup matches a local recomputation and reports every doc") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
@@ -211,14 +211,20 @@ class DedupSpec extends SparkSpec {
     wins.values.foreach(_.foreach(g => freq(g) = freq.getOrElse(g, 0) + 1))
     val got = graft.operators.Dedup.dedupSubstring(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup"), r.getAs[Double]("dup_ratio")))).toMap
-    assert(got.keySet === wins.keySet)
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup"), r.getAs[java.lang.Double]("dup_ratio")))).toMap
+    // EVERY doc is reported — short docs (< 16 tokens) with n_windows=0 and
+    // a NULL ratio; dropping them made downstream corpus-level dup-ratio
+    // aggregations overstate coverage (r7 advice)
+    assert(got.keySet === docs.map(_._1).toSet)
+    docs.map(_._1).filterNot(wins.contains).foreach { id =>
+      assert(got(id) === ((0L, 0L, null)), s"short doc $id must report zero windows")
+    }
     wins.foreach { case (id, ws) =>
       val nd = ws.count(g => freq(g) > 1).toLong
       val (nw, gnd, ratio) = got(id)
       assert(nw === ws.size.toLong, s"doc $id window count")
       assert(gnd === nd, s"doc $id duplicated-window count")
-      assert(ratio === nd.toDouble / ws.size)
+      assert(ratio.doubleValue === nd.toDouble / ws.size)
     }
   }
 }
