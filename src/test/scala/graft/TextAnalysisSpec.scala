@@ -287,6 +287,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaExternal === viaSlice)
   }
 
+  test("checked-in external eval suite contaminates the corpus end-to-end") {
+    // The production path with a STATIC artifact: a benchmark suite shipped
+    // as a checked-in jsonl file (src/test/resources/eval_suite.jsonl — two
+    // items embedding real corpus 4-gram spans, one item with out-of-corpus
+    // vocabulary, one text-less record exercising the NULL path), loaded
+    // through Tables.documentsJsonl and fed to decontaminateAgainst.
+    val path = getClass.getResource("/eval_suite.jsonl").getPath
+    val eval = graft.sources.Tables.documentsJsonl(spark, path)
+    assert(eval.count() === 4)
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val got = TextAnalysis.decontaminateAgainst(corpus, eval)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent local recomputation from the raw strings
+    def grams(s: String): Set[String] =
+      s.trim.split("\\s+").toSeq.sliding(4).filter(_.length == 4)
+        .map(_.mkString(" ")).toSet
+    val evalGrams = eval.select("text").collect()
+      .flatMap(r => Option(r.getString(0))).flatMap(grams).toSet
+    val expected = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1)).count(evalGrams).toLong)
+      .filter(_._2 > 0).toMap
+    assert(got === expected)
+    // the embedded spans must actually contaminate something — otherwise
+    // this test would pass vacuously on an empty hit set
+    assert(got.nonEmpty, "checked-in eval spans must hit the corpus")
+  }
+
   test("per-source stats partition the corpus and agree with corpus totals") {
     val rows = TextAnalysis.docSourceStats(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf)
