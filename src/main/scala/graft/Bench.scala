@@ -49,7 +49,17 @@ object Bench {
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // Execute the AUDITED plan (queryExecution.toRdd = the exact
+          // physical plan ExplainDump gates), materializing every output
+          // row. A plain .count() re-optimizes with only COUNT(*) as the
+          // required output, which (r8 finding) eliminates unreferenced
+          // left joins against keyed aggregates and prunes every projection
+          // no aggregate consumes — dedup_substring benched at 0.11s under
+          // count() while its real plan costs ~3s; text_repetition's
+          // native-expression projection never ran at all. toRdd.count()
+          // is the library-consumer cost: rows produced, none shipped to
+          // the driver.
+          fn(spark, sfDir).queryExecution.toRdd.count()
           val dt = (System.nanoTime() - t0) / 1e9
           succeeded += name
           passTotal += dt

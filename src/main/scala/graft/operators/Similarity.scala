@@ -29,6 +29,11 @@ object Similarity {
   // updated the data would otherwise silently truncate the oracle's
   // scores instead of failing).
   private val Dim = 64
+  // PQ geometry (ann_pq) — declared HERE, above every val that
+  // interpolates them: Scala object vals initialize in declaration order,
+  // and a string val built earlier would silently see 0
+  private val PqSub = 8 // subspaces
+  private val PqSubDim = Dim / PqSub // dims per subspace
   // graft's native codegen'd expression (see graft.functions.CosineSim);
   // bit-identical to the fold-based formula the oracle uses
   private val cosExpr = expr("cosine_sim(qv, v)")
@@ -311,9 +316,10 @@ object Similarity {
   // Recall@k of the approximate paths against the exact baseline — the
   // evaluation an ANN deployment runs before trusting its index. Per query:
   // hits = |approx ∩ exact top-k|, recall = hits / k (single division of
-  // exact integers). Composes the three existing deterministic operators,
-  // so the metric itself is exactly reproducible — at scale this runs on a
-  // sampled query set while the index serves the rest.
+  // exact integers). Composes the four existing deterministic operators
+  // (lsh, ivf, int8-quantized, pq), so the metric itself is exactly
+  // reproducible — at scale this runs on a sampled query set while the
+  // index serves the rest.
   def annRecall(spark: SparkSession, d: String): DataFrame = {
     val exact = annBruteforce(spark, d).select(col("qid"), col("vec_id"))
     // Every query appears in the report even when the index returned NOTHING
@@ -334,6 +340,7 @@ object Similarity {
     recallOf(annLsh(spark, d), "lsh")
       .unionByName(recallOf(annIvf(spark, d), "ivf"))
       .unionByName(recallOf(annQuantized(spark, d), "quantized"))
+      .unionByName(recallOf(annPq(spark, d), "pq"))
       .orderBy("method", "qid")
   }
 
@@ -375,14 +382,29 @@ object Similarity {
        |qtop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM qd)
        |  WHERE rank <= $K),
+       |pcw AS (SELECT cid, s, [cv[CAST(s*$PqSubDim + i AS INT)] FOR i IN range(1, ${PqSubDim + 1})] AS w
+       |        FROM c, range(0, $PqSub) t(s)),
+       |penc AS (SELECT vec_id, s, cid AS pcode, row_number() OVER (PARTITION BY vec_id, s ORDER BY
+       |    list_reduce(list_prepend(0.0, [(v[CAST(s*$PqSubDim + i AS INT)] - w[CAST(i AS INT)]) * (v[CAST(s*$PqSubDim + i AS INT)] - w[CAST(i AS INT)]) FOR i IN range(1, ${PqSubDim + 1})]), (a, x) -> a + x), cid) AS rn
+       |  FROM e CROSS JOIN pcw),
+       |pcd AS (SELECT vec_id, s, pcode FROM penc WHERE rn = 1),
+       |ppart AS (SELECT xq.qid, pcd.vec_id, pcd.s,
+       |    list_reduce(list_prepend(0.0, [qv[CAST(pcd.s*$PqSubDim + i AS INT)] * w[CAST(i AS INT)] FOR i IN range(1, ${PqSubDim + 1})]), (a, x) -> a + x) AS dt
+       |  FROM pcd JOIN pcw ON pcw.s = pcd.s AND pcw.cid = pcd.pcode CROSS JOIN xq),
+       |psc AS (SELECT qid, vec_id, list_reduce(list_prepend(0.0, list(dt ORDER BY s)), (a, x) -> a + x) AS score
+       |        FROM ppart GROUP BY qid, vec_id),
+       |ptop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM psc)
+       |  WHERE rank <= $K),
        |u AS (SELECT 'lsh' AS method, qid, vec_id FROM ltop
        |      UNION ALL SELECT 'ivf', qid, vec_id FROM itop
-       |      UNION ALL SELECT 'quantized', qid, vec_id FROM qtop),
+       |      UNION ALL SELECT 'quantized', qid, vec_id FROM qtop
+       |      UNION ALL SELECT 'pq', qid, vec_id FROM ptop),
        |hit AS (SELECT method, u.qid, count(*) AS hits
        |        FROM u JOIN xtop x ON u.qid = x.qid AND u.vec_id = x.vec_id
        |        GROUP BY 1, 2),
        |qm AS (SELECT CAST(range AS BIGINT) AS qid, method
-       |       FROM range(0, $NumQueries) CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf' UNION ALL SELECT 'quantized'))
+       |       FROM range(0, $NumQueries) CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf' UNION ALL SELECT 'quantized' UNION ALL SELECT 'pq'))
        |SELECT qm.qid, qm.method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
        |  CAST(coalesce(h.hits, 0) AS DOUBLE) / $K AS recall
        |FROM qm LEFT JOIN hit h ON h.qid = qm.qid AND h.method = qm.method
@@ -434,6 +456,103 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank FROM d)
        |SELECT qid, rank, vec_id, score FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // --- ann_pq -------------------------------------------------------------
+  // Product-quantized ANN (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", TPAMI 2011 — the FAISS IVF-PQ memory path): the
+  // 64-dim vector splits into 8 contiguous 8-dim subvectors; each subspace
+  // quantizes independently against its own 16-codeword codebook, so a
+  // corpus vector's RESIDENT form is 8 code nibbles — 64× smaller than the
+  // doubles, 8× smaller than ann_quantized's int8 — and scoring is ADC
+  // (asymmetric distance computation): the RAW query subvectors dot the
+  // doc's codewords, summed over subspaces.
+  // Codebooks are deterministic — subspace s's codewords are the 16 IVF
+  // seed centroids' s-th subvectors — so the oracle replicates them
+  // exactly; at scale you'd train per-subspace k-means (the trainCentroids
+  // shape, once per subspace) and inject the trained books the same way
+  // (8×16×8 doubles = KBs, literal or broadcast).
+  // Scale shape: encoding = argmin-L2 over 16 literal codewords per
+  // subspace in the scan's project list (a pure map, like ann_ivf's
+  // assignment — zero corpus shuffle); the scored corpus is (vec_id,
+  // codes) — the vectors themselves never reach the scoring join; the
+  // NumQueries-row query set broadcasts; the codebook rides along as a
+  // literal nested-array lookup. ann_bruteforce's plan over a 64×-smaller
+  // resident corpus.
+  // Exactness: squared-L2 encoding distances and ADC dots are fixed
+  // left-to-right IEEE folds (the unrolled sum associates identically to
+  // the oracle's 0.0-seeded list_reduce because every first term is a
+  // square, never -0.0); argmin ties break to the smaller code in both
+  // engines.
+  // PqSub/PqSubDim live with Dim at the top of the object (initialization
+  // order); codewords per subspace = NumCells (the seed-centroid count)
+
+  /** Codebooks: CB(s)(c) = seed centroid c's s-th subvector. */
+  private def pqCodebooks(cents: Seq[Array[Double]]): Seq[Seq[Array[Double]]] =
+    (0 until PqSub).map(s => cents.map(_.slice(s * PqSubDim, (s + 1) * PqSubDim)))
+
+  /** Code for subspace s: argmin squared-L2 over the literal codewords,
+    * smaller code on ties — struct MIN over (d2, code), the minimizing
+    * mirror of bestCentroid's `greatest` trick. */
+  private def pqCode(cb: Seq[Array[Double]], s: Int): Column = {
+    val ss = cb.zipWithIndex.map { case (w, c) =>
+      val d2 = (0 until PqSubDim).map { i =>
+        val diff = element_at(col("v"), s * PqSubDim + i + 1) - lit(w(i))
+        diff * diff
+      }.reduce(_ + _)
+      struct(d2.as("d2"), lit(c).as("code"))
+    }
+    (if (ss.length == 1) ss.head else least(ss: _*)).getField("code")
+  }
+
+  def annPq(spark: SparkSession, d: String): DataFrame = {
+    val e = vectors(spark, d)
+    val cb = pqCodebooks(seedCentroids(spark, d))
+    // encoding: pure map — the corpus becomes (vec_id, 8 codes)
+    val codes = e.select(col("vec_id"),
+      array((0 until PqSub).map(s => pqCode(cb(s), s)): _*).as("code"))
+    val qs = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cbLit = array(cb.map(sub =>
+      array(sub.map(w => array(w.toSeq.map(lit): _*)): _*)): _*)
+    // ADC score: Σ_s dot(query subvector s, codeword CB[s][code_s]) — the
+    // subspace sum is an ascending left fold, same order as the oracle's
+    // ordered-list fold
+    val score = (0 until PqSub).map { s =>
+      aggregate(
+        zip_with(
+          slice(col("qv"), s * PqSubDim + 1, PqSubDim),
+          element_at(element_at(cbLit, s + 1), element_at(col("code"), s + 1) + 1),
+          (x, y) => x * y),
+        lit(0.0), (a, x) => a + x)
+    }.reduce(_ + _)
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
+    codes.crossJoin(broadcast(qs))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("qid", "rank", "vec_id", "score")
+      .orderBy("qid", "rank")
+  }
+
+  val annPqSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |cw AS (SELECT cid, s, [cv[CAST(s*$PqSubDim + i AS INT)] FOR i IN range(1, ${PqSubDim + 1})] AS w
+       |       FROM c, range(0, $PqSub) t(s)),
+       |enc AS (SELECT vec_id, s, cid AS code, row_number() OVER (PARTITION BY vec_id, s ORDER BY
+       |    list_reduce(list_prepend(0.0, [(v[CAST(s*$PqSubDim + i AS INT)] - w[CAST(i AS INT)]) * (v[CAST(s*$PqSubDim + i AS INT)] - w[CAST(i AS INT)]) FOR i IN range(1, ${PqSubDim + 1})]), (a, x) -> a + x), cid) AS rn
+       |  FROM e CROSS JOIN cw),
+       |code AS (SELECT vec_id, s, code FROM enc WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |part AS (SELECT qid, code.vec_id, code.s,
+       |    list_reduce(list_prepend(0.0, [qv[CAST(code.s*$PqSubDim + i AS INT)] * w[CAST(i AS INT)] FOR i IN range(1, ${PqSubDim + 1})]), (a, x) -> a + x) AS dt
+       |  FROM code JOIN cw ON cw.s = code.s AND cw.cid = code.code CROSS JOIN q),
+       |sc AS (SELECT qid, vec_id, list_reduce(list_prepend(0.0, list(dt ORDER BY s)), (a, x) -> a + x) AS score
+       |       FROM part GROUP BY qid, vec_id),
+       |r AS (SELECT qid, vec_id, score,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank FROM sc)
+       |SELECT qid, rank, vec_id, score FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   // --- embed_cluster ------------------------------------------------------
   // Embedding-corpus profile: assign EVERY vector to its nearest of the 16
   // deterministic IVF centroids (argmax cosine, smaller cid on ties — the
@@ -473,6 +592,7 @@ object Similarity {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_quantized" -> annQuantized,
+    "ann_pq" -> annPq,
     "ann_recall" -> annRecall,
     "embed_cluster" -> embedCluster)
 
@@ -481,6 +601,7 @@ object Similarity {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_quantized" -> annQuantizedSql,
+    "ann_pq" -> annPqSql,
     "ann_recall" -> annRecallSql,
     "embed_cluster" -> embedClusterSql)
 }

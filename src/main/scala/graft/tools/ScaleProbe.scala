@@ -19,9 +19,12 @@ object ScaleProbe {
     val spark = GraftSession.local(sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32))
     for (dir <- dirs; name <- names) {
       val fn = SparkEntry.queries(name)
-      fn(spark, dir).count() // warm: plan + scan caches
+      // toRdd.count() executes the audited plan and materializes every
+      // row — a bare .count() re-optimizes for COUNT(*) and can eliminate
+      // joins/projections the query exists to measure (see Bench)
+      fn(spark, dir).queryExecution.toRdd.count() // warm: plan + scan caches
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
+      val n = fn(spark, dir).queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"PROBE $name%-22s $dir%-28s rows=$n%-9d ${dt}%.2fs")
       spark.catalog.clearCache()

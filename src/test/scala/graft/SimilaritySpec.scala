@@ -120,6 +120,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq ANN matches a local product-quantization recomputation bitwise") {
+    val raw = graft.sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cents = (100L until 116L).map(raw(_))
+    val cb = (0 until 8).map(s => cents.map(_.slice(s * 8, s * 8 + 8)))
+    // encode: per subspace, argmin squared-L2 with smaller-code tie-break —
+    // the same left-to-right fold the operator unrolls
+    def code(v: Array[Double]): Seq[Int] =
+      (0 until 8).map { s =>
+        cb(s).zipWithIndex.map { case (w, c) =>
+          ((0 until 8).map { i => val d = v(s * 8 + i) - w(i); d * d }.reduce(_ + _), c)
+        }.min._2
+      }
+    def adc(q: Array[Double], cd: Seq[Int]): Double =
+      (0 until 8).map { s =>
+        q.slice(s * 8, s * 8 + 8).zip(cb(s)(cd(s))).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      }.reduce(_ + _)
+    val codes = raw.map { case (id, v) => id -> code(v) }
+    val got = Similarity.annPq(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val exp = adc(raw(r.getAs[Long]("qid")), codes(r.getAs[Long]("vec_id")))
+      assert(r.getAs[Double]("score") === exp)
+    }
+    // emitted ranks are exactly the local top-10 by (ADC score desc, vec_id)
+    got.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      val expTop = codes.toSeq.map { case (vid, cd) => (vid, adc(raw(qid), cd)) }
+        .sortBy { case (vid, s) => (-s, vid) }.take(10)
+      val gotTop = rs.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSeq
+      assert(gotTop === expTop)
+    }
+  }
+
   test("quantized ANN matches a local int8 dot-product recomputation") {
     val raw = graft.sources.Tables.embeddings(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
