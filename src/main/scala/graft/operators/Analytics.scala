@@ -553,7 +553,89 @@ object Analytics {
        | UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p)
        |ORDER BY stage""".stripMargin
 
+  // --- q_latest_by_key ----------------------------------------------------
+  // CDC / upsert compaction: the latest record per key — the MERGE-INTO /
+  // snapshot primitive every changelog-shaped pipeline runs (Debezium
+  // topic → current-state table). Total order = (ts, event_id): event_id
+  // is unique, so the struct comparison never reaches the carried payload
+  // fields and the winner is deterministic.
+  // Scale shape: ONE map-side-combinable aggregate — max over a struct
+  // partially aggregates inside the scan, so the shuffle carries one
+  // candidate record per key per partition. The window formulation the
+  // oracle keeps (row_number = 1) would shuffle EVERY raw row to its
+  // key's reducer with no partial aggregation — at 100 TB that is the
+  // difference between shuffling |keys| rows and shuffling the corpus.
+  def qLatestByKey(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type"),
+          cents(col("value")).as("vc")).as("r"))
+      .groupBy("user_id")
+      .agg(max(col("r")).as("r"))
+      .select(col("user_id"),
+        date_format(col("r.ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("r.event_id").as("event_id"),
+        col("r.event_type").as("event_type"),
+        (col("r.vc") / 100.0).as("value"))
+      .orderBy("user_id")
+
+  val qLatestByKeySql: String =
+    """WITH r AS (SELECT user_id, ts, event_id, event_type,
+      |  CAST(round(value*100) AS BIGINT) AS vc,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events)
+      |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      | event_id, event_type, vc/100.0 AS value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // --- q_skew_join --------------------------------------------------------
+  // Salted fact-dim JOIN — the join-side twin of q_salted_agg. events has
+  // only 5 event_types, so an unsalted shuffle join sends ~20% of the fact
+  // table to ONE reducer. The salted plan replicates each dim row SaltN
+  // ways (build side grows by a constant factor) and routes each fact row
+  // to (key, event_id % SaltN) — every hot key spreads over SaltN
+  // reducers. The shuffle_hash pin reflects the pattern's real deployment:
+  // you salt precisely when the dim is too large to broadcast (here it is
+  // demo-sized, and without the pin AQE would broadcast and erase the
+  // skew being demonstrated); the replicated build side stays
+  // |dim|·SaltN — bounded, never corpus-proportional.
+  // The dim is self-derived (per-type mean from exact cent sums; one
+  // final division of identical operands), and the salted join must equal
+  // the oracle's plain join bit-for-bit — associative regrouping of
+  // integer counts/sums is exact.
+  private val SkewSaltN = 16
+
+  def qSkewJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_type"), col("event_id"), col("value"),
+        cents(col("value")).as("vc"))
+    val dim = ev.groupBy("event_type")
+      .agg(sum(col("vc")).as("tot"), count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        (col("tot").cast("double") / 100.0 / col("cnt").cast("double")).as("mean"))
+    val dimR = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(SkewSaltN - 1))))
+    ev.withColumn("salt", pmod(col("event_id"), lit(SkewSaltN)).cast("int"))
+      .join(dimR.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy("event_type", "mean")
+      .agg(count(when(col("value") > col("mean"), 1)).as("n_above"),
+        (sum(when(col("value") > col("mean"), col("vc"))) / 100.0).as("sum_above"))
+      .orderBy("event_type")
+  }
+
+  val qSkewJoinSql: String =
+    """WITH m AS (SELECT event_type,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS mean
+      | FROM events GROUP BY 1)
+      |SELECT e.event_type, mean,
+      | CAST(count(*) FILTER (WHERE e.value > mean) AS BIGINT) AS n_above,
+      | CAST(sum(CAST(round(e.value*100) AS BIGINT)) FILTER (WHERE e.value > mean) AS BIGINT)/100.0 AS sum_above
+      |FROM events e JOIN m USING (event_type)
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_latest_by_key" -> qLatestByKey,
+    "q_skew_join" -> qSkewJoin,
     "q_retention" -> qRetention,
     "q_funnel" -> qFunnel,
     "q_pivot" -> qPivot,
@@ -573,6 +655,8 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_latest_by_key" -> qLatestByKeySql,
+    "q_skew_join" -> qSkewJoinSql,
     "q_retention" -> qRetentionSql,
     "q_funnel" -> qFunnelSql,
     "q_pivot" -> qPivotSql,

@@ -788,6 +788,70 @@ object Selection {
       |WHERE prev_sec IS NOT NULL AND (sec - prev_sec) * (n - 1) > 4 * span
       |ORDER BY l.compound, gap_end_id""".stripMargin
 
+  // --- ds_rolling_z -------------------------------------------------------
+  // Trailing rolling z-score flagging — the moving-window sibling of
+  // ds_outlier_mad (a global median rule goes blind when the series has a
+  // trend; a trailing window tracks the local level). Per compound, each
+  // point with a full 16-sample trailing window is tested against that
+  // window's mean ± 3σ.
+  //
+  // Exactness: a window SUM over doubles sums in engine-internal order
+  // (sliding-frame subtraction vs re-scan), so the repo's decimal trick
+  // doesn't apply (value is not monetary; rounding it would change the
+  // flags). Instead the window sums are written as an EXPLICIT fixed-order
+  // lag chain — v + lag1 + … + lag15, left-associated — the identical IEEE
+  // fold in both engines, like ds_resample's interpolation sequence. The
+  // flag comparison dev² > 9·var avoids sqrt in the predicate; the
+  // reported sd is one correctly-rounded sqrt of identical operands
+  // (clamped at 0 against cancellation).
+  // Scale: one windowed pass partitioned by compound — 16 lags share one
+  // frame/sort, no joins, report-sized output.
+  private val RollW = 16
+
+  def dsRollingZ(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("compound").orderBy(col("cts"), col("event_id"))
+    val k = keyed(spark, d).select("event_id", "compound", "value", "cts")
+    val withLags = (1 until RollW).foldLeft(
+      k.withColumn("rn", row_number().over(w).cast("long"))) { (df, i) =>
+      df.withColumn(s"l$i", lag(col("value"), i).over(w))
+    }
+    val nD = RollW.toDouble
+    val s = (1 until RollW).foldLeft(col("value"))((acc, i) => acc + col(s"l$i"))
+    val ss = (1 until RollW).foldLeft(col("value") * col("value"))(
+      (acc, i) => acc + col(s"l$i") * col(s"l$i"))
+    withLags.filter(col("rn") >= RollW)
+      .withColumn("s", s).withColumn("ss", ss)
+      .withColumn("mean", col("s") / nD)
+      .withColumn("dev", col("value") - col("mean"))
+      .withColumn("vr", (col("ss") - col("s") * col("s") / nD) / nD)
+      .filter(col("dev") * col("dev") > lit(9.0) * col("vr"))
+      .select(col("compound"), col("event_id"),
+        date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("value"), col("dev"),
+        sqrt(greatest(col("vr"), lit(0.0))).as("sd"))
+      .orderBy("compound", "event_id")
+  }
+
+  val dsRollingZSql: String = {
+    val lags = (1 until RollW).map(i => s"lag(value, $i) OVER w AS l$i").mkString(",\n |  ")
+    val sTerms = "value" + (1 until RollW).map(i => s" + l$i").mkString
+    val ssTerms = "value*value" + (1 until RollW).map(i => s" + l$i*l$i").mkString
+    KeyedCte +
+      s""",
+         |l AS (SELECT event_id, compound, value, cts,
+         |  CAST(row_number() OVER w AS BIGINT) AS rn,
+         |  $lags
+         | FROM k WINDOW w AS (PARTITION BY compound ORDER BY cts, event_id)),
+         |z AS (SELECT compound, event_id, cts, value,
+         |  $sTerms AS s, $ssTerms AS ss
+         | FROM l WHERE rn >= $RollW),
+         |z2 AS (SELECT compound, event_id, cts, value,
+         |  value - s/$RollW.0 AS dev, (ss - s*s/$RollW.0)/$RollW.0 AS vr FROM z)
+         |SELECT compound, event_id, strftime(cts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+         | value, dev, sqrt(greatest(vr, 0.0)) AS sd
+         |FROM z2 WHERE dev*dev > 9.0*vr ORDER BY compound, event_id""".stripMargin
+  }
+
   // --- ds_resample --------------------------------------------------------
   // Regular-grid resampling: per compound, linearly interpolate the value
   // series onto 6-hour grid marks — what a QC tool produces before
@@ -936,6 +1000,7 @@ object Selection {
        |ORDER BY s.compound, s.bin""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_rolling_z" -> dsRollingZ,
     "ds_histogram" -> dsHistogram,
     "ds_resample" -> dsResample,
     "ds_outlier_mad" -> dsOutlierMad,
@@ -958,6 +1023,7 @@ object Selection {
     "ds_clear_compound" -> dsClearCompound)
 
   val oracle: Map[String, String] = Map(
+    "ds_rolling_z" -> dsRollingZSql,
     "ds_histogram" -> dsHistogramSql,
     "ds_resample" -> dsResampleSql,
     "ds_outlier_mad" -> dsOutlierMadSql,

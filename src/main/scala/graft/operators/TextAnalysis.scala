@@ -827,7 +827,48 @@ object TextAnalysis {
        |SELECT doc_id, iq, nw, CAST(cum AS BIGINT) AS cum_tokens
        |FROM c WHERE cum <= $TokenBudget ORDER BY iq DESC, doc_id""".stripMargin
 
+  // --- select_stratified --------------------------------------------------
+  // Stratified data selection: the top-K documents per source by the same
+  // integer quality score select_token_budget ranks on (ties by doc_id) —
+  // the per-stratum curation step a mixture recipe runs BEFORE doc_mixture
+  // samples across strata (a global top-K would let one high-quality
+  // source crowd out every other stratum).
+  // Scale shape: one window partitioned by SOURCE — strata are the unit of
+  // parallelism, no global sort anywhere; rank ≤ K prunes to K·|sources|
+  // rows. At 100 TB a skewed stratum bounds the reducer, the standard
+  // refinement (pre-prune with a per-partition top-K before the shuffle)
+  // composes on top without changing the result.
+  private val StratK = 20
+
+  def selectStratified(spark: SparkSession, d: String): DataFrame = {
+    val m = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), words.as("w"))
+      .select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("nw"),
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"))
+      .select(col("doc_id"), col("source"), col("nw"),
+        expr(s"($ScoreScale * stopn) div nw").as("iq"))
+    val w = Window.partitionBy("source").orderBy(desc("iq"), col("doc_id"))
+    m.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= StratK)
+      .select("source", "rank", "doc_id", "iq", "nw")
+      .orderBy("source", "rank")
+  }
+
+  val selectStratifiedSql: String =
+    s"""WITH m AS (SELECT doc_id, source,
+       |  CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) AS nw,
+       |  CAST($ScoreScale * len(list_filter(regexp_split_to_array(trim(text),'\\s+'), x -> x IN ('the','a')))
+       |       // len(regexp_split_to_array(trim(text),'\\s+')) AS BIGINT) AS iq
+       |  FROM documents),
+       |r AS (SELECT source, doc_id, iq, nw,
+       |      CAST(row_number() OVER (PARTITION BY source ORDER BY iq DESC, doc_id) AS BIGINT) AS rank
+       |      FROM m)
+       |SELECT source, rank, doc_id, iq, nw
+       |FROM r WHERE rank <= $StratK ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "select_stratified" -> selectStratified,
     "select_token_budget" -> selectTokenBudget,
     "text_quality_gate" -> textQualityGate,
     "text_decontaminate" -> textDecontaminate,
@@ -850,6 +891,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "select_stratified" -> selectStratifiedSql,
     "select_token_budget" -> selectTokenBudgetSql,
     "text_quality_gate" -> textQualityGateSql,
     "text_decontaminate" -> textDecontaminateSql,

@@ -112,4 +112,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_users")).sum === userDays)
     rows.foreach(r => assert(r.getAs[Long]("day_offset") >= 0L))
   }
+
+  test("latest-by-key keeps exactly the max-(ts, event_id) record per user") {
+    val rows = Analytics.qLatestByKey(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(rows.length === ev.size)
+    rows.foreach { r =>
+      val best = ev(r.getAs[Long]("user_id"))
+        .maxBy(e => (e.getAs[java.sql.Timestamp]("ts").getTime, e.getAs[Long]("event_id")))
+      assert(r.getAs[Long]("event_id") === best.getAs[Long]("event_id"))
+    }
+  }
+
+  test("salted skew join equals the direct unsalted join bit-for-bit") {
+    import spark.implicits._
+    val salted = Analytics.qSkewJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getAs[Long]("n_above"), r.getAs[Double]("sum_above")))
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), round(col("value") * 100).cast("long").as("vc"))
+    val dim = ev.groupBy("event_type")
+      .agg((sum($"vc").cast("double") / 100.0 / count(lit(1)).cast("double")).as("mean"))
+    val direct = ev.join(dim, Seq("event_type"))
+      .groupBy("event_type", "mean")
+      .agg(count(when($"value" > $"mean", 1)).as("n_above"),
+        (sum(when($"value" > $"mean", $"vc")) / 100.0).as("sum_above"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getAs[Long]("n_above"), r.getAs[Double]("sum_above")))
+    assert(salted.toSeq === direct.toSeq)
+  }
 }

@@ -298,4 +298,21 @@ class SelectionSpec extends SparkSpec {
       assert(r.getAs[Long]("gap_sec") * (n - 1) > 4 * span)
     }
   }
+
+  test("rolling-z flags satisfy the 3-sigma rule and have full trailing windows") {
+    val flags = Selection.dsRollingZ(spark, sf).collect()
+    assert(flags.nonEmpty, "synthetic events should contain rolling-z outliers")
+    // position of each event in its compound's (cts, event_id) order
+    val order = Selection.dsLoadEpoch(spark, sf).collect()
+      .map(r => (r.getString(1), r.getAs[String]("ts_s"), r.getAs[Long]("event_id")))
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (x._2, x._3)).map(_._3).zipWithIndex.toMap).toMap
+    flags.foreach { r =>
+      val dev = r.getAs[Double]("dev")
+      val sd = r.getAs[Double]("sd")
+      // dev^2 > 9*var held at flag time; sd = sqrt(max(var, 0))
+      assert(dev * dev > 9.0 * sd * sd - 1e-9)
+      assert(order(r.getString(0))(r.getAs[Long]("event_id")) >= 15,
+        "flagged rows must have a full 16-sample trailing window")
+    }
+  }
 }

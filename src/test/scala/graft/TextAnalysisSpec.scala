@@ -387,4 +387,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(gotSmall === expSmall.toSeq)
     assert(gotSmall.nonEmpty && gotSmall.size < got.size)
   }
+
+  test("stratified selection keeps the top-K per source with contiguous ranks") {
+    val rows = graft.operators.TextAnalysis.selectStratified(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("iq")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.length <= 20)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      // per-source order is (iq desc, doc_id asc)
+      sorted.sliding(2).foreach {
+        case Array((_, _, idA, iqA), (_, _, idB, iqB)) =>
+          assert(iqA > iqB || (iqA == iqB && idA < idB))
+        case _ =>
+      }
+    }
+  }
 }
