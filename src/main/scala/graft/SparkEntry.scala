@@ -20,6 +20,7 @@ object SparkEntry {
       Map("mm_binary_meta" -> (Multimodal.mmBinaryMeta _),
         "mm_dedup" -> (Multimodal.mmDedup _),
         "mm_chunk_dedup" -> (Multimodal.mmChunkDedup _),
+        "mm_phash" -> (Multimodal.mmPhash _),
         "mm_frames" -> (Multimodal.mmFrames _)) ++ EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,6 +31,7 @@ object SparkEntry {
       Map("mm_binary_meta" -> Multimodal.mmBinaryMetaSql,
         "mm_dedup" -> Multimodal.mmDedupSql,
         "mm_chunk_dedup" -> Multimodal.mmChunkDedupSql,
+        "mm_phash" -> Multimodal.mmPhashSql,
         // the mapPartitions codec op runs a FAKE codec whose output is
         // SQL-expressible, so even the non-SQL operator gets a full oracle
         "mm_frames" -> Multimodal.mmFramesSql) ++ EventStream.oracle

@@ -118,5 +118,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("top_ngram_counts"),
       new ExpressionInfo(classOf[TopNgramCounts].getName, "top_ngram_counts"),
       (children: Seq[Expression]) => TopNgramCounts(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("phash_blocks"),
+      new ExpressionInfo(classOf[PhashBlocks].getName, "phash_blocks"),
+      (children: Seq[Expression]) => PhashBlocks(children.head)))
   }
 }

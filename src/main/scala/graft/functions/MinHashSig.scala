@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native 16-permutation MinHash signature over a document string — the
@@ -134,6 +134,35 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.simhash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Native 8-block perceptual-hash block sums over a payload's UTF-8 bytes
+  * (see `Multimodal.mmPhash`) — per-row hex-digit mass per block, the pure
+  * map the composable formulation pays 8 `aggregate(sequence(...))` calls
+  * for (each of which MATERIALIZES an O(bytes) position array per row).
+  * Digit d (0-based, 2·len total) is the high (d even) or low (d odd)
+  * nibble of byte d/2; block b covers digits [b·L/8, (b+1)·L/8) — exactly
+  * the 1-based inclusive substring ranges of the SQL formulation. NULL for
+  * payloads under 4 bytes (blocks would be empty).
+  */
+case class PhashBlocks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "phash_blocks"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.phashBlocks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.MinHashKernel.phashBlocks($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PhashBlocks =
     copy(child = newChild)
 }
 
@@ -276,5 +305,28 @@ object MinHashKernel {
       i += 1
     }
     new GenericArrayData(mins.map(UTF8String.fromString(_)).toIndexedSeq)
+  }
+
+  /** 8-block hex-digit mass over the string's UTF-8 bytes (see
+    * [[PhashBlocks]]); null for payloads under 4 bytes. */
+  def phashBlocks(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val nDigits = bytes.length * 2L
+    if (nDigits < 8) return null
+    val sums = new Array[Long](8)
+    var b = 0
+    while (b < 8) {
+      var d = (b * nDigits / 8).toInt
+      val end = ((b + 1) * nDigits / 8).toInt
+      var acc = 0L
+      while (d < end) {
+        val v = bytes(d >> 1) & 0xff
+        acc += (if ((d & 1) == 0) v >>> 4 else v & 0xf)
+        d += 1
+      }
+      sums(b) = acc
+      b += 1
+    }
+    new GenericArrayData(sums)
   }
 }

@@ -108,6 +108,67 @@ object Multimodal {
       |SELECT h, n_copies, n_docs, loc//1048576 AS canonical_doc, loc%1048576 AS canonical_idx
       |FROM g ORDER BY h""".stripMargin
 
+  // --- mm_phash -----------------------------------------------------------
+  // Perceptual-hash-shaped near-dup blocking for opaque payloads: an 8-bit
+  // block signature — payload split into 8 byte-ranges, each block's mass
+  // (sum of hex-digit values, a pure function of the bytes) compared to
+  // the payload mean via the cross-multiplied 8·block > total test (no
+  // division), bit set where the block is above average. Payloads that
+  // differ by small local edits keep most block means and land in the
+  // same bucket — the aHash construction real image pipelines use on
+  // pixel grids, applied at the byte layer the fake codec exposes.
+  // Requires ≥ 4 payload bytes so all 8 hex-digit blocks are non-empty
+  // (shorter payloads are dropped; the corpus minimum is 48 bytes).
+  // Scale shape: signature extraction is a PURE MAP over the scan via the
+  // native `phash_blocks` kernel — the composable `aggregate(sequence(…))`
+  // formulation materializes an O(bytes) position array per block per row
+  // (measured 5.8s vs the kernel's sub-second at sf0.1) and survives as
+  // the oracle + NativeKernelSpec's equality check. The groupBy is over
+  // ≤ 256 signature keys, map-side combinable; the bucket table joins
+  // back AQE-planned (256 rows — broadcast from observed size). Payload
+  // bytes never shuffle.
+  def mmPhash(spark: SparkSession, d: String): DataFrame = {
+    val phash = (1 until 8).foldLeft(
+      when(element_at(col("bs"), 1) * 8 > col("total"), 1L).otherwise(0L)) { (acc, i) =>
+      acc + when(element_at(col("bs"), i + 1) * 8 > col("total"), lit(1L << i)).otherwise(lit(0L))
+    }
+    val sig = Tables.documents(spark, d)
+      .select(col("doc_id"), expr("phash_blocks(text)").as("bs"))
+      .filter(col("bs").isNotNull)
+      .withColumn("total", expr("aggregate(bs, 0L, (a, x) -> a + x)"))
+      .select(col("doc_id"), phash.as("phash"))
+    val buckets = sig.groupBy("phash")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_same"))
+    sig.join(buckets, Seq("phash"))
+      .select("doc_id", "phash", "canonical_id", "n_same")
+      .orderBy("doc_id")
+  }
+
+  val mmPhashSql: String = {
+    val blocks = (0 until 8).map { i =>
+      s"""  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range((($i * hl) // 8) + 1, ((${i + 1} * hl) // 8) + 1),
+         |      p -> CAST(strpos('0123456789abcdef', substring(hexs, CAST(p AS INT), 1)) - 1 AS BIGINT))),
+         |    (a, x) -> a + x) AS b$i""".stripMargin
+    }.mkString(",\n")
+    val totalExpr = (0 until 8).map(i => s"b$i").mkString(" + ")
+    val phashExpr = (0 until 8).map(i =>
+      s"(CASE WHEN b$i * 8 > total THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS hexs FROM documents),
+       |hx2 AS (SELECT doc_id, hexs, CAST(length(hexs) AS BIGINT) AS hl
+       |        FROM hx WHERE length(hexs) >= 8),
+       |b AS (SELECT doc_id,
+       |$blocks
+       | FROM hx2),
+       |t AS (SELECT doc_id, b0, b1, b2, b3, b4, b5, b6, b7,
+       |        $totalExpr AS total FROM b),
+       |sig AS (SELECT doc_id, CAST($phashExpr AS BIGINT) AS phash FROM t),
+       |g AS (SELECT phash, min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_same
+       |      FROM sig GROUP BY 1)
+       |SELECT doc_id, sig.phash, canonical_id, n_same
+       |FROM sig JOIN g ON sig.phash = g.phash ORDER BY doc_id""".stripMargin
+  }
+
   /** Decoded-frame record produced by the codec stub. */
   case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int, checksum: Long)
 

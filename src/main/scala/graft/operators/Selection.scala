@@ -852,6 +852,67 @@ object Selection {
          |FROM z2 WHERE dev*dev > 9.0*vr ORDER BY compound, event_id""".stripMargin
   }
 
+  // --- ds_changepoint -----------------------------------------------------
+  // Level-shift detection — per compound, the single split of the (cts,
+  // event_id)-ordered series that maximizes the between-segment mean gap
+  // (the binary-segmentation step classical changepoint methods iterate;
+  // one step is the QC report "where did this sensor jump?").
+  //
+  // Exactness: values are quantized to integer cents ONCE (the same
+  // round(value·100) rule every monetary op uses), so prefix sums are
+  // order-independent integer window sums — safe where a double window
+  // sum is not. The split score |mean_L − mean_R| is compared via the
+  // cross-multiplied integer |S_i·(n−i) − (S_n−S_i)·i| over denominator
+  // i·(n−i); per-row score doubles come from ONE division of identical
+  // exact operands in both engines, and the argmax breaks ties by
+  // earliest split. Reported means: one division each, identical order.
+  // Scale: two windowed passes partitioned by compound, report-sized
+  // output (one row per compound) — the q_percentiles shape.
+  def dsChangepoint(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("compound").orderBy(col("cts"), col("event_id"))
+    val wAll = Window.partitionBy("compound")
+    val k = keyed(spark, d)
+      .select(col("compound"), col("event_id"), col("cts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s", sum(col("vc")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sn", sum(col("vc")).over(wAll))
+    val scored = k.filter(col("i") < col("n"))
+      .withColumn("num", abs(col("s") * (col("n") - col("i")) - (col("sn") - col("s")) * col("i")))
+      .withColumn("score", col("num").cast("double") / (col("i") * (col("n") - col("i"))).cast("double"))
+    val wPick = Window.partitionBy("compound").orderBy(desc("score"), col("i"))
+    scored.withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("compound"), col("i").as("split_i"),
+        col("event_id").as("boundary_event_id"),
+        date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        ((col("s").cast("double") / 100.0) / col("i").cast("double")).as("mean_left"),
+        (((col("sn") - col("s")).cast("double") / 100.0) / (col("n") - col("i")).cast("double")).as("mean_right"),
+        col("score"))
+      .orderBy("compound")
+  }
+
+  val dsChangepointSql: String = KeyedCte +
+    """,
+      |p AS (SELECT compound, event_id, cts, CAST(round(value*100) AS BIGINT) AS vc,
+      |  CAST(row_number() OVER w AS BIGINT) AS i,
+      |  sum(CAST(round(value*100) AS BIGINT)) OVER w AS s,
+      |  count(*) OVER (PARTITION BY compound) AS n,
+      |  sum(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY compound) AS sn
+      | FROM k WINDOW w AS (PARTITION BY compound ORDER BY cts, event_id ROWS UNBOUNDED PRECEDING)),
+      |sc AS (SELECT compound, event_id, cts, i, s, n, sn,
+      |  CAST(abs(s*(n-i) - (sn-s)*i) AS DOUBLE) / CAST(i*(n-i) AS DOUBLE) AS score
+      | FROM p WHERE i < n),
+      |pick AS (SELECT compound, event_id, cts, i, s, n, sn, score,
+      |  row_number() OVER (PARTITION BY compound ORDER BY score DESC, i) AS rk FROM sc)
+      |SELECT compound, i AS split_i, event_id AS boundary_event_id,
+      | strftime(cts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      | (CAST(s AS DOUBLE)/100.0)/CAST(i AS DOUBLE) AS mean_left,
+      | (CAST(sn - s AS DOUBLE)/100.0)/CAST(n - i AS DOUBLE) AS mean_right,
+      | score
+      |FROM pick WHERE rk = 1 ORDER BY compound""".stripMargin
+
   // --- ds_resample --------------------------------------------------------
   // Regular-grid resampling: per compound, linearly interpolate the value
   // series onto 6-hour grid marks — what a QC tool produces before
@@ -1001,6 +1062,7 @@ object Selection {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_rolling_z" -> dsRollingZ,
+    "ds_changepoint" -> dsChangepoint,
     "ds_histogram" -> dsHistogram,
     "ds_resample" -> dsResample,
     "ds_outlier_mad" -> dsOutlierMad,
@@ -1024,6 +1086,7 @@ object Selection {
 
   val oracle: Map[String, String] = Map(
     "ds_rolling_z" -> dsRollingZSql,
+    "ds_changepoint" -> dsChangepointSql,
     "ds_histogram" -> dsHistogramSql,
     "ds_resample" -> dsResampleSql,
     "ds_outlier_mad" -> dsOutlierMadSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -267,13 +268,149 @@ object Sketches {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // --- sketch_hll_union ---------------------------------------------------
+  // The HLL MERGE law exercised at oracle level: the per-type register
+  // tables sketch_hll builds are unioned by taking max(m_j) per register
+  // index — the whole point of an HLL at 100 TB is that per-partition /
+  // per-shard / per-day sketches merge into the global one without
+  // touching raw data again. The merged registers feed the identical
+  // estimate formula (scaled-integer harmonic sum, one IEEE division,
+  // same verified ln() small-range branch); exact global distinct rides
+  // along for calibration.
+  // Scale shape: merging is a 64-key max-aggregate over |types|·64 rows —
+  // constant work regardless of corpus size. (The Scala mergeability spec
+  // proves split-corpus register equality; this operator proves the
+  // MERGED ESTIMATE against the oracle.)
+  def sketchHllUnion(spark: SparkSession, d: String): DataFrame = {
+    val merged = hllRegisters(Tables.events(spark, d))
+      .groupBy("idx").agg(max(col("m_j")).as("m_j"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(1L, CAST(55 - m_j AS INT))")).as("sum_present"))
+      .select(col("n_regs"),
+        (col("sum_present") + (lit(M.toLong) - col("n_regs")) * lit(1L << 55))
+          .as("sum_scaled"))
+    val exact = Tables.events(spark, d)
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val vEmpty = lit(M.toLong) - col("n_regs")
+    val raw = lit(Alpha * M * M) * lit(math.pow(2.0, 55)) / col("sum_scaled").cast("double")
+    val est = when(raw <= lit(2.5 * M) && vEmpty > 0,
+      lit(M.toDouble) * log(lit(M.toDouble) / vEmpty.cast("double"))).otherwise(raw)
+    merged.crossJoin(exact)
+      .select(lit("all_types").as("scope"), col("n_exact"),
+        (floor(est * 1e6 + 0.5) / 1e6).as("hll_est"))
+  }
+
+  val sketchHllUnionSql: String =
+    s"""WITH h AS (SELECT user_id,
+       |  CAST(list_reduce(
+       |    list_transform(range(1, 16),
+       |      i -> strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+       |    (a, b) -> a * 16 + b) AS BIGINT) AS h
+       |  FROM events),
+       |r AS (SELECT h % $M AS idx, h // $M AS rest FROM h),
+       |rho AS (SELECT idx,
+       |  CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END AS rho FROM r),
+       |m AS (SELECT idx, max(rho) AS m_j FROM rho GROUP BY 1),
+       |s AS (SELECT count(*) AS n_regs,
+       |  sum(1::BIGINT << CAST(55 - m_j AS INT)) AS sum_present FROM m),
+       |e AS (SELECT count(DISTINCT user_id) AS n_exact FROM events),
+       |est AS (SELECT n_regs,
+       |  ${Alpha * M * M} * power(2.0, 55)
+       |    / CAST(sum_present + ($M - n_regs) * (1::BIGINT << 55) AS DOUBLE) AS raw FROM s)
+       |SELECT 'all_types' AS scope, e.n_exact,
+       |  floor(CASE WHEN raw <= ${2.5 * M} AND $M - n_regs > 0
+       |             THEN $M.0 * ln($M.0 / CAST($M - n_regs AS DOUBLE))
+       |             ELSE raw END * 1e6 + 0.5) / 1e6 AS hll_est
+       |FROM est, e""".stripMargin
+
+  // --- sketch_quantile ----------------------------------------------------
+  // Fixed-grid histogram quantile sketch — the mergeable quantile path
+  // (the same role a KLL/t-digest plays, built deterministic so the
+  // oracle can replay it): per event_type, values are binned onto a FIXED
+  // data-independent grid (64 bins × width 16 over [0, 1024), top bin
+  // clamps), and quantile q(p) is reported as the upper edge of the first
+  // bin whose cumulative count reaches ceil(p·n) — integer ranks via
+  // ceil-division, bin edges exact doubles. The DISCRETE exact percentile
+  // (q_percentiles' rank rule) rides along for calibration, giving the
+  // sketch's error directly.
+  // Scale shape: the sketch is a map-side-combinable count over ≤ 64·types
+  // keys — constant state per partition, mergeable by addition (the
+  // production path at 100 TB); the cumulative window runs over the
+  // 64-row-per-type BIN table, never the corpus. The exact side pays a
+  // per-type sort and is the calibration column a production run drops.
+  private val QBins = 64
+  private val QWidth = 16.0
+
+  def sketchQuantile(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d).select(col("event_type"), col("event_id"), col("value"))
+    def rank(p: Int) = expr(s"(n * $p + 99) div 100")
+    val counts = ev
+      .withColumn("bin", least(lit(QBins - 1L), floor(col("value") / QWidth)).cast("long"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    // per-type n derives from the 64-row-per-type bin table — the sketch
+    // is self-describing, no second corpus pass for totals
+    val n = counts.groupBy("event_type").agg(sum(col("c")).as("n"))
+    val wcum = Window.partitionBy("event_type").orderBy("bin")
+    val est = counts
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .join(n, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        min(when(col("cum") >= rank(50), (col("bin") + 1) * QWidth)).as("p50_est"),
+        min(when(col("cum") >= rank(90), (col("bin") + 1) * QWidth)).as("p90_est"),
+        min(when(col("cum") >= rank(99), (col("bin") + 1) * QWidth)).as("p99_est"))
+    val wrank = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val exact = ev
+      .withColumn("rn", row_number().over(wrank).cast("long"))
+      .join(n, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        min(when(col("rn") === rank(50), col("value"))).as("p50_exact"),
+        min(when(col("rn") === rank(90), col("value"))).as("p90_exact"),
+        min(when(col("rn") === rank(99), col("value"))).as("p99_exact"))
+    est.join(exact, Seq("event_type")).join(n, Seq("event_type"))
+      .select("event_type", "n", "p50_est", "p50_exact", "p90_est", "p90_exact",
+        "p99_est", "p99_exact")
+      .orderBy("event_type")
+  }
+
+  val sketchQuantileSql: String =
+    s"""WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+       |b AS (SELECT event_type,
+       |  least(${QBins - 1}, CAST(floor(value / $QWidth) AS BIGINT)) AS bin, count(*) AS c
+       | FROM events GROUP BY 1, 2),
+       |cum AS (SELECT event_type, bin, c,
+       |  sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM b),
+       |est AS (SELECT c.event_type,
+       |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN (bin + 1) * $QWidth END) AS p50_est,
+       |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN (bin + 1) * $QWidth END) AS p90_est,
+       |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN (bin + 1) * $QWidth END) AS p99_est
+       | FROM cum c JOIN n ON c.event_type = n.event_type GROUP BY 1),
+       |r AS (SELECT event_type, event_id, value,
+       |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn
+       | FROM events),
+       |ex AS (SELECT r.event_type,
+       |  min(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50_exact,
+       |  min(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90_exact,
+       |  min(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99_exact
+       | FROM r JOIN n ON r.event_type = n.event_type GROUP BY 1)
+       |SELECT est.event_type, n.n, p50_est, p50_exact, p90_est, p90_exact,
+       | p99_est, p99_exact
+       |FROM est JOIN ex ON est.event_type = ex.event_type
+       | JOIN n ON est.event_type = n.event_type
+       |ORDER BY est.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> sketchHll,
+    "sketch_hll_union" -> sketchHllUnion,
+    "sketch_quantile" -> sketchQuantile,
     "sketch_cms" -> sketchCms,
     "sketch_bloom" -> sketchBloom)
 
   val oracle: Map[String, String] = Map(
     "sketch_hll" -> sketchHllSql,
+    "sketch_hll_union" -> sketchHllUnionSql,
+    "sketch_quantile" -> sketchQuantileSql,
     "sketch_cms" -> sketchCmsSql,
     "sketch_bloom" -> sketchBloomSql)
 }

@@ -75,4 +75,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got.head.getAs[Long]("n_docs") === 2)
     assert(got.head.getAs[Long]("canonical_doc") === 3L)
   }
+
+  test("phash signatures match an in-process recompute and bucket stats are consistent") {
+    def phashOf(text: String): Long = {
+      val hexs = text.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+      val digits = hexs.map(c => "0123456789abcdef".indexOf(c).toLong)
+      val L = digits.length.toLong
+      val blocks = (0 until 8).map { i =>
+        digits.slice((i * L / 8).toInt, ((i + 1) * L / 8).toInt).sum
+      }
+      val total = blocks.sum
+      (0 until 8).map(i => if (blocks(i) * 8 > total) 1L << i else 0L).sum
+    }
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = Multimodal.mmPhash(spark, sf).collect()
+    assert(rows.length === texts.size)
+    val byHash = rows.groupBy(_.getAs[Long]("phash"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("phash") === phashOf(texts(r.getAs[Long]("doc_id"))))
+      val bucket = byHash(r.getAs[Long]("phash"))
+      assert(r.getAs[Long]("n_same") === bucket.length.toLong)
+      assert(r.getAs[Long]("canonical_id") === bucket.map(_.getAs[Long]("doc_id")).min)
+    }
+  }
 }

@@ -122,4 +122,24 @@ class NativeKernelSpec extends SparkSpec {
     assert(native(2L) === Seq(0L, 0L))
     assert(native(3L) === Seq(1L, 0L))
   }
+
+  test("phash_blocks equals the aggregate(sequence) hex-digit formulation") {
+    val blockSqls = (0 until 8).map { i =>
+      s"""aggregate(sequence((($i * hl) div 8) + 1, ((${i + 1} * hl) div 8)), 0L,
+         |(acc, p) -> acc + instr('0123456789abcdef', substring(hexs, CAST(p AS INT), 1)) - 1) AS b$i""".stripMargin
+    }
+    val composable = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), lower(hex(expr("encode(text, 'UTF-8')"))).as("hexs"))
+      .filter(length(col("hexs")) >= 8)
+      .withColumn("hl", length(col("hexs")).cast("long"))
+      .selectExpr(("doc_id" +: blockSqls): _*).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 8).map(i => r.getAs[Long](s"b$i"))).toMap
+    val native = docs.select(col("doc_id"), expr("phash_blocks(text)").as("bs"))
+      .filter(col("bs").isNotNull).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    // same survivors (≥ 4 bytes, non-null) — unicode docs included: the
+    // kernel walks UTF-8 BYTES, exactly like hex(encode(text, 'UTF-8'))
+    assert(native.keySet === composable.keySet)
+    composable.foreach { case (id, c) => assert(native(id) === c, s"doc $id") }
+  }
 }

@@ -315,4 +315,29 @@ class SelectionSpec extends SparkSpec {
         "flagged rows must have a full 16-sample trailing window")
     }
   }
+
+  test("changepoint picks the max cross-multiplied mean-gap split per compound") {
+    val series = Selection.dsLoadEpoch(spark, sf).collect()
+      .map(r => (r.getString(1), r.getAs[String]("ts_s"), r.getAs[Long]("event_id"),
+        math.round(r.getAs[Double]("value") * 100)))
+      .groupBy(_._1)
+    val got = Selection.dsChangepoint(spark, sf).collect()
+    assert(got.length === series.size)
+    got.foreach { r =>
+      val vc = series(r.getString(0)).sortBy(x => (x._2, x._3)).map(x => (x._3, x._4))
+      val n = vc.length.toLong
+      val sn = vc.map(_._2).sum
+      var best: (Double, Long, Long) = null // (score, i, event_id)
+      var s = 0L
+      vc.zipWithIndex.dropRight(1).foreach { case ((eid, c), idx) =>
+        val i = idx + 1L
+        s += c
+        val score = math.abs(s * (n - i) - (sn - s) * i).toDouble / (i * (n - i)).toDouble
+        if (best == null || score > best._1) best = (score, i, eid)
+      }
+      assert(r.getAs[Long]("split_i") === best._2)
+      assert(r.getAs[Long]("boundary_event_id") === best._3)
+      assert(r.getAs[Double]("mean_left") !== r.getAs[Double]("mean_right"))
+    }
+  }
 }

@@ -118,4 +118,37 @@ class SketchesSpec extends SparkSpec {
       if (expExact) assert(r.getAs[Long]("bloom_hit") === 1L)
     }
   }
+
+  test("quantile sketch brackets the exact percentile within one bin width") {
+    val rows = graft.operators.Sketches.sketchQuantile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("p50", "p90", "p99").foreach { p =>
+        val est = r.getAs[Double](s"${p}_est")
+        val exact = r.getAs[Double](s"${p}_exact")
+        // the estimate is the containing bin's UPPER edge: never below the
+        // exact discrete percentile, never more than one bin width above
+        assert(est >= exact, s"$p est $est < exact $exact")
+        assert(est - exact <= 16.0, s"$p est $est too far above exact $exact")
+      }
+      assert(r.getAs[Double]("p50_est") <= r.getAs[Double]("p90_est"))
+      assert(r.getAs[Double]("p90_est") <= r.getAs[Double]("p99_est"))
+    }
+  }
+
+  test("union sketch registers equal the elementwise max of per-type registers") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+    val global = graft.operators.Sketches.hllRegisters(ev.select(lit("all").as("event_type"), col("user_id")))
+      .collect().map(r => r.getAs[Long]("idx") -> r.getAs[Long]("m_j")).toMap
+    val merged = graft.operators.Sketches.hllRegisters(ev)
+      .collect().groupBy(_.getAs[Long]("idx"))
+      .map { case (i, rs) => i -> rs.map(_.getAs[Long]("m_j")).max }
+    assert(merged === global)
+    // and the reported union estimate is a sane HLL estimate of the exact
+    val row = graft.operators.Sketches.sketchHllUnion(spark, sf).collect().head
+    val exact = row.getAs[Long]("n_exact").toDouble
+    val est = row.getAs[Double]("hll_est")
+    assert(math.abs(est - exact) / exact < 0.5, s"est $est vs exact $exact")
+  }
 }
