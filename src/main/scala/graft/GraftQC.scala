@@ -162,6 +162,18 @@ class GraftQC(spark: SparkSession, utcOffsetHours: Int = -2) {
   def histogram(data: DataFrame): DataFrame =
     Selection.histogramFrom(data.select("compound", "value"))
 
+  /** Trailing rolling z-score flags (local-level sibling of [[outliers]] —
+    * tracks trend where the global MAD rule cannot). Flagged points carry
+    * `sel_key`s, so they compose with `toggle`/`applyFilter`/`exportJson`.
+    */
+  def rollingZ(data: DataFrame): DataFrame =
+    Selection.rollingZFrom(data.select("sel_key", "compound", "value", "cts"), "sel_key")
+
+  /** Largest level shift per compound ("where did this sensor jump?") —
+    * one binary-segmentation step over the loaded series. */
+  def changepoint(data: DataFrame): DataFrame =
+    Selection.changepointFrom(data.select("sel_key", "compound", "value", "cts"), "sel_key")
+
   /** One zoom stack per (compound, plane) with the reference's exact rules:
     * a new limit is pushed only if it differs from the current top
     * (index.js:360-368), zoomOut pops and is a no-op on an empty stack, and

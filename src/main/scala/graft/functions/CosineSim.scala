@@ -122,5 +122,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("phash_blocks"),
       new ExpressionInfo(classOf[PhashBlocks].getName, "phash_blocks"),
       (children: Seq[Expression]) => PhashBlocks(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) => PqEncode(children.head, children(1))))
   }
 }

@@ -560,6 +560,44 @@ object Dedup {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- dedup_edit_verify --------------------------------------------------
+  // Edit-distance verification on the LSH candidates — the precision
+  // refinement a production near-dup pipeline runs when set-similarity
+  // (Jaccard/containment over shingles) is too coarse: Levenshtein
+  // distance sees ORDER and small in-place edits that bag-of-shingles
+  // measures blur. Threshold is relative and division-free: keep pairs
+  // whose edit distance is ≤ 10% of the longer document (dist·10 ≤
+  // max(len)). Both engines implement classical unit-cost Levenshtein
+  // over code points (the corpus is ASCII; NativeKernelSpec is not needed
+  // here — `levenshtein` is a built-in in BOTH engines).
+  // Scale shape: the O(|a|·|b|) DP cost is exactly why this runs on the
+  // density-bounded candidate-pair table and never all-pairs; the two
+  // text-attach joins hash on doc_id and move only candidate documents
+  // (AQE broadcasts the pair side when small, shuffles when a high-dup
+  // corpus makes it big — no hints).
+  def dedupEditVerify(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    lshShared(spark, d).cand.select("da", "db")
+      .join(docs.select(col("doc_id").as("da"), col("text").as("ta")), Seq("da"))
+      .join(docs.select(col("doc_id").as("db"), col("text").as("tb")), Seq("db"))
+      .select(col("da"), col("db"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
+      .filter(col("edit_dist") * 10 <= col("max_len"))
+      .orderBy("da", "db")
+  }
+
+  val dedupEditVerifySql: String = LshCte +
+    """
+      |SELECT da, db,
+      | CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+      | CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len
+      |FROM cand JOIN documents a ON a.doc_id = cand.da
+      |          JOIN documents b ON b.doc_id = cand.db
+      |WHERE CAST(levenshtein(a.text, b.text) AS BIGINT) * 10
+      |      <= greatest(length(a.text), length(b.text))
+      |ORDER BY da, db""".stripMargin
+
   // --- dedup_simhash ------------------------------------------------------
   // 64-bit SimHash: bit b comes from nibble bits of each token's md5,
   // weighted by token frequency; the fingerprint lives as 4 × 16-bit chunk
@@ -660,6 +698,7 @@ object Dedup {
     "dedup_apply" -> dedupApply,
     "dedup_cluster_stats" -> dedupClusterStats,
     "dedup_substring" -> dedupSubstring,
+    "dedup_edit_verify" -> dedupEditVerify,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding)
 
@@ -673,6 +712,7 @@ object Dedup {
     "dedup_apply" -> dedupApplySql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_substring" -> dedupSubstringSql,
+    "dedup_edit_verify" -> dedupEditVerifySql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

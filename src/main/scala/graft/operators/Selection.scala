@@ -808,9 +808,14 @@ object Selection {
   // frame/sort, no joins, report-sized output.
   private val RollW = 16
 
-  def dsRollingZ(spark: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("compound").orderBy(col("cts"), col("event_id"))
-    val k = keyed(spark, d).select("event_id", "compound", "value", "cts")
+  def dsRollingZ(spark: SparkSession, d: String): DataFrame =
+    rollingZFrom(keyed(spark, d).select("event_id", "compound", "value", "cts"), "event_id")
+      .orderBy("compound", "event_id")
+
+  /** DataFrame-in variant for library callers (and the [[GraftQC]] facade):
+    * `k` needs (`idCol`, compound, value, cts: timestamp). */
+  def rollingZFrom(k: DataFrame, idCol: String): DataFrame = {
+    val w = Window.partitionBy("compound").orderBy(col("cts"), col(idCol))
     val withLags = (1 until RollW).foldLeft(
       k.withColumn("rn", row_number().over(w).cast("long"))) { (df, i) =>
       df.withColumn(s"l$i", lag(col("value"), i).over(w))
@@ -825,11 +830,10 @@ object Selection {
       .withColumn("dev", col("value") - col("mean"))
       .withColumn("vr", (col("ss") - col("s") * col("s") / nD) / nD)
       .filter(col("dev") * col("dev") > lit(9.0) * col("vr"))
-      .select(col("compound"), col("event_id"),
+      .select(col("compound"), col(idCol),
         date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         col("value"), col("dev"),
         sqrt(greatest(col("vr"), lit(0.0))).as("sd"))
-      .orderBy("compound", "event_id")
   }
 
   val dsRollingZSql: String = {
@@ -868,11 +872,18 @@ object Selection {
   // earliest split. Reported means: one division each, identical order.
   // Scale: two windowed passes partitioned by compound, report-sized
   // output (one row per compound) — the q_percentiles shape.
-  def dsChangepoint(spark: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("compound").orderBy(col("cts"), col("event_id"))
+  def dsChangepoint(spark: SparkSession, d: String): DataFrame =
+    changepointFrom(keyed(spark, d).select("event_id", "compound", "value", "cts"), "event_id")
+      .orderBy("compound")
+
+  /** DataFrame-in variant for library callers (and the [[GraftQC]] facade):
+    * `k` needs (`idCol`, compound, value, cts: timestamp); the boundary id
+    * column is named `boundary_<idCol>`. */
+  def changepointFrom(kIn: DataFrame, idCol: String): DataFrame = {
+    val w = Window.partitionBy("compound").orderBy(col("cts"), col(idCol))
     val wAll = Window.partitionBy("compound")
-    val k = keyed(spark, d)
-      .select(col("compound"), col("event_id"), col("cts"),
+    val k = kIn
+      .select(col("compound"), col(idCol), col("cts"),
         round(col("value") * 100).cast("long").as("vc"))
       .withColumn("i", row_number().over(w).cast("long"))
       .withColumn("s", sum(col("vc")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -885,12 +896,11 @@ object Selection {
     scored.withColumn("rk", row_number().over(wPick))
       .filter(col("rk") === 1)
       .select(col("compound"), col("i").as("split_i"),
-        col("event_id").as("boundary_event_id"),
+        col(idCol).as(s"boundary_$idCol"),
         date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         ((col("s").cast("double") / 100.0) / col("i").cast("double")).as("mean_left"),
         (((col("sn") - col("s")).cast("double") / 100.0) / (col("n") - col("i")).cast("double")).as("mean_right"),
         col("score"))
-      .orderBy("compound")
   }
 
   val dsChangepointSql: String = KeyedCte +

@@ -23,6 +23,7 @@ object Similarity {
 
   private val K = 10
   private val NumQueries = 5 // vec_id < 5 are the query set
+  private val RefineM = 30 // ann_refine's ADC shortlist depth
   // Embedding dimensionality — EVERY oracle SQL dot product below derives
   // its range(…) bound from this one constant (the Spark side is
   // dimension-agnostic via zip_with/aggregate, so a dim change that only
@@ -119,7 +120,7 @@ object Similarity {
 
   /** The deterministic seed centroids, collected driver-side: k·dim
     * doubles (KBs) — the quantizer state any IVF index keeps resident. */
-  private def seedCentroids(spark: SparkSession, d: String): Seq[Array[Double]] =
+  private[graft] def seedCentroids(spark: SparkSession, d: String): Seq[Array[Double]] =
     vectors(spark, d)
       .filter(col("vec_id") >= CentroidBase && col("vec_id") < CentroidBase + NumCells)
       .orderBy("vec_id").collect()
@@ -341,6 +342,7 @@ object Similarity {
       .unionByName(recallOf(annIvf(spark, d), "ivf"))
       .unionByName(recallOf(annQuantized(spark, d), "quantized"))
       .unionByName(recallOf(annPq(spark, d), "pq"))
+      .unionByName(recallOf(annRefine(spark, d), "pq_refine"))
       .orderBy("method", "qid")
   }
 
@@ -396,15 +398,24 @@ object Similarity {
        |ptop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM psc)
        |  WHERE rank <= $K),
+       |pshort AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM psc)
+       |  WHERE rank <= $RefineM),
+       |pex AS (SELECT pshort.qid, pshort.vec_id, ${CosSqlFor("qv", "v")} AS sim
+       |        FROM pshort JOIN e ON e.vec_id = pshort.vec_id JOIN xq ON xq.qid = pshort.qid),
+       |prtop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM pex)
+       |  WHERE rank <= $K),
        |u AS (SELECT 'lsh' AS method, qid, vec_id FROM ltop
        |      UNION ALL SELECT 'ivf', qid, vec_id FROM itop
        |      UNION ALL SELECT 'quantized', qid, vec_id FROM qtop
-       |      UNION ALL SELECT 'pq', qid, vec_id FROM ptop),
+       |      UNION ALL SELECT 'pq', qid, vec_id FROM ptop
+       |      UNION ALL SELECT 'pq_refine', qid, vec_id FROM prtop),
        |hit AS (SELECT method, u.qid, count(*) AS hits
        |        FROM u JOIN xtop x ON u.qid = x.qid AND u.vec_id = x.vec_id
        |        GROUP BY 1, 2),
        |qm AS (SELECT CAST(range AS BIGINT) AS qid, method
-       |       FROM range(0, $NumQueries) CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf' UNION ALL SELECT 'quantized' UNION ALL SELECT 'pq'))
+       |       FROM range(0, $NumQueries) CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf' UNION ALL SELECT 'quantized' UNION ALL SELECT 'pq' UNION ALL SELECT 'pq_refine'))
        |SELECT qm.qid, qm.method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
        |  CAST(coalesce(h.hits, 0) AS DOUBLE) / $K AS recall
        |FROM qm LEFT JOIN hit h ON h.qid = qm.qid AND h.method = qm.method
@@ -486,13 +497,13 @@ object Similarity {
   // order); codewords per subspace = NumCells (the seed-centroid count)
 
   /** Codebooks: CB(s)(c) = seed centroid c's s-th subvector. */
-  private def pqCodebooks(cents: Seq[Array[Double]]): Seq[Seq[Array[Double]]] =
+  private[graft] def pqCodebooks(cents: Seq[Array[Double]]): Seq[Seq[Array[Double]]] =
     (0 until PqSub).map(s => cents.map(_.slice(s * PqSubDim, (s + 1) * PqSubDim)))
 
   /** Code for subspace s: argmin squared-L2 over the literal codewords,
     * smaller code on ties — struct MIN over (d2, code), the minimizing
     * mirror of bestCentroid's `greatest` trick. */
-  private def pqCode(cb: Seq[Array[Double]], s: Int): Column = {
+  private[graft] def pqCode(cb: Seq[Array[Double]], s: Int): Column = {
     val ss = cb.zipWithIndex.map { case (w, c) =>
       val d2 = (0 until PqSubDim).map { i =>
         val diff = element_at(col("v"), s * PqSubDim + i + 1) - lit(w(i))
@@ -503,12 +514,20 @@ object Similarity {
     (if (ss.length == 1) ss.head else least(ss: _*)).getField("code")
   }
 
-  def annPq(spark: SparkSession, d: String): DataFrame = {
+  /** PQ ADC-ranked candidates per query (qid, rank, vec_id, score), the
+    * shared stage behind [[annPq]] (m = K) and [[annRefine]] (m = RefineM).
+    */
+  private def pqRanked(spark: SparkSession, d: String, m: Int): DataFrame = {
     val e = vectors(spark, d)
     val cb = pqCodebooks(seedCentroids(spark, d))
-    // encoding: pure map — the corpus becomes (vec_id, 8 codes)
+    val cbArg = array(cb.map(sub =>
+      array(sub.map(w => array(w.toSeq.map(lit): _*)): _*)): _*)
+    // encoding: pure map via the native pq_encode kernel — the composable
+    // least-of-structs formulation ([[pqCode]], kept for the kernel-
+    // equality spec) builds a ~1000-node expression tree per row that
+    // dominated the family's runtime
     val codes = e.select(col("vec_id"),
-      array((0 until PqSub).map(s => pqCode(cb(s), s)): _*).as("code"))
+      call_function("pq_encode", col("v"), cbArg).as("code"))
     val qs = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val cbLit = array(cb.map(sub =>
@@ -528,10 +547,13 @@ object Similarity {
     codes.crossJoin(broadcast(qs))
       .withColumn("score", score)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= m)
+  }
+
+  def annPq(spark: SparkSession, d: String): DataFrame =
+    pqRanked(spark, d, K)
       .select("qid", "rank", "vec_id", "score")
       .orderBy("qid", "rank")
-  }
 
   val annPqSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -552,6 +574,61 @@ object Similarity {
        |r AS (SELECT qid, vec_id, score,
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank FROM sc)
        |SELECT qid, rank, vec_id, score FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
+  // --- ann_refine ---------------------------------------------------------
+  // PQ shortlist + exact re-rank — the two-stage refine deployment every
+  // production PQ index runs (FAISS IndexRefineFlat; Jégou et al.
+  // TPAMI'11 §V's re-ranking): codes give a memory-bound RefineM-deep
+  // shortlist per query, then exact cosine is paid on ONLY RefineM rows
+  // per query instead of the corpus. Re-ranking recovers most of the
+  // recall the 64× code compression gives up — ann_recall reports the
+  // pq vs pq_refine gap directly.
+  // Scale shape: stage 1 is ann_pq's plan (codes crossJoin the broadcast
+  // NumQueries-row query set — the corpus never shuffles, scores rank in
+  // a per-qid window); stage 2 joins the (NumQueries·RefineM)-row
+  // shortlist back to the vector table hashed on vec_id — AQE broadcasts
+  // the shortlist from observed size; full vectors are touched only for
+  // shortlisted ids (a columnar scan prunes the rest).
+  def annRefine(spark: SparkSession, d: String): DataFrame = {
+    val e = vectors(spark, d)
+    val qs = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val shortlist = pqRanked(spark, d, RefineM).select("qid", "vec_id")
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    shortlist
+      .join(e, Seq("vec_id"))
+      .join(broadcast(qs), Seq("qid"))
+      .withColumn("sim", cosExpr)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("qid", "rank", "vec_id", "sim")
+      .orderBy("qid", "rank")
+  }
+
+  val annRefineSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |cw AS (SELECT cid, s, [cv[CAST(s*$PqSubDim + i AS INT)] FOR i IN range(1, ${PqSubDim + 1})] AS w
+       |       FROM c, range(0, $PqSub) t(s)),
+       |enc AS (SELECT vec_id, s, cid AS code, row_number() OVER (PARTITION BY vec_id, s ORDER BY
+       |    list_reduce(list_prepend(0.0, [(v[CAST(s*$PqSubDim + i AS INT)] - w[CAST(i AS INT)]) * (v[CAST(s*$PqSubDim + i AS INT)] - w[CAST(i AS INT)]) FOR i IN range(1, ${PqSubDim + 1})]), (a, x) -> a + x), cid) AS rn
+       |  FROM e CROSS JOIN cw),
+       |code AS (SELECT vec_id, s, code FROM enc WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |part AS (SELECT qid, code.vec_id, code.s,
+       |    list_reduce(list_prepend(0.0, [qv[CAST(code.s*$PqSubDim + i AS INT)] * w[CAST(i AS INT)] FOR i IN range(1, ${PqSubDim + 1})]), (a, x) -> a + x) AS dt
+       |  FROM code JOIN cw ON cw.s = code.s AND cw.cid = code.code CROSS JOIN q),
+       |sc AS (SELECT qid, vec_id, list_reduce(list_prepend(0.0, list(dt ORDER BY s)), (a, x) -> a + x) AS score
+       |       FROM part GROUP BY qid, vec_id),
+       |short AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM sc)
+       |  WHERE rank <= $RefineM),
+       |ex AS (SELECT short.qid, short.vec_id, ${CosSqlFor("qv", "v")} AS sim
+       |       FROM short JOIN e ON e.vec_id = short.vec_id JOIN q ON q.qid = short.qid),
+       |r AS (SELECT qid, vec_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM ex)
+       |SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
   // --- embed_cluster ------------------------------------------------------
   // Embedding-corpus profile: assign EVERY vector to its nearest of the 16
@@ -593,6 +670,7 @@ object Similarity {
     "ann_ivf" -> annIvf,
     "ann_quantized" -> annQuantized,
     "ann_pq" -> annPq,
+    "ann_refine" -> annRefine,
     "ann_recall" -> annRecall,
     "embed_cluster" -> embedCluster)
 
@@ -602,6 +680,7 @@ object Similarity {
     "ann_ivf" -> annIvfSql,
     "ann_quantized" -> annQuantizedSql,
     "ann_pq" -> annPqSql,
+    "ann_refine" -> annRefineSql,
     "ann_recall" -> annRecallSql,
     "embed_cluster" -> embedClusterSql)
 }

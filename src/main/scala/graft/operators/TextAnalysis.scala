@@ -827,6 +827,44 @@ object TextAnalysis {
        |SELECT doc_id, iq, nw, CAST(cum AS BIGINT) AS cum_tokens
        |FROM c WHERE cum <= $TokenBudget ORDER BY iq DESC, doc_id""".stripMargin
 
+  // --- doc_shuffle --------------------------------------------------------
+  // Deterministic corpus shuffle — the reproducible global training order
+  // every run needs (epoch seed in the key: change the seed, get a fresh
+  // but equally reproducible permutation). Order = md5(seed|doc_id), a
+  // pure function of identity; position = the doc's rank in that order.
+  // Scale shape: the oracle's global row_number() (ORDER BY one
+  // expression, no partition) would funnel the corpus through ONE
+  // partition, so the Spark side decomposes the global rank exactly like
+  // select_token_budget decomposes its prefix sum: the first hex byte
+  // partitions the order into 256 uniform buckets (md5 is the sort key,
+  // so bucket boundaries ARE order boundaries); per-bucket counts give
+  // each bucket's global offset via a 256-row cumulative window, and a
+  // per-bucket row_number settles the position within. Both formulations
+  // are provably equal because the global order is exactly (bucket, key).
+  private val ShuffleSeed = "ep0"
+
+  def docShuffle(spark: SparkSession, d: String): DataFrame = {
+    val m = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        md5(concat(lit(ShuffleSeed), lit("|"), col("doc_id").cast("string"))).as("sk"))
+      .withColumn("bucket", substring(col("sk"), 1, 2))
+    val wBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = m.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("off", sum(col("bn")).over(wBucket) - col("bn"))
+    val wDoc = Window.partitionBy("bucket").orderBy("sk", "doc_id")
+    m.join(offsets.select("bucket", "off"), Seq("bucket"))
+      .withColumn("pos", (col("off") + row_number().over(wDoc)).cast("long"))
+      .select("pos", "doc_id", "sk")
+      .orderBy("pos")
+  }
+
+  val docShuffleSql: String =
+    s"""WITH m AS (SELECT doc_id, md5('$ShuffleSeed|' || CAST(doc_id AS VARCHAR)) AS sk
+       |  FROM documents)
+       |SELECT CAST(row_number() OVER (ORDER BY sk, doc_id) AS BIGINT) AS pos, doc_id, sk
+       |FROM m ORDER BY pos""".stripMargin
+
   // --- select_stratified --------------------------------------------------
   // Stratified data selection: the top-K documents per source by the same
   // integer quality score select_token_budget ranks on (ties by doc_id) —
@@ -868,6 +906,7 @@ object TextAnalysis {
        |FROM r WHERE rank <= $StratK ORDER BY source, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_shuffle" -> docShuffle,
     "select_stratified" -> selectStratified,
     "select_token_budget" -> selectTokenBudget,
     "text_quality_gate" -> textQualityGate,
@@ -891,6 +930,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "doc_shuffle" -> docShuffleSql,
     "select_stratified" -> selectStratifiedSql,
     "select_token_budget" -> selectTokenBudgetSql,
     "text_quality_gate" -> textQualityGateSql,

@@ -129,6 +129,34 @@ object EventStream {
     """SELECT DISTINCT user_id, strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute_s
       |FROM events ORDER BY user_id, minute_s""".stripMargin
 
+  /** Latest-record-per-key state — the streaming MATERIALIZED VIEW every
+    * CDC consumer keeps (current device state, last reading per sensor):
+    * one transform for batch and stream. The struct max is an associative,
+    * commutative aggregate, so complete-mode streaming updates converge to
+    * exactly the batch answer regardless of micro-batch boundaries — the
+    * same mergeability argument as the sketches. (ts, event_id) totally
+    * orders records, so the carried value field never decides a winner.
+    */
+  def latestState(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), struct(col("ts"), col("event_id"), col("value")).as("r"))
+      .groupBy("user_id").agg(max(col("r")).as("r"))
+      .select(col("user_id"),
+        date_format(col("r.ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("r.event_id").as("event_id"),
+        col("r.value").as("value"))
+
+  // --- stream_latest (batch-parity verification entry) ---------------------
+  def streamLatest(spark: SparkSession, d: String): DataFrame =
+    latestState(Tables.events(spark, d)).orderBy("user_id")
+
+  val streamLatestSql: String =
+    """WITH r AS (SELECT user_id, ts, event_id, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events)
+      |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_id, value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** Dedup for at-least-once ingest where RETRIES arrive with slightly
     * different event times — same business key, perturbed ts, so a plain
     * key+time dropDuplicates keeps both copies. `dropDuplicatesWithinWatermark`
@@ -171,9 +199,11 @@ object EventStream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly" -> streamHourly,
-    "stream_dedup" -> streamDedup)
+    "stream_dedup" -> streamDedup,
+    "stream_latest" -> streamLatest)
 
   val oracle: Map[String, String] = Map(
     "stream_hourly" -> streamHourlySql,
-    "stream_dedup" -> streamDedupSql)
+    "stream_dedup" -> streamDedupSql,
+    "stream_latest" -> streamLatestSql)
 }

@@ -227,4 +227,34 @@ class DedupSpec extends SparkSpec {
       assert(ratio.doubleValue === nd.toDouble / ws.size)
     }
   }
+
+  test("edit-verified pairs carry the true Levenshtein distance within threshold") {
+    def lev(a: String, b: String): Long = {
+      val prev = new Array[Int](b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (j <- 0 to b.length) prev(j) = j
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        }
+        Array.copy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length).toLong
+    }
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = graft.operators.Dedup.dedupEditVerify(spark, sf).collect()
+    assert(rows.nonEmpty, "the synthetic corpus contains near-identical docs")
+    rows.foreach { r =>
+      val (da, db) = (r.getAs[Long]("da"), r.getAs[Long]("db"))
+      val d = lev(texts(da), texts(db))
+      assert(r.getAs[Long]("edit_dist") === d, s"pair ($da,$db)")
+      val maxLen = math.max(texts(da).length, texts(db).length).toLong
+      assert(r.getAs[Long]("max_len") === maxLen)
+      assert(d * 10 <= maxLen, "threshold must hold for every emitted pair")
+    }
+  }
 }

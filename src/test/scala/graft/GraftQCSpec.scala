@@ -147,4 +147,24 @@ class GraftQCSpec extends SparkSpec {
       assert(v >= lo && v <= hi, s"${r.getString(0)} $v outside [$lo, $hi]")
     }
   }
+
+  test("rolling-z and changepoint reports run on the reference's own data") {
+    // rolling-z flags carry sel_keys → compose with applyFilter like any
+    // selection; each flag satisfies its own 3-sigma rule
+    val rz = qc.rollingZ(data)
+    rz.collect().foreach { r =>
+      val (dev, sd) = (r.getAs[Double]("dev"), r.getAs[Double]("sd"))
+      assert(dev * dev > 9.0 * sd * sd - 1e-9)
+    }
+    val kept = qc.applyFilter(data, rz.select("compound", "sel_key"))
+    assert(kept.count() <= data.count())
+
+    // one changepoint row per compound, means on the correct sides
+    val cp = qc.changepoint(data).collect()
+    assert(cp.length === data.select("compound").distinct().count().toInt)
+    cp.foreach { r =>
+      assert(r.getAs[Long]("split_i") >= 1L)
+      assert(r.getAs[Double]("score") >= 0.0)
+    }
+  }
 }

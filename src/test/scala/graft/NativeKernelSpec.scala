@@ -142,4 +142,23 @@ class NativeKernelSpec extends SparkSpec {
     assert(native.keySet === composable.keySet)
     composable.foreach { case (id, c) => assert(native(id) === c, s"doc $id") }
   }
+
+  test("pq_encode equals the least-of-structs composable formulation on real embeddings") {
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.embeddings(spark, sf).select(
+      col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cb = Similarity.pqCodebooks(Similarity.seedCentroids(spark, sf))
+    val cbArg = array(cb.map(sub =>
+      array(sub.map(w => array(w.toSeq.map(lit): _*)): _*)): _*)
+    val native = e.select(col("vec_id"),
+      call_function("pq_encode", col("v"), cbArg).as("code")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    val composable = e.select(col("vec_id") +:
+      (0 until 8).map(s => Similarity.pqCode(cb(s), s).as(s"c$s")): _*).collect()
+      .map(r => r.getAs[Long]("vec_id") -> (0 until 8).map(i => r.getAs[Int](s"c$i"))).toMap
+    assert(native.keySet === composable.keySet)
+    composable.foreach { case (id, c) => assert(native(id) === c, s"vec $id") }
+    // every code addresses a real codeword
+    native.values.foreach(codes => codes.foreach(c => assert(c >= 0 && c < 16)))
+  }
 }

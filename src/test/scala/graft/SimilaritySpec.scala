@@ -180,4 +180,23 @@ class SimilaritySpec extends SparkSpec {
       assert(gotTop === expTop)
     }
   }
+
+  test("exact re-rank never loses recall vs the raw PQ ranking") {
+    val rec = graft.operators.Similarity.annRecall(spark, sf).collect()
+      .map(r => (r.getAs[String]("method"), r.getAs[Long]("qid")) -> r.getAs[Long]("hits"))
+      .toMap
+    val qids = rec.keys.map(_._2).toSeq.distinct
+    assert(qids.nonEmpty)
+    // refine keeps the 10 exact-sim-best of a SUPERSET of pq's shortlist:
+    // any displaced true hit is displaced only by other true hits
+    qids.foreach { qid =>
+      assert(rec(("pq_refine", qid)) >= rec(("pq", qid)), s"qid $qid")
+    }
+    // and refine's own top-k is internally consistent: rank-ordered by sim
+    val ref = graft.operators.Similarity.annRefine(spark, sf).collect()
+    ref.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }

@@ -210,4 +210,21 @@ class StreamingSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("p_date"))
   }
+
+  test("streaming latest-per-key state equals the batch compaction (complete mode)") {
+    val dir = stageEventsDir()
+    val stream = EventStream.eventsStream(spark, dir)
+    // the struct max is associative+commutative, so complete-mode output
+    // converges to the batch answer regardless of micro-batch boundaries
+    val q = EventStream.latestState(stream)
+      .writeStream.format("memory").queryName("latest_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("latest_stream")
+    val batch = EventStream.streamLatest(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
 }

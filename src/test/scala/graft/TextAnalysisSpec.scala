@@ -388,6 +388,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(gotSmall.nonEmpty && gotSmall.size < got.size)
   }
 
+  test("doc_shuffle is a reproducible permutation in md5-key order") {
+    val rows = graft.operators.TextAnalysis.docShuffle(spark, sf).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"), r.getAs[String]("sk")))
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    // positions are exactly 1..N (the bucket-decomposed global rank is a
+    // permutation, no gaps/dupes)
+    assert(rows.map(_._1).sorted.toSeq === (1L to n).toSeq)
+    assert(rows.map(_._2).distinct.length === n.toInt)
+    // and the order is exactly (md5 key, doc_id)
+    val sorted = rows.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, idA, kA), (_, idB, kB)) =>
+        assert(kA < kB || (kA == kB && idA < idB))
+      case _ =>
+    }
+    // reproducible: a second run yields the identical permutation
+    val again = graft.operators.TextAnalysis.docShuffle(spark, sf).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id")))
+    assert(again.toSeq.sorted === rows.map(t => (t._1, t._2)).toSeq.sorted)
+  }
+
   test("stratified selection keeps the top-K per source with contiguous ranks") {
     val rows = graft.operators.TextAnalysis.selectStratified(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
