@@ -793,14 +793,20 @@ object TextAnalysis {
     * pins budget = [[TokenBudget]]); also lets the spec exercise the
     * boundary bucket at sf0.001, where the default budget exceeds the
     * whole corpus. */
-  private[graft] def selectTokenBudgetWith(spark: SparkSession, d: String, budget: Long): DataFrame = {
-    val m = Tables.documents(spark, d)
-      .select(col("doc_id"), words.as("w"))
-      .select(col("doc_id"),
-        size(col("w")).cast("long").as("nw"),
-        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"))
-      .select(col("doc_id"), col("nw"),
-        expr(s"($ScoreScale * stopn) div nw").as("iq"))
+  private[graft] def selectTokenBudgetWith(spark: SparkSession, d: String, budget: Long): DataFrame =
+    tokenBudgetSelect(
+      Tables.documents(spark, d)
+        .select(col("doc_id"), words.as("w"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("nw"),
+          size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"))
+        .select(col("doc_id"), col("nw"),
+          expr(s"($ScoreScale * stopn) div nw").as("iq")),
+      budget)
+
+  /** The bucket-decomposed budget selection on any scored relation —
+    * `m` needs (doc_id, nw, iq); shared with [[pipelineCurate]]. */
+  private def tokenBudgetSelect(m: DataFrame, budget: Long): DataFrame = {
     val wBucket = Window.orderBy(desc("iq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val buckets = m.groupBy("iq").agg(sum(col("nw")).as("bw"))
@@ -815,6 +821,77 @@ object TextAnalysis {
       .select("doc_id", "iq", "nw", "cum_tokens")
       .orderBy(desc("iq"), col("doc_id"))
   }
+
+  // --- pipeline_curate ----------------------------------------------------
+  // The end-to-end curation job a training run actually submits — dedup →
+  // quality gate → budget selection COMPOSED as one declarative plan, no
+  // materialization between stages (the reason a user of this library can
+  // replace three separate jobs with one): normalized exact dedup keeps
+  // each content's min doc_id; the C4/Gopher gate conjunction filters the
+  // canonicals; the survivors rank into the token budget via the same
+  // bucket-decomposed prefix sum as select_token_budget. Catalyst sees the
+  // whole pipeline: the gate's filters push into the scan that feeds the
+  // dedup groupBy, and each stage's shuffle reuses the previous stage's
+  // co-partitioning where keys align.
+  def pipelineCurate(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).filter(col("text").isNotNull)
+    // Every per-doc metric (content hash + the five gate signals) is a pure
+    // function of one document, so ALL of them compute in the scan's
+    // project list and the text never leaves its split: the only
+    // corpus-sized shuffle in the whole pipeline carries the ~60-byte
+    // metric row, not KB documents. Dedup is then a min-over-hash window
+    // on that slim relation (a groupBy + semi join back would hash the
+    // corpus a second time for the probe side — a corpus-sized canonical
+    // list is not broadcastable at 100 TB). Metrics for the dropped
+    // duplicates are wasted compute proportional to duplicate density —
+    // orders of magnitude cheaper than shuffling text bytes.
+    val wH = Window.partitionBy("h")
+    val gated = docs
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"),
+        words.as("w"),
+        size(regexp_extract_all(lower(col("text")), lit("[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("nsym"),
+        length(col("text")).cast("long").as("nchars"))
+      .select(col("doc_id"), col("h"), col("nsym"), col("nchars"),
+        size(col("w")).cast("long").as("nw"),
+        expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)").as("sumlen"),
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"),
+        expr("aggregate(transform(array_distinct(w), t -> size(filter(w, x -> x = t))), 0, (a, x) -> greatest(a, x))")
+          .cast("long").as("topn"))
+      .withColumn("mn", min(col("doc_id")).over(wH))
+      .filter(col("doc_id") === col("mn"))
+      .filter(col("nw") >= 20 &&
+        col("sumlen") >= col("nw") * 3 && col("sumlen") <= col("nw") * 10 &&
+        col("stopn") >= 1 &&
+        col("topn") * 5 <= col("nw") &&
+        col("nsym") * 10 <= col("nchars"))
+      .select(col("doc_id"), col("nw"),
+        expr(s"($ScoreScale * stopn) div nw").as("iq"))
+    tokenBudgetSelect(gated, TokenBudget)
+  }
+
+  val pipelineCurateSql: String =
+    s"""WITH canon AS (SELECT min(doc_id) AS doc_id
+       |  FROM documents WHERE text IS NOT NULL
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+       |g AS (SELECT d.doc_id, regexp_split_to_array(trim(text), '\\s+') AS w, text
+       |  FROM documents d JOIN canon USING (doc_id)),
+       |m0 AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nw,
+       |  list_sum(list_transform(w, x -> length(x))) AS sumlen,
+       |  CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS stopn,
+       |  list_max(list_transform(list_distinct(w), t -> len(list_filter(w, x -> x = t)))) AS topn,
+       |  len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS nsym,
+       |  length(text) AS nchars
+       | FROM g),
+       |m AS (SELECT doc_id, nw, CAST($ScoreScale * stopn // nw AS BIGINT) AS iq
+       | FROM m0
+       | WHERE nw >= 20 AND sumlen >= 3*nw AND sumlen <= 10*nw AND stopn >= 1
+       |   AND topn * 5 <= nw AND nsym * 10 <= nchars),
+       |c AS (SELECT doc_id, iq, nw,
+       |      sum(nw) OVER (ORDER BY iq DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM m)
+       |SELECT doc_id, iq, nw, CAST(cum AS BIGINT) AS cum_tokens
+       |FROM c WHERE cum <= $TokenBudget ORDER BY iq DESC, doc_id""".stripMargin
 
   val selectTokenBudgetSql: String =
     s"""WITH m AS (SELECT doc_id,
@@ -906,6 +983,7 @@ object TextAnalysis {
        |FROM r WHERE rank <= $StratK ORDER BY source, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate" -> pipelineCurate,
     "doc_shuffle" -> docShuffle,
     "select_stratified" -> selectStratified,
     "select_token_budget" -> selectTokenBudget,
@@ -930,6 +1008,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "pipeline_curate" -> pipelineCurateSql,
     "doc_shuffle" -> docShuffleSql,
     "select_stratified" -> selectStratifiedSql,
     "select_token_budget" -> selectTokenBudgetSql,

@@ -388,6 +388,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(gotSmall.nonEmpty && gotSmall.size < got.size)
   }
 
+  test("pipeline_curate equals its three stages composed independently") {
+    val canon = graft.operators.Dedup.dedupExactNorm(spark, sf).collect()
+      .map(_.getAs[Long]("canonical_id")).toSet
+    val pass = graft.operators.TextAnalysis.textQualityGate(spark, sf).collect()
+      .filter(_.getAs[Long]("pass") == 1L).map(_.getAs[Long]("doc_id")).toSet
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val scored = texts
+      .filter { case (id, _) => canon(id) && pass(id) }
+      .map { case (id, t) =>
+        val w = t.trim.split("\\s+")
+        val stopn = w.count(x => x == "the" || x == "a").toLong
+        (id, w.length.toLong, 100000L * stopn / w.length)
+      }
+      .sortBy { case (id, _, iq) => (-iq, id) }
+    var cum = 0L
+    val expected = scored.takeWhile { case (_, nw, _) => { cum += nw; cum <= 15000L } }
+    var cum2 = 0L // recompute cum for the expected prefix
+    val expRows = expected.map { case (id, nw, iq) => cum2 += nw; (id, iq, nw, cum2) }
+    val got = graft.operators.TextAnalysis.pipelineCurate(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("iq"),
+        r.getAs[Long]("nw"), r.getAs[Long]("cum_tokens")))
+    assert(got.nonEmpty)
+    assert(got.toSeq === expRows.toSeq)
+  }
+
   test("doc_shuffle is a reproducible permutation in md5-key order") {
     val rows = graft.operators.TextAnalysis.docShuffle(spark, sf).collect()
       .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"), r.getAs[String]("sk")))
