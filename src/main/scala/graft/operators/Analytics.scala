@@ -633,7 +633,71 @@ object Analytics {
       |FROM events e JOIN m USING (event_type)
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // --- q_cooccurrence -----------------------------------------------------
+  // Market-basket co-occurrence: for every unordered event_type pair, how
+  // many users performed BOTH — the association-mining primitive behind
+  // "users who X also Y". The pair explosion happens INSIDE each user's
+  // row (collect_set ≤ |types| = 5, then a higher-order pair expansion),
+  // so no self-join over the corpus ever forms: one user_id-hashed
+  // combinable aggregate, one pure-map explode of ≤ C(5,2) pairs per
+  // user, one final groupBy over ≤ 25 keys. The oracle keeps the textbook
+  // distinct-self-join formulation, which at 100 TB would re-shuffle the
+  // (user, type) relation twice and join it to itself.
+  def qCooccurrence(spark: SparkSession, d: String): DataFrame = {
+    val ut = Tables.events(spark, d)
+      .groupBy("user_id").agg(sort_array(collect_set(col("event_type"))).as("ts"))
+    ut.select(explode(expr(
+        """flatten(transform(ts, (a, i) ->
+          |  transform(slice(ts, i + 2, size(ts)), b -> struct(a AS ta, b AS tb))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val qCooccurrenceSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      | CAST(count(*) AS BIGINT) AS n_users
+      |FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- q_mode_by_key ------------------------------------------------------
+  // Per-user modal event_type (most frequent, lexicographically-smallest
+  // on ties) — the categorical summary feature stores emit per entity.
+  // Two map-side-combinable aggregations, both hashed on user_id: count
+  // per (user, type), then struct-max argmax per user (cnt DESC, then
+  // reversed-type tie-break realized by max over (cnt, negated rank) —
+  // here by min over type among max counts via a two-field struct whose
+  // second field is the type string under a descending trick; ties are
+  // resolved to the SMALLEST type name, matching the oracle's
+  // row_number ORDER BY cnt DESC, event_type ASC).
+  def qModeByKey(spark: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(spark, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+    // max over (cnt, type) would tie-break to the LARGEST type; min over
+    // (-cnt, type) tie-breaks to the smallest — exactly the oracle's order
+    counts
+      .groupBy("user_id")
+      .agg(min(struct((-col("cnt")).as("nc"), col("event_type").as("t"))).as("m"),
+        sum(col("cnt")).as("n_events"))
+      .select(col("user_id"), col("m.t").as("mode_type"),
+        (-col("m.nc")).as("mode_n"), col("n_events"))
+      .orderBy("user_id")
+  }
+
+  val qModeByKeySql: String =
+    """WITH c AS (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
+      |r AS (SELECT user_id, event_type, cnt,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn,
+      |  sum(cnt) OVER (PARTITION BY user_id) AS n_events FROM c)
+      |SELECT user_id, event_type AS mode_type, cnt AS mode_n,
+      | CAST(n_events AS BIGINT) AS n_events
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cooccurrence" -> qCooccurrence,
+    "q_mode_by_key" -> qModeByKey,
     "q_latest_by_key" -> qLatestByKey,
     "q_skew_join" -> qSkewJoin,
     "q_retention" -> qRetention,
@@ -655,6 +719,8 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_cooccurrence" -> qCooccurrenceSql,
+    "q_mode_by_key" -> qModeByKeySql,
     "q_latest_by_key" -> qLatestByKeySql,
     "q_skew_join" -> qSkewJoinSql,
     "q_retention" -> qRetentionSql,

@@ -664,7 +664,61 @@ object Similarity {
        |SELECT cid, count(*) AS n_vecs, min(csim) AS min_sim, max(csim) AS max_sim
        |FROM asg WHERE arn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- embed_kmeans_step --------------------------------------------------
+  // One Lloyd iteration from the seed quantizer — the training step that
+  // turns seed centroids into data-fitted ones (at scale you iterate this
+  // to convergence and feed the result back through the same
+  // literal-injection path ann_ivf/embed_cluster already use). Assignment
+  // is the literal-centroid argmax in the scan's project list (pure map);
+  // the update step's vector mean is made order-independent by quantizing
+  // each component to round(v·2^20) integers IN THE SCAN, so per-cluster
+  // per-dim sums are associative integer math and the reported mean is
+  // two IEEE divisions of identical exact operands ((sum/2^20)/n).
+  // Scale shape: 64 integer sums per cluster, all map-side combinable —
+  // the shuffle carries |cells|×65 longs regardless of corpus size; the
+  // per-(cid, dim) report unpivots AFTER aggregation (1024 rows), never
+  // exploding the corpus. The oracle keeps the corpus×64 unnest
+  // formulation.
+  private val KmQ = 1L << 20 // component quantization scale
+
+  def embedKmeansStep(spark: SparkSession, d: String): DataFrame = {
+    val e = vectors(spark, d)
+    val qcols = (0 until Dim).map(i =>
+      round(element_at(col("v"), i + 1) * KmQ).cast("long").as(s"q$i"))
+    val assigned = e
+      .select(col("v"), bestCentroid(seedCentroids(spark, d)).as("b"))
+      .select((-col("b.ncid")).cast("long").as("cid") +: qcols: _*)
+    val sums = assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        (0 until Dim).map(i => sum(col(s"q$i")).as(s"s$i")): _*)
+    // unpivot the 64 sum columns into (cid, dim, sum_q) — 16 rows in, 1024 out
+    val stacked = sums.select(col("cid"), col("n_vecs"),
+      explode(array((0 until Dim).map(i =>
+        struct(lit(i + 1).cast("long").as("dim"), col(s"s$i").as("sum_q"))): _*)).as("p"))
+    stacked.select(col("cid"), col("p.dim").as("dim"), col("n_vecs"),
+      ((col("p.sum_q").cast("double") / KmQ.toDouble) / col("n_vecs").cast("double")).as("mean"))
+      .orderBy("cid", "dim")
+  }
+
+  val embedKmeansStepSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |s AS (SELECT vec_id, v, cid, ${CosSqlFor("v", "cv")} AS csim FROM e CROSS JOIN c),
+       |asg AS (SELECT vec_id, v, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS arn FROM s),
+       |cell AS (SELECT vec_id, v, cid FROM asg WHERE arn = 1),
+       |n AS (SELECT cid, count(*) AS n_vecs FROM cell GROUP BY 1),
+       |q AS (SELECT cid, CAST(i AS BIGINT) AS dim,
+       |  sum(CAST(round(v[CAST(i AS INT)] * $KmQ) AS BIGINT)) AS sum_q
+       | FROM cell, range(1, ${Dim + 1}) t(i) GROUP BY 1, 2)
+       |SELECT q.cid, dim, n_vecs,
+       | (CAST(sum_q AS DOUBLE) / $KmQ.0) / CAST(n_vecs AS DOUBLE) AS mean
+       |FROM q JOIN n ON q.cid = n.cid
+       |ORDER BY q.cid, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_kmeans_step" -> embedKmeansStep,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -675,6 +729,7 @@ object Similarity {
     "embed_cluster" -> embedCluster)
 
   val oracle: Map[String, String] = Map(
+    "embed_kmeans_step" -> embedKmeansStepSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

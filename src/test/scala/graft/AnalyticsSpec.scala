@@ -126,6 +126,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cooccurrence pair counts match the distinct (user, type) recompute") {
+    val ut = Tables.events(spark, sf).select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exp = ut.values.toSeq
+      .flatMap(ts => ts.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Analytics.qCooccurrence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_users")).toMap
+    assert(got === exp)
+    // unordered pairs: type_a < type_b always
+    got.keys.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("mode-by-key picks the most frequent type with smallest-name tie-break") {
+    val counts = Tables.events(spark, sf).select("user_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap).toMap
+    val got = Analytics.qModeByKey(spark, sf).collect()
+    assert(got.length === counts.size)
+    got.foreach { r =>
+      val c = counts(r.getAs[Long]("user_id"))
+      val best = c.toSeq.sortBy { case (t, n) => (-n, t) }.head
+      assert((r.getAs[String]("mode_type"), r.getAs[Long]("mode_n")) === best)
+      assert(r.getAs[Long]("n_events") === c.values.sum)
+    }
+  }
+
   test("salted skew join equals the direct unsalted join bit-for-bit") {
     import spark.implicits._
     val salted = Analytics.qSkewJoin(spark, sf).collect()

@@ -181,6 +181,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans step conserves cluster occupancy and quantized component mass") {
+    val km = graft.operators.Similarity.embedKmeansStep(spark, sf).collect()
+    val occ = graft.operators.Similarity.embedCluster(spark, sf).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Long]("n_vecs")).toMap
+    // one row per (cluster, dim); occupancy agrees with embed_cluster's
+    // assignment (same argmax, same tie-break)
+    val byCid = km.groupBy(_.getAs[Long]("cid"))
+    assert(byCid.keySet === occ.keySet)
+    byCid.foreach { case (cid, rows) =>
+      assert(rows.length === 64)
+      rows.foreach(r => assert(r.getAs[Long]("n_vecs") === occ(cid)))
+    }
+    // per dim, Σ_cid n·mean recovers the corpus quantized component mass
+    val e = graft.sources.Tables.embeddings(spark, sf).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble))
+    val mass = (0 until 64).map(i => e.map(v => math.round(v(i) * (1L << 20)).toDouble / (1L << 20)).sum)
+    km.groupBy(_.getAs[Long]("dim")).foreach { case (dim, rows) =>
+      val got = rows.map(r => r.getAs[Long]("n_vecs") * r.getAs[Double]("mean")).sum
+      assert(math.abs(got - mass(dim.toInt - 1)) < 1e-4, s"dim $dim")
+    }
+  }
+
   test("exact re-rank never loses recall vs the raw PQ ranking") {
     val rec = graft.operators.Similarity.annRecall(spark, sf).collect()
       .map(r => (r.getAs[String]("method"), r.getAs[Long]("qid")) -> r.getAs[Long]("hits"))
