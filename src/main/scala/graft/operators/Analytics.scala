@@ -695,7 +695,74 @@ object Analytics {
       | CAST(n_events AS BIGINT) AS n_events
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // --- q_concurrency ------------------------------------------------------
+  // Sweep-line maximum concurrency: treat each event as a 10-minute
+  // interval and report, per type, the maximum number simultaneously
+  // open — the capacity-planning number behind "how many sessions at
+  // peak". Classic sweep: +1 at start, −1 at end, running sum over the
+  // per-type time order; ordering (t, delta, event_id) closes intervals
+  // BEFORE opening coincident ones (half-open [ts, ts+10m) semantics)
+  // and is a total order, so the running sum is deterministic.
+  // Scale shape: the ±1 stream is a pure flat map (2 rows per event);
+  // ONE windowed pass partitioned by type; the report is |types| rows.
+  private val ConcWindowSec = 600L
+
+  def qConcurrency(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d).select(col("event_type"), col("ts"), col("event_id"))
+    val marks = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"), col("event_id"))
+      .unionAll(ev.select(col("event_type"),
+        (col("ts") + expr(s"INTERVAL $ConcWindowSec SECOND")).as("t"),
+        lit(-1L).as("delta"), col("event_id")))
+    val w = Window.partitionBy("event_type").orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marks.withColumn("open", sum(col("delta")).over(w))
+      .groupBy("event_type")
+      .agg(max(col("open")).as("max_concurrent"), (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      .orderBy("event_type")
+  }
+
+  val qConcurrencySql: String =
+    s"""WITH m AS (
+       | SELECT event_type, ts AS t, CAST(1 AS BIGINT) AS delta, event_id FROM events
+       | UNION ALL
+       | SELECT event_type, ts + INTERVAL $ConcWindowSec SECOND, CAST(-1 AS BIGINT), event_id FROM events),
+       |r AS (SELECT event_type,
+       |  sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta, event_id
+       |                   ROWS UNBOUNDED PRECEDING) AS open
+       | FROM m)
+       |SELECT event_type, CAST(max(open) AS BIGINT) AS max_concurrent,
+       | CAST(count(*) / 2 AS BIGINT) AS n_intervals
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q_day_over_day -----------------------------------------------------
+  // Day-over-day traffic report: per (type, day) counts with the previous
+  // day's count and the delta carried alongside — the reporting primitive
+  // behind every "vs yesterday" dashboard tile. Integer-only (no pct
+  // division to disagree on). One combinable groupBy over types×days +
+  // one lag window over that REPORT-sized table (never raw events).
+  def qDayOverDay(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("n"), col("prev_n"), (col("n") - coalesce(col("prev_n"), col("n"))).as("delta"))
+      .orderBy("event_type", "day_s")
+  }
+
+  val qDayOverDaySql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      | FROM events GROUP BY 1, 2)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, n,
+      | lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+      | CAST(n - coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY day), n) AS BIGINT) AS delta
+      |FROM d ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_concurrency" -> qConcurrency,
+    "q_day_over_day" -> qDayOverDay,
     "q_cooccurrence" -> qCooccurrence,
     "q_mode_by_key" -> qModeByKey,
     "q_latest_by_key" -> qLatestByKey,
@@ -719,6 +786,8 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_concurrency" -> qConcurrencySql,
+    "q_day_over_day" -> qDayOverDaySql,
     "q_cooccurrence" -> qCooccurrenceSql,
     "q_mode_by_key" -> qModeByKeySql,
     "q_latest_by_key" -> qLatestByKeySql,

@@ -15,6 +15,11 @@ object TextAnalysis {
 
   private def words = split(trim(col("text")), "\\s+")
 
+  // Shuffle/sample epoch seed — declared at the TOP of the object: the
+  // oracle-SQL vals interpolate it, and Scala object vals initialize in
+  // declaration order (a later declaration would interpolate as "null").
+  private val ShuffleSeed = "ep0"
+
   // --- text_tokens --------------------------------------------------------
   // Whitespace tokens plus a BPE-ish regex segmentation (letter runs,
   // digit runs, single other symbols) — the two counts a token-budget
@@ -904,6 +909,34 @@ object TextAnalysis {
        |SELECT doc_id, iq, nw, CAST(cum AS BIGINT) AS cum_tokens
        |FROM c WHERE cum <= $TokenBudget ORDER BY iq DESC, doc_id""".stripMargin
 
+  // --- sample_bottomk -----------------------------------------------------
+  // Deterministic uniform sample via bottom-k order statistics: the k
+  // documents with the smallest md5(seed|doc_id) — the reproducible
+  // "give me 100 random docs" every dataset card and eyeball-QA pass
+  // needs, and (because min-k sets merge by union+truncate) the sampling
+  // primitive that composes across 100 TB of partitions: each partition
+  // offers its local bottom-k, the driver keeps the global k — Spark
+  // plans exactly that (TakeOrderedAndProject), a per-partition top-k +
+  // k·partitions merge, never a global sort shuffle. The final rank
+  // window orders K rows, not the corpus.
+  private val SampleK = 100
+
+  def sampleBottomk(spark: SparkSession, d: String): DataFrame = {
+    val m = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        md5(concat(lit(ShuffleSeed), lit("|"), col("doc_id").cast("string"))).as("sk"))
+      .orderBy("sk").limit(SampleK)
+    m.withColumn("rank", row_number().over(Window.orderBy("sk")).cast("long"))
+      .select("rank", "doc_id", "sk")
+      .orderBy("rank")
+  }
+
+  val sampleBottomkSql: String =
+    s"""WITH m AS (SELECT doc_id, md5('$ShuffleSeed|' || CAST(doc_id AS VARCHAR)) AS sk
+       |  FROM documents ORDER BY sk LIMIT $SampleK)
+       |SELECT CAST(row_number() OVER (ORDER BY sk) AS BIGINT) AS rank, doc_id, sk
+       |FROM m ORDER BY rank""".stripMargin
+
   // --- doc_shuffle --------------------------------------------------------
   // Deterministic corpus shuffle — the reproducible global training order
   // every run needs (epoch seed in the key: change the seed, get a fresh
@@ -918,8 +951,6 @@ object TextAnalysis {
   // each bucket's global offset via a 256-row cumulative window, and a
   // per-bucket row_number settles the position within. Both formulations
   // are provably equal because the global order is exactly (bucket, key).
-  private val ShuffleSeed = "ep0"
-
   def docShuffle(spark: SparkSession, d: String): DataFrame = {
     val m = Tables.documents(spark, d)
       .select(col("doc_id"),
@@ -983,6 +1014,7 @@ object TextAnalysis {
        |FROM r WHERE rank <= $StratK ORDER BY source, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_bottomk" -> sampleBottomk,
     "pipeline_curate" -> pipelineCurate,
     "doc_shuffle" -> docShuffle,
     "select_stratified" -> selectStratified,
@@ -1008,6 +1040,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "sample_bottomk" -> sampleBottomkSql,
     "pipeline_curate" -> pipelineCurateSql,
     "doc_shuffle" -> docShuffleSql,
     "select_stratified" -> selectStratifiedSql,

@@ -126,6 +126,39 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("max concurrency matches an in-process sweep-line recompute") {
+    val ev = Tables.events(spark, sf).select("event_type", "ts", "event_id").collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")))
+    val exp = ev.groupBy(_._1).map { case (t, rs) =>
+      val marks = rs.flatMap { case (_, ms, id) =>
+        Seq((ms, 1L, id), (ms + 600000L, -1L, id))
+      }.sortBy(identity)
+      var open = 0L; var mx = 0L
+      marks.foreach { case (_, d, _) => open += d; mx = math.max(mx, open) }
+      t -> (mx, rs.length.toLong)
+    }
+    val got = Analytics.qConcurrency(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("max_concurrent"), r.getAs[Long]("n_intervals")))).toMap
+    assert(got === exp)
+  }
+
+  test("day-over-day deltas are consistent with the daily counts") {
+    val rows = Analytics.qDayOverDay(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[String]("day_s"), r.getAs[Long]("n"),
+        Option(r.getAs[java.lang.Long]("prev_n")).map(_.toLong), r.getAs[Long]("delta")))
+    assert(rows.map(_._3).sum === Tables.events(spark, sf).count())
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.head._4.isEmpty && sorted.head._5 === 0L)
+      sorted.sliding(2).foreach {
+        case Array((_, _, nPrev, _, _), (_, _, n, prev, delta)) =>
+          assert(prev.contains(nPrev))
+          assert(delta === n - nPrev)
+        case _ =>
+      }
+    }
+  }
+
   test("cooccurrence pair counts match the distinct (user, type) recompute") {
     val ut = Tables.events(spark, sf).select("user_id", "event_type").distinct()
       .collect().map(r => (r.getAs[Long]("user_id"), r.getString(1)))

@@ -415,6 +415,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq === expRows.toSeq)
   }
 
+  test("bottom-k sample is exactly the shuffle permutation's first K and plans as TakeOrdered") {
+    val sample = graft.operators.TextAnalysis.sampleBottomk(spark, sf)
+    val got = sample.collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[String]("sk")))
+    // same seed, same keys: the sample IS positions 1..K of doc_shuffle
+    val prefix = graft.operators.TextAnalysis.docShuffle(spark, sf).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"), r.getAs[String]("sk")))
+      .filter(_._1 <= 100L)
+    assert(got.sortBy(_._1).toSeq === prefix.sortBy(_._1).toSeq)
+    // and the plan is the per-partition top-k merge, not a global sort
+    assert(sample.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("doc_shuffle is a reproducible permutation in md5-key order") {
     val rows = graft.operators.TextAnalysis.docShuffle(spark, sf).collect()
       .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"), r.getAs[String]("sk")))
