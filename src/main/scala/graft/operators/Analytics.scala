@@ -760,7 +760,49 @@ object Analytics {
       | CAST(n - coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY day), n) AS BIGINT) AS delta
       |FROM d ORDER BY 1, 2""".stripMargin
 
+  // --- q_ohlc -------------------------------------------------------------
+  // Hourly OHLC candles per type — the downsampling shape every
+  // time-series store serves (open/close = first/last by the (ts,
+  // event_id) total order, high/low = extremes). open/close are
+  // struct-min/max with the value CARRIED (event_id unique → the
+  // comparison never reaches it), high/low plain min/max on exact cents:
+  // ONE fully map-side-combinable aggregate — no window over raw events,
+  // unlike the oracle's row_number formulation.
+  def qOhlc(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        struct(col("ts"), col("event_id"), cents(col("value")).as("vc")).as("r"),
+        cents(col("value")).as("vc"))
+    ev.groupBy("event_type", "hour")
+      .agg(min(col("r")).as("o"), max(col("r")).as("c"),
+        (max(col("vc")) / 100.0).as("high"), (min(col("vc")) / 100.0).as("low"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour_s"),
+        (col("o.vc") / 100.0).as("open"), col("high"), col("low"),
+        (col("c.vc") / 100.0).as("close"), col("n"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  val qOhlcSql: String =
+    """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id,
+      |  CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |r AS (SELECT event_type, hour, vc,
+      |  row_number() OVER (PARTITION BY event_type, hour ORDER BY ts, event_id) AS rf,
+      |  row_number() OVER (PARTITION BY event_type, hour ORDER BY ts DESC, event_id DESC) AS rl
+      | FROM b),
+      |agg AS (SELECT event_type, hour, max(vc)/100.0 AS high, min(vc)/100.0 AS low,
+      |  count(*) AS n FROM b GROUP BY 1, 2),
+      |oc AS (SELECT event_type, hour,
+      |  min(CASE WHEN rf = 1 THEN vc END)/100.0 AS open,
+      |  min(CASE WHEN rl = 1 THEN vc END)/100.0 AS close
+      | FROM r GROUP BY 1, 2)
+      |SELECT agg.event_type, strftime(agg.hour, '%Y-%m-%d %H:%M') AS hour_s,
+      | open, high, low, close, n
+      |FROM agg JOIN oc ON agg.event_type = oc.event_type AND agg.hour = oc.hour
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc" -> qOhlc,
     "q_concurrency" -> qConcurrency,
     "q_day_over_day" -> qDayOverDay,
     "q_cooccurrence" -> qCooccurrence,
@@ -786,6 +828,7 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_ohlc" -> qOhlcSql,
     "q_concurrency" -> qConcurrencySql,
     "q_day_over_day" -> qDayOverDaySql,
     "q_cooccurrence" -> qCooccurrenceSql,

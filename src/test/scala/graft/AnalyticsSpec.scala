@@ -126,6 +126,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("OHLC candles match first/last/extreme recomputes per (type, hour)") {
+    val ev = Tables.events(spark, sf)
+      .select("event_type", "ts", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), math.round(r.getAs[Double]("value") * 100)))
+    val exp = ev.groupBy { case (t, ts, _, _) =>
+      (t, ts.getTime - Math.floorMod(ts.getTime, 3600000L))
+    }.map { case (k, rs) =>
+      val ordered = rs.sortBy { case (_, ts, id, _) => (ts.getTime, id) }
+      k -> ((ordered.head._4 / 100.0, rs.map(_._4).max / 100.0,
+        rs.map(_._4).min / 100.0, ordered.last._4 / 100.0, rs.length.toLong))
+    }
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm")
+    val got = Analytics.qOhlc(spark, sf).collect().map { r =>
+      val key = (r.getString(0), fmt.parse(r.getAs[String]("hour_s")).getTime)
+      key -> ((r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"), r.getAs[Long]("n")))
+    }.toMap
+    assert(got.size === exp.size)
+    exp.foreach { case (k, v) => assert(got(k) === v, s"candle $k") }
+  }
+
   test("max concurrency matches an in-process sweep-line recompute") {
     val ev = Tables.events(spark, sf).select("event_type", "ts", "event_id").collect()
       .map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")))

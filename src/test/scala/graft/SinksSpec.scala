@@ -44,4 +44,17 @@ class SinksSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("ORC round-trips the events table with schema and contents intact") {
+    // format portability: the engine is parquet-first, but a lake migration
+    // must be able to write/read ORC without semantic drift
+    val out = java.nio.file.Files.createTempDirectory("graft-orc-").toString
+    val src = graft.sources.Tables.events(spark, sf)
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema === src.schema)
+    assert(back.count() === src.count())
+    assert(back.except(src).count() === 0)
+    assert(src.except(back).count() === 0)
+  }
 }
