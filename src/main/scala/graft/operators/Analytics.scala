@@ -801,7 +801,68 @@ object Analytics {
       |FROM agg JOIN oc ON agg.event_type = oc.event_type AND agg.hour = oc.hour
       |ORDER BY 1, 2""".stripMargin
 
+  // --- pipeline_sessions --------------------------------------------------
+  // Sessionize → per-session stats → session-size histogram, composed as
+  // ONE plan (the events-side sibling of pipeline_curate): the behavioral
+  // report a product team reads — "how long are sessions, in events?" —
+  // without materializing the intermediate session table. Buckets are
+  // log2 of the event count via binary-string length (doc_length_
+  // histogram's no-libm trick). Scale shape: the one corpus-sized
+  // operation is the per-user session window (already q_sessionize's
+  // shape); the per-session table is session-bounded and its histogram
+  // is a ≤64-key combinable groupBy. Catalyst fuses all three stages —
+  // the session groupBy reuses the window's user_id partitioning, so the
+  // whole pipeline pays exactly ONE corpus shuffle.
+  def pipelineSessions(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .select("user_id", "event_id", "ts")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull, 1L)
+          .when(col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts")).cast("long") - min(col("ts")).cast("long")).as("dur_sec"))
+      .select((length(bin(col("n_events"))) - 1).cast("long").as("bucket"),
+        col("n_events"), col("dur_sec"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("total_events"),
+        sum(col("dur_sec")).as("total_dur_sec"))
+      .withColumn("bucket_lo", expr("shiftleft(1L, CAST(bucket AS INT))"))
+      .select("bucket", "bucket_lo", "n_sessions", "total_events", "total_dur_sec")
+      .orderBy("bucket")
+  }
+
+  val pipelineSessionsSql: String =
+    """WITH flagged AS (
+      | SELECT user_id, event_id, ts,
+      |  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |       WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+      |       ELSE 0 END AS new_sess
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      | SELECT user_id, ts,
+      |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM flagged
+      |), per AS (
+      | SELECT user_id, session_id, count(*) AS n_events,
+      |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur_sec
+      | FROM sess GROUP BY 1, 2
+      |)
+      |SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS bucket,
+      | CAST(1::BIGINT << CAST(length(bin(n_events)) - 1 AS INT) AS BIGINT) AS bucket_lo,
+      | CAST(count(*) AS BIGINT) AS n_sessions,
+      | CAST(sum(n_events) AS BIGINT) AS total_events,
+      | CAST(sum(dur_sec) AS BIGINT) AS total_dur_sec
+      |FROM per GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_sessions" -> pipelineSessions,
     "q_ohlc" -> qOhlc,
     "q_concurrency" -> qConcurrency,
     "q_day_over_day" -> qDayOverDay,
@@ -828,6 +889,7 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "pipeline_sessions" -> pipelineSessionsSql,
     "q_ohlc" -> qOhlcSql,
     "q_concurrency" -> qConcurrencySql,
     "q_day_over_day" -> qDayOverDaySql,

@@ -126,6 +126,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("session histogram equals the bucketed recompute of qSessionize's table") {
+    val sessions = Analytics.qSessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("dur_sec")))
+    val exp = sessions.groupBy { case (n, _) => 63 - java.lang.Long.numberOfLeadingZeros(n) }
+      .map { case (b, g) =>
+        b.toLong -> ((g.length.toLong, g.map(_._1).sum, g.map(_._2).sum))
+      }
+    val got = Analytics.pipelineSessions(spark, sf).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("total_events"), r.getAs[Long]("total_dur_sec"))))
+      .toMap
+    assert(got === exp)
+    // conservation: every event lands in exactly one session
+    assert(got.values.map(_._2).sum === Tables.events(spark, sf).count())
+  }
+
   test("OHLC candles match first/last/extreme recomputes per (type, hour)") {
     val ev = Tables.events(spark, sf)
       .select("event_type", "ts", "event_id", "value").collect()
