@@ -126,5 +126,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (children: Seq[Expression]) => PqEncode(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("top_token_count"),
+      new ExpressionInfo(classOf[TopTokenCount].getName, "top_token_count"),
+      (children: Seq[Expression]) => TopTokenCount(children.head)))
   }
 }

@@ -137,6 +137,32 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native top-token count: the highest occurrence count of any single
+  * whitespace token — the repetition signal text_quality_gate's topn rule
+  * reads. The composable formulation
+  * `aggregate(transform(array_distinct(w), t -> size(filter(w, x -> x = t))), …)`
+  * is O(distinct · words) per document; the kernel is one hash-count pass.
+  * Token stream is EXACTLY `split(trim(text), "\\s+")` (trailing empties
+  * kept, a lone empty token for blank text), matching the composable
+  * column and the DuckDB oracle's regexp_split_to_array.
+  */
+case class TopTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "top_token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.topTokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.MinHashKernel.topTokenCount($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
+    copy(child = newChild)
+}
+
 /** Native 8-block perceptual-hash block sums over a payload's UTF-8 bytes
   * (see `Multimodal.mmPhash`) — per-row hex-digit mass per block, the pure
   * map the composable formulation pays 8 `aggregate(sequence(...))` calls
@@ -305,6 +331,20 @@ object MinHashKernel {
       i += 1
     }
     new GenericArrayData(mins.map(UTF8String.fromString(_)).toIndexedSeq)
+  }
+
+  /** Highest occurrence count of any single token (see [[TopTokenCount]]). */
+  def topTokenCount(text: UTF8String): Long = {
+    val words = splitWords(text)
+    val counts = new java.util.HashMap[String, Int](words.length * 2)
+    var mx = 0
+    var i = 0
+    while (i < words.length) {
+      val c = counts.merge(words(i), 1, (a, b) => a + b)
+      if (c > mx) mx = c
+      i += 1
+    }
+    mx.toLong
   }
 
   /** 8-block hex-digit mass over the string's UTF-8 bytes (see

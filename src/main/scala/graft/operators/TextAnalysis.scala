@@ -645,8 +645,10 @@ object TextAnalysis {
         size(col("w")).cast("long").as("nw"),
         expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)").as("sumlen"),
         size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"),
-        expr("aggregate(transform(array_distinct(w), t -> size(filter(w, x -> x = t))), 0, (a, x) -> greatest(a, x))")
-          .cast("long").as("topn"),
+        // native hash-count kernel (one pass); the composable
+        // O(distinct·words) formulation survives as the oracle +
+        // NativeKernelSpec's equality check
+        expr("top_token_count(text)").as("topn"),
         size(regexp_extract_all(lower(col("text")), lit("[^a-z0-9\\s]"), lit(0)))
           .cast("long").as("nsym"),
         length(col("text")).cast("long").as("nchars"))
@@ -855,15 +857,14 @@ object TextAnalysis {
       .select(col("doc_id"),
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"),
         words.as("w"),
+        expr("top_token_count(text)").as("topn"),
         size(regexp_extract_all(lower(col("text")), lit("[^a-z0-9\\s]"), lit(0)))
           .cast("long").as("nsym"),
         length(col("text")).cast("long").as("nchars"))
-      .select(col("doc_id"), col("h"), col("nsym"), col("nchars"),
+      .select(col("doc_id"), col("h"), col("nsym"), col("nchars"), col("topn"),
         size(col("w")).cast("long").as("nw"),
         expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)").as("sumlen"),
-        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"),
-        expr("aggregate(transform(array_distinct(w), t -> size(filter(w, x -> x = t))), 0, (a, x) -> greatest(a, x))")
-          .cast("long").as("topn"))
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"))
       .withColumn("mn", min(col("doc_id")).over(wH))
       .filter(col("doc_id") === col("mn"))
       .filter(col("nw") >= 20 &&

@@ -143,6 +143,23 @@ class NativeKernelSpec extends SparkSpec {
     composable.foreach { case (id, c) => assert(native(id) === c, s"doc $id") }
   }
 
+  test("top_token_count equals the array_distinct+filter formulation on adversarial input") {
+    val composable = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        expr("aggregate(transform(array_distinct(w), t -> size(filter(w, x -> x = t))), 0, (a, x) -> greatest(a, x))")
+          .cast("long").as("topn")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("topn")).toMap
+    val native = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("top_token_count(text)").as("topn")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("topn")).toMap
+    assert(native.keySet === composable.keySet)
+    composable.foreach { case (id, c) => assert(native(id) === c, s"doc $id") }
+    // anchors: blank text counts one empty token; doc 10 repeats a/b/c 3×
+    assert(native(0L) === 1L)
+    assert(native(10L) === 3L)
+  }
+
   test("pq_encode equals the least-of-structs composable formulation on real embeddings") {
     import graft.operators.Similarity
     val e = graft.sources.Tables.embeddings(spark, sf).select(
