@@ -861,7 +861,115 @@ object Analytics {
       | CAST(sum(dur_sec) AS BIGINT) AS total_dur_sec
       |FROM per GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // --- q_corr_subquery ----------------------------------------------------
+  // TPC-H Q17 shape: a correlated "below 20% of this part's average
+  // quantity" predicate, decorrelated into a per-part aggregate joined back
+  // to the fact table. The aggregate side is |parts|-proportional but
+  // 3-columns narrow, and both it and the probe hash on l_partkey, so the
+  // join reuses one key shuffle; AQE broadcasts the agg side only while it
+  // fits. The 0.2·avg threshold is the integer cross-multiplication
+  // 5·qty·cnt < sum (cnt > 0 always), so no float division ever happens —
+  // the final report is |brands| = 25 rows.
+  def qCorrSubquery(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val p = Tables.part(spark, d).select("p_partkey", "p_brand")
+    val stats = l.groupBy(col("l_partkey").as("s_partkey"))
+      .agg(sum(cents(col("l_quantity"))).as("sq"), count(lit(1)).as("cq"))
+    l.join(stats, l("l_partkey") === stats("s_partkey"))
+      .filter(cents(col("l_quantity")) * col("cq") * lit(5L) < col("sq"))
+      .join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg((sum(cents(col("l_extendedprice"))) / 100.0).as("low_qty_revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("p_brand")
+  }
+
+  val qCorrSubquerySql: String =
+    """WITH stats AS (
+      | SELECT l_partkey AS s_partkey,
+      |  sum(CAST(round(l_quantity*100) AS BIGINT)) AS sq, count(*) AS cq
+      | FROM lineitem GROUP BY 1)
+      |SELECT p_brand,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS low_qty_revenue,
+      | count(*) AS n_rows
+      |FROM lineitem
+      |JOIN stats ON l_partkey = s_partkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE CAST(round(l_quantity*100) AS BIGINT) * cq * 5 < sq
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q_count_distribution -----------------------------------------------
+  // TPC-H Q13 shape: how many customers placed 0, 1, 2, … orders. The
+  // textbook formulation (oracle) left-joins raw orders to customer and
+  // counts after the join; here orders pre-aggregate per custkey FIRST
+  // (map-side combinable), so the join input is |custkeys| narrow rows,
+  // never raw orders — at 100 TB the orders table collapses before any
+  // join. Zero-order customers enter via the left join + coalesce. The
+  // final distribution groupBy is report-sized (≤ max order count keys).
+  def qCountDistribution(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d).select("c_custkey")
+    val per = Tables.orders(spark, d)
+      .filter(col("o_orderstatus") =!= "F")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    c.join(per, c("c_custkey") === per("o_custkey"), "left_outer")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  val qCountDistributionSql: String =
+    """WITH per AS (
+      | SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+      | FROM customer LEFT JOIN orders
+      |   ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      | GROUP BY 1)
+      |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM per GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --- q_incremental_agg --------------------------------------------------
+  // Incremental materialized-view maintenance: the per-type summary state
+  // (count, sum, min, max in exact cents) is computed separately over the
+  // history (ts < split) and the new day (ts >= split), then MERGED by key
+  // — count/sum add, min/max fold, absent-side keys coalesce through a
+  // full-outer join. Because every component is associative, the merged
+  // state is bit-identical to a full recompute (the oracle aggregates all
+  // events directly — that IS the law being verified). At 100 TB this is
+  // the pattern that updates a dashboard from one day's delta without
+  // re-touching history: both states are |types|-sized, the merge is free.
+  private val IncSplit = "2024-01-16 00:00:00"
+
+  def qIncrementalAgg(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).select("event_type", "ts", "value")
+    def state(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("event_type").as(s"et_$tag"))
+        .agg(count(lit(1)).as(s"cnt_$tag"), sum(cents(col("value"))).as(s"sc_$tag"),
+          min(cents(col("value"))).as(s"mn_$tag"), max(cents(col("value"))).as(s"mx_$tag"))
+    val old = state(e.filter(col("ts") < ts(IncSplit)), "o")
+    val neu = state(e.filter(col("ts") >= ts(IncSplit)), "n")
+    old.join(neu, col("et_o") === col("et_n"), "full_outer")
+      .select(
+        coalesce(col("et_o"), col("et_n")).as("event_type"),
+        (coalesce(col("cnt_o"), lit(0L)) + coalesce(col("cnt_n"), lit(0L))).as("n_events"),
+        ((coalesce(col("sc_o"), lit(0L)) + coalesce(col("sc_n"), lit(0L))) / 100.0).as("total_value"),
+        (least(coalesce(col("mn_o"), col("mn_n")), coalesce(col("mn_n"), col("mn_o"))) / 100.0).as("min_value"),
+        (greatest(coalesce(col("mx_o"), col("mx_n")), coalesce(col("mx_n"), col("mx_o"))) / 100.0).as("max_value"))
+      .orderBy("event_type")
+  }
+
+  val qIncrementalAggSql: String =
+    """SELECT event_type,
+      | CAST(count(*) AS BIGINT) AS n_events,
+      | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS total_value,
+      | CAST(min(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS min_value,
+      | CAST(max(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS max_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_subquery" -> qCorrSubquery,
+    "q_count_distribution" -> qCountDistribution,
+    "q_incremental_agg" -> qIncrementalAgg,
     "pipeline_sessions" -> pipelineSessions,
     "q_ohlc" -> qOhlc,
     "q_concurrency" -> qConcurrency,
@@ -889,6 +997,9 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_corr_subquery" -> qCorrSubquerySql,
+    "q_count_distribution" -> qCountDistributionSql,
+    "q_incremental_agg" -> qIncrementalAggSql,
     "pipeline_sessions" -> pipelineSessionsSql,
     "q_ohlc" -> qOhlcSql,
     "q_concurrency" -> qConcurrencySql,

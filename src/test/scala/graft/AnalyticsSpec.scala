@@ -241,4 +241,55 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDouble(1), r.getAs[Long]("n_above"), r.getAs[Double]("sum_above")))
     assert(salted.toSeq === direct.toSeq)
   }
+
+  test("corr-subquery rows match the window-formulation recompute") {
+    // independent formulation: per-part threshold via a window instead of
+    // the decorrelated join-back
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val qc = round(col("l_quantity") * 100).cast("long")
+    val expected = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), qc.as("qc"),
+        round(col("l_extendedprice") * 100).cast("long").as("epc"))
+      .withColumn("sq", sum(col("qc")).over(w))
+      .withColumn("cq", count(lit(1)).over(w))
+      .filter(col("qc") * col("cq") * lit(5L) < col("sq"))
+      .join(Tables.part(spark, sf).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg((sum(col("epc")) / 100.0).as("low_qty_revenue"), count(lit(1)).as("n_rows"))
+      .orderBy("p_brand").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getAs[Long]("n_rows")))
+    val got = Analytics.qCorrSubquery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("low_qty_revenue"), r.getAs[Long]("n_rows")))
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("count distribution conserves customers and non-F orders") {
+    val rows = Analytics.qCountDistribution(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist"))
+    val nCust = Tables.customer(spark, sf).count()
+    val nOrders = Tables.orders(spark, sf).filter(col("o_orderstatus") =!= "F").count()
+    assert(rows.map(_._2).sum === nCust)
+    assert(rows.map { case (c, n) => c * n }.sum === nOrders)
+    assert(rows.exists(_._1 == 0L) || nOrders >= nCust) // zero bucket present unless every customer ordered
+  }
+
+  test("incremental agg merge law: merged partial states equal the full recompute") {
+    val merged = Analytics.qIncrementalAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_events"), r.getAs[Double]("total_value"),
+        r.getAs[Double]("min_value"), r.getAs[Double]("max_value")))
+    val vc = round(col("value") * 100).cast("long")
+    val full = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), (sum(vc) / 100.0).as("total_value"),
+        (min(vc) / 100.0).as("min_value"), (max(vc) / 100.0).as("max_value"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_events"), r.getAs[Double]("total_value"),
+        r.getAs[Double]("min_value"), r.getAs[Double]("max_value")))
+    assert(merged.toSeq === full.toSeq)
+    // the split is interior: both halves carry events
+    val e = Tables.events(spark, sf)
+    assert(e.filter(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp")).count() > 0)
+    assert(e.filter(col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp")).count() > 0)
+  }
 }
