@@ -966,7 +966,42 @@ object Analytics {
       | CAST(max(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS max_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_markov_transitions -----------------------------------------------
+  // First-order Markov transition matrix over per-user event streams: for
+  // every (prev_type → next_type) pair, the transition count and empirical
+  // probability — the behavioral model a recommender or anomaly detector
+  // estimates from clickstreams. ONE corpus pass: a lag window hashed on
+  // user_id produces adjacent pairs inside each user's (ts, event_id)
+  // total order, then a ≤|types|²-key combinable groupBy; the probability
+  // divides n by the per-prev total via a window over the REPORT-sized
+  // pair table — both engines divide the identical exact integers, so the
+  // doubles match bit-for-bit.
+  def qMarkovTransitions(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, d).select("user_id", "ts", "event_id", "event_type")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("prev_type")))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val qMarkovTransitionsSql: String =
+    """WITH seq AS (
+      | SELECT event_type,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      | FROM events),
+      |pairs AS (
+      | SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      | FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      | CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p
+      |FROM pairs ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov_transitions" -> qMarkovTransitions,
     "q_corr_subquery" -> qCorrSubquery,
     "q_count_distribution" -> qCountDistribution,
     "q_incremental_agg" -> qIncrementalAgg,
@@ -997,6 +1032,7 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_markov_transitions" -> qMarkovTransitionsSql,
     "q_corr_subquery" -> qCorrSubquerySql,
     "q_count_distribution" -> qCountDistributionSql,
     "q_incremental_agg" -> qIncrementalAggSql,

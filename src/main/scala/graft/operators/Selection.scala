@@ -1070,7 +1070,130 @@ object Selection {
        |FROM s LEFT JOIN h ON s.compound = h.compound AND s.bin = h.bin
        |ORDER BY s.compound, s.bin""".stripMargin
 
+  // --- ds_histogram2d -----------------------------------------------------
+  // Per-compound time × value density grid (10 × 10): the 2-D heat map a
+  // plotting front-end renders once the corpus is too big to ship points —
+  // the ds_histogram idea extended to the axis PLANE the reference plots
+  // (date × value, index.js:413-416). All binning is INTEGER math: time in
+  // epoch-millis, value in cents with ds_extent's floor/ceil-to-50 bounds,
+  // bin = (x − lo)·10 div (hi − lo) clamped into the top bin — no IEEE
+  // division anywhere, so both engines agree bit-for-bit by construction.
+  // Empty cells are emitted (a heat map needs the full grid) via a
+  // |compounds|×100-row scaffold. Scale: ONE map-side-combinable groupBy
+  // on (compound, tbin, vbin); the scan never shuffles; bounds/scaffold
+  // are key-cardinality-bounded (broadcast audited).
+  private val H2Bins = 10L
+
+  def dsHistogram2d(spark: SparkSession, d: String): DataFrame = {
+    val k = keyed(spark, d).select(col("compound"), col("ms"),
+      round(col("value") * 100).cast("long").as("vc"), col("value"))
+    val bounds = k.groupBy("compound").agg(
+      min(col("ms")).as("tlo"), max(col("ms")).as("thi"),
+      (floor(min(col("value")) / 50) * 50 * 100).cast("long").as("vlo"),
+      (ceil(max(col("value")) / 50) * 50 * 100).cast("long").as("vhi"))
+    val binned = k.join(broadcast(bounds), Seq("compound"))
+      .select(col("compound"),
+        expr(s"CASE WHEN thi = tlo THEN 0L ELSE least(((ms - tlo) * $H2Bins) div (thi - tlo), ${H2Bins - 1}L) END").as("tbin"),
+        expr(s"CASE WHEN vhi = vlo THEN 0L ELSE least(((vc - vlo) * $H2Bins) div (vhi - vlo), ${H2Bins - 1}L) END").as("vbin"))
+      .groupBy("compound", "tbin", "vbin").agg(count(lit(1)).as("n"))
+    val scaffold = bounds
+      .select(col("compound"), col("tlo"), col("thi"), col("vlo"), col("vhi"),
+        explode(expr(s"sequence(0L, ${H2Bins - 1}L)")).as("tbin"))
+      .select(col("compound"), col("tlo"), col("thi"), col("vlo"), col("vhi"), col("tbin"),
+        explode(expr(s"sequence(0L, ${H2Bins - 1}L)")).as("vbin"))
+    scaffold.join(binned, Seq("compound", "tbin", "vbin"), "left")
+      .select(col("compound"), col("tbin"), col("vbin"),
+        expr(s"tlo + (tbin * (thi - tlo)) div $H2Bins").as("t_lo_ms"),
+        (expr(s"vlo + (vbin * (vhi - vlo)) div $H2Bins") / 100.0).as("v_lo"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("compound", "tbin", "vbin")
+  }
+
+  val dsHistogram2dSql: String = KeyedCte +
+    s""",
+       |b AS (SELECT compound, min(ms) AS tlo, max(ms) AS thi,
+       |  CAST(floor(min(value)/50)*50*100 AS BIGINT) AS vlo,
+       |  CAST(ceil(max(value)/50)*50*100 AS BIGINT) AS vhi
+       | FROM k GROUP BY 1),
+       |h AS (SELECT k.compound,
+       |  CASE WHEN thi = tlo THEN 0 ELSE least(((ms - tlo) * $H2Bins) // (thi - tlo), ${H2Bins - 1}) END AS tbin,
+       |  CASE WHEN vhi = vlo THEN 0 ELSE least(((CAST(round(value*100) AS BIGINT) - vlo) * $H2Bins) // (vhi - vlo), ${H2Bins - 1}) END AS vbin,
+       |  count(*) AS n
+       | FROM k JOIN b ON k.compound = b.compound GROUP BY 1, 2, 3),
+       |s AS (SELECT compound, tlo, thi, vlo, vhi,
+       |  CAST(t.i AS BIGINT) AS tbin, CAST(v.i AS BIGINT) AS vbin
+       | FROM b, range(0, $H2Bins) t(i), range(0, $H2Bins) v(i))
+       |SELECT s.compound, s.tbin, s.vbin,
+       | CAST(tlo + (s.tbin * (thi - tlo)) // $H2Bins AS BIGINT) AS t_lo_ms,
+       | CAST(vlo + (s.vbin * (vhi - vlo)) // $H2Bins AS BIGINT)/100.0 AS v_lo,
+       | coalesce(n, CAST(0 AS BIGINT)) AS n
+       |FROM s LEFT JOIN h ON s.compound = h.compound AND s.tbin = h.tbin AND s.vbin = h.vbin
+       |ORDER BY s.compound, s.tbin, s.vbin""".stripMargin
+
+  // --- ds_drift -----------------------------------------------------------
+  // Distribution-drift report per compound: split each compound's time
+  // range at its integer midpoint, histogram both halves over the SAME
+  // 20-bin value grid, and report the cross-multiplied L1 distance
+  // drift_l1 = Σ_bins |c1·n2 − c2·n1| (the scale-free comparison of two
+  // differently-sized samples without a single division) plus the
+  // normalized drift = drift_l1 / (n1·n2) as ONE final division of
+  // identical exact operands — the data-quality panel that answers "did
+  // this sensor's distribution move?". Bins absent from both halves
+  // contribute 0, so no scaffold is needed. Scale: one map-side-combinable
+  // groupBy on (compound, bin) — c1/c2 are conditional sums in the same
+  // aggregate — then windows over the ≤|compounds|×20-row bin table.
+  def dsDrift(spark: SparkSession, d: String): DataFrame = {
+    val k = keyed(spark, d).select(col("compound"), col("ms"),
+      round(col("value") * 100).cast("long").as("vc"), col("value"))
+    val bounds = k.groupBy("compound").agg(
+      min(col("ms")).as("tlo"), max(col("ms")).as("thi"),
+      (floor(min(col("value")) / 50) * 50 * 100).cast("long").as("vlo"),
+      (ceil(max(col("value")) / 50) * 50 * 100).cast("long").as("vhi"))
+    val wC = Window.partitionBy("compound")
+    k.join(broadcast(bounds), Seq("compound"))
+      .select(col("compound"),
+        expr(s"CASE WHEN vhi = vlo THEN 0L ELSE least(((vc - vlo) * ${HistBins}L) div (vhi - vlo), ${HistBins - 1}L) END").as("bin"),
+        expr("CASE WHEN ms < (tlo + thi) div 2 THEN 1L ELSE 0L END").as("first_half"))
+      .groupBy("compound", "bin")
+      .agg(sum(col("first_half")).as("c1"), sum(lit(1L) - col("first_half")).as("c2"))
+      .withColumn("n1", sum(col("c1")).over(wC))
+      .withColumn("n2", sum(col("c2")).over(wC))
+      .groupBy("compound")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("drift_l1"))
+      .select(col("compound"), col("n1"), col("n2"), col("drift_l1"),
+        when(col("n1") * col("n2") > 0,
+          col("drift_l1").cast("double") / (col("n1") * col("n2"))).as("drift"))
+      .orderBy("compound")
+  }
+
+  val dsDriftSql: String = KeyedCte +
+    s""",
+       |b AS (SELECT compound, min(ms) AS tlo, max(ms) AS thi,
+       |  CAST(floor(min(value)/50)*50*100 AS BIGINT) AS vlo,
+       |  CAST(ceil(max(value)/50)*50*100 AS BIGINT) AS vhi
+       | FROM k GROUP BY 1),
+       |binned AS (SELECT k.compound,
+       |  CASE WHEN vhi = vlo THEN 0 ELSE least(((CAST(round(value*100) AS BIGINT) - vlo) * $HistBins) // (vhi - vlo), ${HistBins - 1}) END AS bin,
+       |  CASE WHEN ms < (tlo + thi) // 2 THEN 1 ELSE 0 END AS first_half
+       | FROM k JOIN b ON k.compound = b.compound),
+       |cnt AS (SELECT compound, bin,
+       |  CAST(sum(first_half) AS BIGINT) AS c1,
+       |  CAST(sum(1 - first_half) AS BIGINT) AS c2
+       | FROM binned GROUP BY 1, 2),
+       |tot AS (SELECT compound, bin, c1, c2,
+       |  CAST(sum(c1) OVER (PARTITION BY compound) AS BIGINT) AS n1,
+       |  CAST(sum(c2) OVER (PARTITION BY compound) AS BIGINT) AS n2
+       | FROM cnt)
+       |SELECT compound, max(n1) AS n1, max(n2) AS n2,
+       | CAST(sum(abs(c1*n2 - c2*n1)) AS BIGINT) AS drift_l1,
+       | CASE WHEN max(n1)*max(n2) > 0
+       |      THEN CAST(CAST(sum(abs(c1*n2 - c2*n1)) AS BIGINT) AS DOUBLE) / (max(n1)*max(n2)) END AS drift
+       |FROM tot GROUP BY compound ORDER BY compound""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_histogram2d" -> dsHistogram2d,
+    "ds_drift" -> dsDrift,
     "ds_rolling_z" -> dsRollingZ,
     "ds_changepoint" -> dsChangepoint,
     "ds_histogram" -> dsHistogram,
@@ -1095,6 +1218,8 @@ object Selection {
     "ds_clear_compound" -> dsClearCompound)
 
   val oracle: Map[String, String] = Map(
+    "ds_histogram2d" -> dsHistogram2dSql,
+    "ds_drift" -> dsDriftSql,
     "ds_rolling_z" -> dsRollingZSql,
     "ds_changepoint" -> dsChangepointSql,
     "ds_histogram" -> dsHistogramSql,

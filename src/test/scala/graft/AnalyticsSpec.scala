@@ -292,4 +292,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(e.filter(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp")).count() > 0)
     assert(e.filter(col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp")).count() > 0)
   }
+
+  test("markov transitions conserve pair counts and rows sum to probability 1 per prev") {
+    val rows = Analytics.qMarkovTransitions(spark, sf).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("p")))
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    // each user with k events contributes k-1 transitions
+    assert(rows.map(_._3).sum === nEvents - nUsers)
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      val total = rs.map(_._3).sum
+      rs.foreach { case (_, _, n, p) => assert(p === n.toDouble / total, s"$prev p") }
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-9, s"$prev sums to 1")
+    }
+  }
 }

@@ -340,4 +340,52 @@ class SelectionSpec extends SparkSpec {
       assert(r.getAs[Double]("mean_left") !== r.getAs[Double]("mean_right"))
     }
   }
+
+  test("histogram2d emits the full 10x10 grid per compound and conserves counts") {
+    val rows = Selection.dsHistogram2d(spark, sf).collect()
+    val byCompound = rows.groupBy(_.getAs[String]("compound"))
+    val perType = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    assert(byCompound.keySet === perType.keySet)
+    byCompound.foreach { case (c, rs) =>
+      assert(rs.length === 100, s"$c grid size")
+      assert(rs.map(_.getAs[Long]("n")).sum === perType(c), s"$c count conservation")
+      // t_lo_ms strictly nondecreasing in tbin within a fixed vbin
+      val col0 = rs.filter(_.getAs[Long]("vbin") == 0L).sortBy(_.getAs[Long]("tbin"))
+        .map(_.getAs[Long]("t_lo_ms"))
+      assert(col0.toSeq === col0.sorted.toSeq)
+    }
+  }
+
+  test("drift matches an independent two-filter recompute per compound") {
+    import graft.sources.Tables
+    val e = Tables.events(spark, sf)
+      .select(col("event_type").as("compound"),
+        ((unix_timestamp(col("ts")) - 7200L) * 1000L).as("ms"),
+        round(col("value") * 100).cast("long").as("vc"), col("value"))
+    val b = e.groupBy("compound").agg(
+      min(col("ms")).as("tlo"), max(col("ms")).as("thi"),
+      (floor(min(col("value")) / 50) * 50 * 100).cast("long").as("vlo"),
+      (ceil(max(col("value")) / 50) * 50 * 100).cast("long").as("vhi")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("tlo"), r.getAs[Long]("thi"),
+        r.getAs[Long]("vlo"), r.getAs[Long]("vhi"))).toMap
+    val raw = e.collect().map(r => (r.getString(0), r.getAs[Long]("ms"), r.getAs[Long]("vc")))
+    val expected = raw.groupBy(_._1).map { case (c, rs) =>
+      val (tlo, thi, vlo, vhi) = b(c)
+      val mid = (tlo + thi) / 2
+      def bin(vc: Long): Long =
+        if (vhi == vlo) 0L else math.min((vc - vlo) * 20 / (vhi - vlo), 19L)
+      val h1 = rs.filter(_._2 < mid).groupBy(r => bin(r._3)).view.mapValues(_.size.toLong).toMap
+      val h2 = rs.filter(_._2 >= mid).groupBy(r => bin(r._3)).view.mapValues(_.size.toLong).toMap
+      val n1 = h1.values.sum; val n2 = h2.values.sum
+      val bins = (h1.keySet ++ h2.keySet)
+      val l1 = bins.toSeq.map(bn => math.abs(h1.getOrElse(bn, 0L) * n2 - h2.getOrElse(bn, 0L) * n1)).sum
+      c -> ((n1, n2, l1))
+    }
+    val got = Selection.dsDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+        r.getAs[Long]("drift_l1")))).toMap
+    assert(got === expected)
+  }
 }
