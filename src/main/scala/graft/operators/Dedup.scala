@@ -688,7 +688,83 @@ object Dedup {
        | FROM p)
        |SELECT ia, ib, cos FROM c WHERE cos >= $CosineTau ORDER BY ia, ib""".stripMargin
 
+  // --- dedup_incremental --------------------------------------------------
+  // Incremental dedup: screen a NEW batch (doc_id % 10 == 0) against the
+  // EXISTING corpus (the rest) — the production shape where yesterday's
+  // corpus is already deduplicated and only today's arrivals need checking.
+  // The corpus side is banded into the same LSH bucket layout as the full
+  // pipeline (at 100 TB that index is built once and PERSISTED; bucket cap
+  // applies to the CORPUS side, where the degenerate buckets live), and the
+  // batch probes it with a (band, bucket)-equijoin — candidate volume is
+  // batch-size × density-bounded, never corpus × corpus. Signature-estimate
+  // verification (n_match·2 ≥ NumPerms ⇔ est ≥ 0.5) keeps the screen one
+  // integer comparison; every batch doc with a signature is reported, hit
+  // or not (left join + coalesce).
+  def dedupIncremental(spark: SparkSession, d: String): DataFrame = {
+    val sig = Tables.documents(spark, d)
+      .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
+      .filter(col("sig").isNotNull)
+    def bandsOf(s: DataFrame): DataFrame = s.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> struct(b as band, concat_ws('|', slice(sig, b*${NumPerms / Bands} + 1, ${NumPerms / Bands})) as bk))")).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
+    val newSig = sig.filter(col("doc_id") % 10 === 0)
+    val oldSig = sig.filter(col("doc_id") % 10 =!= 0)
+    val oldBands = bandsOf(oldSig)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bk")))
+      .filter(col("bsz") <= BandBucketCap)
+      .select(col("doc_id").as("cid"), col("band"), col("bk"))
+    val cand = bandsOf(newSig).join(oldBands, Seq("band", "bk"))
+      .select(col("doc_id").as("nid"), col("cid")).distinct()
+    val scored = cand
+      .join(newSig.select(col("doc_id").as("nid"), col("sig").as("sa")), Seq("nid"))
+      .join(oldSig.select(col("doc_id").as("cid"), col("sig").as("sb")), Seq("cid"))
+      .select(col("nid"),
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").cast("long").as("m"))
+      .groupBy("nid")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("m") * 2 >= NumPerms, 1L).otherwise(0L)).as("n_dup"))
+    newSig.select(col("doc_id"))
+      .join(scored, col("doc_id") === col("nid"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_dup"), lit(0L)) > 0, 1L).otherwise(0L).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS s FROM w)),
+       |mh AS (SELECT doc_id, seed,
+       |       min(substr(md5(CAST(seed//$WordsPerHash AS VARCHAR)||'|'||s), CAST((seed%$WordsPerHash)*8+1 AS INT), 8)) AS h
+       |       FROM sh, range(0, $NumPerms) t(seed) GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+       |nsig AS (SELECT * FROM sig WHERE doc_id % 10 = 0),
+       |osig AS (SELECT * FROM sig WHERE doc_id % 10 <> 0),
+       |oband AS (SELECT doc_id, b,
+       |    list_reduce([sig[CAST(b*${NumPerms / Bands} + r AS INT)] FOR r IN range(1, ${NumPerms / Bands} + 1)], (x, y) -> x||'|'||y) AS bk
+       |  FROM osig, range(0, $Bands) t(b)),
+       |ok AS (SELECT b, bk FROM oband GROUP BY 1, 2 HAVING count(*) <= $BandBucketCap),
+       |ob AS (SELECT oband.* FROM oband JOIN ok USING (b, bk)),
+       |nband AS (SELECT doc_id, b,
+       |    list_reduce([sig[CAST(b*${NumPerms / Bands} + r AS INT)] FOR r IN range(1, ${NumPerms / Bands} + 1)], (x, y) -> x||'|'||y) AS bk
+       |  FROM nsig, range(0, $Bands) t(b)),
+       |cand AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS cid
+       |         FROM nband n JOIN ob o ON n.b = o.b AND n.bk = o.bk),
+       |scored AS (SELECT nid, CAST(count(*) AS BIGINT) AS n_cand,
+       |    CAST(sum(CASE WHEN 2*len(list_filter(range(1, ${NumPerms + 1}), i -> x.sig[CAST(i AS INT)] = y.sig[CAST(i AS INT)])) >= $NumPerms THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM cand JOIN nsig x ON cand.nid = x.doc_id JOIN osig y ON cand.cid = y.doc_id
+       |  GROUP BY 1)
+       |SELECT nsig.doc_id,
+       | coalesce(n_cand, CAST(0 AS BIGINT)) AS n_cand,
+       | coalesce(n_dup, CAST(0 AS BIGINT)) AS n_dup,
+       | CAST(CASE WHEN coalesce(n_dup, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM nsig LEFT JOIN scored ON nsig.doc_id = scored.nid
+       |ORDER BY nsig.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> dedupIncremental,
     "dedup_exact" -> dedupExact,
     "dedup_exact_norm" -> dedupExactNorm,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -703,6 +779,7 @@ object Dedup {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracle: Map[String, String] = Map(
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_exact_norm" -> dedupExactNormSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

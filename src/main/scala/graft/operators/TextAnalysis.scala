@@ -1014,7 +1014,44 @@ object TextAnalysis {
        |SELECT source, rank, doc_id, iq, nw
        |FROM r WHERE rank <= $StratK ORDER BY source, rank""".stripMargin
 
+  // --- text_rarity --------------------------------------------------------
+  // Per-document vocabulary-rarity profile: how many of a doc's DISTINCT
+  // terms are rare (document frequency < 1% of the corpus) plus the mean
+  // document frequency — the "niche content" signal a data-mixing recipe
+  // reads next to quality scores (rare-vocab docs carry information common
+  // docs don't). Same df-join shape as text_top_terms: distinct (doc, term)
+  // rows are one explode, df is a combinable per-term groupBy (AQE splits
+  // the hot stopword reducers), N is a one-row broadcast, and the rarity
+  // threshold df·100 < N is an integer cross-multiply; the only division is
+  // mean_df = sum_df / n_terms of identical exact integers.
+  def textRarity(spark: SparkSession, d: String): DataFrame = {
+    val terms = Tables.documents(spark, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array_distinct(split(trim(col("text")), "\\s+"))).as("t"))
+    val df = terms.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, d).filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n"))
+    terms.join(df, Seq("t")).crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("df") * 100 < col("n"), 1L).otherwise(0L)).as("n_rare"),
+        (sum(col("df")).cast("double") / count(lit(1))).as("mean_df"))
+      .orderBy("doc_id")
+  }
+
+  val textRaritySql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |terms AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM d),
+      |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM d)
+      |SELECT doc_id,
+      | CAST(count(*) AS BIGINT) AS n_terms,
+      | CAST(sum(CASE WHEN df*100 < n THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      | CAST(CAST(sum(df) AS BIGINT) AS DOUBLE)/count(*) AS mean_df
+      |FROM terms JOIN df USING (t), n
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rarity" -> textRarity,
     "sample_bottomk" -> sampleBottomk,
     "pipeline_curate" -> pipelineCurate,
     "doc_shuffle" -> docShuffle,
@@ -1041,6 +1078,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "text_rarity" -> textRaritySql,
     "sample_bottomk" -> sampleBottomkSql,
     "pipeline_curate" -> pipelineCurateSql,
     "doc_shuffle" -> docShuffleSql,

@@ -257,4 +257,31 @@ class DedupSpec extends SparkSpec {
       assert(d * 10 <= maxLen, "threshold must hold for every emitted pair")
     }
   }
+
+  test("incremental screen matches an in-process recompute over collected signatures") {
+    val sigs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
+      .filter(col("sig").isNotNull).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toVector).toMap
+    val (batch, corpus) = sigs.partition(_._1 % 10 == 0)
+    assert(batch.nonEmpty && corpus.nonEmpty)
+    def bands(sig: Vector[String]): Seq[(Int, String)] =
+      (0 until 4).map(b => b -> sig.slice(b * 4, b * 4 + 4).mkString("|"))
+    val corpusEntries = corpus.toSeq.flatMap { case (id, s) => bands(s).map(bk => bk -> id) }
+    val bucketSize = corpusEntries.groupBy(_._1).view.mapValues(_.size).toMap
+    val corpusByBucket = corpusEntries
+      .filter { case (bk, _) => bucketSize(bk) <= 50 }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = batch.map { case (id, s) =>
+      val cands = bands(s).flatMap(bk => corpusByBucket.getOrElse(bk, Set.empty[Long])).toSet
+      val nDup = cands.count { cid =>
+        s.zip(sigs(cid)).count { case (a, b) => a == b } * 2 >= 16
+      }
+      id -> ((cands.size.toLong, nDup.toLong, if (nDup > 0) 1L else 0L))
+    }
+    val got = Dedup.dedupIncremental(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_cand"), r.getAs[Long]("n_dup"), r.getAs[Long]("is_dup")))).toMap
+    assert(got === expected)
+  }
 }

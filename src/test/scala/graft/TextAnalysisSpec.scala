@@ -466,4 +466,23 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("rarity profile matches a collected in-process recompute") {
+    import org.apache.spark.sql.functions._
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val n = texts.length.toLong
+    val docTerms = texts.map { case (id, t) => id -> t.trim.split("\\s+", -1).distinct.toSeq }
+    val df = docTerms.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = docTerms.map { case (id, ts) =>
+      val sumDf = ts.map(df).sum
+      id -> ((ts.size.toLong, ts.count(t => df(t) * 100 < n).toLong,
+        sumDf.toDouble / ts.size))
+    }.toMap
+    val got = TextAnalysis.textRarity(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_terms"), r.getAs[Long]("n_rare"), r.getAs[Double]("mean_df")))).toMap
+    assert(got === expected)
+  }
 }
