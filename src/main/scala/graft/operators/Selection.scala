@@ -1191,7 +1191,60 @@ object Selection {
        |      THEN CAST(CAST(sum(abs(c1*n2 - c2*n1)) AS BIGINT) AS DOUBLE) / (max(n1)*max(n2)) END AS drift
        |FROM tot GROUP BY compound ORDER BY compound""".stripMargin
 
+  // --- ds_autocorr --------------------------------------------------------
+  // Lag-1 autocorrelation per compound — the "is this sensor trending or
+  // white noise?" panel next to ds_rolling_z/ds_drift. Consecutive pairs
+  // come from ONE lag window over each compound's (ms, event_id) total
+  // order; Pearson r is assembled from six exact-integer sums (cents) in a
+  // single combinable groupBy, then ONE fixed double-expression tree
+  // (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²)·(n·Σyy − Σy²)) evaluated on those
+  // identical integers in both engines — deterministic because every IEEE
+  // op sees the same operands in the same order. Integer headroom: |cents|
+  // ≤ 5.7e4 here, so Σv² < n·3.3e9 — the per-compound sums stay under 2^63
+  // up to ~2.8e9 rows per compound; beyond that, quantize coarser.
+  // Scale: the window is the linear term (one partition-local sort per
+  // compound hash partition); the aggregate shuffles |compounds| rows.
+  def dsAutocorr(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("compound").orderBy("ms", "event_id")
+    keyed(spark, d)
+      .select(col("compound"), col("ms"), col("event_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("pv", lag(col("vc"), 1).over(w))
+      .filter(col("pv").isNotNull)
+      .groupBy("compound")
+      .agg(count(lit(1)).as("n"), sum(col("pv")).as("sx"), sum(col("vc")).as("sy"),
+        sum(col("pv") * col("vc")).as("sxy"),
+        sum(col("pv") * col("pv")).as("sxx"),
+        sum(col("vc") * col("vc")).as("syy"))
+      .select(col("compound"), col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt((col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double")))).as("r"))
+      .orderBy("compound")
+  }
+
+  val dsAutocorrSql: String = KeyedCte +
+    """,
+      |p AS (SELECT compound, CAST(round(value*100) AS BIGINT) AS vc,
+      |  lag(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY compound ORDER BY ms, event_id) AS pv
+      | FROM k),
+      |s AS (SELECT compound, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(pv) AS BIGINT) AS sx, CAST(sum(vc) AS BIGINT) AS sy,
+      |  CAST(sum(pv*vc) AS BIGINT) AS sxy,
+      |  CAST(sum(pv*pv) AS BIGINT) AS sxx,
+      |  CAST(sum(vc*vc) AS BIGINT) AS syy
+      | FROM p WHERE pv IS NOT NULL GROUP BY 1)
+      |SELECT compound, n,
+      | (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+      | sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+      |      (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r
+      |FROM s ORDER BY compound""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_autocorr" -> dsAutocorr,
     "ds_histogram2d" -> dsHistogram2d,
     "ds_drift" -> dsDrift,
     "ds_rolling_z" -> dsRollingZ,
@@ -1218,6 +1271,7 @@ object Selection {
     "ds_clear_compound" -> dsClearCompound)
 
   val oracle: Map[String, String] = Map(
+    "ds_autocorr" -> dsAutocorrSql,
     "ds_histogram2d" -> dsHistogram2dSql,
     "ds_drift" -> dsDriftSql,
     "ds_rolling_z" -> dsRollingZSql,

@@ -388,4 +388,29 @@ class SelectionSpec extends SparkSpec {
         r.getAs[Long]("drift_l1")))).toMap
     assert(got === expected)
   }
+
+  test("autocorr matches the collected Pearson recompute and stays in [-1, 1]") {
+    import graft.sources.Tables
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), ((unix_timestamp(col("ts")) - 7200L) * 1000L).as("ms"),
+        col("event_id"), round(col("value") * 100).cast("long").as("vc")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("ms"), r.getAs[Long]("event_id"), r.getAs[Long]("vc")))
+    val expected = raw.groupBy(_._1).map { case (c, rs) =>
+      val vs = rs.sortBy(r => (r._2, r._3)).map(_._4)
+      val pairs = vs.init.zip(vs.tail)
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val r = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        math.sqrt((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+      c -> ((n, r))
+    }
+    val got = Selection.dsAutocorr(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n"), r.getAs[Double]("r")))).toMap
+    assert(got === expected)
+    got.values.foreach { case (_, r) => assert(r >= -1.0 && r <= 1.0) }
+  }
 }

@@ -57,4 +57,26 @@ class SinksSpec extends SparkSpec {
     assert(back.except(src).count() === 0)
     assert(src.except(back).count() === 0)
   }
+
+  test("CSV round-trips lineitem and quoted free text without drift") {
+    // lineitem: numerics + timestamps through an explicit schema + a fixed
+    // timestamp format (CSV has no types of its own)
+    val outL = java.nio.file.Files.createTempDirectory("graft-csv-l-").toString
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    li.write.mode("overwrite").option("header", "true").option("timestampFormat", fmt).csv(outL)
+    val backL = spark.read.schema(li.schema).option("header", "true")
+      .option("timestampFormat", fmt).csv(outL)
+    assert(backL.schema === li.schema)
+    assert(backL.except(li).count() === 0 && li.except(backL).count() === 0)
+    // documents: free text with commas/quotes/newlines must survive CSV
+    // quoting (multiLine read for embedded newlines)
+    val outD = java.nio.file.Files.createTempDirectory("graft-csv-d-").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    docs.write.mode("overwrite").option("header", "true").csv(outD)
+    val backD = spark.read.schema(docs.schema).option("header", "true")
+      .option("multiLine", "true").csv(outD)
+    assert(backD.count() === docs.count())
+    assert(backD.except(docs).count() === 0 && docs.except(backD).count() === 0)
+  }
 }
