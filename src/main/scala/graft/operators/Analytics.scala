@@ -1000,7 +1000,195 @@ object Analytics {
       | CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p
       |FROM pairs ORDER BY 1, 2""".stripMargin
 
+  // --- q_exists_subquery --------------------------------------------------
+  // TPC-H Q4 shape: orders with at least one lineitem shipped more than 60
+  // days after the order date, counted per priority. The textbook EXISTS
+  // correlated subquery (the oracle keeps it) decorrelates into a per-order
+  // aggregate: EXISTS(l_shipdate > o_orderdate + 60d) ⇔ max(l_shipdate) >
+  // o_orderdate + 60d — so the join probe side shrinks from raw lineitem to
+  // |orderkeys| narrow (key, max_date) rows built by one map-side-combinable
+  // groupBy, and both sides hash on the SAME key (one shuffle each, reused
+  // by the join). At 100 TB the EXISTS form would re-scan lineitem per
+  // probe strategy; this form is two scans + one key-partitioned join.
+  private val ExistsLagDays = 60
+
+  def qExistsSubquery(spark: SparkSession, d: String): DataFrame = {
+    val lmax = Tables.lineitem(spark, d)
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("max_ship"))
+    Tables.orders(spark, d)
+      .join(lmax, col("o_orderkey") === col("l_orderkey"))
+      .where(col("max_ship") > col("o_orderdate") + expr(s"INTERVAL $ExistsLagDays DAY"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qExistsSubquerySql: String =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+       |FROM orders o
+       |WHERE EXISTS (SELECT 1 FROM lineitem l
+       |              WHERE l.l_orderkey = o.o_orderkey
+       |                AND l.l_shipdate > o.o_orderdate + INTERVAL $ExistsLagDays DAY)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q_having -------------------------------------------------------------
+  // TPC-H Q18 shape (large-volume customers): per-customer lifetime order
+  // value with a HAVING cut, joined back to the customer dimension for the
+  // name. The aggregate runs FIRST (map-side-combinable cents sum over
+  // |custkeys| keys), so the join input is the post-HAVING survivor set —
+  // at 100 TB the join sees the ~top-percentile customers, never raw
+  // orders; AQE broadcasts the survivor side from its observed size.
+  private val HavingCents = 400000000L // $4M lifetime
+
+  def qHaving(spark: SparkSession, d: String): DataFrame = {
+    val big = Tables.orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("tc"), count(lit(1)).as("n_orders"))
+      .where(col("tc") > HavingCents)
+    Tables.customer(spark, d)
+      .join(big, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"),
+        (col("tc") / 100.0).as("total_price"))
+      .orderBy("c_custkey")
+  }
+
+  val qHavingSql: String =
+    s"""WITH t AS (
+       | SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS tc,
+       |  CAST(count(*) AS BIGINT) AS n_orders
+       | FROM orders GROUP BY 1 HAVING tc > $HavingCents)
+       |SELECT c_custkey, c_name, n_orders, tc/100.0 AS total_price
+       |FROM customer JOIN t ON c_custkey = o_custkey
+       |ORDER BY c_custkey""".stripMargin
+
+  // --- q_scalar_subquery ----------------------------------------------------
+  // TPC-H Q22 shape (churn candidates): customers whose balance is above
+  // the positive-balance average but who placed no order since a cutoff,
+  // grouped by segment. The scalar subquery is a 1-row global aggregate —
+  // cross-joined in (AQE broadcasts a 1-row relation for free), and the
+  // above-average predicate is the integer cross-multiply cents·n > sum
+  // (no division, so no float threshold to disagree on). The anti side
+  // pre-aggregates orders to |custkeys-with-recent-orders| DISTINCT keys
+  // map-side before the left_anti join — raw orders never reach the join.
+  private val ChurnCutoff = "2000-01-01"
+
+  def qScalarSubquery(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_mktsegment"), cents(col("c_acctbal")).as("bc"))
+    val avg1 = cust.where(col("bc") > 0)
+      .agg(sum(col("bc")).as("sc"), count(lit(1)).as("nc"))
+    val active = Tables.orders(spark, d)
+      .where(col("o_orderdate") >= ts(ChurnCutoff))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(avg1)
+      .where(col("bc") * col("nc") > col("sc"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), (sum(col("bc")) / 100.0).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qScalarSubquerySql: String =
+    s"""WITH s AS (
+       | SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sc,
+       |  CAST(count(*) AS BIGINT) AS nc
+       | FROM customer WHERE round(c_acctbal*100) > 0)
+       |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+       | CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)/100.0 AS total_bal
+       |FROM customer, s
+       |WHERE CAST(round(c_acctbal*100) AS BIGINT)*nc > sc
+       |  AND NOT EXISTS (SELECT 1 FROM orders o
+       |                  WHERE o.o_custkey = c_custkey
+       |                    AND o.o_orderdate >= TIMESTAMP '$ChurnCutoff')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q_interval_coverage --------------------------------------------------
+  // Interval-union coverage: treating each event as a 10-minute interval,
+  // the total wall-clock each type was "active" — the utilization number
+  // behind SLA and on-call dashboards, and the classic merge-overlapping-
+  // intervals problem done as one sweep instead of a self-join. Per type:
+  // a running max of interval ends (one window over the (t, event_id)
+  // total order) marks rows that START a new disjoint segment; a running
+  // sum of those marks numbers the segments; per-segment min/max collapse
+  // to lengths. All integer epoch-millis — exact. Scale shape: two windows
+  // + one groupBy, all partitioned by event_type; no interval self-join
+  // (which would be O(n·overlap) rows).
+  def qIntervalCoverage(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_type"), unix_millis(col("ts")).as("t"), col("event_id"))
+      .withColumn("e", col("t") + lit(ConcWindowSec * 1000))
+    val ord = Window.partitionBy("event_type").orderBy("t", "event_id")
+    val segs = ev
+      .withColumn("pe", max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ns", when(col("pe").isNull || col("t") > col("pe"), 1L).otherwise(0L))
+      .withColumn("seg", sum(col("ns")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("event_type"), col("seg"))
+      .agg((max(col("e")) - min(col("t"))).as("len"))
+    segs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_segments"), (sum(col("len")) / 1000.0).as("covered_sec"))
+      .orderBy("event_type")
+  }
+
+  val qIntervalCoverageSql: String =
+    s"""WITH m AS (SELECT event_type, epoch_ms(ts) AS t,
+       |  epoch_ms(ts) + ${ConcWindowSec * 1000} AS e, event_id FROM events),
+       |x AS (SELECT event_type, t, e, event_id,
+       |  max(e) OVER (PARTITION BY event_type ORDER BY t, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM m),
+       |y AS (SELECT event_type, t, e, event_id,
+       |  CASE WHEN pe IS NULL OR t > pe THEN 1 ELSE 0 END AS ns FROM x),
+       |z AS (SELECT event_type, t, e,
+       |  sum(ns) OVER (PARTITION BY event_type ORDER BY t, event_id
+       |                ROWS UNBOUNDED PRECEDING) AS seg FROM y),
+       |g AS (SELECT event_type, seg, max(e) - min(t) AS len FROM z GROUP BY 1, 2)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
+       | CAST(sum(len) AS BIGINT)/1000.0 AS covered_sec
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q_calendar_fill ------------------------------------------------------
+  // Dense-calendar gap filling: per-type DAILY counts of high-value events
+  // (value > 330, ~p99.9 — sparse by construction) on a COMPLETE (type ×
+  // day) grid with explicit zeros — the reporting primitive that turns a
+  // sparse aggregate into a plot-ready series (a missing day must render
+  // as 0, not be absent). The grid derives from the data: one 2-row-ish
+  // global extent aggregate + |types| distinct, sequence()-exploded to
+  // |types|·|days| rows — report-sized regardless of corpus size; the
+  // sparse counts left-join onto it. Counts are map-side combinable; the
+  // grid join is AQE-broadcast from observed size.
+  private val CalendarMinValue = 330.0
+
+  def qCalendarFill(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val span = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(span)
+      .select(col("event_type"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val counts = ev.where(col("value") > CalendarMinValue)
+      .groupBy(col("event_type").as("ct"), to_date(col("ts")).as("cd"))
+      .agg(count(lit(1)).as("cn"))
+    grid.join(counts, col("event_type") === col("ct") && col("day") === col("cd"), "left")
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        coalesce(col("cn"), lit(0L)).as("n"))
+      .orderBy("event_type", "day_s")
+  }
+
+  val qCalendarFillSql: String =
+    s"""WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+       |grid AS (SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+       |         FROM (SELECT DISTINCT event_type FROM events), span),
+       |c AS (SELECT event_type AS ct, CAST(ts AS DATE) AS cd, CAST(count(*) AS BIGINT) AS cn
+       |      FROM events WHERE value > $CalendarMinValue GROUP BY 1, 2)
+       |SELECT event_type, strftime(CAST(day AS DATE), '%Y-%m-%d') AS day_s,
+       | coalesce(cn, 0) AS n
+       |FROM grid LEFT JOIN c ON event_type = ct AND CAST(day AS DATE) = cd
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exists_subquery" -> qExistsSubquery,
+    "q_having" -> qHaving,
+    "q_scalar_subquery" -> qScalarSubquery,
+    "q_interval_coverage" -> qIntervalCoverage,
+    "q_calendar_fill" -> qCalendarFill,
     "q_markov_transitions" -> qMarkovTransitions,
     "q_corr_subquery" -> qCorrSubquery,
     "q_count_distribution" -> qCountDistribution,
@@ -1032,6 +1220,11 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_exists_subquery" -> qExistsSubquerySql,
+    "q_having" -> qHavingSql,
+    "q_scalar_subquery" -> qScalarSubquerySql,
+    "q_interval_coverage" -> qIntervalCoverageSql,
+    "q_calendar_fill" -> qCalendarFillSql,
     "q_markov_transitions" -> qMarkovTransitionsSql,
     "q_corr_subquery" -> qCorrSubquerySql,
     "q_count_distribution" -> qCountDistributionSql,

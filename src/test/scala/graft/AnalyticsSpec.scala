@@ -293,6 +293,76 @@ class AnalyticsSpec extends SparkSpec {
     assert(e.filter(col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp")).count() > 0)
   }
 
+  test("exists subquery equals the semi-join formulation") {
+    val li = Tables.lineitem(spark, sf)
+    val expected = Tables.orders(spark, sf).as("o")
+      .join(li.as("l"), col("o.o_orderkey") === col("l.l_orderkey")
+        && col("l.l_shipdate") > col("o.o_orderdate") + expr("INTERVAL 60 DAY"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n"))
+    val got = Analytics.qExistsSubquery(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_orders"))
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("having survivors all exceed the threshold and carry correct totals") {
+    val rows = Analytics.qHaving(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("total_price") > 4000000.0))
+    // cross-check one customer against a direct recompute
+    val k = rows.head.getAs[Long]("c_custkey")
+    val direct = Tables.orders(spark, sf).filter(col("o_custkey") === k)
+      .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("t"),
+        count(lit(1)).as("n")).collect().head
+    assert(rows.head.getAs[Double]("total_price") === direct.getAs[Double]("t"))
+    assert(rows.head.getAs[Long]("n_orders") === direct.getAs[Long]("n"))
+  }
+
+  test("scalar subquery: every surviving segment group only counts above-average inactive customers") {
+    val bc = round(col("c_acctbal") * 100).cast("long")
+    val stats = Tables.customer(spark, sf).filter(bc > 0)
+      .agg(sum(bc).as("s"), count(lit(1)).as("n")).collect().head
+    val (s, n) = (stats.getAs[Long]("s"), stats.getAs[Long]("n"))
+    val active = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    val expected = Tables.customer(spark, sf)
+      .filter(bc * n > s)
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_cust"))
+      .orderBy("c_mktsegment").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_cust"))
+    val got = Analytics.qScalarSubquery(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_cust"))
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("interval coverage: union length bounded by span and single-interval floor, segments disjoint") {
+    val rows = Analytics.qIntervalCoverage(spark, sf).collect()
+    assert(rows.length >= 1)
+    val spans = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(((unix_millis(max(col("ts"))) + 600000L - unix_millis(min(col("ts")))) / 1000.0).as("span"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("span")).toMap
+    rows.foreach { r =>
+      val cov = r.getAs[Double]("covered_sec")
+      assert(cov >= 600.0) // at least one interval
+      assert(cov <= spans(r.getString(0)) + 1e-9) // union can't exceed the hull
+      assert(r.getAs[Long]("n_segments") >= 1L)
+    }
+  }
+
+  test("calendar fill: complete grid, zero cells present, counts conserve the filtered events") {
+    val rows = Analytics.qCalendarFill(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    val days = Tables.events(spark, sf).select(to_date(col("ts")).as("d")).distinct().count()
+    assert(rows.length === types * days) // dense grid: every (type, day) cell
+    assert(rows.exists(_.getAs[Long]("n") === 0L)) // the zero-fill path is real
+    val total = Tables.events(spark, sf).filter(col("value") > 330.0).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+  }
+
   test("markov transitions conserve pair counts and rows sum to probability 1 per prev") {
     val rows = Analytics.qMarkovTransitions(spark, sf).collect()
       .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type"),

@@ -38,6 +38,10 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    # Optional third arg: comma-separated name filter (matches Verify's).
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in only}
 
     con = duckdb.connect()
     for t in TABLES:
