@@ -1243,7 +1243,133 @@ object Selection {
       |      (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r
       |FROM s ORDER BY compound""".stripMargin
 
+  // --- ds_seasonal --------------------------------------------------------
+  // Hour-of-day seasonal profile per compound — the diurnal-cycle panel a
+  // QC analyst reads before trusting any outlier flag (a sensor that peaks
+  // every noon is not anomalous at noon). Per (compound, hour-of-day):
+  // count and mean, plus the load ratio of this hour's mean to the
+  // compound's overall mean. All aggregation is ONE map-side-combinable
+  // groupBy over ≤|compounds|·24 keys; the ratio is assembled from integer
+  // cross-products (sc·tn)/(n·ts) over the report-sized table — both
+  // engines divide identical exact integers, so the doubles match.
+  def dsSeasonal(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("compound")
+    keyed(spark, d)
+      .groupBy(col("compound"), hour(col("cts")).as("hod"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sc"))
+      .withColumn("tn", sum(col("n")).over(w))
+      .withColumn("ts_", sum(col("sc")).over(w))
+      .select(col("compound"), col("hod"), col("n"),
+        (col("sc").cast("double") / col("n").cast("double") / 100.0).as("mean_value"),
+        ((col("sc") * col("tn")).cast("double") / (col("n") * col("ts_")).cast("double"))
+          .as("load_ratio"))
+      .orderBy("compound", "hod")
+  }
+
+  val dsSeasonalSql: String = KeyedCte +
+    """,
+      |g AS (SELECT compound, CAST(hour(cts) AS INT) AS hod,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sc
+      | FROM k GROUP BY 1, 2),
+      |t AS (SELECT compound, hod, n, sc,
+      |  CAST(sum(n) OVER (PARTITION BY compound) AS BIGINT) AS tn,
+      |  CAST(sum(sc) OVER (PARTITION BY compound) AS BIGINT) AS ts_
+      | FROM g)
+      |SELECT compound, hod, n,
+      | CAST(sc AS DOUBLE)/CAST(n AS DOUBLE)/100.0 AS mean_value,
+      | CAST(sc*tn AS DOUBLE)/CAST(n*ts_ AS DOUBLE) AS load_ratio
+      |FROM t ORDER BY compound, hod""".stripMargin
+
+  // --- ds_benford ---------------------------------------------------------
+  // First-significant-digit distribution per compound (Benford screen) —
+  // the data-integrity check that catches fabricated or truncated sensor
+  // feeds: natural measurement data leans toward low leading digits, a
+  // clipped or synthesized feed does not. The digit is taken from the
+  // CENTS integer's decimal string (no float formatting to disagree on);
+  // zero values carry no leading digit and are excluded. One map-side-
+  // combinable groupBy over ≤|compounds|·9 keys + a share division of
+  // identical exact integers over the report table.
+  def dsBenford(spark: SparkSession, d: String): DataFrame = {
+    val ac = abs(round(col("value") * 100).cast("long"))
+    keyed(spark, d)
+      .select(col("compound"), ac.as("ac"))
+      .filter(col("ac") > 0)
+      .withColumn("digit", substring(col("ac").cast("string"), 1, 1))
+      .groupBy(col("compound"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("compound")))
+      .orderBy("compound", "digit")
+  }
+
+  val dsBenfordSql: String = KeyedCte +
+    """,
+      |a AS (SELECT compound, abs(CAST(round(value*100) AS BIGINT)) AS ac
+      | FROM k WHERE CAST(round(value*100) AS BIGINT) <> 0),
+      |g AS (SELECT compound, substr(CAST(ac AS VARCHAR), 1, 1) AS digit,
+      |  CAST(count(*) AS BIGINT) AS n
+      | FROM a GROUP BY 1, 2)
+      |SELECT compound, digit, n,
+      | CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY compound) AS BIGINT) AS share
+      |FROM g ORDER BY compound, digit""".stripMargin
+
+  // --- ds_crosscorr -------------------------------------------------------
+  // Cross-compound correlation: Pearson r between every compound pair's
+  // HOURLY total series — "do these two sensors move together?", the
+  // redundancy/teleconnection screen run before decommissioning a sensor.
+  // Raw samples never align across compounds, so the series are first
+  // reduced to per-(compound, hour) cent TOTALS (one map-side-combinable
+  // groupBy; the grid is |compounds|·|hours|, report-sized relative to the
+  // corpus) — the pair join then runs on the GRID, keyed by hour (≤
+  // |compounds|² rows per hour, never a corpus self-join). The six sums
+  // are exact integers; r is ds_autocorr's fixed double-expression tree
+  // over identical operands in both engines.
+  def dsCrosscorr(spark: SparkSession, d: String): DataFrame = {
+    val grid = keyed(spark, d)
+      .groupBy(col("compound"), date_trunc("hour", col("cts")).as("hr"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("s"))
+    val a = grid.select(col("compound").as("c1"), col("hr"), col("s").as("x"))
+    val b = grid.select(col("compound").as("c2"), col("hr").as("hr2"), col("s").as("y"))
+    a.join(b, col("hr") === col("hr2") && col("c1") < col("c2"))
+      .groupBy("c1", "c2")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("c1"), col("c2"), col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt((col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double")))).as("r"))
+      .orderBy("c1", "c2")
+  }
+
+  val dsCrosscorrSql: String = KeyedCte +
+    """,
+      |g AS (SELECT compound, date_trunc('hour', cts) AS hr,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s
+      | FROM k GROUP BY 1, 2),
+      |p AS (SELECT a.compound AS c1, b.compound AS c2, a.s AS x, b.s AS y
+      | FROM g a JOIN g b ON a.hr = b.hr AND a.compound < b.compound),
+      |s AS (SELECT c1, c2, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |  CAST(sum(x*y) AS BIGINT) AS sxy,
+      |  CAST(sum(x*x) AS BIGINT) AS sxx,
+      |  CAST(sum(y*y) AS BIGINT) AS syy
+      | FROM p GROUP BY 1, 2)
+      |SELECT c1, c2, n,
+      | (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+      | sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+      |      (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r
+      |FROM s ORDER BY c1, c2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_seasonal" -> dsSeasonal,
+    "ds_benford" -> dsBenford,
+    "ds_crosscorr" -> dsCrosscorr,
     "ds_autocorr" -> dsAutocorr,
     "ds_histogram2d" -> dsHistogram2d,
     "ds_drift" -> dsDrift,
@@ -1271,6 +1397,9 @@ object Selection {
     "ds_clear_compound" -> dsClearCompound)
 
   val oracle: Map[String, String] = Map(
+    "ds_seasonal" -> dsSeasonalSql,
+    "ds_benford" -> dsBenfordSql,
+    "ds_crosscorr" -> dsCrosscorrSql,
     "ds_autocorr" -> dsAutocorrSql,
     "ds_histogram2d" -> dsHistogram2dSql,
     "ds_drift" -> dsDriftSql,

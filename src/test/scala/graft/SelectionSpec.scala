@@ -413,4 +413,44 @@ class SelectionSpec extends SparkSpec {
     assert(got === expected)
     got.values.foreach { case (_, r) => assert(r >= -1.0 && r <= 1.0) }
   }
+
+  test("seasonal profile conserves counts and hour means reassemble the compound mean") {
+    import graft.sources.Tables
+    val rows = Selection.dsSeasonal(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Int]("hod"), r.getAs[Long]("n"),
+        r.getAs[Double]("mean_value"), r.getAs[Double]("load_ratio")))
+    val byCompound = Tables.events(spark, sf).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      assert(rs.map(_._3).sum === byCompound(c)) // every sample lands in exactly one hour bucket
+      // load_ratio is mean_hour / mean_overall: the n-weighted ratio sum is n_total
+      val weighted = rs.map(r => r._3 * r._5).sum
+      assert(math.abs(weighted - byCompound(c).toDouble) < 1e-6 * byCompound(c))
+      rs.foreach(r => assert(r._5 > 0.0))
+    }
+  }
+
+  test("benford digit shares sum to 1 per compound over digits 1-9") {
+    val rows = Selection.dsBenford(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[String]("digit"), r.getAs[Long]("n"),
+        r.getAs[Double]("share")))
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r._2 >= "1" && r._2 <= "9"))
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-9, s"$c shares")
+    }
+  }
+
+  test("crosscorr covers every unordered compound pair with r in [-1, 1]") {
+    import graft.sources.Tables
+    val nc = Tables.events(spark, sf).select("event_type").distinct().count().toInt
+    val rows = Selection.dsCrosscorr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"), r.getAs[Double]("r")))
+    assert(rows.length === nc * (nc - 1) / 2)
+    rows.foreach { case (c1, c2, n, r) =>
+      assert(c1 < c2)
+      assert(n > 0)
+      assert(r >= -1.0 && r <= 1.0, s"$c1/$c2 r=$r")
+    }
+  }
 }
