@@ -763,7 +763,40 @@ object Dedup {
        |FROM nsig LEFT JOIN scored ON nsig.doc_id = scored.nid
        |ORDER BY nsig.doc_id""".stripMargin
 
+  // --- dedup_prefix -------------------------------------------------------
+  // Shared-prefix duplicate groups: documents whose first 24 tokens hash
+  // identically — the cheap screen for crawl boilerplate (mirrored pages,
+  // templated headers, truncation twins) that full-content hashing misses
+  // because tails differ. One md5 per doc computed in the scan's project
+  // list, then a single map-side-combinable hash-groupBy (the dedup_exact
+  // plan shape): the shuffle carries one 32-char key per doc, text bytes
+  // never move. Docs shorter than the prefix have no 24-token prefix and
+  // are out of scope by contract (they hash as themselves in dedup_exact).
+  private val PrefixTokens = 24
+
+  def dedupPrefix(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= PrefixTokens)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("w"), 1, PrefixTokens))).as("prefix_hash"))
+      .groupBy("prefix_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy("prefix_hash")
+
+  val dedupPrefixSql: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |           FROM documents WHERE text IS NOT NULL),
+       |p AS (SELECT doc_id, md5(array_to_string(w[1:$PrefixTokens], ' ')) AS prefix_hash
+       |      FROM w WHERE len(w) >= $PrefixTokens)
+       |SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(min(doc_id) AS BIGINT) AS canonical_id
+       |FROM p GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_prefix" -> dedupPrefix,
     "dedup_incremental" -> dedupIncremental,
     "dedup_exact" -> dedupExact,
     "dedup_exact_norm" -> dedupExactNorm,
@@ -779,6 +812,7 @@ object Dedup {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracle: Map[String, String] = Map(
+    "dedup_prefix" -> dedupPrefixSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_exact_norm" -> dedupExactNormSql,

@@ -1050,7 +1050,76 @@ object TextAnalysis {
       |FROM terms JOIN df USING (t), n
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- text_winnow --------------------------------------------------------
+  // Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+  // MOSS algorithm): hash every k-gram (k=4 tokens), then keep the MINIMUM
+  // hash of each sliding window of w=8 consecutive gram hashes. The
+  // guarantee: any shared run of w+k-1 tokens between two documents yields
+  // at least one shared fingerprint, while only ~2/(w+1) of grams are
+  // kept — the position-robust sampled fingerprint set plagiarism and
+  // near-dup detectors index. Per doc we report gram/window/fingerprint
+  // counts and the selection density. Entirely a PURE MAP (higher-order
+  // functions in the scan's project list — grams, window minima, and the
+  // distinct count never leave the row), so the operator is zero-shuffle
+  // and scales embarrassingly; a downstream index would explode only the
+  // ~|grams|·2/(w+1) selected hashes.
+  private val WinnowK = 4
+  private val WinnowW = 8
+
+  def textWinnow(spark: SparkSession, d: String): DataFrame =
+    textWinnowFrom(Tables.documents(spark, d))
+
+  /** Per-doc SELECTED winnowing hashes (the fingerprint multiset before
+    * counting) — the indexable unit; also the surface the guarantee spec
+    * checks (shared w+k-1-token run ⇒ shared fingerprint). */
+  def winnowSelected(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        expr(s"""CASE WHEN size(w) >= $WinnowK
+                 THEN transform(sequence(1, size(w) - ${WinnowK - 1}),
+                                i -> md5(concat_ws(' ', slice(w, i, $WinnowK))))
+                 ELSE CAST(array() AS ARRAY<STRING>) END""").as("g"))
+      .select(col("doc_id"), size(col("g")).as("n_grams"),
+        expr(s"""CASE WHEN size(g) >= $WinnowW
+                 THEN transform(sequence(1, size(g) - ${WinnowW - 1}),
+                                j -> array_min(slice(g, j, $WinnowW)))
+                 ELSE CAST(array() AS ARRAY<STRING>) END""").as("sel"))
+
+  def textWinnowFrom(docs: DataFrame): DataFrame =
+    winnowSelected(docs)
+      .select(col("doc_id"), col("n_grams"),
+        size(col("sel")).cast("long").as("n_windows"),
+        size(array_distinct(col("sel"))).cast("long").as("n_fp"),
+        when(size(col("sel")) > 0,
+          size(array_distinct(col("sel"))).cast("double") / size(col("sel")).cast("double"))
+          .as("density"))
+      .withColumn("n_grams", col("n_grams").cast("long"))
+      .orderBy("doc_id")
+
+  val textWinnowSql: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |           FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(w) >= $WinnowK
+       |    THEN [md5(array_to_string(w[CAST(i AS INT):CAST(i + ${WinnowK - 1} AS INT)], ' '))
+       |          FOR i IN range(1, len(w) - ${WinnowK - 2})]
+       |    ELSE [] END AS g FROM w),
+       |s AS (SELECT doc_id, len(g) AS n_grams,
+       |  CASE WHEN len(g) >= $WinnowW
+       |    THEN [list_min(g[CAST(j AS INT):CAST(j + ${WinnowW - 1} AS INT)])
+       |          FOR j IN range(1, len(g) - ${WinnowW - 2})]
+       |    ELSE [] END AS sel FROM g)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       | CAST(len(sel) AS BIGINT) AS n_windows,
+       | CAST(len(list_distinct(sel)) AS BIGINT) AS n_fp,
+       | CASE WHEN len(sel) > 0
+       |   THEN CAST(len(list_distinct(sel)) AS DOUBLE)/CAST(len(sel) AS DOUBLE) END AS density
+       |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow" -> textWinnow,
     "text_rarity" -> textRarity,
     "sample_bottomk" -> sampleBottomk,
     "pipeline_curate" -> pipelineCurate,
@@ -1078,6 +1147,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "text_winnow" -> textWinnowSql,
     "text_rarity" -> textRaritySql,
     "sample_bottomk" -> sampleBottomkSql,
     "pipeline_curate" -> pipelineCurateSql,

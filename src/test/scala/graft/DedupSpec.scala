@@ -284,4 +284,22 @@ class DedupSpec extends SparkSpec {
         ((r.getAs[Long]("n_cand"), r.getAs[Long]("n_dup"), r.getAs[Long]("is_dup")))).toMap
     assert(got === expected)
   }
+
+  test("prefix dedup groups are real: members share the 24-token prefix, canonical is the min id") {
+    import org.apache.spark.sql.functions._
+    val groups = Dedup.dedupPrefix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"), r.getAs[Long]("canonical_id")))
+    assert(groups.nonEmpty)
+    groups.foreach { case (_, n, _) => assert(n >= 2L) }
+    // independent recompute from raw text
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 24)
+      .select(col("doc_id"), md5(concat_ws(" ", slice(col("w"), 1, 24))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"), min("doc_id").as("c"))
+      .filter(col("n") > 1).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("c"))).sortBy(_._1)
+    assert(groups.sortBy(_._1).toSeq === expected.toSeq)
+  }
 }

@@ -485,4 +485,40 @@ class TextAnalysisSpec extends SparkSpec {
         ((r.getAs[Long]("n_terms"), r.getAs[Long]("n_rare"), r.getAs[Double]("mean_df")))).toMap
     assert(got === expected)
   }
+
+  test("winnowing guarantee: a shared w+k-1-token run yields a shared fingerprint; counts reconcile") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // k=4, w=8: any shared run of 11 tokens must produce >= 1 shared hash
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+    val docs = Seq(
+      (1L, s"unique1 prefix words here $shared and unrelated tail one"),
+      (2L, s"совсем other starting material $shared closing words two go"),
+      (3L, "nothing in common with the others at all whatsoever")).toDF("doc_id", "text")
+    val sel = TextAnalysis.winnowSelected(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[String]]("sel").toSet).toMap
+    assert((sel(1L) intersect sel(2L)).nonEmpty) // the winnowing guarantee
+    assert((sel(1L) intersect sel(3L)).isEmpty)
+    val rows = TextAnalysis.textWinnowFrom(docs).collect()
+    rows.foreach { r =>
+      val (ng, nw, nfp) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_windows"), r.getAs[Long]("n_fp"))
+      assert(nw === math.max(0L, ng - 7L)) // windows = grams - w + 1
+      assert(nfp <= nw && nfp >= 0L)
+      if (nw > 0) {
+        val d = r.getAs[Double]("density")
+        assert(d > 0.0 && d <= 1.0)
+        assert(d === nfp.toDouble / nw.toDouble)
+      }
+    }
+  }
+
+  test("winnow corpus density stays near the 2/(w+1) sampling rate band") {
+    val rows = TextAnalysis.textWinnow(spark, sf).collect().filter(_.getAs[Long]("n_windows") > 50)
+    assert(rows.nonEmpty)
+    // fingerprints-per-GRAM approximates 2/(w+1) ~ 0.22 for random hashes;
+    // generous band since docs repeat tokens
+    val rates = rows.map(r => r.getAs[Long]("n_fp").toDouble / r.getAs[Long]("n_grams").toDouble)
+    val mean = rates.sum / rates.length
+    assert(mean > 0.05 && mean < 0.6, s"mean fingerprint rate $mean")
+  }
 }
