@@ -400,7 +400,148 @@ object Sketches {
        | JOIN n ON est.event_type = n.event_type
        |ORDER BY est.event_type""".stripMargin
 
+  // --- sketch_theta -------------------------------------------------------
+  // Fixed-threshold theta sketch for distinct counting (the KMV/theta
+  // family, Dasgupta et al.): retain only the distinct user-id hashes
+  // whose first md5 nibble is 0 — a deterministic 1/16 sample of HASH
+  // SPACE (not of rows), so est = 16 · |retained| estimates the true
+  // distinct count. Unlike HLL this keeps the retained hashes themselves,
+  // which is what makes INTERSECTION estimable (sketch_jaccard) — the
+  // trade: O(distinct/16) state instead of O(1) registers. Scale shape:
+  // the nibble filter runs in the SCAN, so the distinct only shuffles
+  // 1/16th of the key space; state merges by set-union. Pure integer
+  // output — est is exact arithmetic, hash-verifiable. The exact
+  // countDistinct rides along for calibration, as in sketch_hll (dropped
+  // in production use).
+  private val ThetaInv = 16 // retain 1/16 of hash space: first hex nibble = '0'
+
+  // The sketched set is ACTIVE USER-DAYS (user_id:day), not bare users —
+  // this corpus's types all touch the identical user population, so bare
+  // user sets would make every pairwise Jaccard exactly 1.0; activity
+  // patterns genuinely differ per type (and user-day audiences are what
+  // overlap dashboards compare anyway).
+  private def userDayHash: org.apache.spark.sql.Column =
+    md5(concat_ws(":", col("user_id").cast("string"),
+      date_format(col("ts"), "yyyy-MM-dd")))
+
+  private val UserDayHashSql: String =
+    "md5(CAST(user_id AS VARCHAR) || ':' || strftime(CAST(ts AS DATE), '%Y-%m-%d'))"
+
+  def sketchTheta(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val retained = ev.select(col("event_type"), userDayHash.as("h"))
+      .where(substring(col("h"), 1, 1) === "0")
+      .distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_retained"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id"), to_date(col("ts"))).as("exact_distinct"))
+    exact.join(retained, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        (coalesce(col("n_retained"), lit(0L)) * ThetaInv).as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
+  val sketchThetaSql: String =
+    s"""WITH r AS (SELECT DISTINCT event_type, $UserDayHashSql AS h
+       |  FROM events WHERE substr($UserDayHashSql, 1, 1) = '0'),
+       |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_retained FROM r GROUP BY 1),
+       |e AS (SELECT event_type, CAST(count(DISTINCT (user_id, CAST(ts AS DATE))) AS BIGINT) AS exact_distinct
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_type,
+       | CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+       | CAST(coalesce(n_retained, 0) * $ThetaInv AS BIGINT) AS est_distinct,
+       | exact_distinct
+       |FROM e LEFT JOIN n ON e.event_type = n.event_type
+       |ORDER BY e.event_type""".stripMargin
+
+  // --- sketch_jaccard -----------------------------------------------------
+  // Audience-overlap estimation between event types from the SAME theta
+  // sketches: because every type retains the same deterministic 1/16 slice
+  // of hash space, retained-set intersection/union estimate the TRUE
+  // Jaccard of the underlying user sets — the pairwise overlap matrix
+  // ("do clickers also purchase?") computed without ever joining the full
+  // per-type user sets. Scale shape: the pair join runs on the RETAINED
+  // hashes (1/16 of distinct keys, hash-partitioned equijoin), and the
+  // |types|² scaffold keeps empty intersections visible. The exact
+  // Jaccard rides along for calibration and is the expensive path
+  // (full distinct-set self-join) — dropped in production use.
+  def sketchJaccard(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val ret = ev.select(col("event_type"), userDayHash.as("h"))
+      .where(substring(col("h"), 1, 1) === "0").distinct()
+    val sizes = ret.groupBy("event_type").agg(count(lit(1)).as("m"))
+    val inter = ret.as("a").join(ret.as("b"),
+        col("a.h") === col("b.h") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("ni"))
+    val users = ev.select(col("event_type"),
+      concat_ws(":", col("user_id").cast("string"),
+        date_format(col("ts"), "yyyy-MM-dd")).as("user_id")).distinct()
+    val usizes = users.groupBy("event_type").agg(count(lit(1)).as("mu"))
+    val uinter = users.as("a").join(users.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("nu"))
+    val types = ev.select(col("event_type")).distinct()
+    val pairs = types.as("x").join(types.as("y"), col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("t1"), col("y.event_type").as("t2"))
+    pairs
+      .join(inter, Seq("t1", "t2"), "left")
+      .join(uinter, Seq("t1", "t2"), "left")
+      .join(sizes.select(col("event_type").as("t1"), col("m").as("m1")), Seq("t1"), "left")
+      .join(sizes.select(col("event_type").as("t2"), col("m").as("m2")), Seq("t2"), "left")
+      .join(usizes.select(col("event_type").as("t1"), col("mu").as("mu1")), Seq("t1"), "left")
+      .join(usizes.select(col("event_type").as("t2"), col("mu").as("mu2")), Seq("t2"), "left")
+      .select(col("t1"), col("t2"),
+        coalesce(col("m1"), lit(0L)).as("m1"), coalesce(col("m2"), lit(0L)).as("m2"),
+        coalesce(col("ni"), lit(0L)).as("n_inter"),
+        when(coalesce(col("m1"), lit(0L)) + coalesce(col("m2"), lit(0L)) - coalesce(col("ni"), lit(0L)) > 0,
+          coalesce(col("ni"), lit(0L)).cast("double") /
+            (coalesce(col("m1"), lit(0L)) + coalesce(col("m2"), lit(0L)) - coalesce(col("ni"), lit(0L))).cast("double"))
+          .as("jacc_est"),
+        (coalesce(col("nu"), lit(0L)).cast("double") /
+          (col("mu1") + col("mu2") - coalesce(col("nu"), lit(0L))).cast("double")).as("jacc_exact"))
+      .orderBy("t1", "t2")
+  }
+
+  val sketchJaccardSql: String =
+    s"""WITH r AS (SELECT DISTINCT event_type, $UserDayHashSql AS h
+      |  FROM events WHERE substr($UserDayHashSql, 1, 1) = '0'),
+      |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m FROM r GROUP BY 1),
+      |it AS (SELECT a.event_type AS t1, b.event_type AS t2, CAST(count(*) AS BIGINT) AS ni
+      |  FROM r a JOIN r b ON a.h = b.h AND a.event_type < b.event_type GROUP BY 1, 2),
+      |u AS (SELECT DISTINCT event_type,
+      |  CAST(user_id AS VARCHAR) || ':' || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS user_id
+      |  FROM events),
+      |usz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS mu FROM u GROUP BY 1),
+      |uit AS (SELECT a.event_type AS t1, b.event_type AS t2, CAST(count(*) AS BIGINT) AS nu
+      |  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |pr AS (SELECT x.event_type AS t1, y.event_type AS t2
+      |  FROM ty x JOIN ty y ON x.event_type < y.event_type)
+      |SELECT pr.t1, pr.t2,
+      | CAST(coalesce(s1.m, 0) AS BIGINT) AS m1,
+      | CAST(coalesce(s2.m, 0) AS BIGINT) AS m2,
+      | CAST(coalesce(ni, 0) AS BIGINT) AS n_inter,
+      | CASE WHEN coalesce(s1.m, 0) + coalesce(s2.m, 0) - coalesce(ni, 0) > 0
+      |   THEN CAST(coalesce(ni, 0) AS DOUBLE) /
+      |        CAST(coalesce(s1.m, 0) + coalesce(s2.m, 0) - coalesce(ni, 0) AS BIGINT) END AS jacc_est,
+      | CAST(coalesce(nu, 0) AS DOUBLE) /
+      |   CAST(u1.mu + u2.mu - coalesce(nu, 0) AS BIGINT) AS jacc_exact
+      |FROM pr
+      |LEFT JOIN it ON pr.t1 = it.t1 AND pr.t2 = it.t2
+      |LEFT JOIN uit ON pr.t1 = uit.t1 AND pr.t2 = uit.t2
+      |LEFT JOIN sz s1 ON pr.t1 = s1.event_type
+      |LEFT JOIN sz s2 ON pr.t2 = s2.event_type
+      |LEFT JOIN usz u1 ON pr.t1 = u1.event_type
+      |LEFT JOIN usz u2 ON pr.t2 = u2.event_type
+      |ORDER BY pr.t1, pr.t2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_theta" -> sketchTheta,
+    "sketch_jaccard" -> sketchJaccard,
     "sketch_hll" -> sketchHll,
     "sketch_hll_union" -> sketchHllUnion,
     "sketch_quantile" -> sketchQuantile,
@@ -408,6 +549,8 @@ object Sketches {
     "sketch_bloom" -> sketchBloom)
 
   val oracle: Map[String, String] = Map(
+    "sketch_theta" -> sketchThetaSql,
+    "sketch_jaccard" -> sketchJaccardSql,
     "sketch_hll" -> sketchHllSql,
     "sketch_hll_union" -> sketchHllUnionSql,
     "sketch_quantile" -> sketchQuantileSql,

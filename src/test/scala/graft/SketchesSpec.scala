@@ -151,4 +151,50 @@ class SketchesSpec extends SparkSpec {
     val est = row.getAs[Double]("hll_est")
     assert(math.abs(est - exact) / exact < 0.5, s"est $est vs exact $exact")
   }
+
+  test("theta sketch: estimate tracks exact within the 1/sqrt(retained) band; merge law holds") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val rows = graft.operators.Sketches.sketchTheta(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_retained"), r.getAs[Long]("est_distinct"),
+        r.getAs[Long]("exact_distinct")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, nr, est, exact) =>
+      assert(est === nr * 16)
+      if (nr >= 20) { // enough retained hashes for the error band to mean anything
+        val err = math.abs(est.toDouble - exact.toDouble) / exact.toDouble
+        assert(err < 4.0 / math.sqrt(nr.toDouble), s"$t err $err with $nr retained")
+      }
+    }
+    // merge law: retained sets from two disjoint time halves union to the whole
+    val ev = Tables.events(spark, sf)
+    val mid = lit("2024-01-16 00:00:00").cast("timestamp")
+    val key = md5(concat_ws(":", col("user_id").cast("string"), date_format(col("ts"), "yyyy-MM-dd")))
+    def retained(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type"), key.as("h")).where(substring(col("h"), 1, 1) === "0")
+        .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val whole = retained(ev)
+    val merged = retained(ev.filter(col("ts") < mid)) union retained(ev.filter(col("ts") >= mid))
+    assert(merged === whole)
+  }
+
+  test("jaccard estimate is consistent with theta sizes and brackets the exact overlap") {
+    val theta = graft.operators.Sketches.sketchTheta(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_retained")).toMap
+    val rows = graft.operators.Sketches.sketchJaccard(spark, sf).collect()
+    assert(rows.length === theta.size * (theta.size - 1) / 2)
+    rows.foreach { r =>
+      val (t1, t2) = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("m1") === theta(t1)) // same sketch feeds both operators
+      assert(r.getAs[Long]("m2") === theta(t2))
+      val ni = r.getAs[Long]("n_inter")
+      assert(ni <= math.min(theta(t1), theta(t2)))
+      val jx = r.getAs[Double]("jacc_exact")
+      assert(jx >= 0.0 && jx <= 1.0)
+      if (!r.isNullAt(r.fieldIndex("jacc_est"))) {
+        val je = r.getAs[Double]("jacc_est")
+        assert(je >= 0.0 && je <= 1.0)
+      }
+    }
+  }
 }
