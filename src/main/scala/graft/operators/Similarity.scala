@@ -717,7 +717,62 @@ object Similarity {
        |FROM q JOIN n ON q.cid = n.cid
        |ORDER BY q.cid, dim""".stripMargin
 
+  // --- embed_power_iter ---------------------------------------------------
+  // One power-iteration step toward the corpus's TOP PRINCIPAL DIRECTION:
+  // v1 ∝ Σ_i (x_i·v0)·x_i = (XᵀX)v0 with the literal uniform seed
+  // v0 = (1/8,…,1/8) (unit for Dim=64). This is the distributed
+  // matrix-vector primitive under PCA/spectral embedding quality checks —
+  // iterate it and the dominant eigenvector falls out; one step already
+  // ranks dims by loading. Determinism: the per-row dot x·v0 is ONE fixed
+  // left-to-right IEEE fold (identical lambda in both engines), then both
+  // the dot and each component are quantized to round(·2^18) integers IN
+  // THE SCAN, so every per-dim sum is associative integer math — exact at
+  // any partitioning (headroom ~2000× at sf0.1; a 100 TB run would shard
+  // the fold hierarchically or lift sums to DECIMAL(38)). The norm is one
+  // fixed 64-term fold over the REPORT row; v1 = sum/norm is a division
+  // of identical operands. Scale shape: pure map + ONE global 64-column
+  // combinable aggregate — the shuffle is 65 longs per partition; the
+  // corpus never re-shuffles, the report unpivots after aggregation.
+  private val PowQ = 1L << 18
+  private val PowSeed = 0.125 // 1/sqrt(Dim) for Dim = 64 — unit-norm uniform seed
+
+  def embedPowerIter(spark: SparkSession, d: String): DataFrame = {
+    val e = vectors(spark, d)
+    val dotE = expr(s"aggregate(v, 0D, (a, x) -> a + x * $PowSeed)")
+    val qcols = (0 until Dim).map(i =>
+      round(element_at(col("v"), i + 1) * PowQ).cast("long").as(s"q$i"))
+    val rows = e.select(round(dotE * PowQ).cast("long").as("qd") +: qcols: _*)
+    val sums = rows.agg(
+      sum(col("qd") * col("q0")).as("s0"),
+      (1 until Dim).map(i => sum(col("qd") * col(s"q$i")).as(s"s$i")): _*)
+    val normE = sqrt(expr("aggregate(array(" +
+      (0 until Dim).map(i => s"CAST(s$i AS DOUBLE)").mkString(",") +
+      "), 0D, (a, x) -> a + x * x)"))
+    sums.withColumn("norm", normE)
+      .select(col("norm"), explode(array((0 until Dim).map(i =>
+        struct(lit(i + 1).cast("long").as("dim"), col(s"s$i").as("sum_q"))): _*)).as("p"))
+      .select(col("p.dim").as("dim"), col("p.sum_q").as("sum_q"),
+        (col("p.sum_q").cast("double") / col("norm")).as("v1"))
+      .orderBy("dim")
+  }
+
+  val embedPowerIterSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |q AS (SELECT v,
+       |  CAST(round(list_reduce(list_prepend(0.0, list_transform(v, x -> x * $PowSeed)),
+       |                         (a, x) -> a + x) * $PowQ) AS BIGINT) AS qd
+       | FROM e),
+       |s AS (SELECT CAST(i AS BIGINT) AS dim,
+       |  CAST(sum(qd * CAST(round(v[CAST(i AS INT)] * $PowQ) AS BIGINT)) AS BIGINT) AS sum_q
+       | FROM q, range(1, ${Dim + 1}) t(i) GROUP BY 1),
+       |n AS (SELECT sqrt(list_reduce(list_prepend(0.0,
+       |    list_transform(list(CAST(sum_q AS DOUBLE) ORDER BY dim), x -> x * x)),
+       |  (a, b) -> a + b)) AS norm FROM s)
+       |SELECT dim, sum_q, CAST(sum_q AS DOUBLE) / norm AS v1
+       |FROM s, n ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_power_iter" -> embedPowerIter,
     "embed_kmeans_step" -> embedKmeansStep,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
@@ -729,6 +784,7 @@ object Similarity {
     "embed_cluster" -> embedCluster)
 
   val oracle: Map[String, String] = Map(
+    "embed_power_iter" -> embedPowerIterSql,
     "embed_kmeans_step" -> embedKmeansStepSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,

@@ -221,4 +221,32 @@ class SimilaritySpec extends SparkSpec {
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("power iteration step is unit-norm and matches the collected XtXv recompute") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Similarity.embedPowerIter(spark, sf).collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("sum_q"), r.getAs[Double]("v1")))
+      .sortBy(_._1)
+    assert(rows.length === 64)
+    assert(math.abs(rows.map(r => r._3 * r._3).sum - 1.0) < 1e-9) // normalized output
+    // in-process recompute with the identical quantization
+    val data = Tables.embeddings(spark, sf).collect()
+      .map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val q = 1L << 18
+    // Spark/DuckDB round() is HALF_UP (away from zero); Java's Math.round
+    // rounds toward +inf, which differs on exact negative halves — and
+    // float*2^18 DOES land on exact halves. Use the engines' semantic.
+    def halfUp(x: Double): Long =
+      new java.math.BigDecimal(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val sums = new Array[Long](64)
+    data.foreach { v =>
+      var dot = 0.0
+      v.foreach(x => dot += x * 0.125)
+      val qd = halfUp(dot * q)
+      var i = 0
+      while (i < 64) { sums(i) += qd * halfUp(v(i) * q); i += 1 }
+    }
+    assert(rows.map(_._2).toSeq === sums.toSeq)
+  }
 }
