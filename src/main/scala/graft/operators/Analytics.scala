@@ -1183,7 +1183,90 @@ object Analytics {
        |FROM grid LEFT JOIN c ON event_type = ct AND CAST(day AS DATE) = cd
        |ORDER BY 1, 2""".stripMargin
 
+  // --- q_multi_exists -------------------------------------------------------
+  // TPC-H Q21 shape (waiting suppliers): suppliers who were the SOLE
+  // late-shipping supplier on a multi-supplier order. The textbook form is
+  // one EXISTS plus one NOT EXISTS, both correlated on the order key (the
+  // oracle keeps it); here both decorrelate into ONE per-order aggregate —
+  // n_supp > 1 ⇔ EXISTS another supplier, n_late = 1 ⇔ NOT EXISTS another
+  // late one. Everything hashes on l_orderkey: lineitem collapses to
+  // (order, supplier, max_ship) map-side first, so each order contributes
+  // |suppliers-on-order| rows, and the per-order stats join back against
+  // the same partitioning (one exchange reused). Semantics count each
+  // (supplier, order) pair once — both engines deduplicate.
+  private val WaitLagDays = 90
+
+  def qMultiExists(spark: SparkSession, d: String): DataFrame = {
+    val perOs = Tables.lineitem(spark, d)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"))
+      .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        (col("max_ship") > col("o_orderdate") + expr(s"INTERVAL $WaitLagDays DAY")).cast("long"))
+    val perO = perOs.groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+      .where(col("n_supp") > 1 && col("n_late") === 1)
+    perOs.where(col("late") === 1)
+      .join(perO, col("l_orderkey") === col("ok"))
+      .join(Tables.supplier(spark, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+  }
+
+  val qMultiExistsSql: String =
+    s"""WITH q AS (
+       | SELECT DISTINCT s_name, l1.l_suppkey, l1.l_orderkey
+       | FROM supplier, lineitem l1, orders
+       | WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+       |  AND l1.l_shipdate > o_orderdate + INTERVAL $WaitLagDays DAY
+       |  AND EXISTS (SELECT 1 FROM lineitem l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+       |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+       |                    AND o3.o_orderkey = l3.l_orderkey
+       |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL $WaitLagDays DAY))
+       |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       |FROM q GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin
+
+  // --- q_cumulative_users ---------------------------------------------------
+  // Cumulative user-acquisition curve: per day, the active users, the NEW
+  // users (first-ever appearance), and the running total of users acquired
+  // — the growth chart behind every "total users" dashboard. Per-user
+  // first day is a map-side-combinable min; both counts collapse to a
+  // ≤|days| report table; the running sum is a window over THAT report
+  // (deliberately partition-less — it spans ≤|days| rows by construction,
+  // never raw events). Integer-only output.
+  def qCumulativeUsers(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val news = ev.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val active = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(news, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("n_active"), col("n_new"), col("cum_users"))
+      .orderBy("day_s")
+  }
+
+  val qCumulativeUsersSql: String =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+      |nw AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1),
+      |a AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active
+      |      FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events) GROUP BY 1)
+      |SELECT strftime(a.day, '%Y-%m-%d') AS day_s, n_active,
+      | CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+      | CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM a LEFT JOIN nw ON a.day = nw.day
+      |ORDER BY day_s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multi_exists" -> qMultiExists,
+    "q_cumulative_users" -> qCumulativeUsers,
     "q_exists_subquery" -> qExistsSubquery,
     "q_having" -> qHaving,
     "q_scalar_subquery" -> qScalarSubquery,
@@ -1220,6 +1303,8 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_multi_exists" -> qMultiExistsSql,
+    "q_cumulative_users" -> qCumulativeUsersSql,
     "q_exists_subquery" -> qExistsSubquerySql,
     "q_having" -> qHavingSql,
     "q_scalar_subquery" -> qScalarSubquerySql,

@@ -1118,7 +1118,44 @@ object TextAnalysis {
        |   THEN CAST(len(list_distinct(sel)) AS DOUBLE)/CAST(len(sel) AS DOUBLE) END AS density
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // --- text_zipf ----------------------------------------------------------
+  // Zipf's-law profile of the corpus: the top-50 terms with rank,
+  // frequency, and the rank·frequency product (Zipf predicts it is
+  // ~constant) — the sanity panel a corpus card shows to catch a
+  // template-polluted or synthetic vocabulary (natural text follows the
+  // law; boilerplate spikes break it). Scale shape: term frequencies are
+  // ONE map-side-combinable groupBy; the top-50 is orderBy+limit, which
+  // Spark plans as TakeOrderedAndProject (per-partition top-k + driver
+  // merge of k·partitions rows — the vocabulary-sized table is never
+  // globally sorted); the rank window runs over the 50-row result only.
+  // Integer-only output.
+  private val ZipfTopK = 50
+
+  def textZipf(spark: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+    tf.orderBy(desc("freq"), asc("t")).limit(ZipfTopK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("freq"), asc("t"))).cast("long"))
+      .select(col("rank"), col("t").as("term"), col("freq"),
+        (col("rank") * col("freq")).as("rf"))
+      .orderBy("rank")
+  }
+
+  val textZipfSql: String =
+    s"""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |             FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT t, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+       |r AS (SELECT t, freq,
+       |  row_number() OVER (ORDER BY freq DESC, t) AS rank FROM tf)
+       |SELECT CAST(rank AS BIGINT) AS rank, t AS term, freq,
+       | CAST(rank * freq AS BIGINT) AS rf
+       |FROM r WHERE rank <= $ZipfTopK ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> textZipf,
     "text_winnow" -> textWinnow,
     "text_rarity" -> textRarity,
     "sample_bottomk" -> sampleBottomk,
@@ -1147,6 +1184,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "text_zipf" -> textZipfSql,
     "text_winnow" -> textWinnowSql,
     "text_rarity" -> textRaritySql,
     "sample_bottomk" -> sampleBottomkSql,

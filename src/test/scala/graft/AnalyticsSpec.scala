@@ -377,4 +377,39 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-9, s"$prev sums to 1")
     }
   }
+
+  test("multi-exists: qualifying orders have >1 supplier and exactly one late one") {
+    val li = Tables.lineitem(spark, sf)
+    val perOs = li.groupBy("l_orderkey", "l_suppkey").agg(max("l_shipdate").as("ms"))
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", (col("ms") > col("o_orderdate") + expr("INTERVAL 90 DAY")).cast("long"))
+    val perO = perOs.groupBy("l_orderkey").agg(count(lit(1)).as("ns"), sum("late").as("nl"))
+    val expected = perOs.filter(col("late") === 1)
+      .join(perO.filter(col("ns") > 1 && col("nl") === 1).select(col("l_orderkey").as("k")),
+        col("l_orderkey") === col("k"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    val got = Analytics.qMultiExists(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("numwait"))
+    assert(got.toMap === expected)
+    assert(got.nonEmpty)
+    // descending numwait with name tie-break
+    val pairs = got.map { case (n, w) => (-w, n) }
+    assert(pairs.sameElements(pairs.sorted))
+  }
+
+  test("cumulative users: conservation and monotonicity of the acquisition curve") {
+    val rows = Analytics.qCumulativeUsers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("cum_users"))).sortBy(_._1)
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === totalUsers) // every user is new exactly once
+    assert(rows.last._4 === totalUsers)
+    rows.foreach { case (_, active, nw, _) => assert(nw <= active) }
+    val cums = rows.map(_._4)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+  }
+
 }

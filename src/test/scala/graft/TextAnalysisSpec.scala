@@ -521,4 +521,24 @@ class TextAnalysisSpec extends SparkSpec {
     val mean = rates.sum / rates.length
     assert(mean > 0.05 && mean < 0.6, s"mean fingerprint rate $mean")
   }
+
+  test("zipf top terms match a direct frequency recompute and ranks are dense") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.textZipf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("term"), r.getAs[Long]("freq"),
+        r.getAs[Long]("rf"))).sortBy(_._1)
+    // the synthetic corpus vocabulary is smaller than the top-k cap
+    assert(rows.length === math.min(50L, rows.map(_._2).distinct.length.toLong))
+    assert(rows.map(_._1).toSeq === (1L to rows.length.toLong))
+    rows.foreach { case (rk, _, f, rf) => assert(rf === rk * f) }
+    val freqs = rows.map(_._3)
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    val expectedTop = graft.sources.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), asc("t")).limit(5).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("f")))
+    assert(rows.take(5).map(r => (r._2, r._3)).toSeq === expectedTop.toSeq)
+  }
 }
