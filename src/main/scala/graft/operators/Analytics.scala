@@ -1264,7 +1264,139 @@ object Analytics {
       |FROM a LEFT JOIN nw ON a.day = nw.day
       |ORDER BY day_s""".stripMargin
 
+  // --- q_runs ---------------------------------------------------------------
+  // SCD2 run-length versioning (gaps-and-islands): collapse each user's
+  // consecutive same-type events into versioned validity intervals
+  // [valid_from, valid_to) — the slowly-changing-dimension construction
+  // every warehouse keeps for "what was this entity's state at time T?".
+  // A change flag (lag ≠ current) + running sum numbers the runs inside
+  // one user-partitioned window pass; runs collapse in a combinable
+  // groupBy; valid_to = the NEXT run's start via a lead over the RUN
+  // table (already 10× smaller than events here, and bounded by change
+  // frequency at scale). NULL valid_to marks the open current version.
+  def qRuns(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val prev = lag(col("event_type"), 1).over(w)
+    val runs = Tables.events(spark, d)
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("chg", when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id")
+      .agg(max(col("event_type")).as("event_type"), min(col("ts")).as("vf"),
+        count(lit(1)).as("n_events"))
+    val wr = Window.partitionBy("user_id").orderBy("run_id")
+    runs
+      .withColumn("vt", lead(col("vf"), 1).over(wr))
+      .select(col("user_id"), col("run_id"), col("event_type"),
+        date_format(col("vf"), "yyyy-MM-dd HH:mm:ss").as("valid_from_s"),
+        date_format(col("vt"), "yyyy-MM-dd HH:mm:ss").as("valid_to_s"),
+        col("n_events"))
+      .orderBy("user_id", "run_id")
+  }
+
+  val qRunsSql: String =
+    """WITH m AS (SELECT user_id, ts, event_id, event_type,
+      |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+      |       THEN 1 ELSE 0 END AS chg
+      | FROM events),
+      |r AS (SELECT user_id, ts, event_type,
+      |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS run_id FROM m),
+      |g AS (SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+      |  max(event_type) AS event_type, min(ts) AS vf,
+      |  CAST(count(*) AS BIGINT) AS n_events FROM r GROUP BY 1, 2)
+      |SELECT user_id, run_id, event_type,
+      | strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+      | strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id),
+      |          '%Y-%m-%d %H:%M:%S') AS valid_to_s,
+      | n_events
+      |FROM g ORDER BY user_id, run_id""".stripMargin
+
+  // --- q_column_stats -------------------------------------------------------
+  // ANALYZE-TABLE column statistics: per column of events — row count,
+  // null count, exact NDV, and min/max (stringified; value through the
+  // cents lattice so no float formatting) — the stats table a cost-based
+  // optimizer and a data-quality monitor both feed from. ONE aggregate
+  // computes all five columns' stats (multiple exact countDistincts make
+  // Catalyst plan an Expand ×5 — the documented cost of exactness; a
+  // production sweep would use the HLL sketch per column instead), then
+  // the wide row unpivots to the 5-row report.
+  def qColumnStats(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("value_c"), col("props"))
+    val wide = ev.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("event_id")).as("nn0"), countDistinct(col("event_id")).as("nd0"),
+      min(col("event_id")).cast("string").as("mi0"), max(col("event_id")).cast("string").as("ma0"),
+      count(col("user_id")).as("nn1"), countDistinct(col("user_id")).as("nd1"),
+      min(col("user_id")).cast("string").as("mi1"), max(col("user_id")).cast("string").as("ma1"),
+      count(col("event_type")).as("nn2"), countDistinct(col("event_type")).as("nd2"),
+      min(col("event_type")).as("mi2"), max(col("event_type")).as("ma2"),
+      count(col("value_c")).as("nn3"), countDistinct(col("value_c")).as("nd3"),
+      min(col("value_c")).cast("string").as("mi3"), max(col("value_c")).cast("string").as("ma3"),
+      count(col("props")).as("nn4"), countDistinct(col("props")).as("nd4"),
+      min(col("props")).as("mi4"), max(col("props")).as("ma4"))
+    val names = Seq("event_id", "user_id", "event_type", "value_cents", "props")
+    wide.select(col("n_rows"), explode(array(names.zipWithIndex.map { case (nm, i) =>
+        struct(lit(nm).as("col_name"), col(s"nn$i").as("nn"), col(s"nd$i").as("ndv"),
+          col(s"mi$i").as("min_s"), col(s"ma$i").as("max_s"))
+      }: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n_rows"),
+        (col("n_rows") - col("p.nn")).as("n_nulls"), col("p.ndv").as("ndv"),
+        col("p.min_s").as("min_s"), col("p.max_s").as("max_s"))
+      .orderBy("col_name")
+  }
+
+  val qColumnStatsSql: String = {
+    def one(nm: String, c: String) =
+      s"""SELECT '$nm' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         | CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         | CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+         |FROM events""".stripMargin
+    Seq(one("event_id", "event_id"), one("user_id", "user_id"),
+      one("event_type", "event_type"),
+      one("value_cents", "CAST(round(value*100) AS BIGINT)"),
+      one("props", "props")).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // --- q_heavy_hitters ------------------------------------------------------
+  // Traffic-concentration screen: users contributing more than 0.75% of
+  // all events — the skew detector run before choosing a partitioning key
+  // (the q_salted_agg/q_skew_join mitigations exist precisely for the keys
+  // this query surfaces). Exact two-aggregate form: per-user counts
+  // (map-side combinable) against a 1-row total, thresholded by the
+  // integer cross-multiply n·10000 > total·75 — no float threshold. The
+  // share column divides the identical exact integers. At 100 TB the same
+  // shape holds: |users| keys, 1 scalar, report-sized output.
+  private val HeavyBp = 75L // threshold in basis points (0.75%)
+
+  def qHeavyHitters(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val tot = ev.agg(count(lit(1)).as("total"))
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .crossJoin(tot)
+      .where(col("n") * 10000L > col("total") * HeavyBp)
+      .select(col("user_id"), col("n"),
+        ((col("n") * 10000L).cast("double") / col("total").cast("double")).as("share_bp"))
+      .orderBy(desc("n"), asc("user_id"))
+  }
+
+  val qHeavyHittersSql: String =
+    s"""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
+       |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+       |SELECT user_id, n,
+       | CAST(n * 10000 AS DOUBLE) / CAST(total AS DOUBLE) AS share_bp
+       |FROM u, t WHERE n * 10000 > total * $HeavyBp
+       |ORDER BY n DESC, user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_runs" -> qRuns,
+    "q_column_stats" -> qColumnStats,
+    "q_heavy_hitters" -> qHeavyHitters,
     "q_multi_exists" -> qMultiExists,
     "q_cumulative_users" -> qCumulativeUsers,
     "q_exists_subquery" -> qExistsSubquery,
@@ -1303,6 +1435,9 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_runs" -> qRunsSql,
+    "q_column_stats" -> qColumnStatsSql,
+    "q_heavy_hitters" -> qHeavyHittersSql,
     "q_multi_exists" -> qMultiExistsSql,
     "q_cumulative_users" -> qCumulativeUsersSql,
     "q_exists_subquery" -> qExistsSubquerySql,

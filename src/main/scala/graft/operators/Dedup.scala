@@ -795,7 +795,41 @@ object Dedup {
        | CAST(min(doc_id) AS BIGINT) AS canonical_id
        |FROM p GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
 
+  // --- dedup_degree_dist --------------------------------------------------
+  // Degree distribution of the verified near-duplicate graph: for each
+  // node degree, how many documents have that many verified neighbors —
+  // the graph-shape report read before trusting component assignment (a
+  // heavy-tailed degree profile means a template hub is stitching
+  // unrelated docs into one giant component; near-uniform small degrees
+  // mean clean duplicate clusters). Reuses the MEMOIZED verified pairs —
+  // marginal cost is two tiny aggregates over the density-bounded edge
+  // table; first-in-family pays the shared pipeline build like every
+  // other LSH query.
+  def dedupDegreeDist(spark: SparkSession, d: String): DataFrame = {
+    val vp = lshShared(spark, d).verified.select("da", "db")
+    vp.select(col("da").as("id")).unionAll(vp.select(col("db").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  val dedupDegreeDistSql: String = LshCte +
+    s""",
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT cand.da, cand.db, count(*) AS inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = cand.da
+       |  JOIN sh b ON b.doc_id = cand.db AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |vp AS (SELECT da, db FROM inter JOIN sz x ON inter.da = x.doc_id JOIN sz y ON inter.db = y.doc_id
+       |       WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardTau),
+       |e AS (SELECT da AS id FROM vp UNION ALL SELECT db FROM vp),
+       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY 1)
+       |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_degree_dist" -> dedupDegreeDist,
     "dedup_prefix" -> dedupPrefix,
     "dedup_incremental" -> dedupIncremental,
     "dedup_exact" -> dedupExact,
@@ -812,6 +846,7 @@ object Dedup {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracle: Map[String, String] = Map(
+    "dedup_degree_dist" -> dedupDegreeDistSql,
     "dedup_prefix" -> dedupPrefixSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_exact" -> dedupExactSql,

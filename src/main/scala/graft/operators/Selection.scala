@@ -1366,7 +1366,61 @@ object Selection {
       |      (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r
       |FROM s ORDER BY c1, c2""".stripMargin
 
+  // --- ds_winsorize -------------------------------------------------------
+  // Winsorized robust summary per compound: clamp values at the DISCRETE
+  // p5/p95 (value at rank ceil(p·n), the repo's percentile convention —
+  // both engines pick the same raw cent value) and report the clip counts
+  // and winsorized mean — the outlier-robust mean a QC dashboard shows
+  // next to the raw one. Pass 1 ranks within compound (the ds_outlier_mad
+  // window shape) and keeps only the two rank-hit rows per compound;
+  // pass 2 re-scans, joins the |compounds|-row cut table back
+  // (AQE-broadcast), clamps in the map, and collapses in one combinable
+  // groupBy over exact cents. n_low/n_high count strict exceedances.
+  def dsWinsorize(spark: SparkSession, d: String): DataFrame = {
+    val base = keyed(spark, d)
+      .select(col("compound"), col("event_id"), round(col("value") * 100).cast("long").as("vc"))
+    val w = Window.partitionBy("compound").orderBy("vc", "event_id")
+    val wAll = Window.partitionBy("compound")
+    val cuts = base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("compound")
+      .agg(max(when(col("rn") === ceil(lit(0.05) * col("n")).cast("long"), col("vc"))).as("p5c"),
+        max(when(col("rn") === ceil(lit(0.95) * col("n")).cast("long"), col("vc"))).as("p95c"))
+      .withColumnRenamed("compound", "cc")
+    base.join(cuts, col("compound") === col("cc"))
+      .select(col("compound"), col("p5c"), col("p95c"), col("vc"),
+        greatest(col("p5c"), least(col("p95c"), col("vc"))).as("wc"))
+      .groupBy("compound")
+      .agg(count(lit(1)).as("n"),
+        (max(col("p5c")) / 100.0).as("p5"), (max(col("p95c")) / 100.0).as("p95"),
+        sum(when(col("vc") < col("p5c"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("vc") > col("p95c"), 1L).otherwise(0L)).as("n_high"),
+        (sum(col("wc")).cast("double") / count(lit(1)).cast("double") / 100.0).as("wins_mean"))
+      .orderBy("compound")
+  }
+
+  val dsWinsorizeSql: String = KeyedCte +
+    """,
+      |b AS (SELECT compound, event_id, CAST(round(value*100) AS BIGINT) AS vc FROM k),
+      |r AS (SELECT compound, vc,
+      |  CAST(row_number() OVER (PARTITION BY compound ORDER BY vc, event_id) AS BIGINT) AS rn,
+      |  count(*) OVER (PARTITION BY compound) AS n FROM b),
+      |c AS (SELECT compound AS cc,
+      |  max(CASE WHEN rn = CAST(ceil(0.05*n) AS BIGINT) THEN vc END) AS p5c,
+      |  max(CASE WHEN rn = CAST(ceil(0.95*n) AS BIGINT) THEN vc END) AS p95c
+      | FROM r GROUP BY 1)
+      |SELECT compound, CAST(count(*) AS BIGINT) AS n,
+      | max(p5c)/100.0 AS p5, max(p95c)/100.0 AS p95,
+      | CAST(sum(CASE WHEN vc < p5c THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      | CAST(sum(CASE WHEN vc > p95c THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      | CAST(CAST(sum(greatest(p5c, least(p95c, vc))) AS BIGINT) AS DOUBLE)
+      |   / CAST(count(*) AS BIGINT) / 100.0 AS wins_mean
+      |FROM b JOIN c ON compound = cc
+      |GROUP BY compound ORDER BY compound""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_winsorize" -> dsWinsorize,
     "ds_seasonal" -> dsSeasonal,
     "ds_benford" -> dsBenford,
     "ds_crosscorr" -> dsCrosscorr,
@@ -1397,6 +1451,7 @@ object Selection {
     "ds_clear_compound" -> dsClearCompound)
 
   val oracle: Map[String, String] = Map(
+    "ds_winsorize" -> dsWinsorizeSql,
     "ds_seasonal" -> dsSeasonalSql,
     "ds_benford" -> dsBenfordSql,
     "ds_crosscorr" -> dsCrosscorrSql,

@@ -412,4 +412,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
   }
 
+
+  test("runs: event conservation, alternating types, and contiguous validity chain") {
+    val rows = Analytics.qRuns(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_id"), r.getString(2),
+        r.getAs[String]("valid_from_s"), r.getAs[String]("valid_to_s"), r.getAs[Long]("n_events")))
+    assert(rows.map(_._6).sum === Tables.events(spark, sf).count())
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (1L to ordered.length.toLong))
+      // adjacent runs change type (that is what makes them runs)
+      ordered.map(_._3).sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0) != w(1))
+      }
+      // valid_to of run k is valid_from of run k+1; last run is open
+      ordered.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0)._5 === w(1)._4)
+      }
+      assert(ordered.last._5 === null)
+    }
+  }
+
+  test("column stats: ndv and null counts match direct recomputes") {
+    val rows = Analytics.qColumnStats(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+        r.getAs[Long]("ndv")))).toMap
+    val n = Tables.events(spark, sf).count()
+    assert(rows.keySet === Set("event_id", "user_id", "event_type", "value_cents", "props"))
+    rows.values.foreach { case (nr, _, _) => assert(nr === n) }
+    assert(rows("event_id")._3 === n) // unique key
+    assert(rows("event_type")._3 === Tables.events(spark, sf).select("event_type").distinct().count())
+    assert(rows("user_id")._3 === Tables.events(spark, sf).select("user_id").distinct().count())
+  }
+
+  test("heavy hitters: exactly the users above the basis-point threshold") {
+    val total = Tables.events(spark, sf).count()
+    val expected = Tables.events(spark, sf).groupBy("user_id").count().collect()
+      .filter(r => r.getAs[Long]("count") * 10000L > total * 75L)
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    val got = Analytics.qHeavyHitters(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    assert(got === expected)
+    Analytics.qHeavyHitters(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("share_bp") > 75.0)
+    }
+  }
 }

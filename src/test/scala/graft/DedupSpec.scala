@@ -302,4 +302,14 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("c"))).sortBy(_._1)
     assert(groups.sortBy(_._1).toSeq === expected.toSeq)
   }
+
+  test("degree distribution accounts for every verified edge endpoint") {
+    val pairs = Dedup.dedupNgramJaccard(spark, sf).collect()
+    val dist = Dedup.dedupDegreeDist(spark, sf).collect()
+      .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_nodes"))
+    // sum(degree * nodes) = 2 * |edges|; sum(nodes) = |distinct endpoints|
+    assert(dist.map { case (d, n) => d * n }.sum === 2L * pairs.length)
+    val endpoints = pairs.flatMap(r => Seq(r.getAs[Long]("da"), r.getAs[Long]("db"))).distinct
+    assert(dist.map(_._2).sum === endpoints.length.toLong)
+  }
 }

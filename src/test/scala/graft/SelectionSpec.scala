@@ -453,4 +453,24 @@ class SelectionSpec extends SparkSpec {
       assert(r >= -1.0 && r <= 1.0, s"$c1/$c2 r=$r")
     }
   }
+
+  test("winsorize: clip counts near 5 percent tails, mean inside the cut band") {
+    import graft.sources.Tables
+    val rows = Selection.dsWinsorize(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Double]("p5"), r.getAs[Double]("p95"),
+        r.getAs[Long]("n_low"), r.getAs[Long]("n_high"), r.getAs[Double]("wins_mean")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, n, p5, p95, lo, hi, wm) =>
+      assert(p5 <= p95)
+      assert(wm >= p5 - 1e-9 && wm <= p95 + 1e-9, s"$c mean outside band")
+      assert(lo < n * 5 / 100 + 1, s"$c n_low") // strictly below the rank-ceil p5 value
+      assert(hi <= n - n * 95 / 100 + 1, s"$c n_high")
+    }
+    // cross-check one compound against an in-process winsorized mean
+    val (c0, _, p5v, p95v, _, _, wm0) = rows.head
+    val vs = Tables.events(spark, sf).filter(col("event_type") === c0)
+      .select("value").collect().map(r => math.round(r.getDouble(0) * 100))
+    val clamped = vs.map(v => math.max(math.round(p5v * 100), math.min(math.round(p95v * 100), v)))
+    assert(math.abs(wm0 - clamped.sum.toDouble / clamped.length / 100.0) < 1e-9)
+  }
 }
