@@ -1419,7 +1419,57 @@ object Selection {
       |FROM b JOIN c ON compound = cc
       |GROUP BY compound ORDER BY compound""".stripMargin
 
+  // --- ds_flatline --------------------------------------------------------
+  // Stuck-sensor detection: runs of consecutive IDENTICAL readings (exact
+  // cents) within a compound — a real measurement repeating exactly is the
+  // classic frozen-transducer signature, invisible to range and outlier
+  // checks because the stuck value is usually in-range. Run construction
+  // is the gaps-and-islands shape (change flag → running sum) inside one
+  // compound-partitioned window pass; runs collapse map-side; only runs of
+  // ≥ 2 samples survive. Output is duplicate-density-sized. The `From`
+  // variant exists so the spec can prove detection on a synthetic stuck
+  // feed (the shipped corpus has near-zero exact repeats, as real noisy
+  // data should).
+  private val FlatlineMin = 2
+
+  def dsFlatlineFrom(k: DataFrame): DataFrame = {
+    val w = Window.partitionBy("compound").orderBy("ms", "event_id")
+    val prev = lag(col("vc"), 1).over(w)
+    k.select(col("compound"), col("ms"), col("event_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("chg", when(prev.isNull || prev =!= col("vc"), 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("compound"), col("run_id"))
+      .agg(count(lit(1)).as("n_samples"), (max(col("vc")) / 100.0).as("value"),
+        min(col("ms")).as("start_ms"))
+      .filter(col("n_samples") >= FlatlineMin)
+      .select(col("compound"), col("start_ms"), col("n_samples"), col("value"))
+      .orderBy("compound", "start_ms")
+  }
+
+  def dsFlatline(spark: SparkSession, d: String): DataFrame =
+    dsFlatlineFrom(keyed(spark, d))
+
+  val dsFlatlineSql: String = KeyedCte +
+    s""",
+       |v AS (SELECT compound, ms, event_id, CAST(round(value*100) AS BIGINT) AS vc FROM k),
+       |m AS (SELECT compound, ms, event_id, vc,
+       |  CASE WHEN lag(vc) OVER (PARTITION BY compound ORDER BY ms, event_id) IS NULL
+       |         OR lag(vc) OVER (PARTITION BY compound ORDER BY ms, event_id) <> vc
+       |       THEN 1 ELSE 0 END AS chg FROM v),
+       |r AS (SELECT compound, ms, vc,
+       |  sum(chg) OVER (PARTITION BY compound ORDER BY ms, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS run_id FROM m),
+       |g AS (SELECT compound, run_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |  max(vc)/100.0 AS value, CAST(min(ms) AS BIGINT) AS start_ms
+       | FROM r GROUP BY 1, 2)
+       |SELECT compound, start_ms, n_samples, value
+       |FROM g WHERE n_samples >= $FlatlineMin
+       |ORDER BY compound, start_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_flatline" -> dsFlatline,
     "ds_winsorize" -> dsWinsorize,
     "ds_seasonal" -> dsSeasonal,
     "ds_benford" -> dsBenford,
@@ -1451,6 +1501,7 @@ object Selection {
     "ds_clear_compound" -> dsClearCompound)
 
   val oracle: Map[String, String] = Map(
+    "ds_flatline" -> dsFlatlineSql,
     "ds_winsorize" -> dsWinsorizeSql,
     "ds_seasonal" -> dsSeasonalSql,
     "ds_benford" -> dsBenfordSql,

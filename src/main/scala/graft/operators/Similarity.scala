@@ -771,7 +771,42 @@ object Similarity {
        |SELECT dim, sum_q, CAST(sum_q AS DOUBLE) / norm AS v1
        |FROM s, n ORDER BY dim""".stripMargin
 
+  // --- embed_outliers -----------------------------------------------------
+  // Embedding novelty screen: vectors whose best cosine against ALL 16
+  // quantizer centroids is below τ=0.10 — "far from every cluster", the
+  // out-of-distribution detector run on new data before trusting an IVF
+  // index built on old data (an outlier-heavy batch means the quantizer
+  // needs retraining). Pure map: the literal-centroid argmax struct is
+  // computed in the scan's project list (the ann_ivf/embed_cluster path)
+  // and the τ filter is a scan predicate — zero shuffles before the
+  // report-sized sort. The native cosine kernel is bitwise-equal to the
+  // oracle's fold (CosineSimSpec), so the threshold cut picks identical
+  // rows in both engines.
+  private val OutlierTau = 0.10
+
+  def embedOutliers(spark: SparkSession, d: String): DataFrame = {
+    val b = bestCentroid(seedCentroids(spark, d))
+    vectors(spark, d)
+      .select(col("vec_id"), b.as("b"))
+      .select(col("vec_id"), (-col("b.ncid")).cast("long").as("best_cid"),
+        col("b.csim").as("best_sim"))
+      .filter(col("best_sim") < OutlierTau)
+      .orderBy("vec_id")
+  }
+
+  val embedOutliersSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |s AS (SELECT vec_id, cid, ${CosSqlFor("v", "cv")} AS csim FROM e CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid, csim,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS arn FROM s)
+       |SELECT vec_id, CAST(cid AS BIGINT) AS best_cid, csim AS best_sim
+       |FROM asg WHERE arn = 1 AND csim < $OutlierTau
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_outliers" -> embedOutliers,
     "embed_power_iter" -> embedPowerIter,
     "embed_kmeans_step" -> embedKmeansStep,
     "ann_bruteforce" -> annBruteforce,
@@ -784,6 +819,7 @@ object Similarity {
     "embed_cluster" -> embedCluster)
 
   val oracle: Map[String, String] = Map(
+    "embed_outliers" -> embedOutliersSql,
     "embed_power_iter" -> embedPowerIterSql,
     "embed_kmeans_step" -> embedKmeansStepSql,
     "ann_bruteforce" -> annBruteforceSql,

@@ -197,13 +197,38 @@ object EventStream {
       .select(col("a_id"), col("p_id"))
   }
 
+  /** Complete-mode top-k leaderboard state: the top 10 users by event
+    * count with a total (count desc, user_id) order — the live dashboard
+    * tile every ops page keeps. The count aggregate is associative, so the
+    * complete-mode stream converges to the batch answer at AvailableNow
+    * regardless of micro-batch boundaries (spec runs the real stream);
+    * batch Spark plans the same query as TakeOrderedAndProject, never a
+    * global sort.
+    */
+  private val TopkUsers = 10
+
+  def topkState(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("user_id")).limit(TopkUsers)
+
+  // --- stream_topk (batch-parity verification entry) -----------------------
+  def streamTopk(spark: SparkSession, d: String): DataFrame =
+    topkState(Tables.events(spark, d))
+
+  val streamTopkSql: String =
+    s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n
+       |FROM events GROUP BY 1
+       |ORDER BY n DESC, user_id LIMIT $TopkUsers""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly" -> streamHourly,
     "stream_dedup" -> streamDedup,
-    "stream_latest" -> streamLatest)
+    "stream_latest" -> streamLatest,
+    "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
     "stream_hourly" -> streamHourlySql,
     "stream_dedup" -> streamDedupSql,
-    "stream_latest" -> streamLatestSql)
+    "stream_latest" -> streamLatestSql,
+    "stream_topk" -> streamTopkSql)
 }

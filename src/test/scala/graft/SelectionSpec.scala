@@ -473,4 +473,22 @@ class SelectionSpec extends SparkSpec {
     val clamped = vs.map(v => math.max(math.round(p5v * 100), math.min(math.round(p95v * 100), v)))
     assert(math.abs(wm0 - clamped.sum.toDouble / clamped.length / 100.0) < 1e-9)
   }
+
+  test("flatline detects a synthetic stuck sensor and skips noisy neighbors") {
+    import spark.implicits._
+    // sensor A: noise, then 5 identical readings, then noise. sensor B: all distinct.
+    val rows = Seq(
+      ("A", 1000L, 1L, 10.0), ("A", 2000L, 2L, 42.42), ("A", 3000L, 3L, 42.42),
+      ("A", 4000L, 4L, 42.42), ("A", 5000L, 5L, 42.42), ("A", 6000L, 6L, 42.42),
+      ("A", 7000L, 7L, 11.0),
+      ("B", 1000L, 8L, 1.0), ("B", 2000L, 9L, 2.0), ("B", 3000L, 10L, 3.0))
+      .toDF("compound", "ms", "event_id", "value")
+    val got = Selection.dsFlatlineFrom(rows).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("start_ms"), r.getAs[Long]("n_samples"),
+        r.getAs[Double]("value")))
+    assert(got.toSeq === Seq(("A", 2000L, 5L, 42.42)))
+    // corpus path: every reported run is a genuine exact repeat
+    val corpus = Selection.dsFlatline(spark, sf).collect()
+    corpus.foreach(r => assert(r.getAs[Long]("n_samples") >= 2L))
+  }
 }

@@ -249,4 +249,25 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(rows.map(_._2).toSeq === sums.toSeq)
   }
+
+  test("embedding outliers are exactly the vectors whose best centroid cosine is below tau") {
+    val raw = graft.sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cents = (100L until 116L).map(raw(_))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val expected = raw.toSeq.flatMap { case (id, v) =>
+      val best = cents.map(cos(v, _)).max
+      if (best < 0.10) Some(id) else None
+    }.sorted
+    val got = graft.operators.Similarity.embedOutliers(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSeq.sorted
+    assert(got === expected)
+    graft.operators.Similarity.embedOutliers(spark, sf).collect()
+      .foreach(r => assert(r.getAs[Double]("best_sim") < 0.10))
+  }
 }

@@ -227,4 +227,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() === 0)
     assert(batch.except(streamed).count() === 0)
   }
+
+  test("complete-mode streaming top-k equals the batch leaderboard") {
+    val dir = stageEventsDir()
+    val stream = EventStream.eventsStream(spark, dir)
+    val q = EventStream.topkState(stream)
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("topk_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"))).toSeq
+    val batch = EventStream.streamTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"))).toSeq
+    assert(streamed === batch)
+  }
 }
