@@ -1393,7 +1393,152 @@ object Analytics {
        |FROM u, t WHERE n * 10000 > total * $HeavyBp
        |ORDER BY n DESC, user_id""".stripMargin
 
+  // --- q_gini ---------------------------------------------------------------
+  // Activity-concentration coefficient: Gini index of per-user event counts
+  // within each event_type — the one-number answer to "is this traffic
+  // dominated by a few accounts?" that sits between q_heavy_hitters (who)
+  // and q_count_distribution (full histogram). Exact-integer form of the
+  // rank formula G = (2·Σ rn·c − (n+1)·Σc) / (n·Σc): per-user counts are
+  // map-side combinable, the rank window is partitioned per event_type over
+  // the second-tier (type, user) table, and every sum is a BIGINT — Σ rn·c
+  // is invariant under tie permutations (equal c values swap ranks without
+  // changing the sum), so the result is deterministic. One final division
+  // of two exact integers converts to the double coefficient.
+  def qGini(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.events(spark, d)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("c", "user_id")
+    c.withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"),
+        sum(col("rn") * col("c")).as("wsum"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        ((lit(2L) * col("wsum") - (col("n_users") + lit(1L)) * col("n_events")).cast("double") /
+          (col("n_users") * col("n_events")).cast("double")).as("gini"))
+      .orderBy("event_type")
+  }
+
+  val qGiniSql: String =
+    """WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+      | FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, c,
+      |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY c, user_id) AS BIGINT) AS rn
+      | FROM c),
+      |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(c) AS BIGINT) AS n_events, CAST(sum(rn*c) AS BIGINT) AS wsum
+      | FROM r GROUP BY 1)
+      |SELECT event_type, n_users, n_events,
+      | CAST(2*wsum - (n_users+1)*n_events AS DOUBLE)
+      |   / CAST(n_users*n_events AS DOUBLE) AS gini
+      |FROM g ORDER BY event_type""".stripMargin
+
+  // --- q_rfm ----------------------------------------------------------------
+  // RFM (recency / frequency / monetary) segmentation — the classic
+  // customer-base cut, built scale-first: the corpus-sized events table
+  // feeds exactly ONE combinable groupBy (per-user aggregate); quintile
+  // boundaries come from `discreteCuts`, which derives each discrete
+  // rank-ceil(p·n) cut WITHOUT a global sort (bucket histogram → prefix sum
+  // over the |buckets| report → row_number inside the ≤4 hit buckets only —
+  // the select_token_budget decomposition applied to quantiles); score
+  // assignment is then a pure map against twelve scalar cut values. The
+  // oracle keeps the naive global-row_number form — the cut VALUE at rank k
+  // is independent of how ties are broken, so both derivations agree.
+  // Scores: cut_p = value at rank ceil(p·n/100); score = 1 + #{cuts < v};
+  // recency inverts (recent = 5). Ties land in the lower class.
+  private val RfmPs = Seq(20, 40, 60, 80)
+
+  /** One-row DataFrame of discrete p-quantile cut values (columns c20..c80)
+    * of integer column `vcol`, without a global sort. Bucket width 2^shift
+    * bounds |buckets| by the VALUE RANGE (report-sized), not by row count;
+    * shiftright is an arithmetic shift, so negative values floor-divide
+    * consistently and bucket order refines value order.
+    */
+  private def discreteCuts(u: DataFrame, vcol: String, shift: Int): DataFrame = {
+    val b = u.select(col(vcol).as("v")).withColumn("bk", shiftright(col("v"), shift))
+    val hist = b.groupBy("bk").agg(count(lit(1)).as("cnt"))
+    // prefix sum over the bucket REPORT (|buckets| rows — same class as
+    // select_token_budget's bucket window, not a corpus-wide sort)
+    val wb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wb))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    val targets = u.agg(count(lit(1)).as("n"))
+      .select(explode(array(RfmPs.map(p =>
+        struct(lit(p.toLong).as("p"), expr(s"(n * $p + 99) div 100").as("k"))): _*)).as("t"))
+      .select(col("t.p").as("p"), col("t.k").as("k"))
+    // 4 targets × |buckets| inequality join — report-sized nested loop
+    val hit = targets.join(cum, col("cum_prev") < col("k") && col("k") <= col("cum"))
+      .select(col("p"), col("bk").as("hbk"), (col("k") - col("cum_prev")).as("off"))
+    // rank within the hit buckets only; the off-th smallest VALUE in a
+    // bucket is tie-order-independent even though row_number is not
+    val wv = Window.partitionBy("p").orderBy("v")
+    val aggs = RfmPs.map(p => max(when(col("p") === p.toLong, col("v"))).as(s"c$p"))
+    b.join(hit, col("bk") === col("hbk"))
+      .withColumn("rnb", row_number().over(wv).cast("long"))
+      .where(col("rnb") === col("off"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  def qRfm(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val mx = ev.agg(max(to_date(col("ts"))).as("mxd"))
+    val u = ev.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("lts"), count(lit(1)).as("freq"),
+        sum(cents(col("value"))).as("mon_cents"))
+      .crossJoin(mx)
+      .withColumn("rec_days", datediff(col("mxd"), col("lts")).cast("long"))
+      .select("user_id", "rec_days", "freq", "mon_cents")
+    def rename(cuts: DataFrame, pre: String): DataFrame =
+      cuts.select(RfmPs.map(p => col(s"c$p").as(s"$pre$p")): _*)
+    val cR = rename(discreteCuts(u, "rec_days", 3), "r")   // 8-day buckets
+    val cF = rename(discreteCuts(u, "freq", 2), "f")       // 4-event buckets
+    val cM = rename(discreteCuts(u, "mon_cents", 10), "m") // ~$10 buckets
+    def sc(v: Column, pre: String): Column =
+      lit(1L) + RfmPs.map(p => when(v > col(s"$pre$p"), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    u.crossJoin(cR).crossJoin(cF).crossJoin(cM)
+      .withColumn("r_score", lit(6L) - sc(col("rec_days"), "r"))
+      .withColumn("f_score", sc(col("freq"), "f"))
+      .withColumn("m_score", sc(col("mon_cents"), "m"))
+      .select(col("user_id"), col("rec_days"), col("freq"), col("mon_cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+      .orderBy("user_id")
+  }
+
+  val qRfmSql: String = {
+    val cutCases = Seq(("rec_days", "rr", "r"), ("freq", "rf", "f"), ("mon_cents", "rm", "m"))
+      .flatMap { case (v, r, pre) =>
+        RfmPs.map(p => s"  max(CASE WHEN $r = (n*$p+99)//100 THEN $v END) AS $pre$p")
+      }.mkString(",\n")
+    def sc(v: String, pre: String) =
+      s"1 + ${RfmPs.map(p => s"(CASE WHEN $v > $pre$p THEN 1 ELSE 0 END)").mkString(" + ")}"
+    s"""WITH mx AS (SELECT CAST(max(ts) AS DATE) AS mxd FROM events),
+       |u AS (SELECT user_id,
+       |  CAST(date_diff('day', CAST(max(ts) AS DATE), (SELECT mxd FROM mx)) AS BIGINT) AS rec_days,
+       |  CAST(count(*) AS BIGINT) AS freq,
+       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS mon_cents
+       | FROM events GROUP BY 1),
+       |r AS (SELECT u.*, CAST(count(*) OVER () AS BIGINT) AS n,
+       |  CAST(row_number() OVER (ORDER BY rec_days, user_id) AS BIGINT) AS rr,
+       |  CAST(row_number() OVER (ORDER BY freq, user_id) AS BIGINT) AS rf,
+       |  CAST(row_number() OVER (ORDER BY mon_cents, user_id) AS BIGINT) AS rm
+       | FROM u),
+       |c AS (SELECT
+       |$cutCases
+       | FROM r)
+       |SELECT user_id, rec_days, freq, mon_cents,
+       | CAST(6 - (${sc("rec_days", "r")}) AS BIGINT) AS r_score,
+       | CAST(${sc("freq", "f")} AS BIGINT) AS f_score,
+       | CAST(${sc("mon_cents", "m")} AS BIGINT) AS m_score,
+       | CAST(CAST(6 - (${sc("rec_days", "r")}) AS BIGINT) AS VARCHAR)
+       |   || CAST(CAST(${sc("freq", "f")} AS BIGINT) AS VARCHAR)
+       |   || CAST(CAST(${sc("mon_cents", "m")} AS BIGINT) AS VARCHAR) AS segment
+       |FROM u, c ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini" -> qGini,
+    "q_rfm" -> qRfm,
     "q_runs" -> qRuns,
     "q_column_stats" -> qColumnStats,
     "q_heavy_hitters" -> qHeavyHitters,
@@ -1435,6 +1580,8 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_gini" -> qGiniSql,
+    "q_rfm" -> qRfmSql,
     "q_runs" -> qRunsSql,
     "q_column_stats" -> qColumnStatsSql,
     "q_heavy_hitters" -> qHeavyHittersSql,

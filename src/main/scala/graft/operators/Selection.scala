@@ -1468,7 +1468,58 @@ object Selection {
        |FROM g WHERE n_samples >= $FlatlineMin
        |ORDER BY compound, start_ms""".stripMargin
 
+  // --- ds_resolution ------------------------------------------------------
+  // Sensor resolution + truncation screen: per compound, the effective
+  // measurement resolution (smallest positive gap between consecutive
+  // DISTINCT cent values) and the fraction of readings sitting on the
+  // 0.1-unit lattice — a feed that silently switched from full-precision
+  // to rounded values shows up as res jumping and pct_tenth → 1.0 long
+  // before any range or outlier check fires. Shape: one combinable
+  // per-compound aggregate over the corpus + a distinct-value reduction
+  // (groupBy (compound, vc) — map-side combinable) whose lag window runs
+  // over the NDV table; NDV per compound is bounded by the cents lattice
+  // of the sensor's range, not by row count, so the window input stays
+  // report-sized at any corpus scale. The `%` check matches engines:
+  // Spark and DuckDB both use sign-of-dividend remainder, and equality
+  // with 0 is sign-independent.
+  def dsResolution(spark: SparkSession, d: String): DataFrame = {
+    val base = keyed(spark, d)
+      .select(col("compound"), round(col("value") * 100).cast("long").as("vc"))
+    val per = base.groupBy("compound").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("vc") % 10 === 0, 1L).otherwise(0L)).as("n_tenth"))
+    val dv = base.groupBy("compound", "vc").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("compound").orderBy("vc")
+    val res = dv.withColumn("pv", lag(col("vc"), 1).over(w))
+      .groupBy("compound")
+      .agg(count(lit(1)).as("ndv"), min(col("vc") - col("pv")).as("res_c"))
+      .withColumnRenamed("compound", "rc")
+    per.join(res, col("compound") === col("rc"))
+      .select(col("compound"), col("n"), col("ndv"), col("n_tenth"),
+        (col("n_tenth").cast("double") / col("n").cast("double")).as("pct_tenth"),
+        (col("res_c") / 100.0).as("res"))
+      .orderBy("compound")
+  }
+
+  val dsResolutionSql: String = KeyedCte +
+    """,
+      |b AS (SELECT compound, CAST(round(value*100) AS BIGINT) AS vc FROM k),
+      |p AS (SELECT compound, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN vc % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tenth
+      | FROM b GROUP BY 1),
+      |d AS (SELECT compound, vc FROM b GROUP BY 1, 2),
+      |l AS (SELECT compound, vc,
+      |  lag(vc) OVER (PARTITION BY compound ORDER BY vc) AS pv FROM d),
+      |r AS (SELECT compound AS rc, CAST(count(*) AS BIGINT) AS ndv,
+      |  CAST(min(vc - pv) AS BIGINT) AS res_c FROM l GROUP BY 1)
+      |SELECT compound, n, ndv, n_tenth,
+      | CAST(n_tenth AS DOUBLE) / CAST(n AS DOUBLE) AS pct_tenth,
+      | res_c/100.0 AS res
+      |FROM p JOIN r ON compound = rc
+      |ORDER BY compound""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_resolution" -> dsResolution,
     "ds_flatline" -> dsFlatline,
     "ds_winsorize" -> dsWinsorize,
     "ds_seasonal" -> dsSeasonal,
@@ -1501,6 +1552,7 @@ object Selection {
     "ds_clear_compound" -> dsClearCompound)
 
   val oracle: Map[String, String] = Map(
+    "ds_resolution" -> dsResolutionSql,
     "ds_flatline" -> dsFlatlineSql,
     "ds_winsorize" -> dsWinsorizeSql,
     "ds_seasonal" -> dsSeasonalSql,

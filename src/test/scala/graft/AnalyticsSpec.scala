@@ -445,6 +445,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows("user_id")._3 === Tables.events(spark, sf).select("user_id").distinct().count())
   }
 
+  // Spark/DuckDB round() is HALF_UP (away from zero); Java's Math.round
+  // rounds toward +inf — they differ on exact negative .5 values.
+  private def centsOf(x: Double): Long =
+    new java.math.BigDecimal(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  test("gini matches a naive driver-side recompute and sits in [0, 1)") {
+    val counts = Tables.events(spark, sf).select("event_type", "user_id").collect()
+      .groupBy(r => (r.getString(0), r.getLong(1))).view.mapValues(_.length.toLong).toMap
+    val expected = counts.groupBy(_._1._1).map { case (et, m) =>
+      val cs = m.values.toSeq.sorted
+      val n = cs.length.toLong
+      val s = cs.sum
+      val wsum = cs.zipWithIndex.map { case (c, i) => (i + 1L) * c }.sum
+      et -> (2L * wsum - (n + 1L) * s).toDouble / (n * s).toDouble
+    }
+    val got = Analytics.qGini(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("gini")).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (et, g) =>
+      assert(g === expected(et), s"$et gini mismatch")
+      assert(g >= 0.0 && g < 1.0)
+    }
+  }
+
+  test("rfm scores match a naive global-sort recompute of the discrete cuts") {
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val mxd = raw.map(_._2).max
+    val u = raw.groupBy(_._1).map { case (uid, rows) =>
+      val rec = java.time.temporal.ChronoUnit.DAYS.between(rows.map(_._2).max, mxd)
+      (uid, rec, rows.length.toLong, rows.map(t => centsOf(t._3 * 100)).sum)
+    }.toSeq
+    val n = u.length
+    def cuts(vs: Seq[Long]): Seq[Long] = {
+      val sorted = vs.sorted
+      Seq(20, 40, 60, 80).map(p => sorted(((n * p + 99) / 100) - 1))
+    }
+    def score(v: Long, cs: Seq[Long]): Long = 1L + cs.count(v > _)
+    val (cr, cf, cm) = (cuts(u.map(_._2)), cuts(u.map(_._3)), cuts(u.map(_._4)))
+    val expected = u.map { case (uid, rec, fq, mon) =>
+      uid -> ((6L - score(rec, cr), score(fq, cf), score(mon, cm)))
+    }.toMap
+    val rows = Analytics.qRfm(spark, sf).collect()
+    assert(rows.length === n)
+    rows.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val got = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"), r.getAs[Long]("m_score"))
+      assert(got === expected(uid), s"user $uid score mismatch")
+      Seq(got._1, got._2, got._3).foreach(s => assert(s >= 1L && s <= 5L))
+      assert(r.getAs[String]("segment") === s"${got._1}${got._2}${got._3}")
+    }
+  }
+
   test("heavy hitters: exactly the users above the basis-point threshold") {
     val total = Tables.events(spark, sf).count()
     val expected = Tables.events(spark, sf).groupBy("user_id").count().collect()

@@ -491,4 +491,23 @@ class SelectionSpec extends SparkSpec {
     val corpus = Selection.dsFlatline(spark, sf).collect()
     corpus.foreach(r => assert(r.getAs[Long]("n_samples") >= 2L))
   }
+
+  test("resolution report matches a naive recompute of gaps and lattice share") {
+    import graft.sources.Tables
+    def centsOf(x: Double): Long =
+      new java.math.BigDecimal(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val byCompound = Tables.events(spark, sf).select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(r => centsOf(r.getDouble(1) * 100))).toMap
+    val rows = Selection.dsResolution(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === byCompound.keySet)
+    rows.foreach { r =>
+      val vs = byCompound(r.getString(0))
+      val distinct = vs.distinct.sorted
+      assert(r.getAs[Long]("n") === vs.length.toLong)
+      assert(r.getAs[Long]("ndv") === distinct.length.toLong)
+      assert(r.getAs[Long]("n_tenth") === vs.count(_ % 10 == 0).toLong)
+      val minGap = distinct.sliding(2).map(p => p(1) - p(0)).min
+      assert(r.getAs[Double]("res") === minGap / 100.0)
+    }
+  }
 }
