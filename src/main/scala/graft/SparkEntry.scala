@@ -21,6 +21,7 @@ object SparkEntry {
         "mm_dedup" -> (Multimodal.mmDedup _),
         "mm_chunk_dedup" -> (Multimodal.mmChunkDedup _),
         "mm_phash" -> (Multimodal.mmPhash _),
+        "mm_phash_near" -> (Multimodal.mmPhashNear _),
         "mm_frames" -> (Multimodal.mmFrames _)) ++ EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,6 +33,7 @@ object SparkEntry {
         "mm_dedup" -> Multimodal.mmDedupSql,
         "mm_chunk_dedup" -> Multimodal.mmChunkDedupSql,
         "mm_phash" -> Multimodal.mmPhashSql,
+        "mm_phash_near" -> Multimodal.mmPhashNearSql,
         // the mapPartitions codec op runs a FAKE codec whose output is
         // SQL-expressible, so even the non-SQL operator gets a full oracle
         "mm_frames" -> Multimodal.mmFramesSql) ++ EventStream.oracle

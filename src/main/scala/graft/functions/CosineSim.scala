@@ -123,6 +123,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PhashBlocks].getName, "phash_blocks"),
       (children: Seq[Expression]) => PhashBlocks(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("phash_blocks64"),
+      new ExpressionInfo(classOf[PhashBlocks64].getName, "phash_blocks64"),
+      (children: Seq[Expression]) => PhashBlocks64(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (children: Seq[Expression]) => PqEncode(children.head, children(1))))

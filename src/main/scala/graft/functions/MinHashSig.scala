@@ -192,6 +192,30 @@ case class PhashBlocks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-block variant of [[PhashBlocks]] — the fingerprint resolution needed
+  * for NEAR-duplicate detection (64 above-mean bits → hamming distance),
+  * vs the 8-block exact-bucket form. Null for payloads under 32 bytes.
+  */
+case class PhashBlocks64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "phash_blocks64"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.phashBlocksN(input.asInstanceOf[UTF8String], 64)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.MinHashKernel.phashBlocksN($c, 64);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PhashBlocks64 =
+    copy(child = newChild)
+}
+
 object MinHashKernel {
   private val NumPerms = 16
   private val WordsPerHash = 4
@@ -349,15 +373,20 @@ object MinHashKernel {
 
   /** 8-block hex-digit mass over the string's UTF-8 bytes (see
     * [[PhashBlocks]]); null for payloads under 4 bytes. */
-  def phashBlocks(text: UTF8String): ArrayData = {
+  def phashBlocks(text: UTF8String): ArrayData = phashBlocksN(text, 8)
+
+  /** n-block hex-digit mass; block b covers digits [b·L/n, (b+1)·L/n).
+    * Null when the payload has fewer digits than blocks (some blocks would
+    * be empty and the above-mean bit test loses meaning). */
+  def phashBlocksN(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.getBytes
     val nDigits = bytes.length * 2L
-    if (nDigits < 8) return null
-    val sums = new Array[Long](8)
+    if (nDigits < n) return null
+    val sums = new Array[Long](n)
     var b = 0
-    while (b < 8) {
-      var d = (b * nDigits / 8).toInt
-      val end = ((b + 1) * nDigits / 8).toInt
+    while (b < n) {
+      var d = (b * nDigits / n).toInt
+      val end = ((b + 1) * nDigits / n).toInt
       var acc = 0L
       while (d < end) {
         val v = bytes(d >> 1) & 0xff

@@ -169,6 +169,101 @@ object Multimodal {
        |FROM sig JOIN g ON sig.phash = g.phash ORDER BY doc_id""".stripMargin
   }
 
+  // --- mm_phash_near ------------------------------------------------------
+  // NEAR-duplicate media detection: re-encoded / slightly-corrupted copies
+  // of the same payload share most of their content mass, so their 64-bit
+  // perceptual hashes differ in only a few bits. Fingerprint: 64 block
+  // masses from the native phash_blocks64 kernel (computed in the scan's
+  // project list — no explode), each bit = block mass above the payload
+  // mean, packed into 4 × 16-bit chunk ints. Candidate generation is the
+  // dedup_simhash blocking scheme: hamming ≤ 3 over 64 bits forces at
+  // least one of the 4 chunks to be bit-identical (pigeonhole), so an
+  // equi-join per chunk finds every qualifying pair while only hashing
+  // |docs|·4 rows; a per-bucket cap drops degenerate buckets (a constant
+  // payload pattern hashing half the corpus into one chunk value) exactly
+  // as the LSH family does. Verification is bit_count(xor) on the chunk
+  // ints. Payloads under 32 bytes carry no stable block structure and are
+  // excluded by both engines (kernel returns null / SQL length filter).
+  //
+  // Corpus contract: the testdata's NEAR-duplicates are SHINGLE-level
+  // (shared word n-grams), not byte-level — re-shuffled text moves every
+  // block boundary, so those pairs sit ≥11 bits apart and are correctly
+  // NOT reported; the corpus's exact byte copies (present from sf0.1 up)
+  // surface at hamming 0. The oracle pins both behaviors. Detection of
+  // genuinely re-encoded payloads (identical bytes ± a few flips) is
+  // proven via `mmPhashNearFrom` in MultimodalSpec on a synthetic
+  // corrupted copy — the ds_flatline pattern for failure modes the small
+  // SFs don't contain.
+  private val PhashHammingMax = 3L
+  private val PhashBucketCap = 100L
+
+  def mmPhashNear(spark: SparkSession, d: String): DataFrame =
+    mmPhashNearFrom(Tables.documents(spark, d))
+
+  def mmPhashNearFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = docs
+      .select(col("doc_id"), expr("phash_blocks64(text)").as("bs"))
+      .filter(col("bs").isNotNull)
+      .withColumn("total", expr("aggregate(bs, 0L, (a, x) -> a + x)"))
+    val packed = sig.select(col("doc_id") +: (0 until 4).map { j =>
+      (0 until 16).map(b =>
+        when(element_at(col("bs"), 16 * j + b + 1) * 64 > col("total"),
+          lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as(s"k$j")
+    }: _*)
+    val chunks = packed.select(col("doc_id"),
+      explode(expr("transform(sequence(0, 3), c -> struct(c as c, element_at(array(k0, k1, k2, k3), c + 1) as ck))")).as("x"),
+      col("k0"), col("k1"), col("k2"), col("k3"))
+      .select(col("doc_id"), col("x.c").as("c"), col("x.ck").as("ck"),
+        col("k0"), col("k1"), col("k2"), col("k3"))
+    val sized = chunks
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("c", "ck")))
+      .filter(col("bsz") <= PhashBucketCap)
+    val a = sized.select(col("c") :: col("ck") :: col("doc_id").as("da") ::
+      (0 until 4).map(j => col(s"k$j").as(s"a$j")).toList: _*)
+    val b = sized.select(col("c") :: col("ck") :: col("doc_id").as("db") ::
+      (0 until 4).map(j => col(s"k$j").as(s"b$j")).toList: _*)
+    a.join(b, Seq("c", "ck")).filter(col("da") < col("db"))
+      .select(col("da") :: col("db") ::
+        (0 until 4).flatMap(j => Seq(col(s"a$j"), col(s"b$j"))).toList: _*).distinct()
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + bit_count(a2 ^ b2) + bit_count(a3 ^ b3)").cast("long"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .select("da", "db", "hamming")
+      .orderBy("da", "db")
+  }
+
+  val mmPhashNearSql: String = {
+    val blocks = (0 until 64).map { i =>
+      s"""  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range((($i * hl) // 64) + 1, ((${i + 1} * hl) // 64) + 1),
+         |      p -> CAST(strpos('0123456789abcdef', substring(hexs, CAST(p AS INT), 1)) - 1 AS BIGINT))),
+         |    (a, x) -> a + x) AS b$i""".stripMargin
+    }.mkString(",\n")
+    val totalExpr = (0 until 64).map(i => s"b$i").mkString(" + ")
+    val fpExpr = (0 until 64).map(i =>
+      s"(CASE WHEN b$i * 64 > total THEN '1' ELSE '0' END)").mkString(" || ")
+    s"""WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS hexs FROM documents),
+       |hx2 AS (SELECT doc_id, hexs, CAST(length(hexs) AS BIGINT) AS hl
+       |        FROM hx WHERE length(hexs) >= 64),
+       |b AS (SELECT doc_id,
+       |$blocks
+       | FROM hx2),
+       |t AS (SELECT *, $totalExpr AS total FROM b),
+       |fp AS (SELECT doc_id, $fpExpr AS fp FROM t),
+       |ch AS (SELECT doc_id, fp, c, substr(fp, CAST(c*16 + 1 AS INT), 16) AS ck
+       |       FROM fp, range(0, 4) r(c)),
+       |ok AS (SELECT c, ck FROM ch GROUP BY 1, 2 HAVING count(*) <= $PhashBucketCap),
+       |bb AS (SELECT ch.* FROM ch JOIN ok USING (c, ck)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db, a.fp AS fa, b2.fp AS fb
+       |         FROM bb a JOIN bb b2 ON a.c = b2.c AND a.ck = b2.ck AND a.doc_id < b2.doc_id)
+       |SELECT da, db,
+       | CAST(len(list_filter(range(1, 65), i -> substr(fa, CAST(i AS INT), 1) <> substr(fb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE CAST(len(list_filter(range(1, 65), i -> substr(fa, CAST(i AS INT), 1) <> substr(fb, CAST(i AS INT), 1))) AS BIGINT) <= $PhashHammingMax
+       |ORDER BY da, db""".stripMargin
+  }
+
   /** Decoded-frame record produced by the codec stub. */
   case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int, checksum: Long)
 

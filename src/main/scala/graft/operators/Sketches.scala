@@ -539,7 +539,81 @@ object Sketches {
       |LEFT JOIN usz u2 ON pr.t2 = u2.event_type
       |ORDER BY pr.t1, pr.t2""".stripMargin
 
+  // --- sketch_ams ---------------------------------------------------------
+  // AMS (Alon–Matias–Szegedy) "tug-of-war" sketch for the second frequency
+  // moment F2 = Σ_k n_k² of user_id traffic per event_type — the one-pass
+  // self-join-size / skew estimator (F2 is exactly the row count of a
+  // self-equijoin on the key, and F2 ≫ n²/|keys| means a hot key; this is
+  // the cheap screen that justifies q_salted_agg before any shuffle is
+  // attempted). Construction: 64 ±1 estimators carved from ONE md5 per row
+  // (bit j of the 64-bit prefix → sign_j; the carve-independent-bits trick
+  // shared with sketch_bloom/minhash_sig), maintained as 64 integer
+  // counters in a single combinable aggregate — NO row explosion, constant
+  // 64-long state per (partition, type) merged by addition. Estimate =
+  // median of 4 means of 16 squared counters (the textbook median-of-means
+  // form); counters and squared-sums are exact BIGINTs, so the only float
+  // steps are the four /16.0 means and the final median — a fixed double
+  // tree both engines evaluate identically. Exact F2 (per-key aggregate)
+  // rides along for calibration like sketch_hll/cms.
+  private val AmsS = 64 // estimators (bits of one md5 prefix)
+
+  def sketchAms(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+    def signJ(j: Int) = {
+      val nib = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
+      when(shiftright(nib, j % 4).bitwiseAND(lit(1)) === 1, 1L).otherwise(-1L)
+    }
+    val counters = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (0 until AmsS).map(j => sum(signJ(j)).as(s"c$j")): _*)
+    val means = (0 until 4).map { g =>
+      ((16 * g until 16 * (g + 1)).map(j => col(s"c$j") * col(s"c$j"))
+        .reduce(_ + _).cast("double") / 16.0).as(s"m$g")
+    }
+    val exact = Tables.events(spark, d).groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type").agg(sum(col("n") * col("n")).as("f2_exact"))
+      .withColumnRenamed("event_type", "et")
+    val est = counters.select(col("event_type") +: col("n_events") +: means: _*)
+      .withColumn("srt", array_sort(array(col("m0"), col("m1"), col("m2"), col("m3"))))
+      .select(col("event_type"), col("n_events"),
+        ((element_at(col("srt"), 2) + element_at(col("srt"), 3)) / 2.0).as("ams_est"))
+    est.join(exact, col("event_type") === col("et"))
+      .select(col("event_type"), col("n_events"), col("f2_exact"), col("ams_est"))
+      .orderBy("event_type")
+  }
+
+  val sketchAmsSql: String = {
+    def nib(j: Int) =
+      s"(strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)"
+    val sums = (0 until AmsS).map(j =>
+      s"  CAST(sum(CASE WHEN (${nib(j)} >> ${j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS c$j")
+      .mkString(",\n")
+    val meansSql = (0 until 4).map { g =>
+      val sq = (16 * g until 16 * (g + 1)).map(j => s"c$j*c$j").mkString(" + ")
+      s"  CAST($sq AS DOUBLE) / 16.0 AS m$g"
+    }.mkString(",\n")
+    s"""WITH hv AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |$sums
+       | FROM hv GROUP BY 1),
+       |m AS (SELECT event_type, n_events,
+       |$meansSql
+       | FROM c),
+       |e AS (SELECT event_type, CAST(sum(n*n) AS BIGINT) AS f2_exact FROM (
+       |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2) GROUP BY 1),
+       |s AS (SELECT event_type, n_events,
+       |  list_sort([m0, m1, m2, m3]) AS srt FROM m)
+       |SELECT s.event_type, s.n_events, e.f2_exact,
+       | (srt[2] + srt[3]) / 2.0 AS ams_est
+       |FROM s JOIN e ON s.event_type = e.event_type
+       |ORDER BY s.event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_ams" -> sketchAms,
     "sketch_theta" -> sketchTheta,
     "sketch_jaccard" -> sketchJaccard,
     "sketch_hll" -> sketchHll,
@@ -549,6 +623,7 @@ object Sketches {
     "sketch_bloom" -> sketchBloom)
 
   val oracle: Map[String, String] = Map(
+    "sketch_ams" -> sketchAmsSql,
     "sketch_theta" -> sketchThetaSql,
     "sketch_jaccard" -> sketchJaccardSql,
     "sketch_hll" -> sketchHllSql,

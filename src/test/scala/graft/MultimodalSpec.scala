@@ -100,4 +100,25 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("canonical_id") === bucket.map(_.getAs[Long]("doc_id")).min)
     }
   }
+
+  test("phash_near detects a re-encoded payload and ignores unrelated ones") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps going with " +
+      "plenty of additional padding words so every block carries real mass"
+    val corrupted = base.replace("lazy", "hazy") // byte-level near-copy
+    val unrelated = "completely different content made of other words entirely " +
+      "question mark exclamation various unrelated tokens for contrast here"
+    val docs = Seq((1L, base), (2L, corrupted), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Multimodal.mmPhashNearFrom(docs).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Long]("hamming")))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    assert(pairs.head._3 <= 3L)
+    // corpus instantiation: shingle-level dups are NOT byte-level dups and
+    // sf0.001 has no exact byte copies — the screen correctly stays silent
+    // here (at sf0.1 it surfaces the corpus's exact copies at hamming 0)
+    assert(Multimodal.mmPhashNear(spark, sf).count() === 0L)
+    // short payloads carry no stable block structure and are excluded
+    val short = Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "text")
+    assert(Multimodal.mmPhashNearFrom(short).count() === 0L)
+  }
 }

@@ -197,4 +197,19 @@ class SketchesSpec extends SparkSpec {
       }
     }
   }
+
+  test("ams: exact F2 bounds hold and the estimate lands within sketch error") {
+    val rows = Sketches.sketchAms(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val f2 = r.getAs[Long]("f2_exact")
+      val est = r.getAs[Double]("ams_est")
+      // each key contributes n_k^2 >= n_k; and F2 <= n^2 (single-key worst case)
+      assert(f2 >= n && f2 <= n * n)
+      // median-of-4-means-of-16 keeps the estimate within a small constant
+      // factor of the truth (deterministic here — hashes are seeded)
+      assert(est > 0.3 * f2 && est < 3.0 * f2, s"${r.getString(0)} est $est vs $f2")
+    }
+  }
 }
