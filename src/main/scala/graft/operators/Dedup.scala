@@ -828,7 +828,56 @@ object Dedup {
        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
        |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
 
+  // --- dedup_cross_source -------------------------------------------------
+  // Provenance screen over the verified near-dup graph: per ORDERED source
+  // pair (least/greatest, so A↔B and B↔A collapse), how many verified
+  // pairs cross that boundary — the syndication/mirror detector read
+  // before per-source dedup policies are set (within-source duplication is
+  // usually boilerplate; CROSS-source duplication is content copying, and
+  // a training pipeline typically wants to keep one copy per syndicate,
+  // not one per source). Marginal cost after any family member has run: a
+  // scan of the memoized density-bounded pair table plus two hint-free
+  // joins against the (doc_id, source) projection — AQE broadcasts the
+  // pair side from observed size at toy scale and falls back to a shuffle
+  // on a high-duplication corpus, the dedup_apply model shape. Aggregates
+  // are exact integers + an order-independent max; no double sums.
+  def dedupCrossSource(spark: SparkSession, d: String): DataFrame = {
+    val ver = lshShared(spark, d).verified
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    ver
+      .join(src.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))
+      .join(src.select(col("doc_id").as("db"), col("source").as("sb")), Seq("db"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        col("inter"), col("jaccard"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("inter")).as("sum_inter"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val dedupCrossSourceSql: String = LshCte +
+    s""",
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT cand.da, cand.db, count(*) AS inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = cand.da
+       |  JOIN sh b ON b.doc_id = cand.db AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |ver AS (SELECT da, db, inter,
+       |    CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+       |  FROM inter JOIN sz x ON inter.da = x.doc_id JOIN sz y ON inter.db = y.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardTau),
+       |lab AS (SELECT least(a.source, b.source) AS src_a,
+       |    greatest(a.source, b.source) AS src_b, ver.inter, ver.jaccard
+       |  FROM ver JOIN documents a ON ver.da = a.doc_id
+       |           JOIN documents b ON ver.db = b.doc_id)
+       |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       | CAST(sum(inter) AS BIGINT) AS sum_inter, max(jaccard) AS max_jaccard
+       |FROM lab GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cross_source" -> dedupCrossSource,
     "dedup_degree_dist" -> dedupDegreeDist,
     "dedup_prefix" -> dedupPrefix,
     "dedup_incremental" -> dedupIncremental,
@@ -846,6 +895,7 @@ object Dedup {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracle: Map[String, String] = Map(
+    "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_degree_dist" -> dedupDegreeDistSql,
     "dedup_prefix" -> dedupPrefixSql,
     "dedup_incremental" -> dedupIncrementalSql,

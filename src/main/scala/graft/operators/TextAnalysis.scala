@@ -974,6 +974,50 @@ object TextAnalysis {
        |SELECT CAST(row_number() OVER (ORDER BY sk, doc_id) AS BIGINT) AS pos, doc_id, sk
        |FROM m ORDER BY pos""".stripMargin
 
+  // --- doc_interleave -----------------------------------------------------
+  // Source-interleaved training order: round-robin across sources (round r
+  // = the r-th doc of every source that still has one, sources in
+  // lexicographic order within a round), docs shuffled within their source
+  // by the same seeded md5 key as doc_shuffle. This is the data-ORDER
+  // side of mixture curation: doc_mixture decides how much of each source,
+  // interleaving decides how the mix is laid out so a sequential trainer
+  // never sees a long single-source run (loss spikes at source
+  // boundaries). Scale shape: ONE window partitioned by source (strata
+  // parallelism, like select_stratified) + a cross join against the
+  // |sources|-row count dim; the global ordinal is then ARITHMETIC —
+  //   ord(r, s) = Σ_{s'} min(c_{s'}, r−1) + |{s' ≤ s : c_{s'} ≥ r}|
+  // — an exact-integer sum over |sources| broadcast rows per doc, so no
+  // global sort or single-partition window anywhere at any corpus size.
+  def docInterleave(spark: SparkSession, d: String): DataFrame = {
+    val m = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit(ShuffleSeed), lit("|"), col("doc_id").cast("string"))).as("sk"))
+    val wSrc = Window.partitionBy("source").orderBy("sk", "doc_id")
+    val ranked = m.withColumn("r", row_number().over(wSrc).cast("long"))
+    val counts = m.groupBy(col("source").as("s2")).agg(count(lit(1)).as("c2"))
+    ranked.crossJoin(counts)
+      .groupBy("doc_id", "source", "r")
+      .agg((sum(least(col("c2"), col("r") - 1L)) +
+        sum(when(col("s2") <= col("source") && col("c2") >= col("r"), 1L).otherwise(0L)))
+        .as("ord"))
+      .select(col("ord"), col("doc_id"), col("source"), col("r").as("round"))
+      .orderBy("ord")
+  }
+
+  val docInterleaveSql: String =
+    s"""WITH m AS (SELECT doc_id, source,
+       |  md5('$ShuffleSeed|' || CAST(doc_id AS VARCHAR)) AS sk FROM documents),
+       |rk AS (SELECT doc_id, source,
+       |  CAST(row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS BIGINT) AS r
+       | FROM m),
+       |c AS (SELECT source AS s2, CAST(count(*) AS BIGINT) AS c2 FROM m GROUP BY 1)
+       |SELECT CAST(sum(least(c2, r - 1)) +
+       |  sum(CASE WHEN s2 <= source AND c2 >= r THEN 1 ELSE 0 END) AS BIGINT) AS ord,
+       | doc_id, source, r AS round
+       |FROM rk CROSS JOIN c
+       |GROUP BY doc_id, source, r
+       |ORDER BY ord""".stripMargin
+
   // --- select_stratified --------------------------------------------------
   // Stratified data selection: the top-K documents per source by the same
   // integer quality score select_token_budget ranks on (ties by doc_id) —
@@ -1161,6 +1205,7 @@ object TextAnalysis {
     "sample_bottomk" -> sampleBottomk,
     "pipeline_curate" -> pipelineCurate,
     "doc_shuffle" -> docShuffle,
+    "doc_interleave" -> docInterleave,
     "select_stratified" -> selectStratified,
     "select_token_budget" -> selectTokenBudget,
     "text_quality_gate" -> textQualityGate,
@@ -1190,6 +1235,7 @@ object TextAnalysis {
     "sample_bottomk" -> sampleBottomkSql,
     "pipeline_curate" -> pipelineCurateSql,
     "doc_shuffle" -> docShuffleSql,
+    "doc_interleave" -> docInterleaveSql,
     "select_stratified" -> selectStratifiedSql,
     "select_token_budget" -> selectTokenBudgetSql,
     "text_quality_gate" -> textQualityGateSql,

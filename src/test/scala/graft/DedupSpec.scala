@@ -312,4 +312,16 @@ class DedupSpec extends SparkSpec {
     val endpoints = pairs.flatMap(r => Seq(r.getAs[Long]("da"), r.getAs[Long]("db"))).distinct
     assert(dist.map(_._2).sum === endpoints.length.toLong)
   }
+
+  test("cross-source totals conserve the verified pair table") {
+    val byPair = Dedup.dedupCrossSource(spark, sf).collect()
+    val verified = Dedup.dedupNgramJaccard(spark, sf).collect()
+    assert(byPair.map(_.getAs[Long]("n_pairs")).sum === verified.length.toLong)
+    assert(byPair.map(_.getAs[Long]("sum_inter")).sum
+      === verified.map(_.getAs[Long]("inter")).sum)
+    byPair.foreach { r =>
+      assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b"))
+      assert(r.getAs[Double]("max_jaccard") >= 0.8) // JaccardTau
+    }
+  }
 }

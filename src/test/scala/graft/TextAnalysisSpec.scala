@@ -541,4 +541,22 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getAs[Long]("f")))
     assert(rows.take(5).map(r => (r._2, r._3)).toSeq === expectedTop.toSeq)
   }
+
+  test("interleave is a round-robin permutation across sources") {
+    val rows = TextAnalysis.docInterleave(spark, sf).collect()
+      .map(r => (r.getAs[Long]("ord"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("round")))
+    // ord is a permutation of 1..N
+    assert(rows.map(_._1).sorted.toSeq === (1L to rows.length.toLong))
+    val sources = rows.map(_._3).distinct.sorted
+    // round 1 leads with one doc per source, sources in lexicographic order
+    val first = rows.sortBy(_._1).take(sources.length)
+    assert(first.map(_._3).toSeq === sources.toSeq)
+    assert(first.forall(_._4 === 1L))
+    // within a source, rounds advance with the global ordinal
+    rows.groupBy(_._3).values.foreach { g =>
+      val byOrd = g.sortBy(_._1).map(_._4)
+      assert(byOrd.toSeq === (1L to g.length.toLong))
+    }
+  }
 }
