@@ -1447,37 +1447,6 @@ object Analytics {
   // recency inverts (recent = 5). Ties land in the lower class.
   private val RfmPs = Seq(20, 40, 60, 80)
 
-  /** One-row DataFrame of discrete p-quantile cut values (columns c20..c80)
-    * of integer column `vcol`, without a global sort. Bucket width 2^shift
-    * bounds |buckets| by the VALUE RANGE (report-sized), not by row count;
-    * shiftright is an arithmetic shift, so negative values floor-divide
-    * consistently and bucket order refines value order.
-    */
-  private def discreteCuts(u: DataFrame, vcol: String, shift: Int): DataFrame = {
-    val b = u.select(col(vcol).as("v")).withColumn("bk", shiftright(col("v"), shift))
-    val hist = b.groupBy("bk").agg(count(lit(1)).as("cnt"))
-    // prefix sum over the bucket REPORT (|buckets| rows — same class as
-    // select_token_budget's bucket window, not a corpus-wide sort)
-    val wb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(wb))
-      .withColumn("cum_prev", col("cum") - col("cnt"))
-    val targets = u.agg(count(lit(1)).as("n"))
-      .select(explode(array(RfmPs.map(p =>
-        struct(lit(p.toLong).as("p"), expr(s"(n * $p + 99) div 100").as("k"))): _*)).as("t"))
-      .select(col("t.p").as("p"), col("t.k").as("k"))
-    // 4 targets × |buckets| inequality join — report-sized nested loop
-    val hit = targets.join(cum, col("cum_prev") < col("k") && col("k") <= col("cum"))
-      .select(col("p"), col("bk").as("hbk"), (col("k") - col("cum_prev")).as("off"))
-    // rank within the hit buckets only; the off-th smallest VALUE in a
-    // bucket is tie-order-independent even though row_number is not
-    val wv = Window.partitionBy("p").orderBy("v")
-    val aggs = RfmPs.map(p => max(when(col("p") === p.toLong, col("v"))).as(s"c$p"))
-    b.join(hit, col("bk") === col("hbk"))
-      .withColumn("rnb", row_number().over(wv).cast("long"))
-      .where(col("rnb") === col("off"))
-      .agg(aggs.head, aggs.tail: _*)
-  }
-
   def qRfm(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(spark, d)
     val mx = ev.agg(max(to_date(col("ts"))).as("mxd"))
@@ -1487,14 +1456,46 @@ object Analytics {
       .crossJoin(mx)
       .withColumn("rec_days", datediff(col("mxd"), col("lts")).cast("long"))
       .select("user_id", "rec_days", "freq", "mon_cents")
-    def rename(cuts: DataFrame, pre: String): DataFrame =
-      cuts.select(RfmPs.map(p => col(s"c$p").as(s"$pre$p")): _*)
-    val cR = rename(discreteCuts(u, "rec_days", 3), "r")   // 8-day buckets
-    val cF = rename(discreteCuts(u, "freq", 2), "f")       // 4-event buckets
-    val cM = rename(discreteCuts(u, "mon_cents", 10), "m") // ~$10 buckets
+    // ONE (dim, v, bucket) triple-projection of the user table: the three
+    // quantile derivations share one corpus pass and one user-table
+    // shuffle, and every histogram / prefix / bucket-rank step below is
+    // partitioned by dim (no single-partition window anywhere). Bucket
+    // width 2^shift bounds |buckets| by the VALUE RANGE, not by |users|;
+    // shiftright is an arithmetic shift, so negative values floor-divide
+    // consistently and bucket order refines value order.
+    val dims = Seq(("r", col("rec_days"), 3), ("f", col("freq"), 2), ("m", col("mon_cents"), 10))
+    val b3 = u.select(explode(array(dims.map { case (dim, v, sh) =>
+        struct(lit(dim).as("dim"), v.as("v"), shiftright(v, sh).as("bk"))
+      }: _*)).as("x"))
+      .select(col("x.dim").as("dim"), col("x.v").as("v"), col("x.bk").as("bk"))
+    val hist = b3.groupBy("dim", "bk").agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy("dim").orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wb))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    // rank targets k_p = ceil(p·n/100), with n read off the histogram
+    // itself (no extra corpus pass); 12 (dim, p, k) rows
+    val targets = hist.groupBy("dim").agg(sum(col("cnt")).as("n"))
+      .select(col("dim").as("tdim"), explode(array(RfmPs.map(p =>
+        struct(lit(p.toLong).as("p"), expr(s"(n * $p + 99) div 100").as("k"))): _*)).as("t"))
+      .select(col("tdim"), col("t.p").as("p"), col("t.k").as("k"))
+    val hit = targets.join(cum, col("tdim") === col("dim"))
+      .where(col("cum_prev") < col("k") && col("k") <= col("cum"))
+      .select(col("dim").as("hdim"), col("p"), col("bk").as("hbk"),
+        (col("k") - col("cum_prev")).as("off"))
+    // rank within the ≤12 hit buckets only; the off-th smallest VALUE in a
+    // bucket is tie-order-independent even though row_number is not
+    val wv = Window.partitionBy("dim", "p").orderBy("v")
+    val cutRows = b3.join(hit, col("dim") === col("hdim") && col("bk") === col("hbk"))
+      .withColumn("rnb", row_number().over(wv).cast("long"))
+      .where(col("rnb") === col("off"))
+      .select(col("dim"), col("p"), col("v"))
+    val aggs = for { (dim, _, _) <- dims; p <- RfmPs }
+      yield max(when(col("dim") === dim && col("p") === p.toLong, col("v"))).as(s"$dim$p")
+    val cuts = cutRows.agg(aggs.head, aggs.tail: _*)
     def sc(v: Column, pre: String): Column =
       lit(1L) + RfmPs.map(p => when(v > col(s"$pre$p"), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
-    u.crossJoin(cR).crossJoin(cF).crossJoin(cM)
+    u.crossJoin(cuts)
       .withColumn("r_score", lit(6L) - sc(col("rec_days"), "r"))
       .withColumn("f_score", sc(col("freq"), "f"))
       .withColumn("m_score", sc(col("mon_cents"), "m"))
