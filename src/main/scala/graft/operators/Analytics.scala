@@ -1393,6 +1393,46 @@ object Analytics {
        |FROM u, t WHERE n * 10000 > total * $HeavyBp
        |ORDER BY n DESC, user_id""".stripMargin
 
+  // --- q_dau_mau ------------------------------------------------------------
+  // DAU / MAU stickiness — the product-analytics engagement ratio. The
+  // classic formulation (per-day COUNT DISTINCT over a trailing 30-day
+  // window) re-scans 30 days of raw events per output day; here the corpus
+  // collapses ONCE to the distinct user-day table (map-side combinable),
+  // and the rolling-window membership inverts: each user-day CONTRIBUTES
+  // to the 30 window-end days it falls inside (a 30× explode of the
+  // second-tier user-day table, deduped per (user, window-end) by another
+  // combinable distinct — never a re-scan of raw events, never a
+  // distinct-over-window). dau/mau are exact BIGINTs; stickiness is one
+  // final division. Days beyond the corpus max get MAU contributions but
+  // no DAU row — the inner join prunes them to the observed day grid.
+  def qDauMau(spark: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 29))).as("mday"))
+      .distinct()
+      .groupBy("mday").agg(count(lit(1)).as("mau"))
+    dau.join(mau, col("day") === col("mday"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+      .orderBy("day_s")
+  }
+
+  val qDauMauSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+      |c AS (SELECT DISTINCT user_id,
+      |  CAST(unnest(generate_series(day, day + 29, INTERVAL 1 DAY)) AS DATE) AS mday
+      | FROM ud),
+      |mau AS (SELECT mday, CAST(count(*) AS BIGINT) AS mau FROM c GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day_s, dau, mau,
+      | CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+      |FROM dau JOIN mau ON day = mday
+      |ORDER BY day_s""".stripMargin
+
   // --- q_gini ---------------------------------------------------------------
   // Activity-concentration coefficient: Gini index of per-user event counts
   // within each event_type — the one-number answer to "is this traffic
@@ -1538,6 +1578,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dau_mau" -> qDauMau,
     "q_gini" -> qGini,
     "q_rfm" -> qRfm,
     "q_runs" -> qRuns,
@@ -1581,6 +1622,7 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_dau_mau" -> qDauMauSql,
     "q_gini" -> qGiniSql,
     "q_rfm" -> qRfmSql,
     "q_runs" -> qRunsSql,

@@ -499,6 +499,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("dau/mau matches a naive trailing-window recompute") {
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct.sorted
+    val rows = Analytics.qDauMau(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("day_s")).toSeq === days.map(_.toString))
+    rows.foreach { r =>
+      val d = java.time.LocalDate.parse(r.getAs[String]("day_s"))
+      val dau = ud.count(_._2 == d).toLong
+      val mau = ud.filter { case (_, ad) =>
+        !ad.isAfter(d) && ad.isAfter(d.minusDays(30))
+      }.map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("dau") === dau)
+      assert(r.getAs[Long]("mau") === mau, s"mau mismatch on $d")
+      assert(r.getAs[Double]("stickiness") === dau.toDouble / mau.toDouble)
+    }
+  }
+
   test("heavy hitters: exactly the users above the basis-point threshold") {
     val total = Tables.events(spark, sf).count()
     val expected = Tables.events(spark, sf).groupBy("user_id").count().collect()
