@@ -788,6 +788,61 @@ object Selection {
       |WHERE prev_sec IS NOT NULL AND (sec - prev_sec) * (n - 1) > 4 * span
       |ORDER BY l.compound, gap_end_id""".stripMargin
 
+  // --- ds_interp ----------------------------------------------------------
+  // Gap repair — the ACTION on what ds_gaps detects: for every flagged
+  // coverage gap (same relative-threshold rule: gap·(n−1) > 4·span), emit
+  // one synthetic sample at the integer midpoint time, linearly
+  // interpolated between the bracketing real samples. Same one-window
+  // shape as ds_gaps (lag over the compound partition, report-sized span
+  // join — hint-free, AQE broadcasts the |compounds|-row side); the
+  // arithmetic is exact integers (cents, epoch seconds, positive midpoint
+  // halving) up to ONE fixed double tree both engines evaluate
+  // identically: prev + (next−prev)·frac, frac = one division of exact
+  // integer-valued doubles. Downstream, union-ing these rows back under
+  // the raw series is the standard grid-repair step before resampling.
+  def dsInterp(spark: SparkSession, d: String): DataFrame = {
+    val k = keyed(spark, d)
+      .select(col("event_id"), col("compound"), col("cts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("sec", unix_timestamp(col("cts")))
+    val w = Window.partitionBy("compound").orderBy(col("cts"), col("event_id"))
+    val spans = k.groupBy("compound").agg(
+      (max(col("sec")) - min(col("sec"))).as("span"), count(lit(1)).as("n"))
+    k.withColumn("prev_sec", lag(col("sec"), 1).over(w))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("prev_vc", lag(col("vc"), 1).over(w))
+      .filter(col("prev_sec").isNotNull)
+      .join(spans, Seq("compound"))
+      .withColumn("gap_sec", col("sec") - col("prev_sec"))
+      .filter(col("gap_sec") * (col("n") - 1) > lit(4L) * col("span"))
+      .withColumn("mid_sec", expr("(prev_sec + sec) div 2"))
+      .select(col("compound"), col("prev_id").as("gap_start_id"),
+        col("event_id").as("gap_end_id"), col("mid_sec"),
+        ((col("prev_vc").cast("double") + (col("vc") - col("prev_vc")).cast("double")
+          * ((col("mid_sec") - col("prev_sec")).cast("double")
+            / col("gap_sec").cast("double"))) / 100.0).as("interp_value"))
+      .orderBy("compound", "gap_end_id")
+  }
+
+  val dsInterpSql: String = KeyedCte +
+    """,
+      |s AS (SELECT event_id, compound, ms // 1000 AS sec, cts,
+      |  CAST(round(value*100) AS BIGINT) AS vc FROM k),
+      |sp AS (SELECT compound, max(sec) - min(sec) AS span, count(*) AS n FROM s GROUP BY 1),
+      |l AS (SELECT event_id, compound, sec, vc,
+      |  lag(sec) OVER w AS prev_sec, lag(event_id) OVER w AS prev_id,
+      |  lag(vc) OVER w AS prev_vc
+      | FROM s WINDOW w AS (PARTITION BY compound ORDER BY cts, event_id)),
+      |g AS (SELECT l.*, sec - prev_sec AS gap_sec
+      | FROM l JOIN sp ON l.compound = sp.compound
+      | WHERE prev_sec IS NOT NULL AND (sec - prev_sec) * (n - 1) > 4 * span),
+      |m AS (SELECT *, CAST((prev_sec + sec) // 2 AS BIGINT) AS mid_sec FROM g)
+      |SELECT compound, prev_id AS gap_start_id, event_id AS gap_end_id, mid_sec,
+      | (CAST(prev_vc AS DOUBLE) + CAST(vc - prev_vc AS DOUBLE)
+      |    * (CAST(mid_sec - prev_sec AS DOUBLE) / CAST(gap_sec AS DOUBLE))) / 100.0
+      |   AS interp_value
+      |FROM m ORDER BY compound, gap_end_id""".stripMargin
+
   // --- ds_rolling_z -------------------------------------------------------
   // Trailing rolling z-score flagging — the moving-window sibling of
   // ds_outlier_mad (a global median rule goes blind when the series has a
@@ -1520,6 +1575,7 @@ object Selection {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_resolution" -> dsResolution,
+    "ds_interp" -> dsInterp,
     "ds_flatline" -> dsFlatline,
     "ds_winsorize" -> dsWinsorize,
     "ds_seasonal" -> dsSeasonal,
@@ -1553,6 +1609,7 @@ object Selection {
 
   val oracle: Map[String, String] = Map(
     "ds_resolution" -> dsResolutionSql,
+    "ds_interp" -> dsInterpSql,
     "ds_flatline" -> dsFlatlineSql,
     "ds_winsorize" -> dsWinsorizeSql,
     "ds_seasonal" -> dsSeasonalSql,

@@ -492,6 +492,24 @@ class SelectionSpec extends SparkSpec {
     corpus.foreach(r => assert(r.getAs[Long]("n_samples") >= 2L))
   }
 
+  test("interp repairs exactly the flagged gaps with values inside the bracket") {
+    val gaps = Selection.dsGaps(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("gap_start_id"), r.getAs[Long]("gap_end_id")))
+    val interp = Selection.dsInterp(spark, sf).collect()
+    // one synthetic sample per flagged gap, same (compound, bracket) keys
+    assert(interp.map(r => (r.getString(0), r.getAs[Long]("gap_start_id"),
+      r.getAs[Long]("gap_end_id"))).toSet === gaps.toSet)
+    import graft.sources.Tables
+    val vals = Tables.events(spark, sf).select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    interp.foreach { r =>
+      val lo = math.min(vals(r.getAs[Long]("gap_start_id")), vals(r.getAs[Long]("gap_end_id")))
+      val hi = math.max(vals(r.getAs[Long]("gap_start_id")), vals(r.getAs[Long]("gap_end_id")))
+      val v = r.getAs[Double]("interp_value")
+      assert(v >= lo - 0.01 && v <= hi + 0.01, s"interp $v outside [$lo, $hi]")
+    }
+  }
+
   test("resolution report matches a naive recompute of gaps and lattice share") {
     import graft.sources.Tables
     def centsOf(x: Double): Long =
