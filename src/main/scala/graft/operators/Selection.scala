@@ -1523,6 +1523,62 @@ object Selection {
        |FROM g WHERE n_samples >= $FlatlineMin
        |ORDER BY compound, start_ms""".stripMargin
 
+  // --- pipeline_qc --------------------------------------------------------
+  // The reference user's END-TO-END workflow as ONE composed plan — the QC
+  // counterpart of pipeline_curate: MAD outlier flags (the automated stand-
+  // in for the analyst's rectangle) → anti-join the flagged points out of
+  // the raw series (ds_apply_filter semantics, hint-free: the flag list is
+  // machine-generated and scales with the data, AQE picks the build side)
+  // → resample the CLEANED series onto the aligned grid (ds_resample's
+  // union+two-window interpolation). Catalyst fuses the stages: the corpus
+  // is scanned once for the series and once inside the median derivation;
+  // nothing is materialized between stages. Same exactness contract as the
+  // parts (discrete medians are data values; interpolation is one fixed
+  // double tree), so the composition hash-matches the composed oracle.
+  def pipelineQc(spark: SparkSession, d: String): DataFrame = {
+    val k = keyed(spark, d)
+    val flags = outlierMadFrom(k.select("event_id", "compound", "value"), "event_id")
+      .select(col("event_id").as("bad_id"))
+    val cleaned = k.join(flags, col("event_id") === col("bad_id"), "left_anti")
+    resampleFrom(cleaned.select(col("compound"), expr("ms div 1000").as("sec"),
+      col("value"), col("event_id").as("tie")))
+  }
+
+  val pipelineQcSql: String = KeyedCte +
+    s""",
+       |r AS (SELECT event_id, compound, value,
+       |  CAST(row_number() OVER (PARTITION BY compound ORDER BY value, event_id) AS BIGINT) AS rn,
+       |  count(*) OVER (PARTITION BY compound) AS n FROM k),
+       |med AS (SELECT compound, value AS med FROM r WHERE rn = (n + 1) // 2),
+       |dv AS (SELECT event_id, k.compound, k.value, abs(k.value - med) AS dev
+       |       FROM k JOIN med ON k.compound = med.compound),
+       |r2 AS (SELECT event_id, compound, dev,
+       |  CAST(row_number() OVER (PARTITION BY compound ORDER BY dev, event_id) AS BIGINT) AS rn,
+       |  count(*) OVER (PARTITION BY compound) AS n FROM dv),
+       |mad AS (SELECT compound, dev AS mad FROM r2 WHERE rn = (n + 1) // 2),
+       |flags AS (SELECT event_id FROM dv JOIN mad ON dv.compound = mad.compound
+       |          WHERE dev > 3.0 * mad),
+       |kc AS (SELECT k.* FROM k LEFT JOIN flags ON k.event_id = flags.event_id
+       |       WHERE flags.event_id IS NULL),
+       |sm AS (SELECT compound, ms // 1000 AS sec, arg_max(value, event_id) AS v
+       |       FROM kc GROUP BY 1, 2),
+       |sp AS (SELECT compound, min(sec) AS mn, max(sec) AS mx FROM sm GROUP BY 1),
+       |g AS (SELECT compound, CAST(unnest(range(((mn + ${ResampleStepSec - 1}) // $ResampleStepSec) * $ResampleStepSec, mx + 1, $ResampleStepSec)) AS BIGINT) AS sec FROM sp),
+       |u AS (SELECT compound, sec, 0 AS kind, v FROM sm
+       |      UNION ALL SELECT compound, sec, 1, NULL FROM g),
+       |w AS (SELECT compound, sec, kind,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY compound ORDER BY sec ASC, kind ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |  last_value(CASE WHEN kind = 0 THEN sec END IGNORE NULLS) OVER (PARTITION BY compound ORDER BY sec ASC, kind ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY compound ORDER BY sec DESC, kind DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+       |  last_value(CASE WHEN kind = 0 THEN sec END IGNORE NULLS) OVER (PARTITION BY compound ORDER BY sec DESC, kind DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ns
+       | FROM u)
+       |SELECT compound,
+       | strftime(make_timestamp(sec * 1000000), '%Y-%m-%d %H:%M') AS grid_s,
+       | pv + (nv - pv) * (CAST(sec - ps AS DOUBLE) / CAST(ns - ps AS DOUBLE)) AS v_interp
+       |FROM w
+       |WHERE kind = 1 AND ps IS NOT NULL AND ns IS NOT NULL
+       |ORDER BY compound, grid_s""".stripMargin
+
   // --- ds_resolution ------------------------------------------------------
   // Sensor resolution + truncation screen: per compound, the effective
   // measurement resolution (smallest positive gap between consecutive
@@ -1574,6 +1630,7 @@ object Selection {
       |ORDER BY compound""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_qc" -> pipelineQc,
     "ds_resolution" -> dsResolution,
     "ds_interp" -> dsInterp,
     "ds_flatline" -> dsFlatline,
@@ -1608,6 +1665,7 @@ object Selection {
     "ds_clear_compound" -> dsClearCompound)
 
   val oracle: Map[String, String] = Map(
+    "pipeline_qc" -> pipelineQcSql,
     "ds_resolution" -> dsResolutionSql,
     "ds_interp" -> dsInterpSql,
     "ds_flatline" -> dsFlatlineSql,

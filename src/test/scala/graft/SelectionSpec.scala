@@ -492,6 +492,25 @@ class SelectionSpec extends SparkSpec {
     corpus.foreach(r => assert(r.getAs[Long]("n_samples") >= 2L))
   }
 
+  test("pipeline_qc = resample after removing exactly the MAD flags") {
+    val flagged = Selection.dsOutlierMad(spark, sf).collect()
+      .map(r => (r.getAs[String]("compound"))).toSet
+    assert(flagged.nonEmpty) // the corpus has outliers to clean
+    val raw = Selection.dsResample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("v_interp")).toMap
+    val qc = Selection.pipelineQc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("v_interp")).toMap
+    // compounds with no flags resample identically; flagged compounds differ
+    // somewhere (an outlier participated in some interpolation bracket)
+    val byCompound = qc.keySet.map(_._1)
+    byCompound.foreach { c =>
+      val rawC = raw.filter(_._1._1 == c)
+      val qcC = qc.filter(_._1._1 == c)
+      if (!flagged.contains(c)) assert(rawC === qcC, s"$c changed without flags")
+      else assert(rawC != qcC, s"$c unchanged despite flags")
+    }
+  }
+
   test("interp repairs exactly the flagged gaps with values inside the bracket") {
     val gaps = Selection.dsGaps(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Long]("gap_start_id"), r.getAs[Long]("gap_end_id")))
