@@ -174,6 +174,28 @@ class GraftQC(spark: SparkSession, utcOffsetHours: Int = -2) {
   def changepoint(data: DataFrame): DataFrame =
     Selection.changepointFrom(data.select("sel_key", "compound", "value", "cts"), "sel_key")
 
+  /** Stuck-sensor report: runs of ≥2 consecutive IDENTICAL readings per
+    * compound — the frozen-transducer signature that range and outlier
+    * rules cannot see (the stuck value is usually in-range). */
+  def flatline(data: DataFrame): DataFrame =
+    Selection.dsFlatlineFrom(data.select(col("compound"),
+      (unix_timestamp(col("cts")) * 1000).as("ms"),
+      col("sel_key").as("event_id"), col("value")))
+
+  /** Sensor resolution + truncation screen per compound: effective
+    * measurement resolution (smallest gap between distinct readings) and
+    * the share of readings on the 0.1-unit lattice — catches a feed that
+    * silently switched to rounded values. */
+  def resolution(data: DataFrame): DataFrame =
+    Selection.resolutionFrom(data.select("compound", "value"))
+
+  /** Gap repair — the action on [[gaps]]' findings: one synthetic sample
+    * at each flagged gap's midpoint, linearly interpolated between the
+    * bracketing real samples. Bracket endpoints are `sel_key`s. */
+  def interp(data: DataFrame): DataFrame =
+    Selection.interpFrom(data.select(col("sel_key"), col("compound"),
+      col("cts"), col("value")), "sel_key")
+
   /** One zoom stack per (compound, plane) with the reference's exact rules:
     * a new limit is pushed only if it differs from the current top
     * (index.js:360-368), zoomOut pops and is a no-op on an empty stack, and

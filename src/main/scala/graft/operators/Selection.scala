@@ -800,16 +800,21 @@ object Selection {
   // identically: prev + (next−prev)·frac, frac = one division of exact
   // integer-valued doubles. Downstream, union-ing these rows back under
   // the raw series is the standard grid-repair step before resampling.
-  def dsInterp(spark: SparkSession, d: String): DataFrame = {
-    val k = keyed(spark, d)
-      .select(col("event_id"), col("compound"), col("cts"),
+  def dsInterp(spark: SparkSession, d: String): DataFrame =
+    interpFrom(keyed(spark, d).select("event_id", "compound", "cts", "value"), "event_id")
+
+  /** DataFrame-in variant for library callers (and the [[GraftQC]] facade):
+    * `kIn` needs (`idCol`, compound, cts: timestamp, value). */
+  def interpFrom(kIn: DataFrame, idCol: String): DataFrame = {
+    val k = kIn
+      .select(col(idCol), col("compound"), col("cts"),
         round(col("value") * 100).cast("long").as("vc"))
       .withColumn("sec", unix_timestamp(col("cts")))
-    val w = Window.partitionBy("compound").orderBy(col("cts"), col("event_id"))
+    val w = Window.partitionBy("compound").orderBy(col("cts"), col(idCol))
     val spans = k.groupBy("compound").agg(
       (max(col("sec")) - min(col("sec"))).as("span"), count(lit(1)).as("n"))
     k.withColumn("prev_sec", lag(col("sec"), 1).over(w))
-      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("prev_id", lag(col(idCol), 1).over(w))
       .withColumn("prev_vc", lag(col("vc"), 1).over(w))
       .filter(col("prev_sec").isNotNull)
       .join(spans, Seq("compound"))
@@ -817,7 +822,7 @@ object Selection {
       .filter(col("gap_sec") * (col("n") - 1) > lit(4L) * col("span"))
       .withColumn("mid_sec", expr("(prev_sec + sec) div 2"))
       .select(col("compound"), col("prev_id").as("gap_start_id"),
-        col("event_id").as("gap_end_id"), col("mid_sec"),
+        col(idCol).as("gap_end_id"), col("mid_sec"),
         ((col("prev_vc").cast("double") + (col("vc") - col("prev_vc")).cast("double")
           * ((col("mid_sec") - col("prev_sec")).cast("double")
             / col("gap_sec").cast("double"))) / 100.0).as("interp_value"))
@@ -1593,8 +1598,13 @@ object Selection {
   // report-sized at any corpus scale. The `%` check matches engines:
   // Spark and DuckDB both use sign-of-dividend remainder, and equality
   // with 0 is sign-independent.
-  def dsResolution(spark: SparkSession, d: String): DataFrame = {
-    val base = keyed(spark, d)
+  def dsResolution(spark: SparkSession, d: String): DataFrame =
+    resolutionFrom(keyed(spark, d).select("compound", "value"))
+
+  /** DataFrame-in variant for library callers (and the [[GraftQC]] facade):
+    * `k` needs (compound, value). */
+  def resolutionFrom(k: DataFrame): DataFrame = {
+    val base = k
       .select(col("compound"), round(col("value") * 100).cast("long").as("vc"))
     val per = base.groupBy("compound").agg(
       count(lit(1)).as("n"),

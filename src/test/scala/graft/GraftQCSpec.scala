@@ -167,4 +167,27 @@ class GraftQCSpec extends SparkSpec {
       assert(r.getAs[Double]("score") >= 0.0)
     }
   }
+
+  test("flatline, resolution, and gap-repair reports run on the reference's own data") {
+    // flatline: any reported run is a genuine exact repeat of >= 2 samples
+    qc.flatline(data).collect().foreach(r => assert(r.getAs[Long]("n_samples") >= 2L))
+
+    // resolution: one row per compound, gap positive, lattice share in [0,1]
+    val res = qc.resolution(data).collect()
+    assert(res.length === data.select("compound").distinct().count().toInt)
+    res.foreach { r =>
+      assert(r.getAs[Double]("res") > 0.0)
+      val p = r.getAs[Double]("pct_tenth")
+      assert(p >= 0.0 && p <= 1.0)
+      assert(r.getAs[Long]("ndv") <= r.getAs[Long]("n"))
+    }
+
+    // interp emits exactly one repair per flagged gap, keyed by sel_key
+    val gaps = qc.gaps(data).collect()
+      .map(r => (r.getString(r.fieldIndex("compound")),
+        r.getAs[String]("gap_start_id"), r.getAs[String]("gap_end_id"))).toSet
+    val rep = qc.interp(data).collect()
+    assert(rep.map(r => (r.getString(0), r.getAs[String]("gap_start_id"),
+      r.getAs[String]("gap_end_id"))).toSet === gaps)
+  }
 }
