@@ -805,7 +805,61 @@ object Similarity {
        |FROM asg WHERE arn = 1 AND csim < $OutlierTau
        |ORDER BY vec_id""".stripMargin
 
+  // --- embed_drift --------------------------------------------------------
+  // Distribution-shift screen between two corpus snapshots (here the
+  // deterministic vec_id-parity halves — in production, yesterday's batch
+  // vs today's): per IVF cell, how the assignment mass moved. The retrain
+  // trigger for every consumer of the literal-centroid family — IVF lists
+  // go stale, quantizer codebooks drift, cluster profiles shift — and the
+  // screen that says so BEFORE recall degrades. Assignment is the
+  // scan-projection argmax (pure map, zero corpus shuffle), halves split
+  // by parity in the same projection; ONE map-side-combinable groupBy over
+  // k cells + a 1-row total. cross_diff = n_a·tot_b − n_b·tot_a is the
+  // exact-integer share comparison (zero ⟺ equal shares) — consumers
+  // threshold it without any float epsilon; shares are single divisions.
+  def embedDrift(spark: SparkSession, d: String): DataFrame = {
+    val asg = vectors(spark, d)
+      .select(col("vec_id"), bestCentroid(seedCentroids(spark, d)).as("b"))
+      .select((-col("b.ncid")).cast("long").as("cid"),
+        pmod(col("vec_id"), lit(2L)).as("half"))
+    val per = asg.groupBy("cid").agg(
+      sum(when(col("half") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n_b"))
+    val tot = asg.agg(
+      sum(when(col("half") === 0L, 1L).otherwise(0L)).as("tot_a"),
+      sum(when(col("half") === 1L, 1L).otherwise(0L)).as("tot_b"))
+    per.crossJoin(tot)
+      .select(col("cid"), col("n_a"), col("n_b"),
+        (col("n_a").cast("double") / col("tot_a").cast("double")).as("share_a"),
+        (col("n_b").cast("double") / col("tot_b").cast("double")).as("share_b"),
+        (col("n_a") * col("tot_b") - col("n_b") * col("tot_a")).as("cross_diff"))
+      .orderBy("cid")
+  }
+
+  val embedDriftSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |s AS (SELECT vec_id, cid, ${CosSqlFor("v", "cv")} AS csim FROM e CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid, csim,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS arn FROM s),
+       |a AS (SELECT CAST(cid AS BIGINT) AS cid, vec_id % 2 AS half FROM asg WHERE arn = 1),
+       |p AS (SELECT cid,
+       |  CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       | FROM a GROUP BY 1),
+       |t AS (SELECT
+       |  CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
+       |  CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tot_b
+       | FROM a)
+       |SELECT cid, n_a, n_b,
+       | CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS share_a,
+       | CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS share_b,
+       | CAST(n_a * tot_b - n_b * tot_a AS BIGINT) AS cross_diff
+       |FROM p, t ORDER BY cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_drift" -> embedDrift,
     "embed_outliers" -> embedOutliers,
     "embed_power_iter" -> embedPowerIter,
     "embed_kmeans_step" -> embedKmeansStep,
@@ -819,6 +873,7 @@ object Similarity {
     "embed_cluster" -> embedCluster)
 
   val oracle: Map[String, String] = Map(
+    "embed_drift" -> embedDriftSql,
     "embed_outliers" -> embedOutliersSql,
     "embed_power_iter" -> embedPowerIterSql,
     "embed_kmeans_step" -> embedKmeansStepSql,

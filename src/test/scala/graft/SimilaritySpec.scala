@@ -270,4 +270,18 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.Similarity.embedOutliers(spark, sf).collect()
       .foreach(r => assert(r.getAs[Double]("best_sim") < 0.10))
   }
+
+  test("drift halves partition the cluster profile and cross_diff is exact") {
+    val drift = graft.operators.Similarity.embedDrift(spark, sf).collect()
+    val cluster = graft.operators.Similarity.embedCluster(spark, sf).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Long]("n_vecs")).toMap
+    val totA = drift.map(_.getAs[Long]("n_a")).sum
+    val totB = drift.map(_.getAs[Long]("n_b")).sum
+    drift.foreach { r =>
+      val (cid, na, nb) = (r.getAs[Long]("cid"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(na + nb === cluster(cid)) // halves partition each cell exactly
+      assert(r.getAs[Long]("cross_diff") === na * totB - nb * totA)
+      assert(r.getAs[Double]("share_a") === na.toDouble / totA)
+    }
+  }
 }
