@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Storage-layout effectiveness: the table-layout decision every 100 TB
+  * deployment makes before any query runs. `layout_zorder` scores two file
+  * layouts of the `events` table — time-linear (files = hour ranges, the
+  * default append order) vs Z-order (files = Morton-curve tiles over
+  * (user bucket, hour bucket), the Delta/Iceberg OPTIMIZE ZORDER shape) —
+  * by replaying parquet-style min/max file pruning for three probe
+  * rectangles and reporting files hit + rows scanned vs rows actually
+  * matched.
+  *
+  * Scale design: ONE corpus pass builds the Grid×Grid cell histogram (a
+  * map-side-combinable groupBy onto ≤256 keys — shuffle is constant-size
+  * per partition regardless of corpus size); file assignment, per-file
+  * min/max stats, pruning, and the probe×layout scorecard are all
+  * arithmetic over those ≤256 rows. The layouts are never materialized —
+  * the histogram is sufficient because a cell maps to exactly one file in
+  * each layout. All math is integer (counts, bit interleaves, interval
+  * intersections): both engines agree bit-for-bit.
+  */
+object Layout {
+
+  private val GridBits = 4
+  private val Grid = 1 << GridBits // 16 buckets per dimension
+  // Dropping the low FileShift bits of the 2·GridBits-bit Morton code
+  // yields 16 files, each a 4×4 tile — the same file COUNT as the
+  // time-linear layout (16 hour-bucket files), so the comparison is fair.
+  private val FileShift = 4
+
+  private case class Probe(name: String, xlo: Int, xhi: Int, ylo: Int, yhi: Int)
+  // x_band: selective on user only — the probe an append-by-time layout
+  // cannot prune at all. y_band: selective on time only — linear's best
+  // case. rect: selective on both — the mixed workload Z-order exists for.
+  private val Probes = Seq(
+    Probe("rect", 3, 9, 6, 12),
+    Probe("x_band", 4, 7, 0, Grid - 1),
+    Probe("y_band", 0, Grid - 1, 6, 12))
+
+  /** Morton interleave of two GridBits-bit values: even bits ← x, odd ← y. */
+  private[graft] def mortonCol(x: Column, y: Column): Column =
+    (0 until GridBits).map { k =>
+      shiftleft(shiftright(x, k).bitwiseAND(lit(1L)), 2 * k) +
+        shiftleft(shiftright(y, k).bitwiseAND(lit(1L)), 2 * k + 1)
+    }.reduce(_ + _)
+
+  private def mortonSql(x: String, y: String): String =
+    (0 until GridBits).map { k =>
+      s"((($x >> $k) & 1) << ${2 * k}) + ((($y >> $k) & 1) << ${2 * k + 1})"
+    }.mkString(" + ")
+
+  def layoutZorder(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    // cast(ts as long) = floor epoch seconds (micros truncation), the
+    // exact mirror of the oracle's floor(epoch(ts)) — see Selection's
+    // epoch idiom. Both dims wrap into the 16-bucket grid.
+    val cells = Tables.events(spark, d)
+      .select(
+        pmod(col("user_id"), lit(Grid.toLong)).as("ux"),
+        pmod(expr("cast(ts as long) div 3600"), lit(Grid.toLong)).as("uy"))
+      .groupBy("ux", "uy").agg(count(lit(1)).as("n"))
+
+    // One histogram row fans out to its file id under each layout; the
+    // explode is over ≤256 rows, not the corpus.
+    val tagged = cells.select(col("ux"), col("uy"), col("n"),
+      explode(array(
+        struct(lit("zorder").as("layout"),
+          shiftright(mortonCol(col("ux"), col("uy")), FileShift).as("f")),
+        struct(lit("linear_time").as("layout"), col("uy").as("f")))).as("lf"))
+      .select(col("ux"), col("uy"), col("n"),
+        col("lf.layout").as("layout"), col("lf.f").as("f"))
+
+    val probeDf = Probes.map(p => (p.name, p.xlo, p.xhi, p.ylo, p.yhi))
+      .toDF("probe", "xlo", "xhi", "ylo", "yhi")
+
+    // Per-(layout, probe, file): min/max box, row count, and matched rows
+    // folded into ONE aggregation over cells×layouts×probes (≤1536 rows) —
+    // so the whole scorecard derives from the single corpus pass above.
+    val inRect = col("ux").between(col("xlo"), col("xhi")) &&
+      col("uy").between(col("ylo"), col("yhi"))
+    val perFile = tagged.crossJoin(probeDf)
+      .groupBy("layout", "probe", "f", "xlo", "xhi", "ylo", "yhi").agg(
+        min("ux").as("minx"), max("ux").as("maxx"),
+        min("uy").as("miny"), max("uy").as("maxy"),
+        sum("n").as("n_rows"),
+        sum(when(inRect, col("n")).otherwise(0L)).as("n_match"))
+
+    // Parquet-style pruning: a file survives iff its min/max box
+    // intersects the probe rectangle.
+    val hit = col("maxx") >= col("xlo") && col("minx") <= col("xhi") &&
+      col("maxy") >= col("ylo") && col("miny") <= col("yhi")
+    perFile.groupBy("layout", "probe").agg(
+      count(lit(1)).as("n_files"),
+      sum(when(hit, 1L).otherwise(0L)).as("files_hit"),
+      sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"),
+      sum("n_match").as("rows_matched"))
+      .orderBy("layout", "probe")
+  }
+
+  val layoutZorderSql: String = {
+    val probeValues = Probes.map(p =>
+      s"('${p.name}', ${p.xlo}, ${p.xhi}, ${p.ylo}, ${p.yhi})").mkString(", ")
+    s"""WITH cells AS (
+       |  SELECT CAST(user_id % $Grid AS BIGINT) AS ux,
+       |         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % $Grid AS BIGINT) AS uy,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |tagged AS (
+       |  SELECT ux, uy, n, 'zorder' AS layout,
+       |         CAST((${mortonSql("ux", "uy")}) >> $FileShift AS BIGINT) AS f FROM cells
+       |  UNION ALL
+       |  SELECT ux, uy, n, 'linear_time' AS layout, uy AS f FROM cells),
+       |probes(probe, xlo, xhi, ylo, yhi) AS (VALUES $probeValues),
+       |pf AS (SELECT layout, probe, f, xlo, xhi, ylo, yhi,
+       |              min(ux) AS minx, max(ux) AS maxx,
+       |              min(uy) AS miny, max(uy) AS maxy, sum(n) AS n_rows,
+       |              sum(CASE WHEN ux BETWEEN xlo AND xhi AND uy BETWEEN ylo AND yhi
+       |                  THEN n ELSE 0 END) AS n_match
+       |       FROM tagged CROSS JOIN probes GROUP BY 1, 2, 3, 4, 5, 6, 7)
+       |SELECT layout, probe,
+       |  CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(CASE WHEN maxx >= xlo AND minx <= xhi AND maxy >= ylo AND miny <= yhi
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+       |  CAST(sum(CASE WHEN maxx >= xlo AND minx <= xhi AND maxy >= ylo AND miny <= yhi
+       |           THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       |  CAST(sum(n_match) AS BIGINT) AS rows_matched
+       |FROM pf GROUP BY 1, 2
+       |ORDER BY layout, probe""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> layoutZorder)
+
+  val oracle: Map[String, String] = Map(
+    "layout_zorder" -> layoutZorderSql)
+}

@@ -1198,7 +1198,97 @@ object TextAnalysis {
        | CAST(rank * freq AS BIGINT) AS rf
        |FROM r WHERE rank <= $ZipfTopK ORDER BY rank""".stripMargin
 
+  // --- text_bpe_pairs -----------------------------------------------------
+  // One BPE-training count step (Sennrich et al. 2016): the corpus-wide
+  // frequency of every adjacent character pair WITHIN words (pairs never
+  // cross a word boundary — the end-of-word marker convention), top 20 by
+  // count. This is the inner loop of tokenizer training: the argmax pair
+  // is the next merge. Scale shape: the per-doc pair list is built by
+  // codegen'd higher-order functions in the scan (one flatten-transform —
+  // work is linear in corpus chars, the floor for any tokenizer), and the
+  // groupBy lands on ≤ |alphabet|² keys, so the shuffle is constant-size
+  // per partition (map-side partial aggregation) no matter the corpus.
+  // Top-20 is a total order (count desc, pair asc) → deterministic; Spark
+  // plans TakeOrderedAndProject (per-partition top-k, never a global sort).
+  private val BpeTopK = 20
+
+  def textBpePairs(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
+      .select(explode(expr(
+        "flatten(transform(filter(split(trim(text), '\\\\s+'), w -> length(w) >= 2), " +
+          "w -> transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(BpeTopK)
+
+  val textBpePairsSql: String =
+    s"""WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |           FROM documents WHERE text IS NOT NULL),
+       |p AS (SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair
+       |      FROM w WHERE len(w) >= 2)
+       |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+       |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT $BpeTopK""".stripMargin
+
+  // --- select_rebalance ---------------------------------------------------
+  // Mixture rebalancing with rates derived from the DATA (unlike
+  // doc_mixture's a-priori rates): given integer target weights per source
+  // (here 3:1 for the doc_mixture high/low split), the per-source keep
+  // rate is min(1, N·w_s / (W·c_s)) — downsample over-represented sources
+  // toward the target mixture. The rate never materializes as a float:
+  // membership is the integer cross-multiply bucket·W·c_s < 256·N·w_s over
+  // the same 256-bucket md5 identity hash doc_mixture uses (bucket ≤ 255
+  // makes the inequality vacuously true exactly when the unclamped rate
+  // ≥ 1, so min(1,·) is built in). Scale shape: the source-count dim is
+  // |sources| rows (AQE broadcasts it), selection is a pure map, and the
+  // report is a |sources|-key groupBy — nothing corpus-proportional moves.
+  private val RebalanceWeightHigh = 3L
+  private val RebalanceWeightLow = 1L
+
+  def selectRebalance(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long").as("bucket"))
+    val dim = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        when(col("source").isin(MixtureHighSources.toSeq: _*), lit(RebalanceWeightHigh))
+          .otherwise(lit(RebalanceWeightLow)))
+      .crossJoin(docs.groupBy().agg(count(lit(1)).as("n_total")))
+    val dimTot = dim.crossJoin(
+      dim.agg(sum("weight").as("w_total")).select("w_total"))
+    val selected = docs.join(dimTot, "source")
+      .filter(col("bucket") * col("w_total") * col("n_docs") <
+        lit(256L) * col("n_total") * col("weight"))
+      .groupBy("source").agg(count(lit(1)).as("n_selected"))
+    dimTot.join(selected, Seq("source"), "left")
+      .select(col("source"), col("weight"), col("n_docs"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"))
+      .orderBy("source")
+  }
+
+  val selectRebalanceSql: String = {
+    val highList = MixtureHighSources.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+    s"""WITH b AS (SELECT doc_id, source,
+       |  CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) AS bucket
+       |  FROM documents),
+       |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(CASE WHEN source IN ($highList) THEN $RebalanceWeightHigh
+       |       ELSE $RebalanceWeightLow END AS BIGINT) AS weight
+       |  FROM b GROUP BY 1),
+       |t AS (SELECT (SELECT sum(n_docs) FROM c) AS n_total,
+       |             (SELECT sum(weight) FROM c) AS w_total),
+       |s AS (SELECT b.source, CAST(count(*) AS BIGINT) AS n_sel
+       |      FROM b JOIN c ON b.source = c.source CROSS JOIN t
+       |      WHERE b.bucket * t.w_total * c.n_docs < 256 * t.n_total * c.weight
+       |      GROUP BY 1)
+       |SELECT c.source, c.weight, c.n_docs,
+       |       CAST(coalesce(s.n_sel, 0) AS BIGINT) AS n_selected
+       |FROM c LEFT JOIN s ON c.source = s.source ORDER BY c.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_pairs" -> textBpePairs,
+    "select_rebalance" -> selectRebalance,
     "text_zipf" -> textZipf,
     "text_winnow" -> textWinnow,
     "text_rarity" -> textRarity,
@@ -1229,6 +1319,8 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_pairs" -> textBpePairsSql,
+    "select_rebalance" -> selectRebalanceSql,
     "text_zipf" -> textZipfSql,
     "text_winnow" -> textWinnowSql,
     "text_rarity" -> textRaritySql,

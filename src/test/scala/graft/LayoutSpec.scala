@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+
+  test("morton interleave is a bijection on the 16x16 grid") {
+    val z = spark.range(256)
+      .select(Layout.mortonCol(pmod(col("id"), lit(16L)), expr("id div 16")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z.distinct.length === 256)
+    assert(z.min === 0L && z.max === 255L)
+  }
+
+  test("layout scorecard: pruning is sound, each layout wins its selective dimension") {
+    val rows = Layout.layoutZorder(spark, sf).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("files_hit") <= r.getAs[Long]("n_files"))
+      // min/max pruning never skips a file containing a matching row
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matched"))
+    }
+    // matched rows are a property of the probe alone, not the layout
+    rows.groupBy(_.getAs[String]("probe")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("rows_matched")).distinct.length === 1)
+    }
+    def scanned(l: String, p: String): Long = rows
+      .find(r => r.getAs[String]("layout") == l && r.getAs[String]("probe") == p)
+      .get.getAs[Long]("rows_scanned")
+    // user-selective probe: the time-linear layout cannot prune; z-order can
+    assert(scanned("zorder", "x_band") < scanned("linear_time", "x_band"))
+    // time-selective probe: linear's native dimension is at least as good
+    assert(scanned("linear_time", "y_band") <= scanned("zorder", "y_band"))
+  }
+}

@@ -559,4 +559,37 @@ class TextAnalysisSpec extends SparkSpec {
       assert(byOrd.toSeq === (1L to g.length.toLong))
     }
   }
+
+  test("text_bpe_pairs equals an in-process recompute of within-word pair counts") {
+    val top = TextAnalysis.textBpePairs(spark, sf).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt")))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for (t <- docs if t != null; w <- t.trim.split("\\s+") if w.length >= 2;
+         i <- 0 until w.length - 1)
+      counts(w.substring(i, i + 2)) += 1L
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(top.toSeq === expected)
+  }
+
+  test("select_rebalance only downsamples and moves the mixture toward 3:1") {
+    val rows = TextAnalysis.selectRebalance(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_selected") > 0L) // bucket 0 always passes
+    }
+    val (hi, lo) = rows.partition(_.getAs[Long]("weight") == 3L)
+    def ratio(sel: Boolean): Double = {
+      val f = (r: org.apache.spark.sql.Row) =>
+        r.getAs[Long](if (sel) "n_selected" else "n_docs").toDouble
+      hi.map(f).sum / lo.map(f).sum
+    }
+    // achieved high:low mass is no farther from the 3:1 target than raw
+    assert(math.abs(ratio(sel = true) - 3.0) <= math.abs(ratio(sel = false) - 3.0))
+    // membership is a pure function of identity — rerun identical
+    val again = TextAnalysis.selectRebalance(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_selected")))
+    assert(again.toSeq === rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("n_selected"))).toSeq)
+  }
 }
