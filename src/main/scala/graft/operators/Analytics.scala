@@ -1393,6 +1393,46 @@ object Analytics {
        |FROM u, t WHERE n * 10000 > total * $HeavyBp
        |ORDER BY n DESC, user_id""".stripMargin
 
+  // --- q_activity_bitmap ----------------------------------------------------
+  // Bitmap-index aggregation — the roaring-bitmap pattern that backs
+  // count-distinct acceleration in warehouse engines, as pure integer
+  // state: per (user, day), a 24-bit hour-of-activity mask built by
+  // bit_or(1 << hour). bit_or is associative/commutative/idempotent, so
+  // the mask is an exact map-side-combinable aggregate (the same merge
+  // law the sketches exploit) — at 100 TB the shuffle carries one long
+  // per user-day, not the events. The report then groups the user-day
+  // table by popcount(mask): how many user-days were active exactly h
+  // hours, how many distinct hour-patterns produced each h (≤ C(24,h)),
+  // and the total events covered. ≤ 24 output rows. Hour/day derive from
+  // the epoch-second quotient in both engines (never calendar functions,
+  // the Layout/Selection idiom).
+  def qActivityBitmap(spark: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(spark, d)
+      .select(col("user_id"),
+        expr("cast(ts as long) div 86400").as("day"),
+        expr("(cast(ts as long) div 3600) % 24").as("hr"))
+      .groupBy("user_id", "day")
+      .agg(expr("bit_or(shiftleft(1L, cast(hr as int)))").as("mask"),
+        count(lit(1)).as("n_events"))
+    ud.groupBy(bit_count(col("mask")).cast("long").as("n_hours_active"))
+      .agg(count(lit(1)).as("n_user_days"),
+        countDistinct(col("mask")).as("n_distinct_masks"),
+        sum("n_events").as("n_events"))
+      .orderBy("n_hours_active")
+  }
+
+  val qActivityBitmapSql: String =
+    s"""WITH ud AS (
+       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+       |         bit_or(1::BIGINT << CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS INT)) AS mask,
+       |         CAST(count(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1, 2)
+       |SELECT CAST(bit_count(mask) AS BIGINT) AS n_hours_active,
+       |  CAST(count(*) AS BIGINT) AS n_user_days,
+       |  CAST(count(DISTINCT mask) AS BIGINT) AS n_distinct_masks,
+       |  CAST(sum(n_events) AS BIGINT) AS n_events
+       |FROM ud GROUP BY 1 ORDER BY n_hours_active""".stripMargin
+
   // --- q_dau_mau ------------------------------------------------------------
   // DAU / MAU stickiness — the product-analytics engagement ratio. The
   // classic formulation (per-day COUNT DISTINCT over a trailing 30-day
@@ -1584,6 +1624,7 @@ object Analytics {
     "q_runs" -> qRuns,
     "q_column_stats" -> qColumnStats,
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_activity_bitmap" -> qActivityBitmap,
     "q_multi_exists" -> qMultiExists,
     "q_cumulative_users" -> qCumulativeUsers,
     "q_exists_subquery" -> qExistsSubquery,
@@ -1628,6 +1669,7 @@ object Analytics {
     "q_runs" -> qRunsSql,
     "q_column_stats" -> qColumnStatsSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_activity_bitmap" -> qActivityBitmapSql,
     "q_multi_exists" -> qMultiExistsSql,
     "q_cumulative_users" -> qCumulativeUsersSql,
     "q_exists_subquery" -> qExistsSubquerySql,

@@ -131,9 +131,65 @@ object Layout {
        |ORDER BY layout, probe""".stripMargin
   }
 
+  // --- layout_compact -----------------------------------------------------
+  // Small-file compaction planner — the OPTIMIZE/bin-packing step every
+  // streaming-ingest table needs: an hourly append ingest leaves one tiny
+  // file per hour (720 files of ~14 rows at sf0.01); the planner assigns
+  // consecutive files to output bins of ~CompactTarget rows, preserving
+  // the time clustering (bin = floor(rows-before / target), the standard
+  // start-offset rule — so every output file except possibly the last is
+  // ≥ target·(1−1/target) full and min/max hour spans stay contiguous).
+  //
+  // Scale shape: the corpus contributes ONE map-side-combinable groupBy
+  // onto |hours| keys; everything after operates on the FILE-STATS table
+  // (metadata-sized — 100 TB at hourly grain is ~10⁴–10⁵ rows, the same
+  // class real table formats hold in their manifest), so the unpartitioned
+  // cumulative window there is over metadata, never the corpus — the
+  // q_calendar_fill precedent, documented here because ci.sh's
+  // single-partition-window audit asks.
+  private val CompactTarget = 512L // rows per compacted output file
+
+  def layoutCompact(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.events(spark, d)
+      .groupBy(expr("cast(ts as long) div 3600").as("hour_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("hour_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NB: `div`, not `/` — Column./ is IEEE double division, which would
+    // misround bin boundaries once cumulative sums pass 2^53.
+    files
+      .withColumn("before", sum("n").over(w) - col("n"))
+      .withColumn("bin", expr(s"before div $CompactTarget"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n_files"),
+        sum("n").as("n_rows"),
+        min("hour_id").as("hour_lo"),
+        max("hour_id").as("hour_hi"))
+      .orderBy("bin")
+  }
+
+  val layoutCompactSql: String =
+    s"""WITH f AS (
+       |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_id,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT hour_id, n,
+       |  CAST((sum(n) OVER (ORDER BY hour_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+       |       // $CompactTarget AS BIGINT) AS bin
+       |  FROM f)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(min(hour_id) AS BIGINT) AS hour_lo,
+       |  CAST(max(hour_id) AS BIGINT) AS hour_hi
+       |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder" -> layoutZorder)
+    "layout_zorder" -> layoutZorder,
+    "layout_compact" -> layoutCompact)
 
   val oracle: Map[String, String] = Map(
-    "layout_zorder" -> layoutZorderSql)
+    "layout_zorder" -> layoutZorderSql,
+    "layout_compact" -> layoutCompactSql)
 }

@@ -858,7 +858,53 @@ object Similarity {
        | CAST(n_a * tot_b - n_b * tot_a AS BIGINT) AS cross_diff
        |FROM p, t ORDER BY cid""".stripMargin
 
+  // --- embed_dim_stats ----------------------------------------------------
+  // Per-dimension profile of the embedding matrix — the normalization /
+  // whitening prep (and the "is this dimension dead?" screen) every
+  // embedding pipeline runs before indexing: per dim, count, quantized
+  // sum, min, max, and mean. Components are quantized to round(v·2^20)
+  // integers IN THE SCAN (the embed_kmeans_step idiom), so sums are
+  // associative integer math — exact at any partitioning. Scale shape:
+  // pure map + ONE global combinable aggregate with 3·Dim integer columns
+  // (the shuffle is ~193 longs per partition regardless of corpus size);
+  // the 64-row report unpivots AFTER aggregation. The mean is ONE IEEE
+  // division of identical exact operands: sum_q / (n · 2^20). The oracle
+  // keeps the corpus×Dim unnest formulation.
+  def embedDimStats(spark: SparkSession, d: String): DataFrame = {
+    val e = vectors(spark, d)
+    val qcols = (0 until Dim).map(i =>
+      round(element_at(col("v"), i + 1) * KmQ).cast("long").as(s"q$i"))
+    val rows = e.select(qcols: _*)
+    val aggs = (0 until Dim).flatMap(i => Seq(
+      sum(col(s"q$i")).as(s"s$i"), min(col(s"q$i")).as(s"lo$i"),
+      max(col(s"q$i")).as(s"hi$i")))
+    val one = rows.agg(count(lit(1)).as("n_vecs"), aggs: _*)
+    one.select(col("n_vecs"),
+      explode(array((0 until Dim).map(i => struct(
+        lit(i + 1).cast("long").as("dim"), col(s"s$i").as("sum_q"),
+        col(s"lo$i").as("min_q"), col(s"hi$i").as("max_q"))): _*)).as("p"))
+      .select(col("p.dim").as("dim"), col("n_vecs"), col("p.sum_q").as("sum_q"),
+        col("p.min_q").as("min_q"), col("p.max_q").as("max_q"),
+        (col("p.sum_q").cast("double") /
+          (col("n_vecs") * lit(KmQ)).cast("double")).as("mean"))
+      .orderBy("dim")
+  }
+
+  val embedDimStatsSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |q AS (SELECT CAST(i AS BIGINT) AS dim,
+       |  CAST(round(v[CAST(i AS INT)] * $KmQ) AS BIGINT) AS q
+       | FROM e, range(1, ${Dim + 1}) t(i)),
+       |n AS (SELECT count(*) AS n_vecs FROM e)
+       |SELECT dim, CAST(n_vecs AS BIGINT) AS n_vecs,
+       | CAST(sum(q) AS BIGINT) AS sum_q,
+       | CAST(min(q) AS BIGINT) AS min_q,
+       | CAST(max(q) AS BIGINT) AS max_q,
+       | CAST(sum(q) AS DOUBLE) / CAST(n_vecs * $KmQ AS DOUBLE) AS mean
+       |FROM q, n GROUP BY dim, n_vecs ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_dim_stats" -> embedDimStats,
     "embed_drift" -> embedDrift,
     "embed_outliers" -> embedOutliers,
     "embed_power_iter" -> embedPowerIter,
@@ -873,6 +919,7 @@ object Similarity {
     "embed_cluster" -> embedCluster)
 
   val oracle: Map[String, String] = Map(
+    "embed_dim_stats" -> embedDimStatsSql,
     "embed_drift" -> embedDriftSql,
     "embed_outliers" -> embedOutliersSql,
     "embed_power_iter" -> embedPowerIterSql,

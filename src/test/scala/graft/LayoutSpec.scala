@@ -33,4 +33,22 @@ class LayoutSpec extends SparkSpec {
     // time-selective probe: linear's native dimension is at least as good
     assert(scanned("linear_time", "y_band") <= scanned("zorder", "y_band"))
   }
+
+  test("layout_compact bins are full, contiguous, and cover every file and row") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val totalRows = ev.count()
+    val totalFiles = ev.select(expr("cast(ts as long) div 3600")).distinct().count()
+    val bins = Layout.layoutCompact(spark, sf).collect()
+    assert(bins.map(_.getAs[Long]("bin")).toSeq === bins.indices.map(_.toLong))
+    assert(bins.map(_.getAs[Long]("n_rows")).sum === totalRows)
+    assert(bins.map(_.getAs[Long]("n_files")).sum === totalFiles)
+    // start-offset rule: every bin but the last holds >= the target
+    bins.init.foreach(r => assert(r.getAs[Long]("n_rows") >= 512L))
+    // time clustering preserved: hour spans are disjoint and ascending
+    bins.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hour_hi") < b.getAs[Long]("hour_lo"))
+      case _ =>
+    }
+  }
 }
