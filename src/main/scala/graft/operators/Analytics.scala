@@ -1433,6 +1433,102 @@ object Analytics {
        |  CAST(sum(n_events) AS BIGINT) AS n_events
        |FROM ud GROUP BY 1 ORDER BY n_hours_active""".stripMargin
 
+  // --- q7_nation_volume -----------------------------------------------------
+  // TPC-H Q7 shape: bilateral trade volume by (supplier nation, customer
+  // nation, ship year). Unlike q5's co-located star (c_nationkey =
+  // s_nationkey collapses to one nation), Q7 keeps BOTH nation dimensions
+  // and reports the asymmetric pair matrix. Scale shape: lineitem (the
+  // 100 TB fact) joins orders on its own key — the one genuinely large
+  // shuffle, on the natural key AQE can split on skew; supplier/customer
+  // are SF-proportional dims planned from observed size (no hints — AQE
+  // broadcasts while they fit); the two 25-row nation name lookups ride
+  // whatever plan AQE picks for their parents. The cross-nation filter
+  // (c_nationkey != s_nationkey) runs on the integer KEYS at the customer
+  // join, before any name lookup, so excluded rows never reach the final
+  // joins. Money in integer cents (q5 idiom): one IEEE division at the end.
+  def q7NationVolume(spark: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(spark, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, d).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, d).select(
+      col("l_orderkey"), col("l_suppkey"),
+      year(col("l_shipdate")).cast("long").as("l_year"),
+      (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("vol"))
+    l.join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") =!= s("s_nationkey"))
+      .join(n1, s("s_nationkey") === n1("s_nk"))
+      .join(n2, c("c_nationkey") === n2("c_nk"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg((sum(col("vol")) / 10000.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey <> s_nationkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // --- q_overlap_matrix -----------------------------------------------------
+  // Exact pairwise audience overlap between event types — the EXACT
+  // counterpart of sketch_jaccard's theta estimate, over the same user-day
+  // activity sets (bare user sets degenerate here: every type shares the
+  // full user population). Naive formulation self-joins the corpus-sized
+  // (type, user-day) relation — the oracle keeps it; the Spark plan instead
+  // collapses the corpus ONCE onto user-day keys (map-side combinable —
+  // collect_set over ≤|types| elements is bounded state, not corpus
+  // state), then explodes each user-day's sorted type set into its
+  // ordered pairs IN THE MAP (≤ C(T,2) = 10 structs per row, no join), so
+  // the only post-corpus shuffle carries pair keys onto ≤ T² reducers.
+  // Same-operand IEEE division for jaccard; everything else integer.
+  def qOverlapMatrix(spark: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(spark, d)
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"), col("event_type"))
+      .groupBy("user_id", "day")
+      .agg(sort_array(collect_set("event_type")).as("types"))
+    val pairs = ud.select(explode(expr(
+        "flatten(transform(types, (a, i) -> " +
+          "transform(slice(types, i + 2, size(types)), b -> struct(a AS ta, b AS tb))))")).as("p"))
+      .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val tot = ud.select(explode(col("types")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    pairs
+      .join(tot.select(col("t").as("ta_k"), col("n").as("n_a")), col("type_a") === col("ta_k"))
+      .join(tot.select(col("t").as("tb_k"), col("n").as("n_b")), col("type_b") === col("tb_k"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        (col("n_both").cast("double") / (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val qOverlapMatrixSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, event_type
+      |  FROM events),
+      |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ud GROUP BY 1),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |        CAST(count(*) AS BIGINT) AS n_both
+      |      FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.day = b.day
+      |        AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+      |  CAST(n_both AS DOUBLE) / CAST(ta.n + tb.n - n_both AS DOUBLE) AS jaccard
+      |FROM p JOIN tot ta ON type_a = ta.event_type JOIN tot tb ON type_b = tb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   // --- q_dau_mau ------------------------------------------------------------
   // DAU / MAU stickiness — the product-analytics engagement ratio. The
   // classic formulation (per-day COUNT DISTINCT over a trailing 30-day
@@ -1625,6 +1721,8 @@ object Analytics {
     "q_column_stats" -> qColumnStats,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_activity_bitmap" -> qActivityBitmap,
+    "q7_nation_volume" -> q7NationVolume,
+    "q_overlap_matrix" -> qOverlapMatrix,
     "q_multi_exists" -> qMultiExists,
     "q_cumulative_users" -> qCumulativeUsers,
     "q_exists_subquery" -> qExistsSubquery,
@@ -1670,6 +1768,8 @@ object Analytics {
     "q_column_stats" -> qColumnStatsSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_activity_bitmap" -> qActivityBitmapSql,
+    "q7_nation_volume" -> q7Sql,
+    "q_overlap_matrix" -> qOverlapMatrixSql,
     "q_multi_exists" -> qMultiExistsSql,
     "q_cumulative_users" -> qCumulativeUsersSql,
     "q_exists_subquery" -> qExistsSubquerySql,

@@ -185,11 +185,89 @@ object Layout {
        |  CAST(max(hour_id) AS BIGINT) AS hour_hi
        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // --- layout_cluster_depth -----------------------------------------------
+  // Clustering-quality metric — the "should we re-sort this table?" signal
+  // table formats derive from file-level min/max stats: how badly do the
+  // per-file [min(value), max(value)] ranges of a time-appended layout
+  // overlap on a non-time column? Perfectly value-clustered files are
+  // pairwise disjoint (every range-probe prunes to ~1 file); a time-append
+  // layout of an uncorrelated column overlaps almost totally (probes scan
+  // everything — exactly what layout_zorder measures from the probe side).
+  // Reports C(n,2) pair totals, overlapping pairs, and max sweep depth
+  // (the worst-case file count a point probe must read).
+  //
+  // Scale shape: the corpus contributes ONE map-side-combinable groupBy
+  // onto |hours| keys (min/max per file); the endpoint sweep — a sorted
+  // cumulative count over 2·|files| rows — runs on the METADATA table
+  // (manifest-sized at any corpus scale, the layout_compact precedent),
+  // so its unpartitioned window never sees the corpus. Counting uses the
+  // classic sweep identity: a pair is disjoint iff one file's hi sorts
+  // strictly before the other's lo (closed-interval semantics, so the
+  // degenerate single-row-file case where lo = hi cannot double-count),
+  // hence disjoint pairs = Σ over lo-endpoints of (hi-endpoints strictly
+  // before it) — one running sum, no pairwise join even on metadata.
+  def layoutClusterDepth(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.events(spark, d)
+      .groupBy(expr("cast(ts as long) div 3600").as("hour_id"))
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    // kind 0 = interval open (lo), 1 = close (hi); lo sorts FIRST on value
+    // ties so a hi touching a lo at equal value counts as overlapping
+    // (closed intervals), never as closed-before.
+    val endpoints = files.select(col("hour_id"), col("lo").as("v"), lit(0).as("kind"))
+      .unionAll(files.select(col("hour_id"), col("hi").as("v"), lit(1).as("kind")))
+    val w = Window.orderBy("v", "kind", "hour_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = endpoints
+      .withColumn("c_lo", sum(when(col("kind") === 0, 1L).otherwise(0L)).over(w))
+      .withColumn("c_hi_excl",
+        sum(when(col("kind") === 1, 1L).otherwise(0L)).over(w) -
+          when(col("kind") === 1, 1L).otherwise(0L))
+    swept.filter(col("kind") === 0)
+      .select((col("c_lo") - col("c_hi_excl")).as("depth"), col("c_hi_excl").as("closed_before"))
+      .agg(count(lit(1)).as("n_files"), max("depth").as("max_depth"),
+        sum("closed_before").as("disjoint"))
+      .select(col("n_files"),
+        expr("n_files * (n_files - 1) div 2").as("total_pairs"),
+        expr("n_files * (n_files - 1) div 2 - disjoint").as("overlap_pairs"),
+        col("max_depth"),
+        (expr("n_files * (n_files - 1) div 2 - disjoint").cast("double") /
+          expr("n_files * (n_files - 1) div 2").cast("double")).as("overlap_frac"))
+  }
+
+  val layoutClusterDepthSql: String =
+    """WITH f AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_id,
+      |         min(value) AS lo, max(value) AS hi
+      |  FROM events GROUP BY 1),
+      |e AS (SELECT hour_id, lo AS v, 0 AS kind FROM f
+      |      UNION ALL SELECT hour_id, hi, 1 FROM f),
+      |s AS (SELECT kind,
+      |  sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) OVER
+      |    (ORDER BY v, kind, hour_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_lo,
+      |  sum(CASE WHEN kind = 1 THEN 1 ELSE 0 END) OVER
+      |    (ORDER BY v, kind, hour_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    - CASE WHEN kind = 1 THEN 1 ELSE 0 END AS c_hi_excl
+      |  FROM e),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_files,
+      |        CAST(max(c_lo - c_hi_excl) AS BIGINT) AS max_depth,
+      |        CAST(sum(c_hi_excl) AS BIGINT) AS disjoint
+      |      FROM s WHERE kind = 0)
+      |SELECT n_files,
+      |  CAST(n_files * (n_files - 1) // 2 AS BIGINT) AS total_pairs,
+      |  CAST(n_files * (n_files - 1) // 2 - disjoint AS BIGINT) AS overlap_pairs,
+      |  max_depth,
+      |  CAST(n_files * (n_files - 1) // 2 - disjoint AS DOUBLE)
+      |    / CAST(n_files * (n_files - 1) // 2 AS DOUBLE) AS overlap_frac
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> layoutZorder,
-    "layout_compact" -> layoutCompact)
+    "layout_compact" -> layoutCompact,
+    "layout_cluster_depth" -> layoutClusterDepth)
 
   val oracle: Map[String, String] = Map(
     "layout_zorder" -> layoutZorderSql,
-    "layout_compact" -> layoutCompactSql)
+    "layout_compact" -> layoutCompactSql,
+    "layout_cluster_depth" -> layoutClusterDepthSql)
 }

@@ -530,4 +530,49 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Double]("share_bp") > 75.0)
     }
   }
+
+  test("q_overlap_matrix agrees with brute-force set intersection") {
+    val ud = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), expr("cast(ts as long) div 86400").as("day"))
+      .distinct().collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+    val sets = ud.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val rows = Analytics.qOverlapMatrix(spark, sf).collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(a < b) // ordered pairs, no diagonal, no mirror duplicates
+      val inter = (sets(a) intersect sets(b)).size.toLong
+      assert(r.getAs[Long]("n_a") === sets(a).size.toLong)
+      assert(r.getAs[Long]("n_b") === sets(b).size.toLong)
+      assert(r.getAs[Long]("n_both") === inter)
+      assert(r.getAs[Double]("jaccard") ===
+        inter.toDouble / (sets(a).size + sets(b).size - inter).toDouble)
+    }
+    // every co-occurring pair is present
+    val expectPairs = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      if (sets(a) intersect sets(b)).nonEmpty
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet === expectPairs)
+  }
+
+  test("q7_nation_volume conserves total cross-nation volume") {
+    val rows = Analytics.q7NationVolume(spark, sf).collect()
+    rows.foreach { r => assert(r.getAs[String]("supp_nation") !== r.getAs[String]("cust_nation")) }
+    // independently recompute the grand total in integer cents
+    val totalCents = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .agg(sum(expr("cast(round(l_extendedprice*100) as long) * (100 - cast(round(l_discount*100) as long))")))
+      .collect().head.getLong(0)
+    // undo each group's single /10^4 division: the double sits within
+    // ~1e-7 of the true quotient, so HALF_UP rounding recovers exact cents
+    val gotCents = rows.map { r =>
+      (BigDecimal(r.getAs[Double]("revenue")) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    assert(gotCents === totalCents)
+  }
 }

@@ -51,4 +51,25 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("layout_cluster_depth sweep counts match brute-force pairwise overlap") {
+    val files = graft.sources.Tables.events(spark, sf)
+      .groupBy(expr("cast(ts as long) div 3600").as("hour_id"))
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => (r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+    val n = files.length
+    // closed-interval intersection, O(n^2) on the metadata in-test
+    val bruteOverlap = (for {
+      i <- files.indices; j <- i + 1 until n
+      if files(i)._1 <= files(j)._2 && files(j)._1 <= files(i)._2
+    } yield 1).size.toLong
+    val bruteDepth = files.map { case (lo, _) =>
+      files.count { case (l, h) => l <= lo && lo <= h }.toLong
+    }.max
+    val r = Layout.layoutClusterDepth(spark, sf).collect().head
+    assert(r.getAs[Long]("n_files") === n.toLong)
+    assert(r.getAs[Long]("total_pairs") === n.toLong * (n - 1) / 2)
+    assert(r.getAs[Long]("overlap_pairs") === bruteOverlap)
+    assert(r.getAs[Long]("max_depth") === bruteDepth)
+  }
 }
