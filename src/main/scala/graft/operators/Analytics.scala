@@ -966,6 +966,66 @@ object Analytics {
       | CAST(max(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS max_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_merge_upsert -------------------------------------------------------
+  // The MERGE INTO row-level shape (Delta/Iceberg upsert core): a base
+  // snapshot (per-user latest state before the split) merged with a delta
+  // batch (latest state from the new day), each row labeled with the
+  // action MERGE would take — update (matched), insert (delta-only), keep
+  // (base-only, i.e. WHEN NOT MATCHED BY SOURCE). Distinct from
+  // q_latest_by_key (single-table compaction) and q_incremental_agg
+  // (associative aggregate merge): this is the non-associative row-level
+  // state merge where the delta WINS, the primitive behind every CDC sink.
+  // Scale shape: both sides collapse to one record per key via the
+  // map-side-combinable struct-max BEFORE the merge, so the full-outer
+  // join sees |keys| rows per side (never raw events) and hashes both on
+  // the same key — one co-partitioned exchange pair, AQE-planned.
+  // Integer-cents state; the (ts, event_id) struct prefix is a unique
+  // total order so the winner never depends on the payload.
+  /** Events-shaped DataFrame variant for library callers (and the synthetic
+    * spec: the driver corpus has every user active on both sides of the
+    * split, so insert/keep only arise on caller data). */
+  def mergeUpsertFrom(ev: DataFrame, splitTs: String): DataFrame = {
+    def latest(df: DataFrame): DataFrame = df
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), cents(col("value")).as("vc")).as("r"))
+      .groupBy("user_id").agg(max(col("r")).as("r"))
+      .select(col("user_id"), col("r.vc").as("c"))
+    val base = latest(ev.filter(col("ts") < ts(splitTs)))
+      .select(col("user_id"), col("c").as("base_cents"))
+    val delta = latest(ev.filter(col("ts") >= ts(splitTs)))
+      .select(col("user_id"), col("c").as("delta_cents"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"), col("base_cents"), col("delta_cents"),
+        coalesce(col("delta_cents"), col("base_cents")).as("merged_cents"),
+        when(col("base_cents").isNotNull && col("delta_cents").isNotNull, "update")
+          .when(col("delta_cents").isNotNull, "insert")
+          .otherwise("keep").as("action"))
+      .orderBy("user_id")
+  }
+
+  def qMergeUpsert(spark: SparkSession, d: String): DataFrame =
+    mergeUpsertFrom(Tables.events(spark, d), IncSplit)
+
+  val qMergeUpsertSql: String =
+    s"""WITH e AS (SELECT user_id, ts, event_id,
+       |    CAST(round(value*100) AS BIGINT) AS c FROM events),
+       |b AS (SELECT user_id, c FROM (
+       |    SELECT user_id, c, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM e WHERE ts < TIMESTAMP '$IncSplit') WHERE rn = 1),
+       |d AS (SELECT user_id, c FROM (
+       |    SELECT user_id, c, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM e WHERE ts >= TIMESTAMP '$IncSplit') WHERE rn = 1)
+       |SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+       |  b.c AS base_cents, d.c AS delta_cents,
+       |  COALESCE(d.c, b.c) AS merged_cents,
+       |  CASE WHEN b.user_id IS NOT NULL AND d.user_id IS NOT NULL THEN 'update'
+       |       WHEN d.user_id IS NOT NULL THEN 'insert'
+       |       ELSE 'keep' END AS action
+       |FROM b FULL OUTER JOIN d ON b.user_id = d.user_id
+       |ORDER BY user_id""".stripMargin
+
   // --- q_markov_transitions -----------------------------------------------
   // First-order Markov transition matrix over per-user event streams: for
   // every (prev_type → next_type) pair, the transition count and empirical
@@ -1741,6 +1801,7 @@ object Analytics {
     "q_cooccurrence" -> qCooccurrence,
     "q_mode_by_key" -> qModeByKey,
     "q_latest_by_key" -> qLatestByKey,
+    "q_merge_upsert" -> qMergeUpsert,
     "q_skew_join" -> qSkewJoin,
     "q_retention" -> qRetention,
     "q_funnel" -> qFunnel,
@@ -1788,6 +1849,7 @@ object Analytics {
     "q_cooccurrence" -> qCooccurrenceSql,
     "q_mode_by_key" -> qModeByKeySql,
     "q_latest_by_key" -> qLatestByKeySql,
+    "q_merge_upsert" -> qMergeUpsertSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_retention" -> qRetentionSql,
     "q_funnel" -> qFunnelSql,

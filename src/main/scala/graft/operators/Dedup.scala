@@ -876,7 +876,61 @@ object Dedup {
        | CAST(sum(inter) AS BIGINT) AS sum_inter, max(jaccard) AS max_jaccard
        |FROM lab GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 
+  // --- dedup_recall ---------------------------------------------------------
+  // Candidate-generation recall audit — the dedup-family sibling of
+  // ann_recall: how many TRUE near-dup pairs (exact shingle Jaccard ≥ τ)
+  // does banded LSH actually surface as candidates, reported per exact-
+  // similarity band (the S-curve evidence: recall must rise toward 1.0 as
+  // similarity → 1). Ground truth is the UNRESTRICTED shingle equijoin —
+  // pairs sharing ≥1 shingle (a pair sharing none can never reach τ > 0),
+  // intersection counted per pair, threshold 3·inter ≥ na+nb (the exact
+  // integer form of jaccard ≥ 0.5 — no float at the cut). This is the one
+  // job in the family whose cost is NOT density-bounded: the s-equijoin
+  // fans out by per-shingle document frequency, which is why production
+  // runs it on an audit slice, not the full 100 TB corpus — the operator
+  // exists to GRADE the approximation the full corpus relies on. The
+  // candidate probe reads the MEMOIZED pair table (density-bounded);
+  // banding is exact integer math ((inter·10) div union); recall = one
+  // same-operand division.
+  def dedupRecall(spark: SparkSession, d: String): DataFrame = {
+    val cand = lshShared(spark, d).cand.select("da", "db")
+    val sh = shingles(Tables.documents(spark, d))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val tr = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val tj = tr
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .filter(col("inter") * 3 >= col("na") + col("nb"))
+    tj.join(cand.withColumn("hit", lit(1L)), Seq("da", "db"), "left")
+      .select(expr("(inter * 10) div (na + nb - inter)").as("band"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_true"), sum("hit").as("n_hit"))
+      .select(col("band"), col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true").cast("double")).as("recall"))
+      .orderBy("band")
+  }
+
+  val dedupRecallSql: String = LshCte +
+    s""",
+       |szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |tr AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
+       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |tj AS (SELECT tr.da, tr.db, inter, x.n AS na, y.n AS nb
+       |       FROM tr JOIN szs x ON tr.da = x.doc_id JOIN szs y ON tr.db = y.doc_id
+       |       WHERE inter * 3 >= x.n + y.n),
+       |h AS (SELECT tj.*, CASE WHEN cand.da IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |      FROM tj LEFT JOIN cand ON tj.da = cand.da AND tj.db = cand.db)
+       |SELECT CAST((inter * 10) // (na + nb - inter) AS BIGINT) AS band,
+       |  CAST(count(*) AS BIGINT) AS n_true, CAST(sum(hit) AS BIGINT) AS n_hit,
+       |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM h GROUP BY 1 ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_recall" -> dedupRecall,
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_degree_dist" -> dedupDegreeDist,
     "dedup_prefix" -> dedupPrefix,
@@ -895,6 +949,7 @@ object Dedup {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracle: Map[String, String] = Map(
+    "dedup_recall" -> dedupRecallSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_degree_dist" -> dedupDegreeDistSql,
     "dedup_prefix" -> dedupPrefixSql,

@@ -575,4 +575,35 @@ class AnalyticsSpec extends SparkSpec {
     }.sum
     assert(gotCents === totalCents)
   }
+
+  test("q_merge_upsert on the corpus: delta wins, keys conserved") {
+    val rows = Analytics.qMergeUpsert(spark, sf).collect()
+    val allUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.length.toLong === allUsers)
+    rows.foreach { r =>
+      val (b, d) = (r.getAs[java.lang.Long]("base_cents"), r.getAs[java.lang.Long]("delta_cents"))
+      val expect = if (d != null) d else b
+      assert(r.getAs[Long]("merged_cents") === expect.longValue)
+    }
+  }
+
+  test("q_merge_upsert synthetic: all three MERGE actions labeled correctly") {
+    import spark.implicits._
+    // user 1 base-only (keep), user 2 both (update, delta wins),
+    // user 3 delta-only (insert); user 2 has two delta rows — latest wins
+    val ev = Seq(
+      (1L, "2024-01-10 00:00:00", 10L, 1.00),
+      (2L, "2024-01-11 00:00:00", 11L, 2.00),
+      (2L, "2024-01-16 01:00:00", 12L, 3.00),
+      (2L, "2024-01-16 02:00:00", 13L, 4.00),
+      (3L, "2024-01-17 00:00:00", 14L, 5.00)
+    ).toDF("user_id", "ts_s", "event_id", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("event_id"), col("value"))
+    val got = Analytics.mergeUpsertFrom(ev, "2024-01-16 00:00:00").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("action"), r.getAs[Long]("merged_cents"))).toMap
+    assert(got === Map(
+      1L -> ("keep", 100L), 2L -> ("update", 400L), 3L -> ("insert", 500L)))
+  }
 }

@@ -324,4 +324,19 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Double]("max_jaccard") >= 0.8) // JaccardTau
     }
   }
+
+  test("dedup_recall: hits = verified pairs exactly, bands well-formed") {
+    val bands = Dedup.dedupRecall(spark, sf).collect()
+    bands.foreach { r =>
+      val (t, h) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_hit"))
+      assert(h <= t && t > 0)
+      assert(r.getAs[Double]("recall") === h.toDouble / t.toDouble)
+      val b = r.getAs[Long]("band")
+      assert(b >= 5 && b <= 10) // tau = 0.5 floor, 10 = identical sets
+    }
+    // truth ∩ candidates = candidates passing exact-jaccard tau = verified:
+    // the summed hits must equal the verified pair table exactly
+    val verified = Dedup.dedupNgramJaccard(spark, sf).count()
+    assert(bands.map(_.getAs[Long]("n_hit")).sum === verified)
+  }
 }
