@@ -1773,7 +1773,123 @@ object Analytics {
        |FROM u, c ORDER BY user_id""".stripMargin
   }
 
+  // --- q_promo_share ------------------------------------------------------
+  // TPC-H Q14 shape: promotion revenue share per ship month — the
+  // conditional-aggregation ratio report ("what fraction of revenue came
+  // from the promo line?"). The part side is a dimension (|parts| rows,
+  // two columns after pruning) joined hint-free: AQE broadcasts it from
+  // observed size; the fact scan prunes to 4 columns. Revenue stays in
+  // the exact integer-cents lattice (cents × (100−disc_cents) is an
+  // associative BIGINT sum at any partitioning); the share is ONE IEEE
+  // division of identical exact operands per output row. Output is
+  // |months| rows — the groupBy is fully map-side-combinable.
+  def qPromoShare(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+      .select(col("l_partkey"), date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
+    val p = Tables.part(spark, d).select(col("p_partkey"), col("p_type"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("ship_month")
+      .agg(
+        (sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0L))) / 10000.0)
+          .as("promo_revenue"),
+        (sum(col("rev")) / 10000.0).as("total_revenue"),
+        (sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0L))) * lit(100L) /
+          sum(col("rev")).cast("double")).as("promo_share_pct"))
+      .orderBy("ship_month")
+  }
+
+  val qPromoShareSql: String =
+    """WITH l AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_partkey,
+      |  CAST(round(l_extendedprice*100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev
+      | FROM lineitem)
+      |SELECT ship_month,
+      | CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)/10000.0 AS promo_revenue,
+      | CAST(sum(rev) AS BIGINT)/10000.0 AS total_revenue,
+      | CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)*100
+      |   / CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE) AS promo_share_pct
+      |FROM l JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q_min_cost_supplier ------------------------------------------------
+  // TPC-H Q2 shape (decorrelated): for every part, the supplier that has
+  // shipped it cheapest — "min over a correlated group, then fetch the
+  // row that achieved it". The textbook form is a correlated subquery
+  // re-scanning lineitem per part; here the whole thing is ONE
+  // map-side-combinable struct-min per partkey (the comparison key is
+  // (cents, suppkey), so the smallest-suppkey tie-break is built into the
+  // ordering — no second pass, no window over raw rows). The |parts|-row
+  // result then joins the supplier dimension hint-free (AQE broadcasts
+  // from observed size). At 100 TB: lineitem shuffles one candidate per
+  // partkey per map partition, never raw rows.
+  def qMinCostSupplier(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+      .select(col("l_partkey"),
+        struct(cents(col("l_extendedprice")).as("pc"), col("l_suppkey").as("sk")).as("cand"))
+    val best = l.groupBy("l_partkey").agg(min(col("cand")).as("b"))
+      .select(col("l_partkey").as("partkey"), (col("b.pc") / 100.0).as("min_price"),
+        col("b.sk").as("suppkey"))
+    val s = Tables.supplier(spark, d).select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val n = Tables.nation(spark, d).select(col("n_nationkey"), col("n_name"))
+    best.join(s, col("suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("partkey"), col("min_price"), col("suppkey"), col("s_name"), col("n_name"))
+      .orderBy("partkey")
+  }
+
+  val qMinCostSupplierSql: String =
+    """WITH c AS (SELECT l_partkey,
+      |  CAST(round(l_extendedprice*100) AS BIGINT) AS pc, l_suppkey FROM lineitem),
+      |m AS (SELECT l_partkey AS partkey, min(pc) AS mpc FROM c GROUP BY 1),
+      |b AS (SELECT m.partkey, m.mpc, min(c.l_suppkey) AS suppkey
+      | FROM m JOIN c ON c.l_partkey = m.partkey AND c.pc = m.mpc GROUP BY 1, 2)
+      |SELECT partkey, mpc/100.0 AS min_price, suppkey, s_name, n_name
+      |FROM b
+      |JOIN supplier ON suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY partkey""".stripMargin
+
+  // --- q_disjunctive ------------------------------------------------------
+  // TPC-H Q19 shape: an OR of three brand/size/quantity conjunctions over
+  // the fact⋈dim join — the disjunctive-predicate pushdown stress test
+  // (a naive planner evaluates the OR after the join; a good one pushes
+  // the per-side conjuncts into both scans: quantity bands into lineitem,
+  // size bands into part). Revenue in the exact cents lattice; the final
+  // aggregate is one row. The dim side is AQE-broadcast, hint-free.
+  def qDisjunctive(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+      .select(col("l_partkey"), col("l_quantity"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+    val p = Tables.part(spark, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .filter(col("p_size") >= 1 && col("p_size") <= 40)
+    val joined = l.join(p, col("l_partkey") === col("p_partkey"))
+    val pred =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 40) &&
+        col("l_quantity").between(20, 30))
+    joined.filter(pred)
+      .agg((sum(col("rev")) / 10000.0).as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  val qDisjunctiveSql: String =
+    """SELECT
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |   * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue,
+      | CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_promo_share" -> qPromoShare,
+    "q_min_cost_supplier" -> qMinCostSupplier,
+    "q_disjunctive" -> qDisjunctive,
     "q_dau_mau" -> qDauMau,
     "q_gini" -> qGini,
     "q_rfm" -> qRfm,
@@ -1822,6 +1938,9 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_promo_share" -> qPromoShareSql,
+    "q_min_cost_supplier" -> qMinCostSupplierSql,
+    "q_disjunctive" -> qDisjunctiveSql,
     "q_dau_mau" -> qDauMauSql,
     "q_gini" -> qGiniSql,
     "q_rfm" -> qRfmSql,
