@@ -1791,11 +1791,18 @@ object Analytics {
     l.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy("ship_month")
       .agg(
-        (sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0L))) / 10000.0)
-          .as("promo_revenue"),
-        (sum(col("rev")) / 10000.0).as("total_revenue"),
-        (sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0L))) * lit(100L) /
-          sum(col("rev")).cast("double")).as("promo_share_pct"))
+        sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0L))).as("pr"),
+        sum(col("rev")).as("tr"))
+      // The share divides the two already-converted doubles (never the raw
+      // BIGINT cents-lattice sums times 100): the integer lattice has
+      // ~2^63-cents² headroom per month, and an extra ×100 inside it is the
+      // first thing to wrap at extreme scale while an oracle summing in
+      // wider integers would error instead. Double-space division keeps
+      // both engines on the identical IEEE operand sequence.
+      .select(col("ship_month"),
+        (col("pr") / 10000.0).as("promo_revenue"),
+        (col("tr") / 10000.0).as("total_revenue"),
+        ((col("pr") / 10000.0) / (col("tr") / 10000.0) * lit(100.0)).as("promo_share_pct"))
       .orderBy("ship_month")
   }
 
@@ -1807,8 +1814,8 @@ object Analytics {
       |SELECT ship_month,
       | CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)/10000.0 AS promo_revenue,
       | CAST(sum(rev) AS BIGINT)/10000.0 AS total_revenue,
-      | CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)*100
-      |   / CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE) AS promo_share_pct
+      | (CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)/10000.0)
+      |   / (CAST(sum(rev) AS BIGINT)/10000.0) * 100.0 AS promo_share_pct
       |FROM l JOIN part ON l_partkey = p_partkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1823,13 +1830,22 @@ object Analytics {
   // result then joins the supplier dimension hint-free (AQE broadcasts
   // from observed size). At 100 TB: lineitem shuffles one candidate per
   // partkey per map partition, never raw rows.
-  def qMinCostSupplier(spark: SparkSession, d: String): DataFrame = {
-    val l = Tables.lineitem(spark, d)
+  /** The struct-min core: one candidate struct (price-cents, suppkey) per
+    * partkey; the lexicographic struct ordering makes "cheapest price,
+    * smallest suppkey on ties" a single combinable aggregate. Exposed so
+    * the tie-break path (several suppliers at the exact min price) can be
+    * pinned by a constructed-tie spec — the testdata rarely produces ties.
+    */
+  def minCostBest(lineitem: DataFrame): DataFrame =
+    lineitem
       .select(col("l_partkey"),
         struct(cents(col("l_extendedprice")).as("pc"), col("l_suppkey").as("sk")).as("cand"))
-    val best = l.groupBy("l_partkey").agg(min(col("cand")).as("b"))
+      .groupBy("l_partkey").agg(min(col("cand")).as("b"))
       .select(col("l_partkey").as("partkey"), (col("b.pc") / 100.0).as("min_price"),
         col("b.sk").as("suppkey"))
+
+  def qMinCostSupplier(spark: SparkSession, d: String): DataFrame = {
+    val best = minCostBest(Tables.lineitem(spark, d))
     val s = Tables.supplier(spark, d).select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
     val n = Tables.nation(spark, d).select(col("n_nationkey"), col("n_name"))
     best.join(s, col("suppkey") === col("s_suppkey"))
@@ -1870,7 +1886,7 @@ object Analytics {
         col("l_quantity").between(1, 11)) ||
       (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
         col("l_quantity").between(10, 20)) ||
-      (col("p_brand") === "Brand#34" && col("p_size").between(1, 40) &&
+      (col("p_brand") === "Brand#24" && col("p_size").between(1, 40) &&
         col("l_quantity").between(20, 30))
     joined.filter(pred)
       .agg((sum(col("rev")) / 10000.0).as("revenue"), count(lit(1)).as("n_lines"))
@@ -1884,7 +1900,7 @@ object Analytics {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
-      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+      |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_promo_share" -> qPromoShare,

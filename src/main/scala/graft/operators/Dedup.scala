@@ -372,8 +372,31 @@ object Dedup {
   // Deterministic: the converged minimum per component does not depend on
   // iteration order, so the oracle (transitive closure via recursive CTE)
   // agrees exactly.
+  /** Pre-materialize the family's memoized stage outputs — the LSH pair
+    * tables plus the converged component labels. Bench attribution contract
+    * (r8 verdict #4): the build is a PIPELINE cost shared by the whole
+    * family (in production it runs once and is checkpointed), so the bench
+    * warms it outside the timed region and reports it as a separate
+    * `family_build_s`; each family query's own time is then its marginal
+    * cost over the shared stage outputs.
+    */
+  def warmFamilyCaches(spark: SparkSession, d: String): Unit = {
+    lshShared(spark, d)
+    canonFor(spark, d)
+    ()
+  }
+
   def dedupComponents(spark: SparkSession, d: String): DataFrame = {
-    val canon = canonCache.get((spark, d)).filter(isCached).getOrElse {
+    val canon = canonFor(spark, d)
+    Tables.documents(spark, d).select(col("doc_id"))
+      .join(canon, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  private def canonFor(spark: SparkSession, d: String): DataFrame =
+    canonCache.get((spark, d)).filter(isCached).getOrElse {
       val pairs = lshShared(spark, d).verified.select("da", "db")
       // localCheckpoint (not persist) on every iteration input: a persisted
       // DataFrame keeps its FULL logical plan, so each round's plan would
@@ -414,12 +437,6 @@ object Dedup {
       canonCache((spark, d)) = converged
       converged
     }
-    Tables.documents(spark, d).select(col("doc_id"))
-      .join(canon, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
-      .orderBy("doc_id")
-  }
 
   val dedupComponentsSql: String = LshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
     s""",

@@ -180,6 +180,57 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM s)
        |SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // --- persisted IVF cell layout (r9, verdict #6) -------------------------
+  /** The corpus in IVF cell layout: (vec_id, v, cid) with assignment still
+    * a pure scan projection. `Sinks.writeIvfCells` persists this partitioned
+    * by `cid` — the billion-vector deployment shape the in-memory `ann_ivf`
+    * models: there, cells are recomputed per query batch; here they are
+    * STORAGE, and a probe reads only its nprobe cell directories (partition
+    * pruning — SimilaritySpec asserts the executed scan's file count equals
+    * the probed directories' files, not the corpus's).
+    */
+  def ivfCells(spark: SparkSession, d: String): DataFrame = {
+    val cents = seedCentroids(spark, d)
+    vectors(spark, d).select(col("vec_id"), col("v"),
+      (-bestCentroid(cents).getField("ncid")).cast("long").as("cid"))
+  }
+
+  /** Driver-side probe plan for one query id: its NProbe nearest cell ids.
+    * Pure quantizer math over k·dim doubles — the resident state any IVF
+    * index keeps; no corpus access beyond fetching the one query vector.
+    */
+  def probeCells(spark: SparkSession, d: String, qid: Long): Seq[Long] = {
+    val cents = seedCentroids(spark, d)
+    val qv = vectors(spark, d).filter(col("vec_id") === qid)
+      .head.getSeq[Double](1).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    cents.zipWithIndex
+      .map { case (c, cid) => (cos(qv, c), cid) }
+      .sortBy { case (s, cid) => (-s, cid) }
+      .take(NProbe).map(_._2.toLong)
+  }
+
+  /** Top-k for one query against a PERSISTED cell layout. The `cid` filter
+    * is a literal partition predicate, so the parquet scan lists only the
+    * probed `cid=` directories; ranking is TakeOrderedAndProject (never a
+    * global sort). Ties break exactly like `ann_ivf` (sim DESC, vec_id).
+    */
+  def annIvfFromLayout(spark: SparkSession, layoutPath: String, d: String,
+      qid: Long): DataFrame = {
+    val cids = probeCells(spark, d, qid)
+    val qv = vectors(spark, d).filter(col("vec_id") === qid).head.getSeq[Double](1)
+    spark.read.parquet(layoutPath)
+      .filter(col("cid").isin(cids: _*))
+      .withColumn("qv", array(qv.map(lit): _*))
+      .withColumn("sim", cosExpr)
+      .orderBy(desc("sim"), asc("vec_id")).limit(K)
+      .select(lit(qid).as("qid"), col("vec_id"), col("sim"))
+  }
+
   /** Lloyd-iteration centroid training for IVF — the scale path the
     * `ann_ivf` Scaladoc promises ("at scale you'd swap in k-means‖
     * centroids"). Each round: assign every vector to its nearest centroid

@@ -33,4 +33,13 @@ object Sinks {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** Write an IVF cell assignment (`Similarity.ivfCells`) as parquet
+    * partitioned by cell id (`cid=<n>/` directories) — the billion-vector
+    * ANN layout: a probe's literal `cid` predicate prunes the listing to
+    * its nprobe directories, so search I/O is ~nprobe/cells of the corpus
+    * instead of a full scan filtered after the fact.
+    */
+  def writeIvfCells(cells: DataFrame, path: String): Unit =
+    cells.write.mode("overwrite").partitionBy("cid").parquet(path)
 }

@@ -43,16 +43,27 @@ object EventStream {
     hourlyRollup(stream.withWatermark("ts", "2 hours"))
 
   /** Read the events table as a file-source stream (for specs: point it at
-    * a directory of parquet files; availableNow drains it and stops). The
-    * parquet stores TIMESTAMP(NANOS), which Spark reads as a nanos long
-    * (nanosAsLong) — declare it that way and convert to micros here, same
-    * as the batch loader.
+    * a directory of parquet files; availableNow drains it and stops).
+    *
+    * A streaming file source needs a declared schema up front, but the
+    * physical `ts` encoding is a property of the FILES, not the contract:
+    * TIMESTAMP(NANOS) parquet surfaces as a nanos long (nanosAsLong conf),
+    * TIMESTAMP(MICROS) as a (possibly NTZ) timestamp. Probe the footer
+    * schema once (driver-side, metadata only — no data read) and declare
+    * the stream to match, normalizing to a session-TZ timestamp exactly
+    * like the batch loader (`Tables.events`) so every downstream transform
+    * sees one contract regardless of which writer produced the files.
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val observed = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(observed).parquet(dir)
+    observed("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        stream.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
 
   case class EventIn(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionOut(user_id: Long, n_events: Long, start: Timestamp, end: Timestamp)
@@ -107,6 +118,46 @@ object EventStream {
           }
       }
   }
+
+  /** Closed-session set — the deterministic output contract of the stateful
+    * sessionizer above. A bounded (availableNow) replay ends with each
+    * user's final session still open in `GroupState`, so the emitted set is
+    * exactly "every session but each user's last": a pure function of the
+    * data, independent of micro-batch boundaries. This batch expression of
+    * that contract is what the real-stream spec compares against and what
+    * the oracle verifies — the stream_hourly treatment applied to stateful
+    * session state.
+    */
+  def streamSessions(spark: SparkSession, d: String): DataFrame = {
+    val all = graft.operators.Analytics.qSessionize(spark, d)
+    val last = all.groupBy("user_id").agg(max(col("session_id")).as("session_id"))
+    all.join(last, Seq("user_id", "session_id"), "left_anti")
+      .select("user_id", "session_id", "n_events", "start_s", "end_s")
+      .orderBy("user_id", "session_id")
+  }
+
+  val streamSessionsSql: String =
+    """WITH flagged AS (
+      | SELECT user_id, event_id, ts,
+      |  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |       WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+      |       ELSE 0 END AS new_sess
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      | SELECT user_id, ts,
+      |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM flagged
+      |), agg AS (
+      | SELECT user_id, session_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s
+      | FROM sess GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, session_id, n_events, start_s, end_s
+      |FROM (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_sid FROM agg)
+      |WHERE session_id < last_sid
+      |ORDER BY user_id, session_id""".stripMargin
 
   /** Streaming dedup: at most one event per (user, minute) — the throttle/
     * exactly-once-ish pattern every ingest pipeline needs. ONE transform for
@@ -224,11 +275,13 @@ object EventStream {
     "stream_hourly" -> streamHourly,
     "stream_dedup" -> streamDedup,
     "stream_latest" -> streamLatest,
+    "stream_sessions" -> streamSessions,
     "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
     "stream_hourly" -> streamHourlySql,
     "stream_dedup" -> streamDedupSql,
     "stream_latest" -> streamLatestSql,
+    "stream_sessions" -> streamSessionsSql,
     "stream_topk" -> streamTopkSql)
 }

@@ -606,4 +606,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Map(
       1L -> ("keep", 100L), 2L -> ("update", 400L), 3L -> ("insert", 500L)))
   }
+
+  test("q_min_cost_supplier synthetic: smallest suppkey wins an exact price tie") {
+    import spark.implicits._
+    // part 1: suppliers 7 and 3 tie at 5.00 → 3 must win; supplier 9 cheaper
+    // on a DIFFERENT part must not leak in. part 2: no tie, cheapest wins.
+    val l = Seq(
+      (1L, 7L, 5.00), (1L, 3L, 5.00), (1L, 9L, 6.00),
+      (2L, 9L, 1.00), (2L, 1L, 2.00)
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val got = Analytics.minCostBest(l).collect()
+      .map(r => r.getAs[Long]("partkey") ->
+        (r.getAs[Double]("min_price"), r.getAs[Long]("suppkey"))).toMap
+    assert(got === Map(1L -> (5.00, 3L), 2L -> (1.00, 9L)))
+  }
 }

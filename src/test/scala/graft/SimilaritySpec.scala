@@ -271,6 +271,43 @@ class SimilaritySpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("best_sim") < 0.10))
   }
 
+  test("persisted IVF cell layout: nprobe=2 probe is a partition-pruned read matching the in-memory path") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+    graft.sources.Sinks.writeIvfCells(Similarity.ivfCells(spark, sf), out)
+    val qid = 3L
+    val cids = Similarity.probeCells(spark, sf, qid)
+    assert(cids.length === 2)
+
+    val res = Similarity.annIvfFromLayout(spark, out, sf, qid)
+    val got = res.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    // parity: the layout read scores exactly the in-memory two-cell path
+    val expect = Similarity.annIvf(spark, sf).filter(col("qid") === qid)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(got === expect)
+
+    // pruning proof: the executed scan read exactly the probed directories'
+    // files — never the whole corpus
+    val finalPlan = res.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = finalPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+    assert(scan.toString.contains("PartitionFilters") && scan.toString.contains("cid"))
+    def parquetFilesIn(d: java.io.File): Long =
+      d.listFiles.count(_.getName.endsWith(".parquet")).toLong
+    val cellDirs = new java.io.File(out).listFiles.filter(_.getName.startsWith("cid="))
+    val probed = cellDirs
+      .filter(f => cids.contains(f.getName.stripPrefix("cid=").toLong))
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead === probed.map(parquetFilesIn).sum)
+    assert(filesRead < cellDirs.map(parquetFilesIn).sum,
+      "probe read as many files as a full corpus scan — no pruning")
+  }
+
   test("drift halves partition the cluster profile and cross_diff is exact") {
     val drift = graft.operators.Similarity.embedDrift(spark, sf).collect()
     val cluster = graft.operators.Similarity.embedCluster(spark, sf).collect()

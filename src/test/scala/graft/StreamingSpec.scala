@@ -112,14 +112,12 @@ class StreamingSpec extends SparkSpec {
 
     // only CLOSED sessions are emitted — each user's trailing session is
     // still open in state when the bounded replay ends, so the expectation
-    // is the batch sessionizer minus every user's last session
+    // is exactly the stream_sessions oracle entry (batch sessionizer minus
+    // every user's last session)
     val streamed = spark.table("sessions_stream")
       .select(col("user_id"), col("n_events"),
         date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("start_s"))
-    val batchAll = graft.operators.Analytics.qSessionize(spark, sf)
-    val lastPerUser = batchAll.groupBy("user_id")
-      .agg(max(col("session_id")).as("session_id"))
-    val batchClosed = batchAll.join(lastPerUser, Seq("user_id", "session_id"), "left_anti")
+    val batchClosed = EventStream.streamSessions(spark, sf)
       .select(col("user_id"), col("n_events"), col("start_s"))
     assert(streamed.count() > 0)
     assert(streamed.except(batchClosed).count() === 0,
@@ -146,10 +144,17 @@ class StreamingSpec extends SparkSpec {
   test("dropDuplicatesWithinWatermark collapses retries with perturbed event times") {
     val dir = stageEventsDir()
     // simulate at-least-once delivery: every event is retried 30s later —
-    // same event_id, different ts, so a key+minute dedup would keep both
-    val raw = spark.read.parquet(dir) // nanos-long ts (nanosAsLong conf)
-    raw.withColumn("ts", col("ts") + lit(30000000000L))
-      .write.mode("append").parquet(dir)
+    // same event_id, different ts, so a key+minute dedup would keep both.
+    // The +30s must be expressed in the file's own ts encoding (nanos long
+    // vs timestamp) so the appended retries match the staged files' schema.
+    val raw = spark.read.parquet(dir)
+    val perturbed = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", col("ts") + lit(30000000000L)) // +30s in nanos
+      case _ =>
+        raw.withColumn("ts", col("ts") + expr("INTERVAL 30 SECONDS"))
+    }
+    perturbed.write.mode("append").parquet(dir)
     val q = EventStream.retryDedup(EventStream.eventsStream(spark, dir))
       .writeStream.format("memory").queryName("retry_dedup")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()

@@ -6,6 +6,15 @@ cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
 OUT="$(mktemp -d /tmp/graft-verify-XXXX)"
 
+echo "== testdata fingerprint: gate record must match the data it ran against"
+# The r8 postmortem: the driver regenerated /root/testdata (ts nanos→micros)
+# AFTER the last recorded green, silently invalidating it. Any schema/row
+# drift fails here until the fingerprint is deliberately re-recorded — which
+# means re-running this whole gate against the regenerated data:
+#   python3 tools/testdata_fingerprint.py > tools/testdata_fingerprint.txt
+python3 tools/testdata_fingerprint.py | diff tools/testdata_fingerprint.txt - \
+  || { echo "testdata regenerated since last recorded green — re-run + re-record"; exit 1; }
+
 echo "== compile + unit/streaming specs"
 sbt -batch test
 
