@@ -1286,7 +1286,74 @@ object TextAnalysis {
        |FROM c LEFT JOIN s ON c.source = s.source ORDER BY c.source""".stripMargin
   }
 
+  // --- select_temperature -------------------------------------------------
+  // Temperature-scaled source mixture (the data-mixing knob in multilingual
+  // / multi-source training runs; T=2 i.e. α=1/2 here): sampling share
+  // ∝ p^α upweights low-resource sources. Per-source sizes are exact
+  // integer sums; the only irrational step is sqrt (correctly-rounded IEEE
+  // in both engines, and sqrt(n_chars) ∝ sqrt(p) so no pre-division), and
+  // the normalizer folds the |sources| weights in ASCENDING SORTED order —
+  // Spark `aggregate(array_sort(...))` == DuckDB `list_reduce(list_sort)`,
+  // the proven cosine-oracle parity pattern — so shares are bit-identical
+  // without depending on either engine's internal aggregate order.
+  // Scale: corpus → ONE combinable groupBy onto |sources| keys; everything
+  // after runs on the report-sized table (the 1-row total cross-join is a
+  // broadcast of two doubles).
+  def selectTemperature(spark: SparkSession, d: String): DataFrame = {
+    val srcs = Tables.documents(spark, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("w", sqrt(col("n_chars").cast("double")))
+    val tot = srcs.agg(
+      sum(col("n_chars")).as("tot_chars"),
+      expr("aggregate(array_sort(collect_list(w)), 0d, (a, x) -> a + x)").as("tot_w"))
+    srcs.crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        (col("n_chars").cast("double") / col("tot_chars").cast("double")).as("p"),
+        (col("w") / col("tot_w")).as("share"))
+      .orderBy("source")
+  }
+
+  val selectTemperatureSql: String =
+    """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_docs, n_chars, sqrt(CAST(n_chars AS DOUBLE)) AS w FROM s),
+      |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+      |  list_reduce(list_prepend(0.0, list_sort(list(w))), (a, x) -> a + x) AS tot_w FROM w)
+      |SELECT source, n_docs, n_chars,
+      | CAST(n_chars AS DOUBLE)/CAST(tot_chars AS DOUBLE) AS p,
+      | w/tot_w AS share
+      |FROM w, t ORDER BY source""".stripMargin
+
+  // --- select_kfold -------------------------------------------------------
+  // Deterministic k-fold assignment (train/validation splits without a
+  // global shuffle): fold = first 16 bits of the seeded md5 of doc_id,
+  // mod k — a pure map any executor computes independently, the same
+  // content-free hash-split contract as doc_shuffle, so folds are stable
+  // across runs, cluster sizes, and partitionings (and a doc's fold never
+  // changes when the corpus grows — the property random splits lack).
+  // Report: per-fold doc/char counts, the balance fingerprint an ablation
+  // pipeline checks before training on k−1 folds.
+  private val KFolds = 5
+
+  def selectKfold(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("n_chars"),
+        (conv(substring(md5(concat(lit(ShuffleSeed), lit("|"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("long") % KFolds).as("fold"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("fold")
+
+  val selectKfoldSql: String =
+    s"""SELECT CAST(CAST('0x' || substr(md5('$ShuffleSeed|' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % $KFolds AS BIGINT) AS fold,
+       | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "select_temperature" -> selectTemperature,
+    "select_kfold" -> selectKfold,
     "text_bpe_pairs" -> textBpePairs,
     "select_rebalance" -> selectRebalance,
     "text_zipf" -> textZipf,
@@ -1319,6 +1386,8 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "select_temperature" -> selectTemperatureSql,
+    "select_kfold" -> selectKfoldSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "select_rebalance" -> selectRebalanceSql,
     "text_zipf" -> textZipfSql,

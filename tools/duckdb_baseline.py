@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Time DuckDB executing every oracle SQL — the operative local baseline.
+
+Usage:
+  python3 tools/duckdb_baseline.py <sfDir> <oracle_sql.json> [passes] [out.json]
+
+Runs each oracle query `passes` times (default 3) against the sfDir parquet
+tables with DuckDB fully materializing the result (df()), and writes
+{"per_query": {name: min_sec}, "total": sum_of_mins, ...} to out.json
+(default /tmp/duckdb_baseline.json). Compare per-query against
+bench_passes.json "query_mins" for the graft-vs-DuckDB ratio table in
+SCALING.md — both sides are min-over-passes, fully materialized.
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, oracle_path = sys.argv[1], sys.argv[2]
+    passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    out_path = sys.argv[4] if len(sys.argv) > 4 else "/tmp/duckdb_baseline.json"
+    with open(oracle_path) as f:
+        oracle = json.load(f)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    best = {}
+    errors = {}
+    for name, sql in sorted(oracle.items()):
+        for _ in range(passes):
+            t0 = time.monotonic()
+            try:
+                con.sql(sql).df()
+            except Exception as e:
+                errors[name] = str(e)[:200]
+                break
+            dt = time.monotonic() - t0
+            if name not in best or dt < best[name]:
+                best[name] = dt
+        if name in best:
+            print(f"  {name}: {best[name]:.3f}s")
+
+    result = {
+        "sf": sf_dir,
+        "passes": passes,
+        "n_queries": len(best),
+        "total_sum_of_mins": round(sum(best.values()), 3),
+        "per_query": {k: round(v, 4) for k, v in best.items()},
+        "errors": errors,
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"DuckDB sum-of-mins: {result['total_sum_of_mins']}s over "
+          f"{len(best)} queries ({len(errors)} errors) -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()
