@@ -1914,13 +1914,17 @@ object Analytics {
   // the per-brand division is the final step. At 100 TB the per-part
   // aggregate and the join both hash on l_partkey — one shuffle key, AQE
   // handles part-popularity skew.
-  def q17SmallQtyRevenue(spark: SparkSession, d: String): DataFrame = {
-    val l = Tables.lineitem(spark, d).select(
+  /** DataFrame-in core (lineitem needs l_partkey/l_quantity/l_extendedprice,
+    * part needs p_partkey/p_brand) — exposed so the strict-inequality
+    * boundary (a line at EXACTLY 20% of its part's average is NOT small)
+    * can be pinned by a constructed spec. */
+  def q17From(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val l = lineitem.select(
       col("l_partkey"), col("l_quantity").cast("long").as("qty"),
       cents(col("l_extendedprice")).as("price_c"))
     val perPart = l.groupBy("l_partkey")
       .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
-    val p = Tables.part(spark, d).select(col("p_partkey"), col("p_brand"))
+    val p = part.select(col("p_partkey"), col("p_brand"))
     l.join(perPart, Seq("l_partkey"))
       .filter(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
       .join(p, col("l_partkey") === col("p_partkey"))
@@ -1929,6 +1933,9 @@ object Analytics {
         (sum(col("price_c")) / 100.0).as("small_revenue"))
       .orderBy("p_brand")
   }
+
+  def q17SmallQtyRevenue(spark: SparkSession, d: String): DataFrame =
+    q17From(Tables.lineitem(spark, d), Tables.part(spark, d))
 
   val q17SmallQtyRevenueSql: String =
     """WITH l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,

@@ -207,6 +207,7 @@ object Sketches {
   // operator exists to expose degenerated to all-1s — r7 advice). The max
   // is a one-row aggregate crossed into the grid — no driver round-trip.
   private val BloomK = 4 // hash functions (3 hex chars each → m = 4096)
+  private val BloomBits = 4096 // filter width (one 3-hex-digit position space)
   private val ProbeSpan = 10L // probe band half-width around max(user_id)
 
   // position j of key k = int value of md5 hex chars [3j+1, 3j+3] — 12 of
@@ -266,6 +267,82 @@ object Sketches {
        | CAST(EXISTS (SELECT 1 FROM h WHERE h.event_type = p.event_type AND h.user_id = p.probe_uid) AS BIGINT) AS exact_hit
        |FROM probe p LEFT JOIN hit h2 ON h2.event_type = p.event_type AND h2.probe_uid = p.probe_uid
        |ORDER BY 1, 2""".stripMargin
+  }
+
+  // --- sketch_bloom_join --------------------------------------------------
+  // Bloom-filter semi-join pushdown — THE sketch-driven join optimization
+  // at 100 TB (Spark's own runtime bloom-filter join injects exactly this
+  // shape): the selective build side (orders from the trailing 7 days of
+  // the data) compresses to a 4096-bit bitmap collected ONCE on the driver
+  // (64 longs — the same KB-scale quantizer-state contract as IVF
+  // centroids), re-injected as a constant-folded literal array, and every
+  // fact key is membership-tested in the scan's project list: K md5 probes
+  // + bit tests, a pure map. At deployment the fact side sheds the
+  // non-matching ~99% of its rows BEFORE the join shuffle — the difference
+  // between shuffling 100 TB and shuffling the week's slice. This query
+  // GRADES the filter: per distinct fact key (the K hashes run once per
+  // KEY, never per line), it reports lines total / lines passing the
+  // bloom / true matches / false positives. No false negatives by
+  // construction — every true key's bits were set — which the oracle's
+  // n_true ≤ n_pass and the spec both pin.
+  private val BloomJoinDays = 7
+
+  def sketchBloomJoin(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val cutoff = o.agg((max(col("o_orderdate")) - expr(s"INTERVAL $BloomJoinDays DAYS")).as("cut"))
+    val build = o.crossJoin(cutoff).filter(col("o_orderdate") >= col("cut"))
+      .select(col("o_orderkey"))
+    // 64-long bitmap of the build keys' bloom bits (driver-side KB state)
+    val words = new Array[Long](BloomBits / 64)
+    build.select(explode(array((0 until BloomK).map(j =>
+        bloomPos(col("o_orderkey"), j)): _*)).as("pos"))
+      .distinct().collect().foreach { r =>
+        val p = r.getLong(0)
+        words((p / 64).toInt) |= (1L << (p % 64).toInt)
+      }
+    // membership test as one scan-side boolean: foldable literal array +
+    // K (word >> bit) & 1 probes. SQL text because the Scala shiftleft
+    // wrapper only takes a constant shift; the SQL function takes a column.
+    val bm = words.map(w => s"${w}L").mkString("array(", ",", ")")
+    val member = (0 until BloomK).map { j =>
+      val pos = s"CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), ${3 * j + 1}, 3), 16, 10) AS INT)"
+      s"((element_at($bm, CAST($pos DIV 64 + 1 AS INT)) & shiftleft(1L, $pos % 64)) != 0L)"
+    }.mkString("(", " AND ", ")")
+    val lk = Tables.lineitem(spark, d).groupBy("l_orderkey").agg(count(lit(1)).as("nl"))
+    lk.withColumn("p", expr(member))
+      .join(build.withColumn("t", lit(1L)),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(sum(col("nl")).as("n_fact_lines"),
+        sum(when(col("p"), col("nl")).otherwise(lit(0L))).as("n_pass_bloom"),
+        sum(when(col("t") === 1L, col("nl")).otherwise(lit(0L))).as("n_true_match"))
+      .select(col("n_fact_lines"), col("n_pass_bloom"), col("n_true_match"),
+        (col("n_pass_bloom") - col("n_true_match")).as("n_false_pos"))
+  }
+
+  val sketchBloomJoinSql: String = {
+    def posSql(key: String, j: String): String =
+      s"""(strpos('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), CAST(3*$j+1 AS INT), 1)) - 1) * 256 +
+         |  (strpos('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), CAST(3*$j+2 AS INT), 1)) - 1) * 16 +
+         |  (strpos('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), CAST(3*$j+3 AS INT), 1)) - 1)""".stripMargin
+    s"""WITH mx AS (SELECT max(o_orderdate) - INTERVAL $BloomJoinDays DAY AS cut FROM orders),
+       |b AS (SELECT o_orderkey FROM orders, mx WHERE o_orderdate >= cut),
+       |bits AS (SELECT DISTINCT ${posSql("o_orderkey", "j")} AS pos
+       |  FROM b, range(0, $BloomK) t(j)),
+       |lk AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS nl FROM lineitem GROUP BY 1),
+       |kp AS (SELECT l_orderkey, ${posSql("l_orderkey", "j")} AS pos, j
+       |  FROM lk, range(0, $BloomK) t(j)),
+       |hit AS (SELECT l_orderkey, count(DISTINCT j) AS nhit
+       |  FROM kp JOIN bits USING (pos) GROUP BY 1),
+       |f AS (SELECT lk.l_orderkey, nl,
+       |  CASE WHEN coalesce(nhit, 0) = $BloomK THEN 1 ELSE 0 END AS p,
+       |  CASE WHEN EXISTS (SELECT 1 FROM b WHERE b.o_orderkey = lk.l_orderkey)
+       |       THEN 1 ELSE 0 END AS t
+       | FROM lk LEFT JOIN hit USING (l_orderkey))
+       |SELECT CAST(sum(nl) AS BIGINT) AS n_fact_lines,
+       | CAST(sum(nl*p) AS BIGINT) AS n_pass_bloom,
+       | CAST(sum(nl*t) AS BIGINT) AS n_true_match,
+       | CAST(sum(nl*p) - sum(nl*t) AS BIGINT) AS n_false_pos
+       |FROM f""".stripMargin
   }
 
   // --- sketch_hll_union ---------------------------------------------------
@@ -620,7 +697,8 @@ object Sketches {
     "sketch_hll_union" -> sketchHllUnion,
     "sketch_quantile" -> sketchQuantile,
     "sketch_cms" -> sketchCms,
-    "sketch_bloom" -> sketchBloom)
+    "sketch_bloom" -> sketchBloom,
+    "sketch_bloom_join" -> sketchBloomJoin)
 
   val oracle: Map[String, String] = Map(
     "sketch_ams" -> sketchAmsSql,
@@ -630,5 +708,6 @@ object Sketches {
     "sketch_hll_union" -> sketchHllUnionSql,
     "sketch_quantile" -> sketchQuantileSql,
     "sketch_cms" -> sketchCmsSql,
-    "sketch_bloom" -> sketchBloomSql)
+    "sketch_bloom" -> sketchBloomSql,
+    "sketch_bloom_join" -> sketchBloomJoinSql)
 }

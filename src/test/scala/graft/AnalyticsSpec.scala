@@ -607,6 +607,24 @@ class AnalyticsSpec extends SparkSpec {
       1L -> ("keep", 100L), 2L -> ("update", 400L), 3L -> ("insert", 500L)))
   }
 
+  test("q17 synthetic: the 20%-of-average boundary is strict and averages stay per-part") {
+    import spark.implicits._
+    // part 1: quantities 1,4,5,10 → avg 5; the qty=1 line sits EXACTLY at
+    // 20% of the average (1 = 0.2·5 ⟺ 1·5·4 = 20 = sum) and must NOT
+    // count — the inequality is strict, so BrandA vanishes entirely.
+    // part 2: quantities 1,19 → avg 10; qty=1 is strictly under 20%·avg
+    // (1·5·2 = 10 < 20 = sum) and only its price reaches the brand sum.
+    val l = Seq(
+      (1L, 1.0, 100.0), (1L, 4.0, 1.0), (1L, 5.0, 1.0), (1L, 10.0, 1.0),
+      (2L, 1.0, 7.50), (2L, 19.0, 1.0)
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val p = Seq((1L, "BrandA"), (2L, "BrandB")).toDF("p_partkey", "p_brand")
+    val got = Analytics.q17From(l, p).collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Long]("n_small_lines"), r.getAs[Double]("small_revenue"))).toMap
+    assert(got === Map("BrandB" -> (1L, 7.50))) // BrandA's boundary line excluded
+  }
+
   test("q_min_cost_supplier synthetic: smallest suppkey wins an exact price tie") {
     import spark.implicits._
     // part 1: suppliers 7 and 3 tie at 5.00 → 3 must win; supplier 9 cheaper

@@ -212,4 +212,17 @@ class SketchesSpec extends SparkSpec {
       assert(est > 0.3 * f2 && est < 3.0 * f2, s"${r.getString(0)} est $est vs $f2")
     }
   }
+
+  test("sketch_bloom_join: no false negatives, and the filter actually filters") {
+    val r = graft.operators.Sketches.sketchBloomJoin(spark, sf).head
+    val (nFact, nPass, nTrue, nFp) = (r.getAs[Long]("n_fact_lines"),
+      r.getAs[Long]("n_pass_bloom"), r.getAs[Long]("n_true_match"),
+      r.getAs[Long]("n_false_pos"))
+    assert(nTrue > 0, "build side matched nothing — the probe window is dead")
+    assert(nTrue <= nPass, "false negative: a true match failed the bloom test")
+    assert(nFp === nPass - nTrue)
+    // the pushdown is worth doing: the bloom passes a small fraction of the
+    // fact side (508 build keys in 4096 bits keeps fp low at every sf)
+    assert(nPass < nFact / 2, s"bloom saturated: $nPass of $nFact passed")
+  }
 }

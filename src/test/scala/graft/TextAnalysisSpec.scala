@@ -592,4 +592,37 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_selected")))
     assert(again.toSeq === rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("n_selected"))).toSeq)
   }
+
+  test("select_kfold partitions the corpus deterministically into k balanced folds") {
+    val rows = TextAnalysis.selectKfold(spark, sf).collect()
+    val folds = rows.map(_.getAs[Long]("fold"))
+    assert(folds.forall(f => f >= 0 && f < 5))
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total) // folds partition
+    // hash-split balance: no fold takes more than twice its fair share
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") <= 2 * total / 5 + 1))
+    // fold assignment is a pure function of doc_id — rerun identical
+    val again = TextAnalysis.selectKfold(spark, sf).collect()
+      .map(r => (r.getAs[Long]("fold"), r.getAs[Long]("n_docs"))).toSeq
+    assert(again === rows.map(r => (r.getAs[Long]("fold"), r.getAs[Long]("n_docs"))).toSeq)
+  }
+
+  test("select_temperature upweights low-resource sources and shares sum to 1") {
+    val rows = TextAnalysis.selectTemperature(spark, sf).collect()
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9)
+    // α = 1/2 flattens the distribution: every below-average source gets
+    // share > p, every above-average source gets share < p (sqrt crossing),
+    // and the boost ratio share/p is strictly decreasing in p
+    val byP = rows.sortBy(_.getAs[Double]("p"))
+    byP.sliding(2).foreach { w =>
+      if (w.length == 2) {
+        val (a, b) = (w(0), w(1))
+        val ra = a.getAs[Double]("share") / a.getAs[Double]("p")
+        val rb = b.getAs[Double]("share") / b.getAs[Double]("p")
+        if (a.getAs[Double]("p") < b.getAs[Double]("p")) assert(ra > rb)
+      }
+    }
+  }
 }
