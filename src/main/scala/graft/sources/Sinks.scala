@@ -34,6 +34,39 @@ object Sinks {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** Write `df` Z-ORDERED on two numeric columns: each column scales onto a
+    * 16-level grid (bounds collected once driver-side — 4 doubles, the KB
+    * state contract), the two 4-bit cell ids interleave into an 8-bit
+    * Morton code, and files are range-partitioned + sorted by that code.
+    * Each file's (c1, c2) min/max box is then a compact TILE instead of a
+    * full-width stripe, so parquet min/max stats prune files for probes in
+    * EITHER dimension — `layout_zorder` scores this layout arithmetically;
+    * this writer materializes it (SinksSpec measures real per-file stats).
+    * At 100 TB: the sort is a range shuffle on an 8-bit key — the one-time
+    * ingest cost the pruning amortizes over every later query.
+    */
+  def writeZOrdered(df: DataFrame, c1: String, c2: String, path: String,
+      files: Int = 16): Unit = {
+    val b = df.agg(
+      min(col(c1).cast("double")), max(col(c1).cast("double")),
+      min(col(c2).cast("double")), max(col(c2).cast("double"))).head
+    def cell(c: String, lo: Double, hi: Double) =
+      least(lit(15), greatest(lit(0),
+        floor((col(c).cast("double") - lit(lo)) /
+          lit(math.max(hi - lo, java.lang.Double.MIN_VALUE) / 16.0)).cast("int")))
+    val g1 = cell(c1, b.getDouble(0), b.getDouble(1))
+    val g2 = cell(c2, b.getDouble(2), b.getDouble(3))
+    // bit interleave: c1 takes odd bits, c2 even — disjoint bits, so + is |
+    val mz = (0 until 4).map(i =>
+      shiftleft(shiftright(g1, i).bitwiseAND(lit(1)), 2 * i + 1) +
+        shiftleft(shiftright(g2, i).bitwiseAND(lit(1)), 2 * i)).reduce(_ + _)
+    df.withColumn("z_mz", mz)
+      .repartitionByRange(files, col("z_mz"))
+      .sortWithinPartitions("z_mz")
+      .drop("z_mz")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write an IVF cell assignment (`Similarity.ivfCells`) as parquet
     * partitioned by cell id (`cid=<n>/` directories) — the billion-vector
     * ANN layout: a probe's literal `cid` predicate prunes the listing to

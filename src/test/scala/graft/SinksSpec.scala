@@ -45,6 +45,51 @@ class SinksSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("writeZOrdered: real file stats form tiles — user-band probes touch fewer files than a time-linear layout") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), unix_timestamp(col("ts")).as("epoch"), col("value"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z-").toString
+    val tDir = java.nio.file.Files.createTempDirectory("graft-t-").toString
+    Sinks.writeZOrdered(ev, "user_id", "epoch", zDir, files = 16)
+    ev.repartitionByRange(16, col("epoch")).sortWithinPartitions("epoch")
+      .write.mode("overwrite").parquet(tDir)
+
+    // real per-file min/max stats, read back from the written files
+    def stats(dir: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("user_id"), max("user_id"), min("epoch"), max("epoch")).head
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    val zs = stats(zDir)
+    val ts = stats(tDir)
+    assert(zs.nonEmpty && ts.nonEmpty)
+
+    // probe: a 10%-wide user band across all time — the dimension a
+    // time-linear layout cannot prune. min/max overlap replay = exactly
+    // what a stats-pruning reader does with these footers.
+    val (uLo, uHi) = {
+      val r = ev.agg(min("user_id"), max("user_id")).head
+      (r.getLong(0), r.getLong(0) + ((r.getLong(1) - r.getLong(0)) / 10))
+    }
+    def userHits(s: Seq[(Long, Long, Long, Long)]) =
+      s.count { case (lo, hi, _, _) => hi >= uLo && lo <= uHi }
+    assert(userHits(zs) < userHits(ts),
+      s"z-order should prune user probes: z=${userHits(zs)} linear=${userHits(ts)}")
+    // the tradeoff is explicit: time-linear stays at least as good on pure
+    // time probes (z tiles span several time stripes)
+    val (eLo, eHi) = {
+      val r = ev.agg(min("epoch"), max("epoch")).head
+      (r.getLong(0), r.getLong(0) + ((r.getLong(1) - r.getLong(0)) / 10))
+    }
+    def timeHits(s: Seq[(Long, Long, Long, Long)]) =
+      s.count { case (_, _, lo, hi) => hi >= eLo && lo <= eHi }
+    assert(timeHits(ts) <= timeHits(zs))
+    // and the layout loses no rows
+    assert(spark.read.parquet(zDir).count() === ev.count())
+  }
+
   test("ORC round-trips the events table with schema and contents intact") {
     // format portability: the engine is parquet-first, but a lake migration
     // must be able to write/read ORC without semantic drift
