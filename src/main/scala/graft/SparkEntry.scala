@@ -22,7 +22,8 @@ object SparkEntry {
         "mm_chunk_dedup" -> (Multimodal.mmChunkDedup _),
         "mm_phash" -> (Multimodal.mmPhash _),
         "mm_phash_near" -> (Multimodal.mmPhashNear _),
-        "mm_frames" -> (Multimodal.mmFrames _)) ++ EventStream.queries
+        "mm_frames" -> (Multimodal.mmFrames _),
+        "mm_shard_manifest" -> (Multimodal.mmShardManifest _)) ++ EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -36,5 +37,6 @@ object SparkEntry {
         "mm_phash_near" -> Multimodal.mmPhashNearSql,
         // the mapPartitions codec op runs a FAKE codec whose output is
         // SQL-expressible, so even the non-SQL operator gets a full oracle
-        "mm_frames" -> Multimodal.mmFramesSql) ++ EventStream.oracle
+        "mm_frames" -> Multimodal.mmFramesSql,
+        "mm_shard_manifest" -> Multimodal.mmShardManifestSql) ++ EventStream.oracle
 }

@@ -335,4 +335,42 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) => codec.decode(id, bytes) })
   }
+
+  // --- mm_shard_manifest ---------------------------------------------------
+  // Content-addressed shard placement — the blob-store layout decision for
+  // a multimodal corpus: shard = first byte of the payload's sha256 mod 16,
+  // so EVERY copy of identical content lands in the same shard and dedup
+  // becomes shard-LOCAL (a 1000-executor dedup never exchanges blobs across
+  // shards — the property content addressing buys that round-robin
+  // placement cannot). The manifest is the capacity-planning table: per
+  // shard, blob count, raw bytes, unique-content count, and bytes after
+  // dedup. One (shard, hash)-distinct is the linear term (hashes, never
+  // payloads, shuffle); the final groupBys land on 16 keys.
+  def mmShardManifest(spark: SparkSession, d: String): DataFrame = {
+    val b = Tables.documents(spark, d).select(
+      sha2(expr("encode(text, 'UTF-8')"), 256).as("h"),
+      octet_length(col("text")).cast("long").as("bytes"))
+      .withColumn("shard", conv(substring(col("h"), 1, 2), 16, 10).cast("long") % 16)
+    val uniq = b.select("shard", "h", "bytes").distinct()
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_unique"), sum(col("bytes")).as("bytes_dedup"))
+    b.groupBy("shard")
+      .agg(count(lit(1)).as("n_blobs"), sum(col("bytes")).as("bytes_raw"))
+      .join(uniq, Seq("shard"))
+      .orderBy("shard")
+  }
+
+  val mmShardManifestSql: String =
+    """WITH b AS (SELECT sha256(text) AS h,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS bytes FROM documents),
+      |s AS (SELECT CAST(CAST('0x' || substr(h, 1, 2) AS INTEGER) % 16 AS BIGINT) AS shard,
+      |  h, bytes FROM b),
+      |u AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_unique,
+      |  CAST(sum(bytes) AS BIGINT) AS bytes_dedup
+      | FROM (SELECT DISTINCT shard, h, bytes FROM s) GROUP BY 1)
+      |SELECT s.shard, CAST(count(*) AS BIGINT) AS n_blobs,
+      | CAST(sum(s.bytes) AS BIGINT) AS bytes_raw, u.n_unique, u.bytes_dedup
+      |FROM s JOIN u USING (shard)
+      |GROUP BY s.shard, u.n_unique, u.bytes_dedup
+      |ORDER BY shard""".stripMargin
 }
