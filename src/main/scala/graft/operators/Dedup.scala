@@ -372,6 +372,77 @@ object Dedup {
   // Deterministic: the converged minimum per component does not depend on
   // iteration order, so the oracle (transitive closure via recursive CTE)
   // agrees exactly.
+  // --- dedup_lsh_tune -------------------------------------------------------
+  // LSH band-geometry tuning — the S-curve table a deployment computes
+  // BEFORE fixing (bands, rows): for each rows-per-band r ∈ {1,2,4,8}
+  // (b = 16/r), the candidate volume the geometry generates and its recall
+  // of the deployed pipeline's verified true-duplicate set. Fewer rows per
+  // band = more permissive buckets = more candidates & higher recall; the
+  // table shows where the curve bends so the cost/recall knee is a
+  // measurement, not folklore. ONE signature table (native minhash_sig,
+  // computed in the scan) feeds all four geometries; each config's
+  // candidate count is a self-join on slim (doc_id, band, bk) rows —
+  // uncapped here deliberately (the tuning table must see raw volume; the
+  // production pipeline then applies its bucket cap), and the recall
+  // reference is the memoized verified set (config-independent ground
+  // truth lives in dedup_recall). Exact integers; recall is one final
+  // division of identical operands.
+  def dedupLshTune(spark: SparkSession, d: String): DataFrame = {
+    val sig = Tables.documents(spark, d)
+      .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
+      .filter(col("sig").isNotNull)
+    val truePairs = lshShared(spark, d).verified.select("da", "db")
+    val perConfig = Seq(1, 2, 4, 8).map { r =>
+      val b = NumPerms / r
+      val bands = sig.select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, ${b - 1}), bi -> struct(bi as band, concat_ws('|', slice(sig, bi*$r + 1, $r)) as bk))")).as("x"))
+        .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(cand.join(truePairs, Seq("da", "db"), "left_semi")
+          .agg(count(lit(1)).as("n_recovered")))
+        .select(lit(r.toLong).as("rows_per_band"), lit(b.toLong).as("n_bands"),
+          col("n_candidates"), col("n_recovered"))
+    }.reduce(_ unionAll _)
+    perConfig.crossJoin(truePairs.agg(count(lit(1)).as("n_true")))
+      .withColumn("recall", col("n_recovered").cast("double") / col("n_true"))
+      .select("rows_per_band", "n_bands", "n_candidates", "n_true", "n_recovered", "recall")
+      .orderBy("rows_per_band")
+  }
+
+  val dedupLshTuneSql: String = LshCte +
+    s""",
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT cand.da, cand.db, count(*) AS inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = cand.da
+       |  JOIN sh b ON b.doc_id = cand.db AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |vp AS (SELECT da, db FROM inter JOIN sz x ON inter.da = x.doc_id JOIN sz y ON inter.db = y.doc_id
+       |       WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardTau),
+       |cfg(r, b) AS (VALUES (1, 16), (2, 8), (4, 4), (8, 2)),
+       |bands2 AS (SELECT doc_id, r, bi,
+       |  list_reduce(list_filter([CASE WHEN k <= r THEN sig[CAST(bi*r + k AS INT)] END
+       |                           FOR k IN range(1, ${NumPerms + 1})], x -> x IS NOT NULL),
+       |              (x, y) -> x||'|'||y) AS bk
+       |  FROM sig, cfg, range(0, ${NumPerms}) s(bi) WHERE bi < b),
+       |cand2 AS (SELECT DISTINCT a.r AS r, a.doc_id AS da, b2.doc_id AS db
+       |  FROM bands2 a JOIN bands2 b2
+       |    ON a.r = b2.r AND a.bi = b2.bi AND a.bk = b2.bk AND a.doc_id < b2.doc_id),
+       |nt AS (SELECT count(*) AS n_true FROM vp),
+       |agg AS (SELECT r, count(*) AS n_candidates,
+       |  sum(CASE WHEN EXISTS (SELECT 1 FROM vp WHERE vp.da = cand2.da AND vp.db = cand2.db)
+       |      THEN 1 ELSE 0 END) AS n_recovered
+       |  FROM cand2 GROUP BY r)
+       |SELECT CAST(r AS BIGINT) AS rows_per_band, CAST(${NumPerms}/r AS BIGINT) AS n_bands,
+       | CAST(n_candidates AS BIGINT) AS n_candidates, CAST(n_true AS BIGINT) AS n_true,
+       | CAST(n_recovered AS BIGINT) AS n_recovered,
+       | CAST(n_recovered AS DOUBLE)/n_true AS recall
+       |FROM agg, nt ORDER BY rows_per_band""".stripMargin
+
   /** Pre-materialize the family's memoized stage outputs — the LSH pair
     * tables plus the converged component labels. Bench attribution contract
     * (r8 verdict #4): the build is a PIPELINE cost shared by the whole
@@ -948,6 +1019,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_recall" -> dedupRecall,
+    "dedup_lsh_tune" -> dedupLshTune,
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_degree_dist" -> dedupDegreeDist,
     "dedup_prefix" -> dedupPrefix,
@@ -967,6 +1039,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dedup_recall" -> dedupRecallSql,
+    "dedup_lsh_tune" -> dedupLshTuneSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_degree_dist" -> dedupDegreeDistSql,
     "dedup_prefix" -> dedupPrefixSql,
