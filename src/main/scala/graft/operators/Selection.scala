@@ -1479,6 +1479,59 @@ object Selection {
       |FROM b JOIN c ON compound = cc
       |GROUP BY compound ORDER BY compound""".stripMargin
 
+  // --- ds_trend -----------------------------------------------------------
+  // Robust per-series trend — the Sen-style slope on CONSECUTIVE sample
+  // gaps (the O(n) streaming-friendly variant of Theil–Sen, whose full
+  // pairwise form is O(n²) per series and cannot scale): per compound,
+  // slope_i = Δvalue/Δt over each positive-gap consecutive pair in time
+  // order (ms, event_id), and the trend is the DISCRETE median of those
+  // slopes — the value at rank ⌈n/2⌉ under the (slope, pair-index) total
+  // order, a data value both engines pick identically (the q_percentiles
+  // contract; no interpolation to drift). Robust: a sensor spike corrupts
+  // 2 of n slopes, not the mean. One lag window + one rank window, both
+  // partitioned by compound; output lands on |compounds| rows.
+  def dsTrend(spark: SparkSession, d: String): DataFrame =
+    dsTrendFrom(keyed(spark, d))
+
+  /** Series-in core for [[dsTrend]] (needs compound, ms, event_id, value) —
+    * exposed so the robustness property (a spike corrupts the mean slope
+    * but not the median) is pinned on a constructed series. */
+  def dsTrendFrom(k: DataFrame): DataFrame = {
+    val w = Window.partitionBy("compound").orderBy("ms", "event_id")
+    val slopes = k
+      .select(col("compound"), col("ms"), col("event_id"), col("value"))
+      .withColumn("pms", lag(col("ms"), 1).over(w))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .withColumn("pidx", row_number().over(w).cast("long"))
+      .filter(col("pms").isNotNull && col("ms") > col("pms"))
+      .select(col("compound"), col("pidx"),
+        ((col("value") - col("pv")) / (col("ms") - col("pms")).cast("double")
+          * lit(1000.0)).as("slope"))
+    val wr = Window.partitionBy("compound").orderBy("slope", "pidx")
+    slopes
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("compound")))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("compound"), col("n").as("n_slopes"), col("slope").as("med_slope"))
+      .orderBy("compound")
+  }
+
+  val dsTrendSql: String = KeyedCte +
+    """,
+      |p AS (SELECT compound, ms, event_id, value,
+      |  lag(ms) OVER w AS pms, lag(value) OVER w AS pv,
+      |  CAST(row_number() OVER w AS BIGINT) AS pidx
+      | FROM k WINDOW w AS (PARTITION BY compound ORDER BY ms, event_id)),
+      |s AS (SELECT compound, pidx,
+      |  (value - pv) / CAST(ms - pms AS DOUBLE) * 1000.0 AS slope
+      | FROM p WHERE pms IS NOT NULL AND ms > pms),
+      |r AS (SELECT compound, pidx, slope,
+      |  CAST(row_number() OVER (PARTITION BY compound ORDER BY slope, pidx) AS BIGINT) AS rn,
+      |  CAST(count(*) OVER (PARTITION BY compound) AS BIGINT) AS n
+      | FROM s)
+      |SELECT compound, n AS n_slopes, slope AS med_slope
+      |FROM r WHERE rn = (n + 1) // 2 ORDER BY compound""".stripMargin
+
   // --- ds_flatline --------------------------------------------------------
   // Stuck-sensor detection: runs of consecutive IDENTICAL readings (exact
   // cents) within a compound — a real measurement repeating exactly is the
@@ -1644,6 +1697,7 @@ object Selection {
     "ds_resolution" -> dsResolution,
     "ds_interp" -> dsInterp,
     "ds_flatline" -> dsFlatline,
+    "ds_trend" -> dsTrend,
     "ds_winsorize" -> dsWinsorize,
     "ds_seasonal" -> dsSeasonal,
     "ds_benford" -> dsBenford,
@@ -1679,6 +1733,7 @@ object Selection {
     "ds_resolution" -> dsResolutionSql,
     "ds_interp" -> dsInterpSql,
     "ds_flatline" -> dsFlatlineSql,
+    "ds_trend" -> dsTrendSql,
     "ds_winsorize" -> dsWinsorizeSql,
     "ds_seasonal" -> dsSeasonalSql,
     "ds_benford" -> dsBenfordSql,

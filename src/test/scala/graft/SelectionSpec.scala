@@ -547,4 +547,22 @@ class SelectionSpec extends SparkSpec {
       assert(r.getAs[Double]("res") === minGap / 100.0)
     }
   }
+
+  test("ds_trend synthetic: the median slope shrugs off a spike that wrecks the mean") {
+    import spark.implicits._
+    // steady +1.0/s ramp with one LEVEL SHIFT (+1000 from the midpoint on):
+    // consecutive slopes telescope, so a symmetric spike cancels in the
+    // mean — a step does not: it puts one +1001 slope among nineteen 1.0s,
+    // dragging the mean to (v_last−v_first)/n = 51 while the discrete
+    // median stays exactly 1.0
+    val vals = (0 until 21).map(i => if (i >= 10) i + 1000.0 else i.toDouble)
+    val k = vals.zipWithIndex
+      .map { case (v, i) => ("x", i.toLong * 1000L, i.toLong, v) }
+      .toDF("compound", "ms", "event_id", "value")
+    val r = Selection.dsTrendFrom(k).head
+    assert(r.getAs[Long]("n_slopes") === 20L)
+    assert(r.getAs[Double]("med_slope") === 1.0)
+    val meanSlope = (0 until 20).map(i => vals(i + 1) - vals(i)).sum / 20.0
+    assert(math.abs(meanSlope - 1.0) > 0.5) // the mean IS wrecked
+  }
 }
