@@ -180,6 +180,77 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM s)
        |SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // --- ann_nprobe_sweep ---------------------------------------------------
+  // The IVF cost/recall knob measured, not guessed (dedup_lsh_tune's ANN
+  // twin): for nprobe ∈ {1, 2, 4}, how many candidates each setting scores
+  // and what fraction of the exact top-k it recovers. This is the curve a
+  // vector-search deployment reads before fixing nprobe — candidates grow
+  // ~linearly with nprobe while recall saturates; the knee is data-
+  // dependent. One cell-assignment projection (literal centroids, pure
+  // map) feeds all three configs; the exact reference is the brute-force
+  // top-k. Counts are exact integers; recall is one final division.
+  def annNprobeSweep(spark: SparkSession, d: String): DataFrame = {
+    val e = vectors(spark, d)
+    val cents = seedCentroids(spark, d)
+    val cells = e.select(col("vec_id"), col("v"),
+      (-bestCentroid(cents).getField("ncid")).cast("long").as("cid"))
+    val exact = annBruteforce(spark, d).select(col("qid"), col("vec_id"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    Seq(1, 2, 4).map { np =>
+      val probes = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          explode(slice(sort_array(array(centroidStructs(cents): _*), asc = false),
+            1, np)).as("sc"))
+        .select(col("qid"), col("qv"), (-col("sc.ncid")).cast("long").as("cid"))
+      val scored = cells.join(broadcast(probes), Seq("cid"))
+      val topk = scored
+        .withColumn("sim", cosExpr)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("qid"), col("vec_id"))
+      scored.agg(count(lit(1)).as("n_scored"))
+        .crossJoin(topk.join(exact, Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_recovered")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(lit(np.toLong).as("nprobe"), col("n_scored"),
+          col("n_exact"), col("n_recovered"),
+          (col("n_recovered").cast("double") / col("n_exact")).as("recall"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
+  val annNprobeSweepSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |asg AS (SELECT vec_id, v, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${CosSqlFor("v", "cv")} DESC, cid) AS arn
+       |  FROM e CROSS JOIN c),
+       |cell AS (SELECT vec_id, v, cid FROM asg WHERE arn = 1),
+       |exq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |exs AS (SELECT qid, e2.vec_id, ${CosSqlFor("qv", "v")} AS sim FROM e AS e2 CROSS JOIN exq),
+       |exact AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk FROM exs)
+       |  WHERE rnk <= $K),
+       |nx AS (SELECT count(*) AS n_exact FROM exact),
+       |cfg(np) AS (VALUES (1), (2), (4)),
+       |q AS (SELECT np, vec_id AS qid, v AS qv, cid FROM asg, cfg
+       |      WHERE vec_id < $NumQueries AND arn <= np),
+       |scored AS (SELECT np, qid, qv, cell.vec_id, cell.v FROM cell JOIN q USING (cid)),
+       |topk AS (SELECT np, qid, vec_id FROM (
+       |    SELECT np, qid, vec_id,
+       |      row_number() OVER (PARTITION BY np, qid ORDER BY ${CosSqlFor("qv", "v")} DESC, vec_id) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= $K),
+       |agg AS (SELECT np, CAST(count(*) AS BIGINT) AS n_scored FROM scored GROUP BY 1),
+       |rec AS (SELECT np, CAST(count(*) AS BIGINT) AS n_recovered
+       |  FROM topk WHERE EXISTS (SELECT 1 FROM exact WHERE exact.qid = topk.qid AND exact.vec_id = topk.vec_id)
+       |  GROUP BY 1)
+       |SELECT CAST(agg.np AS BIGINT) AS nprobe, n_scored,
+       | CAST(n_exact AS BIGINT) AS n_exact,
+       | coalesce(n_recovered, 0) AS n_recovered,
+       | CAST(coalesce(n_recovered, 0) AS DOUBLE)/n_exact AS recall
+       |FROM agg LEFT JOIN rec USING (np), nx ORDER BY nprobe""".stripMargin
+
   // --- persisted IVF cell layout (r9, verdict #6) -------------------------
   /** The corpus in IVF cell layout: (vec_id, v, cid) with assignment still
     * a pure scan projection. `Sinks.writeIvfCells` persists this partitioned
@@ -967,6 +1038,7 @@ object Similarity {
     "ann_pq" -> annPq,
     "ann_refine" -> annRefine,
     "ann_recall" -> annRecall,
+    "ann_nprobe_sweep" -> annNprobeSweep,
     "embed_cluster" -> embedCluster)
 
   val oracle: Map[String, String] = Map(
@@ -982,5 +1054,6 @@ object Similarity {
     "ann_pq" -> annPqSql,
     "ann_refine" -> annRefineSql,
     "ann_recall" -> annRecallSql,
+    "ann_nprobe_sweep" -> annNprobeSweepSql,
     "embed_cluster" -> embedClusterSql)
 }
