@@ -1994,7 +1994,48 @@ object Analytics {
       |  AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_cohort_ltv --------------------------------------------------------
+  // Cohort lifetime-value curves — the subscription/e-commerce report next
+  // to q_retention: customers cohorted by FIRST order month, revenue
+  // accumulated over cohort age in months. Per-customer first month is one
+  // combinable min; the cohort×age cell table is a second combinable
+  // groupBy (≤ |months|² report cells); the cumulative sum runs over that
+  // report table partitioned by cohort — never the corpus (the decomposed-
+  // prefix-sum rule). Month age is exact integer calendar arithmetic on
+  // both engines; money stays in the cents lattice until the final /100.
+  def qCohortLtv(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d).select(col("o_custkey"),
+      date_trunc("MONTH", col("o_orderdate")).as("om"),
+      cents(col("o_totalprice")).as("oc"))
+    val first = o.groupBy("o_custkey").agg(min(col("om")).as("cm"))
+    val cells = o.join(first, Seq("o_custkey"))
+      .withColumn("age", months_between(col("om"), col("cm")).cast("long"))
+      .groupBy(col("cm"), col("age"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("oc")).as("rev_c"))
+    val w = Window.partitionBy("cm").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_c", sum(col("rev_c")).over(w))
+      .select(date_format(col("cm"), "yyyy-MM").as("cohort_month"),
+        col("age"), col("n_orders"),
+        (col("rev_c") / 100.0).as("revenue"), (col("cum_c") / 100.0).as("cum_revenue"))
+      .orderBy("cohort_month", "age")
+  }
+
+  val qCohortLtvSql: String =
+    """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS om,
+      |  CAST(round(o_totalprice*100) AS BIGINT) AS oc FROM orders),
+      |f AS (SELECT o_custkey, min(om) AS cm FROM o GROUP BY 1),
+      |cells AS (SELECT cm, CAST(date_diff('month', cm, om) AS BIGINT) AS age,
+      |  CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(oc) AS BIGINT) AS rev_c
+      | FROM o JOIN f USING (o_custkey) GROUP BY 1, 2)
+      |SELECT strftime(cm, '%Y-%m') AS cohort_month, age, n_orders,
+      | rev_c/100.0 AS revenue,
+      | CAST(sum(rev_c) OVER (PARTITION BY cm ORDER BY age
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)/100.0 AS cum_revenue
+      |FROM cells ORDER BY cohort_month, age""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_ltv" -> qCohortLtv,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q22_idle_balances" -> q22IdleBalances,
     "q_promo_share" -> qPromoShare,
@@ -2048,6 +2089,7 @@ object Analytics {
     "q_sliding_window" -> qSlidingWindow)
 
   val oracle: Map[String, String] = Map(
+    "q_cohort_ltv" -> qCohortLtvSql,
     "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
     "q22_idle_balances" -> q22IdleBalancesSql,
     "q_promo_share" -> qPromoShareSql,
