@@ -574,6 +574,49 @@ object Dedup {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  // --- dedup_keep_best ----------------------------------------------------
+  // Survivor SELECTION POLICY for near-dup clusters — production dedup
+  // rarely keeps the min-id copy (dedup_apply's baseline): it keeps the
+  // LONGEST (or newest, or highest-quality) member. Any policy that is a
+  // total order becomes ONE map-side-combinable struct-max per cluster —
+  // here (n_chars DESC, doc_id ASC) via max(struct(n_chars, -doc_id)) —
+  // so survivor choice costs one aggregate over the cluster-labeled
+  // corpus, never a per-cluster sort or window over raw text. Swapping
+  // the policy = swapping the struct fields (e.g. the text_quality score);
+  // the plan shape is policy-independent.
+  def dedupKeepBest(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+      .join(dedupComponents(spark, d), Seq("doc_id"))
+      .groupBy("canonical_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("canonical_id"), (-col("b.nd")).as("kept_doc_id"),
+        col("b.nc").as("kept_n_chars"), col("n_members"))
+      .orderBy("canonical_id")
+
+  val dedupKeepBestSql: String = LshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+    s""",
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT cand.da, cand.db, count(*) AS inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = cand.da
+       |  JOIN sh b ON b.doc_id = cand.db AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |vp AS (SELECT da, db FROM inter JOIN sz x ON inter.da = x.doc_id JOIN sz y ON inter.db = y.doc_id
+       |       WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardTau),
+       |e AS (SELECT da AS a, db AS b FROM vp UNION SELECT db, da FROM vp),
+       |reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |cn AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY 1),
+       |lab AS (SELECT d.doc_id, least(coalesce(c.mn, d.doc_id), d.doc_id) AS canonical_id,
+       |        d.n_chars
+       |        FROM documents d LEFT JOIN cn c USING (doc_id)),
+       |r AS (SELECT canonical_id, doc_id, n_chars,
+       |  row_number() OVER (PARTITION BY canonical_id ORDER BY n_chars DESC, doc_id) AS rn,
+       |  CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS n_members
+       | FROM lab)
+       |SELECT canonical_id, doc_id AS kept_doc_id, CAST(n_chars AS BIGINT) AS kept_n_chars, n_members
+       |FROM r WHERE rn = 1 ORDER BY canonical_id""".stripMargin
+
   val dedupApplySql: String = LshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
     s""",
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1020,6 +1063,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_recall" -> dedupRecall,
     "dedup_lsh_tune" -> dedupLshTune,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_degree_dist" -> dedupDegreeDist,
     "dedup_prefix" -> dedupPrefix,
@@ -1040,6 +1084,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "dedup_recall" -> dedupRecallSql,
     "dedup_lsh_tune" -> dedupLshTuneSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_degree_dist" -> dedupDegreeDistSql,
     "dedup_prefix" -> dedupPrefixSql,
