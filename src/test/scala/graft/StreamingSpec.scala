@@ -31,6 +31,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("eventsStream adapts to nanos-long ts files (the other physical encoding)") {
+    // the r8 break: testdata regenerated from TIMESTAMP(NANOS) (surfacing
+    // as a nanos BIGINT under nanosAsLong) to TIMESTAMP(MICROS), and the
+    // stream reader had hardcoded the nanos contract. The reader now probes
+    // the footer; this stages a nanos-long copy of the SAME events and
+    // proves the stream result is identical to the batch rollup — both
+    // physical encodings land on one logical contract.
+    val dir = Files.createTempDirectory("graft-nanos-").toString
+    graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), expr("unix_micros(ts) * 1000").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(dir)
+    val stream = EventStream.eventsStream(spark, dir)
+    val q = EventStream.hourlyRollup(stream)
+      .writeStream.format("memory").queryName("nanos_hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("nanos_hourly").select("event_type", "hour_s", "n")
+    val batch = EventStream.streamHourly(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("append mode with watermark emits exactly the closed windows") {
     val dir = stageEventsDir()
     val stream = EventStream.eventsStream(spark, dir)
