@@ -3,7 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Default to every hardware thread: the bench contract is local[32]
+    // on the 32-core driver box (SPARK_GRAFT_CPUS still overrides). The
+    // old default of 4 silently ran the recorded benches 8x
+    // under-parallelized whenever the env was unset.
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     // Per-query time = MINIMUM over this many cold-cache passes. The shared
     // box this runs on has multi-second CPU-steal spikes (round 3's single
     // pass recorded 159s for a workload that measures 43s clean); min-of-k

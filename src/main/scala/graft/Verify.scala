@@ -10,7 +10,8 @@ object Verify {
     // verify just the operators being worked on; the driver passes none).
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     // One builder for Verify, Bench, and ExplainDump (GraftSession) so the
     // audited plans ARE the verified/benched plans — no config drift.
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
