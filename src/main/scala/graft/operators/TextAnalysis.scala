@@ -1094,6 +1094,46 @@ object TextAnalysis {
       |FROM terms JOIN df USING (t), n
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- text_keywords ------------------------------------------------------
+  // Per-doc keyword extraction — the TF-IDF labeling primitive behind doc
+  // tagging / topic routing: each document's top-3 terms by tf/df (term
+  // frequency over document frequency; N is constant per corpus, so the
+  // ordering equals tf·N/df — "TF-IDF without the log", chosen because
+  // ln() is not guaranteed bit-identical across engines while ONE division
+  // of exact integer counts is). Tie order (score, term) is total, so both
+  // engines pick identical keywords. Scale: the (doc, term, tf) table and
+  // the df aggregate share one exchange on the term (identical subtree —
+  // the text_top_terms shape); the top-3 window partitions by doc_id; hot
+  // boilerplate terms are AQE-split.
+  private val KeywordsK = 3
+
+  def textKeywords(spark: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(spark, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("t"))
+    tf.join(df, Seq("t"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KeywordsK)
+      .select(col("doc_id"), col("rank"), col("t").as("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val textKeywordsSql: String =
+    s"""WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+       |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |s AS (SELECT doc_id, t, tf, df, CAST(tf AS DOUBLE)/df AS score,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE)/df DESC, t) AS BIGINT) AS rank
+       | FROM tf JOIN df USING (t))
+       |SELECT doc_id, rank, t AS term, tf, df, score
+       |FROM s WHERE rank <= $KeywordsK ORDER BY doc_id, rank""".stripMargin
+
   // --- text_winnow --------------------------------------------------------
   // Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
   // MOSS algorithm): hash every k-gram (k=4 tokens), then keep the MINIMUM
@@ -1358,6 +1398,7 @@ object TextAnalysis {
     "select_rebalance" -> selectRebalance,
     "text_zipf" -> textZipf,
     "text_winnow" -> textWinnow,
+    "text_keywords" -> textKeywords,
     "text_rarity" -> textRarity,
     "sample_bottomk" -> sampleBottomk,
     "pipeline_curate" -> pipelineCurate,
@@ -1392,6 +1433,7 @@ object TextAnalysis {
     "select_rebalance" -> selectRebalanceSql,
     "text_zipf" -> textZipfSql,
     "text_winnow" -> textWinnowSql,
+    "text_keywords" -> textKeywordsSql,
     "text_rarity" -> textRaritySql,
     "sample_bottomk" -> sampleBottomkSql,
     "pipeline_curate" -> pipelineCurateSql,
