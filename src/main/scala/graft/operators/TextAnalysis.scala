@@ -1134,6 +1134,62 @@ object TextAnalysis {
        |SELECT doc_id, rank, t AS term, tf, df, score
        |FROM s WHERE rank <= $KeywordsK ORDER BY doc_id, rank""".stripMargin
 
+  // --- corpus_snapshot_diff -----------------------------------------------
+  // Dataset-versioning audit — the "what changed between crawl snapshots"
+  // report every managed training corpus needs before retraining: diff an
+  // OLD snapshot (doc_id % 10 != 0, the dedup_incremental split) against
+  // the CURRENT corpus by content hash. One full-outer join on doc_id
+  // (hashes travel, payloads never do — the mm_shard_manifest rule), then
+  // per-source counts of added / removed / changed / unchanged. At scale
+  // both sides are manifests of (doc_id, sha256) — the join hashes on
+  // doc_id once and the report lands on |sources|·4 keys. In production
+  // the old side is the previous snapshot's persisted manifest, not a
+  // re-scan; the shape is identical.
+  def corpusSnapshotDiff(spark: SparkSession, d: String): DataFrame = {
+    val cur = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        sha2(expr("encode(text, 'UTF-8')"), 256).as("h"))
+    // synthetic previous snapshot exercising ALL FOUR arms: docs with
+    // doc_id % 10 == 0 are missing from it (→ added now), every 7th doc's
+    // old content hash differs (→ changed, a re-crawled page), and a
+    // tombstone id band beyond the corpus exists only in the old snapshot
+    // (→ removed). Everything else is unchanged.
+    val old = cur.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("o_id"),
+        when(col("doc_id") % 7 === 0, sha2(concat(lit("stale|"), col("h")), 256))
+          .otherwise(col("h")).as("o_h"))
+      .unionAll(cur.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("o_id"),
+          sha2(concat(lit("gone|"), col("h")), 256).as("o_h")))
+    cur.join(old, col("doc_id") === col("o_id"), "full_outer")
+      .select(
+        coalesce(col("source"), lit("(removed)")).as("source"),
+        when(col("o_id").isNull, "added")
+          .when(col("doc_id").isNull, "removed")
+          .when(col("h") === col("o_h"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
+
+  val corpusSnapshotDiffSql: String =
+    """WITH cur AS (SELECT doc_id, source, sha256(text) AS h FROM documents),
+      |old AS (
+      | SELECT doc_id AS o_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN sha256('stale|' || h) ELSE h END AS o_h
+      | FROM cur WHERE doc_id % 10 != 0
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS o_id, sha256('gone|' || h) AS o_h
+      | FROM cur WHERE doc_id % 97 = 0)
+      |SELECT coalesce(source, '(removed)') AS source,
+      | CASE WHEN o_id IS NULL THEN 'added'
+      |      WHEN doc_id IS NULL THEN 'removed'
+      |      WHEN h = o_h THEN 'unchanged'
+      |      ELSE 'changed' END AS status,
+      | CAST(count(*) AS BIGINT) AS n_docs
+      |FROM cur FULL OUTER JOIN old ON doc_id = o_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --- text_winnow --------------------------------------------------------
   // Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
   // MOSS algorithm): hash every k-gram (k=4 tokens), then keep the MINIMUM
@@ -1399,6 +1455,7 @@ object TextAnalysis {
     "text_zipf" -> textZipf,
     "text_winnow" -> textWinnow,
     "text_keywords" -> textKeywords,
+    "corpus_snapshot_diff" -> corpusSnapshotDiff,
     "text_rarity" -> textRarity,
     "sample_bottomk" -> sampleBottomk,
     "pipeline_curate" -> pipelineCurate,
@@ -1434,6 +1491,7 @@ object TextAnalysis {
     "text_zipf" -> textZipfSql,
     "text_winnow" -> textWinnowSql,
     "text_keywords" -> textKeywordsSql,
+    "corpus_snapshot_diff" -> corpusSnapshotDiffSql,
     "text_rarity" -> textRaritySql,
     "sample_bottomk" -> sampleBottomkSql,
     "pipeline_curate" -> pipelineCurateSql,
