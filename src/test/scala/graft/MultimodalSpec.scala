@@ -121,4 +121,22 @@ class MultimodalSpec extends SparkSpec {
     val short = Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "text")
     assert(Multimodal.mmPhashNearFrom(short).count() === 0L)
   }
+
+  test("mm_shard_manifest: shards partition the corpus and dedup never grows bytes") {
+    val rows = Multimodal.mmShardManifest(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_blobs")).sum === docs.count())
+    val globalUnique = docs
+      .select(org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.expr("encode(text, 'UTF-8')"), 256))
+      .distinct().count()
+    // content addressing makes dedup shard-local: per-shard uniques sum to
+    // the GLOBAL unique count (no hash spans two shards)
+    assert(rows.map(_.getAs[Long]("n_unique")).sum === globalUnique)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bytes_dedup") <= r.getAs[Long]("bytes_raw"))
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_blobs"))
+      assert(r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < 16)
+    }
+  }
 }

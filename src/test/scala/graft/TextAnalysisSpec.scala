@@ -607,6 +607,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === rows.map(r => (r.getAs[Long]("fold"), r.getAs[Long]("n_docs"))).toSeq)
   }
 
+  test("text_keywords: at most k dense-ranked keywords per doc, deterministic") {
+    val rows = TextAnalysis.textKeywords(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.length <= 3 && ranks.toSeq === (1L to ranks.length).toSeq)
+    }
+    // the score really is tf/df and ranks follow (score desc, term)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("score") ===
+        r.getAs[Long]("tf").toDouble / r.getAs[Long]("df"))
+    }
+  }
+
+  test("corpus_snapshot_diff: the four arms partition both snapshots exactly") {
+    val rows = TextAnalysis.corpusSnapshotDiff(spark, sf).collect()
+    val by = rows.groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val n = docs.count()
+    val nAdded = docs.filter(col("doc_id") % 10 === 0).count()
+    val nTomb = docs.filter(col("doc_id") % 97 === 0).count()
+    // current corpus = added + changed + unchanged; tombstones = removed
+    assert(by("added") === nAdded)
+    assert(by("removed") === nTomb)
+    assert(by("added") + by.getOrElse("changed", 0L) + by("unchanged") === n)
+    // removed rows carry the sentinel source (they exist only in the old
+    // snapshot, so no current source is available)
+    rows.filter(_.getAs[String]("status") == "removed")
+      .foreach(r => assert(r.getAs[String]("source") === "(removed)"))
+  }
+
   test("select_temperature upweights low-resource sources and shares sum to 1") {
     val rows = TextAnalysis.selectTemperature(spark, sf).collect()
     val shareSum = rows.map(_.getAs[Double]("share")).sum
