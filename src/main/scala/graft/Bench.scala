@@ -22,6 +22,15 @@ object Bench {
     // Same builder as Verify/ExplainDump — benched plans = audited plans.
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Partition-less Windows are statically gated to audited report-sized
+    // inputs by ExplainDump's GlobalWindowAllowed set, so WindowExec's
+    // per-instantiation WARN here is always about a ≤256-row window; the
+    // flood it produces buried real warnings in r9's bench tail. Any NEW
+    // global window fails ExplainDump loudly, so silencing this one logger
+    // cannot hide a corpus-sized window.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm the JVM (codegen, parquet footer caches, JIT) on the flagship so
     // the first timed query isn't charged for session startup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -60,9 +69,15 @@ object Bench {
       graft.operators.Dedup.releaseCaches()
       spark.catalog.clearCache()
       val tb = System.nanoTime()
-      try graft.operators.Dedup.warmFamilyCaches(spark, sfDir)
-      catch { case _: Throwable => () } // family queries will rebuild + report their own errors
-      familyBuilds += (System.nanoTime() - tb) / 1e9
+      // NonFatal only (ADVICE r9): an OutOfMemoryError/Interrupted must not
+      // be swallowed. A failed warm records -1.0 (a value no real duration
+      // can take) instead of the aborted duration, so a silent warm failure
+      // can't skew the per-pass family-build attribution — the family
+      // queries rebuild lazily and report their own errors.
+      val warmOk =
+        try { graft.operators.Dedup.warmFamilyCaches(spark, sfDir); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      familyBuilds += (if (warmOk) (System.nanoTime() - tb) / 1e9 else -1.0)
       var passTotal = 0.0
       var clean = true
       val detail = scala.collection.mutable.LinkedHashMap[String, Double]()

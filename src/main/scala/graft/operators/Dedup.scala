@@ -387,11 +387,29 @@ object Dedup {
   // reference is the memoized verified set (config-independent ground
   // truth lives in dedup_recall). Exact integers; recall is one final
   // division of identical operands.
-  def dedupLshTune(spark: SparkSession, d: String): DataFrame = {
+  //
+  // AUDIT-SLICE CONTRACT (r9 verdict #3): because the per-config candidate
+  // self-join is deliberately uncapped, the corpus it may see is bounded IN
+  // THE SIGNATURE — callers must pass a (sampleMod, sampleRem) doc-id band
+  // and `sampleMod >= 2` is enforced, so a full-corpus sweep is a runtime
+  // contract violation, not a Scaladoc footnote. The truth reference is the
+  // deployed pipeline's verified set restricted to the same band (both
+  // endpoints in-band), so recall grades the geometry on exactly the slice
+  // it banded.
+  val TuneAuditMod = 2L
+  val TuneAuditRem = 0L
+  def dedupLshTune(spark: SparkSession, d: String,
+      sampleMod: Long, sampleRem: Long): DataFrame = {
+    require(sampleMod >= 2 && sampleRem >= 0 && sampleRem < sampleMod,
+      s"dedup_lsh_tune is an audit-slice job: need 2 <= sampleMod (got $sampleMod), " +
+        "0 <= sampleRem < sampleMod — the uncapped geometry sweep must never see a full corpus")
     val sig = Tables.documents(spark, d)
+      .filter(col("doc_id") % sampleMod === sampleRem)
       .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
       .filter(col("sig").isNotNull)
-    val truePairs = lshShared(spark, d).verified.select("da", "db")
+    val truePairs = lshShared(spark, d).verified
+      .filter(col("da") % sampleMod === sampleRem && col("db") % sampleMod === sampleRem)
+      .select("da", "db")
     val perConfig = Seq(1, 2, 4, 8).map { r =>
       val b = NumPerms / r
       val bands = sig.select(col("doc_id"),
@@ -413,6 +431,12 @@ object Dedup {
       .orderBy("rows_per_band")
   }
 
+  // Oracle mirrors the audit band (doc_id % TuneAuditMod = TuneAuditRem on
+  // both the signature table and the truth endpoints) and — ADVICE r9 —
+  // drives the final SELECT from cfg LEFT JOIN agg with coalesced counts,
+  // so a geometry that yields ZERO candidate pairs still emits its
+  // (r, b, 0, n_true, 0, 0.0) row exactly like the Spark side's
+  // agg-on-empty does.
   val dedupLshTuneSql: String = LshCte +
     s""",
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -422,13 +446,16 @@ object Dedup {
        |  JOIN sh b ON b.doc_id = cand.db AND b.s = a.s
        |  GROUP BY 1, 2),
        |vp AS (SELECT da, db FROM inter JOIN sz x ON inter.da = x.doc_id JOIN sz y ON inter.db = y.doc_id
-       |       WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardTau),
+       |       WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardTau
+       |         AND inter.da % $TuneAuditMod = $TuneAuditRem
+       |         AND inter.db % $TuneAuditMod = $TuneAuditRem),
+       |sigt AS (SELECT * FROM sig WHERE doc_id % $TuneAuditMod = $TuneAuditRem),
        |cfg(r, b) AS (VALUES (1, 16), (2, 8), (4, 4), (8, 2)),
        |bands2 AS (SELECT doc_id, r, bi,
        |  list_reduce(list_filter([CASE WHEN k <= r THEN sig[CAST(bi*r + k AS INT)] END
        |                           FOR k IN range(1, ${NumPerms + 1})], x -> x IS NOT NULL),
        |              (x, y) -> x||'|'||y) AS bk
-       |  FROM sig, cfg, range(0, ${NumPerms}) s(bi) WHERE bi < b),
+       |  FROM sigt, cfg, range(0, ${NumPerms}) s(bi) WHERE bi < b),
        |cand2 AS (SELECT DISTINCT a.r AS r, a.doc_id AS da, b2.doc_id AS db
        |  FROM bands2 a JOIN bands2 b2
        |    ON a.r = b2.r AND a.bi = b2.bi AND a.bk = b2.bk AND a.doc_id < b2.doc_id),
@@ -437,11 +464,13 @@ object Dedup {
        |  sum(CASE WHEN EXISTS (SELECT 1 FROM vp WHERE vp.da = cand2.da AND vp.db = cand2.db)
        |      THEN 1 ELSE 0 END) AS n_recovered
        |  FROM cand2 GROUP BY r)
-       |SELECT CAST(r AS BIGINT) AS rows_per_band, CAST(${NumPerms}/r AS BIGINT) AS n_bands,
-       | CAST(n_candidates AS BIGINT) AS n_candidates, CAST(n_true AS BIGINT) AS n_true,
-       | CAST(n_recovered AS BIGINT) AS n_recovered,
-       | CAST(n_recovered AS DOUBLE)/n_true AS recall
-       |FROM agg, nt ORDER BY rows_per_band""".stripMargin
+       |SELECT CAST(cfg.r AS BIGINT) AS rows_per_band, CAST(${NumPerms}/cfg.r AS BIGINT) AS n_bands,
+       | CAST(coalesce(agg.n_candidates, 0) AS BIGINT) AS n_candidates,
+       | CAST(nt.n_true AS BIGINT) AS n_true,
+       | CAST(coalesce(agg.n_recovered, 0) AS BIGINT) AS n_recovered,
+       | CAST(coalesce(agg.n_recovered, 0) AS DOUBLE)/nt.n_true AS recall
+       |FROM cfg LEFT JOIN agg ON agg.r = cfg.r CROSS JOIN nt
+       |ORDER BY rows_per_band""".stripMargin
 
   /** Pre-materialize the family's memoized stage outputs — the LSH pair
     * tables plus the converged component labels. Bench attribution contract
@@ -1019,13 +1048,26 @@ object Dedup {
   // job in the family whose cost is NOT density-bounded: the s-equijoin
   // fans out by per-shingle document frequency, which is why production
   // runs it on an audit slice, not the full 100 TB corpus — the operator
-  // exists to GRADE the approximation the full corpus relies on. The
-  // candidate probe reads the MEMOIZED pair table (density-bounded);
-  // banding is exact integer math ((inter·10) div union); recall = one
-  // same-operand division.
-  def dedupRecall(spark: SparkSession, d: String): DataFrame = {
-    val cand = lshShared(spark, d).cand.select("da", "db")
-    val sh = shingles(Tables.documents(spark, d))
+  // exists to GRADE the approximation the full corpus relies on.
+  //
+  // AUDIT-SLICE CONTRACT (r9 verdict #3): that's why — like dedupLshTune —
+  // the slice is bound IN THE SIGNATURE: a required (sampleMod >= 2,
+  // sampleRem) doc-id band restricts the corpus BEFORE shingling, so the
+  // unbounded truth join structurally cannot run corpus-wide. Candidates
+  // are restricted to the same band (both endpoints), so recall compares
+  // like with like. The candidate probe reads the MEMOIZED pair table
+  // (density-bounded); banding is exact integer math ((inter·10) div
+  // union); recall = one same-operand division.
+  def dedupRecall(spark: SparkSession, d: String,
+      sampleMod: Long, sampleRem: Long): DataFrame = {
+    require(sampleMod >= 2 && sampleRem >= 0 && sampleRem < sampleMod,
+      s"dedup_recall is an audit-slice job: need 2 <= sampleMod (got $sampleMod), " +
+        "0 <= sampleRem < sampleMod — the unbounded truth join must never see a full corpus")
+    val cand = lshShared(spark, d).cand
+      .filter(col("da") % sampleMod === sampleRem && col("db") % sampleMod === sampleRem)
+      .select("da", "db")
+    val sh = shingles(Tables.documents(spark, d)
+      .filter(col("doc_id") % sampleMod === sampleRem))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val tr = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -1047,22 +1089,29 @@ object Dedup {
 
   val dedupRecallSql: String = LshCte +
     s""",
-       |szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |sht AS (SELECT * FROM sh WHERE doc_id % $TuneAuditMod = $TuneAuditRem),
+       |szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sht GROUP BY 1),
        |tr AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
-       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |       FROM sht a JOIN sht b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
        |tj AS (SELECT tr.da, tr.db, inter, x.n AS na, y.n AS nb
        |       FROM tr JOIN szs x ON tr.da = x.doc_id JOIN szs y ON tr.db = y.doc_id
        |       WHERE inter * 3 >= x.n + y.n),
-       |h AS (SELECT tj.*, CASE WHEN cand.da IS NOT NULL THEN 1 ELSE 0 END AS hit
-       |      FROM tj LEFT JOIN cand ON tj.da = cand.da AND tj.db = cand.db)
+       |candt AS (SELECT * FROM cand
+       |          WHERE da % $TuneAuditMod = $TuneAuditRem AND db % $TuneAuditMod = $TuneAuditRem),
+       |h AS (SELECT tj.*, CASE WHEN candt.da IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |      FROM tj LEFT JOIN candt ON tj.da = candt.da AND tj.db = candt.db)
        |SELECT CAST((inter * 10) // (na + nb - inter) AS BIGINT) AS band,
        |  CAST(count(*) AS BIGINT) AS n_true, CAST(sum(hit) AS BIGINT) AS n_hit,
        |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
        |FROM h GROUP BY 1 ORDER BY band""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_recall" -> dedupRecall,
-    "dedup_lsh_tune" -> dedupLshTune,
+    // audit-slice jobs: the registry pins the oracle's doc-id band; the
+    // 2-arg full-corpus form no longer exists (r9 verdict #3)
+    "dedup_recall" -> ((s: SparkSession, d: String) =>
+      dedupRecall(s, d, TuneAuditMod, TuneAuditRem)),
+    "dedup_lsh_tune" -> ((s: SparkSession, d: String) =>
+      dedupLshTune(s, d, TuneAuditMod, TuneAuditRem)),
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_degree_dist" -> dedupDegreeDist,

@@ -346,10 +346,16 @@ object Multimodal {
   // shard, blob count, raw bytes, unique-content count, and bytes after
   // dedup. One (shard, hash)-distinct is the linear term (hashes, never
   // payloads, shuffle); the final groupBys land on 16 keys.
+  // NULL-payload rule (ADVICE r9): a NULL text would hash to a NULL shard
+  // and silently vanish from the equi-join/groupBy in BOTH engines,
+  // undercounting the manifest. A manifest must PARTITION the corpus, so
+  // NULL payloads are addressed as zero-byte blobs (hash of the empty
+  // string, 0 bytes) — the same cell a genuinely empty document lands in,
+  // which is exactly what a blob store would hold for either.
   def mmShardManifest(spark: SparkSession, d: String): DataFrame = {
     val b = Tables.documents(spark, d).select(
-      sha2(expr("encode(text, 'UTF-8')"), 256).as("h"),
-      octet_length(col("text")).cast("long").as("bytes"))
+      sha2(expr("encode(coalesce(text, ''), 'UTF-8')"), 256).as("h"),
+      coalesce(octet_length(col("text")), lit(0)).cast("long").as("bytes"))
       .withColumn("shard", conv(substring(col("h"), 1, 2), 16, 10).cast("long") % 16)
     val uniq = b.select("shard", "h", "bytes").distinct()
       .groupBy("shard")
@@ -361,8 +367,8 @@ object Multimodal {
   }
 
   val mmShardManifestSql: String =
-    """WITH b AS (SELECT sha256(text) AS h,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS bytes FROM documents),
+    """WITH b AS (SELECT sha256(coalesce(text, '')) AS h,
+      |  CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS bytes FROM documents),
       |s AS (SELECT CAST(CAST('0x' || substr(h, 1, 2) AS INTEGER) % 16 AS BIGINT) AS shard,
       |  h, bytes FROM b),
       |u AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_unique,

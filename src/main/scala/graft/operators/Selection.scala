@@ -698,9 +698,9 @@ object Selection {
   // (value, event_id) total order) like q_percentiles, so both engines
   // pick the same raw data value; the only arithmetic on doubles is one
   // subtraction, one abs, one 3× multiply — identical IEEE in both.
-  // Scale: two windowed passes partitioned by compound (the q_percentiles
-  // shape); the per-compound median/MAD relations are |compounds|-sized
-  // and broadcast back. An analyst reviews the flags, not 100 TB.
+  // Scale: ONE hash exchange on compound, then a window chain (two sorts,
+  // zero joins — see outlierMadFrom). An analyst reviews the flags, not
+  // 100 TB.
   def dsOutlierMad(spark: SparkSession, d: String): DataFrame =
     outlierMadFrom(keyed(spark, d).select("event_id", "compound", "value"), "event_id")
       .orderBy("event_id")
@@ -708,22 +708,27 @@ object Selection {
   /** DataFrame-in variant for library callers (and the [[GraftQC]] facade):
     * `k` needs (`idCol`, compound, value) where `idCol` is any column that
     * totally orders ties deterministically.
+    *
+    * Shape (r10 replan): ONE hash exchange on compound and everything else
+    * is a window chain inside that partitioning — rank by value → med via
+    * `max(CASE rn = (n+1) div 2)` over the partition → dev → rank by dev →
+    * mad the same way → filter. The r9 plan derived each median in its own
+    * windowed subquery and broadcast-joined it back, which (because the dev
+    * branch is referenced twice) re-computed the med subtree and scanned
+    * `k` four times with four sorts; this plan scans once, sorts twice
+    * (value order, then dev order — the two medians order by different
+    * keys, so two sorts is the floor), and joins never.
     */
   def outlierMadFrom(k: DataFrame, idCol: String): DataFrame = {
-    def discreteMedian(df: DataFrame, valueCol: String, alias: String): DataFrame = {
-      val w = Window.partitionBy("compound").orderBy(col(valueCol), col(idCol))
-      val wAll = Window.partitionBy("compound")
-      df.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("compound"), col(valueCol).as(alias))
-    }
-    val med = discreteMedian(k, "value", "med")
-    val dev = k.join(broadcast(med), Seq("compound"))
+    val wAll = Window.partitionBy("compound")
+    val wVal = Window.partitionBy("compound").orderBy(col("value"), col(idCol))
+    val wDev = Window.partitionBy("compound").orderBy(col("dev"), col(idCol))
+    k.withColumn("rn", row_number().over(wVal).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("med", max(when(col("rn") === expr("(n + 1) div 2"), col("value"))).over(wAll))
       .withColumn("dev", abs(col("value") - col("med")))
-    val mad = discreteMedian(dev.select(col(idCol), col("compound"), col("dev").as("value")),
-      "value", "mad")
-    dev.join(broadcast(mad), Seq("compound"))
+      .withColumn("rn2", row_number().over(wDev).cast("long"))
+      .withColumn("mad", max(when(col("rn2") === expr("(n + 1) div 2"), col("dev"))).over(wAll))
       .filter(col("dev") > lit(3.0) * col("mad"))
       .select(idCol, "compound", "value", "med", "mad")
   }
@@ -1030,7 +1035,12 @@ object Selection {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // at an equal second the DESC scan must see the grid mark BEFORE the
     // sample (kind desc), so "next" is strictly after the mark — otherwise
-    // a sample on a mark would be both neighbors (t1 − t0 = 0)
+    // a sample on a mark would be both neighbors (t1 − t0 = 0).
+    // NOTE (r10): a `first(...) OVER (ROWS CURRENT ROW TO UNBOUNDED
+    // FOLLOWING)` on the ascending sort looks cheaper (one sort, not two)
+    // but is O(n²) — Spark's UnboundedFollowing frame re-scans the
+    // partition tail for EVERY row (133s vs 1.1s at sf0.1, measured). The
+    // second sort + running `last` is the linear formulation.
     val wDesc = Window.partitionBy("compound").orderBy(col("sec").desc, col("kind").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned

@@ -50,10 +50,15 @@ object Sinks {
     val b = df.agg(
       min(col(c1).cast("double")), max(col(c1).cast("double")),
       min(col(c2).cast("double")), max(col(c2).cast("double"))).head
+    // Degenerate-range guard (ADVICE r9): the floor must be a NORMAL-range
+    // epsilon — Double.MIN_VALUE is the smallest subnormal, and dividing it
+    // by 16 underflows to 0.0, turning a constant column into 0/0 = NaN
+    // instead of the guarded division. 1e-12 keeps every constant column
+    // deterministically in cell 0.
     def cell(c: String, lo: Double, hi: Double) =
       least(lit(15), greatest(lit(0),
         floor((col(c).cast("double") - lit(lo)) /
-          lit(math.max(hi - lo, java.lang.Double.MIN_VALUE) / 16.0)).cast("int")))
+          lit(math.max(hi - lo, 1e-12) / 16.0)).cast("int")))
     val g1 = cell(c1, b.getDouble(0), b.getDouble(1))
     val g2 = cell(c2, b.getDouble(2), b.getDouble(3))
     // bit interleave: c1 takes odd bits, c2 even — disjoint bits, so + is |

@@ -55,7 +55,23 @@ object EventStream {
     * sees one contract regardless of which writer produced the files.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val observed = spark.read.parquet(dir).schema
+    // Empty/not-yet-created directory (ADVICE r9): the batch footer probe
+    // throws before the first file arrives, but a stream must be
+    // constructible ahead of its data. Fall back to the declared nanos-long
+    // schema — the testdata writer's encoding, and the conversion below
+    // normalizes either encoding to the same contract once files do arrive.
+    val observed =
+      try spark.read.parquet(dir).schema
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+      }
     val stream = spark.readStream.schema(observed).parquet(dir)
     observed("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

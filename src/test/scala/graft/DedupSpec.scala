@@ -326,7 +326,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("dedup_recall: hits = verified pairs exactly, bands well-formed") {
-    val bands = Dedup.dedupRecall(spark, sf).collect()
+    val (mod, rem) = (Dedup.TuneAuditMod, Dedup.TuneAuditRem)
+    val bands = Dedup.dedupRecall(spark, sf, mod, rem).collect()
     bands.foreach { r =>
       val (t, h) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_hit"))
       assert(h <= t && t > 0)
@@ -334,9 +335,15 @@ class DedupSpec extends SparkSpec {
       val b = r.getAs[Long]("band")
       assert(b >= 5 && b <= 10) // tau = 0.5 floor, 10 = identical sets
     }
-    // truth ∩ candidates = candidates passing exact-jaccard tau = verified:
-    // the summed hits must equal the verified pair table exactly
-    val verified = Dedup.dedupNgramJaccard(spark, sf).count()
+    // truth ∩ candidates = candidates passing exact-jaccard tau = verified,
+    // all restricted to the audit band (shingle sets per doc are unchanged
+    // by doc-id sampling, so the restricted identity holds exactly): the
+    // summed hits must equal the in-band verified pair table
+    val verified = Dedup.dedupNgramJaccard(spark, sf)
+      .filter(col("da") % mod === rem && col("db") % mod === rem).count()
     assert(bands.map(_.getAs[Long]("n_hit")).sum === verified)
+    // the audit contract is enforced in the signature, not the Scaladoc
+    intercept[IllegalArgumentException] { Dedup.dedupRecall(spark, sf, 1L, 0L) }
+    intercept[IllegalArgumentException] { Dedup.dedupLshTune(spark, sf, 1L, 0L) }
   }
 }
