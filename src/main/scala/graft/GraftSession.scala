@@ -27,6 +27,15 @@ object GraftSession {
       // native graft functions (cosine_sim) available in SQL + expr()
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // The generated-class cache (Janino output, JVM-wide) defaults to 100
+      // entries; a 180-query workload emits ~1000 distinct codegen units per
+      // pass, so the LRU thrashes and EVERY query recompiles every stage on
+      // every run — pure fixed overhead that scales with query count, not
+      // data. Size it to hold the whole workload (the cache stores compiled
+      // classes; ~5k entries is tens of MB on a driver that has GBs). On a
+      // long-lived cluster service this is the same knob you'd raise for any
+      // multi-tenant SQL endpoint.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32): SparkSession = {

@@ -134,5 +134,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("top_token_count"),
       new ExpressionInfo(classOf[TopTokenCount].getName, "top_token_count"),
       (children: Seq[Expression]) => TopTokenCount(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_stats"),
+      new ExpressionInfo(classOf[WinnowStats].getName, "winnow_stats"),
+      (children: Seq[Expression]) => WinnowStats(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("window_md5_set"),
+      new ExpressionInfo(classOf[WindowMd5Set].getName, "window_md5_set"),
+      (children: Seq[Expression]) => WindowMd5Set(children.head)))
   }
 }

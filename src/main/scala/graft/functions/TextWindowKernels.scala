@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native winnowing statistics (Schleimer–Wilkerson–Aiken, k=4 w=8) over a
+  * document string — `[n_grams, n_windows, n_fp]` in ONE map-side pass.
+  *
+  * The composable formulation (`transform(sequence(...), i ->
+  * md5(concat_ws(' ', slice(w, i, 4))))` then `transform(..., j ->
+  * array_min(slice(g, j, 8)))` then `array_distinct`) is semantically
+  * identical but materializes THREE O(n)-element arrays per row through
+  * interpreted higher-order lambdas, and `slice` copies its window on every
+  * step — O(n·w) allocation for what is an O(n) sliding minimum. The kernel
+  * joins the token stream once into a byte buffer, md5s each gram as a
+  * buffer slice (zero window-string allocations), and runs the textbook
+  * monotonic-deque sliding minimum. Exactness: gram = lowercase-hex
+  * md5 of `concat_ws(' ', slice(w, i, k))`, window min = lexicographic
+  * (byte-wise) string min — identical to `array_min` over hex strings and
+  * to the DuckDB oracle's `list_min`; NativeKernelSpec asserts per-doc
+  * equality with the composable formulation.
+  */
+case class WinnowStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "winnow_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    TextWindowKernel.winnowStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextWindowKernel.winnowStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowStats =
+    copy(child = newChild)
+}
+
+/** Native distinct 16-token-window md5 set of a document — the
+  * `array_distinct(transform(sequence(...), i -> unhex(md5(concat_ws(' ',
+  * slice(w, i, 16))))))` column of the substring-dedup gram table as one
+  * buffer pass (16-byte binary keys, first-occurrence order). NULL for
+  * documents with fewer than 16 tokens — exactly the rows the composable
+  * path's `size(w) >= 16` filter dropped before exploding.
+  */
+case class WindowMd5Set(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "window_md5_set"
+
+  override def nullSafeEval(input: Any): Any =
+    TextWindowKernel.windowMd5Set(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextWindowKernel.windowMd5Set($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WindowMd5Set =
+    copy(child = newChild)
+}
+
+object TextWindowKernel {
+  private val WinnowK = 4
+  private val WinnowW = 8
+  private val SubstrW = 16
+
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".toCharArray
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Exactly `split(trim(text), "\\s+")` — see MinHashKernel.splitWords. */
+  private def splitWords(text: UTF8String): Array[String] = {
+    var s = text.toString
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s = s.substring(b, e)
+    WsPattern.split(s, -1)
+  }
+
+  /** Single-space rejoined UTF-8 buffer + per-token start offsets (one
+    * sentinel past the end): the W-token window starting at token i is the
+    * byte range [starts(i), starts(i+W) - 1) — identical bytes to
+    * `concat_ws(' ', slice(w, i+1, W))`. */
+  private def joinBuffer(words: Array[String]): (Array[Byte], Array[Int]) = {
+    val n = words.length
+    val utf = new Array[Array[Byte]](n)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      utf(i) = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      total += utf(i).length + 1
+      i += 1
+    }
+    val buf = new Array[Byte](total)
+    val starts = new Array[Int](n + 1)
+    var off = 0
+    i = 0
+    while (i < n) {
+      starts(i) = off
+      System.arraycopy(utf(i), 0, buf, off, utf(i).length)
+      off += utf(i).length
+      buf(off) = ' '
+      off += 1
+      i += 1
+    }
+    starts(n) = off
+    (buf, starts)
+  }
+
+  private def md5HexOf(md: java.security.MessageDigest,
+      buf: Array[Byte], off: Int, len: Int): String = {
+    md.reset()
+    md.update(buf, off, len)
+    val d = md.digest()
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** `[n_grams, n_windows, n_fp]` (see [[WinnowStats]]). */
+  def winnowStats(text: UTF8String): ArrayData = {
+    val words = splitWords(text)
+    val nGrams = math.max(words.length - (WinnowK - 1), 0)
+    if (nGrams == 0) return new GenericArrayData(Array[Any](0L, 0L, 0L))
+    val (buf, starts) = joinBuffer(words)
+    val md = digests.get()
+    val grams = new Array[String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      grams(i) = md5HexOf(md, buf, starts(i), starts(i + WinnowK) - 1 - starts(i))
+      i += 1
+    }
+    val nWindows = math.max(nGrams - (WinnowW - 1), 0)
+    if (nWindows == 0) return new GenericArrayData(Array[Any](nGrams.toLong, 0L, 0L))
+    // sliding lexicographic minimum over w=8 grams: monotonic deque of
+    // candidate indices, ascending by value — O(n) total
+    val deque = new Array[Int](nGrams)
+    var head = 0; var tail = 0 // [head, tail) live candidates
+    val fp = new java.util.HashSet[String]()
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && grams(deque(tail - 1)).compareTo(grams(i)) >= 0) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - WinnowW) head += 1
+      if (i >= WinnowW - 1) fp.add(grams(deque(head)))
+      i += 1
+    }
+    new GenericArrayData(Array[Any](nGrams.toLong, nWindows.toLong, fp.size().toLong))
+  }
+
+  /** Distinct 16-byte md5 digests of 16-token windows, first-occurrence
+    * order; null when the document has fewer than 16 tokens (see
+    * [[WindowMd5Set]]). */
+  def windowMd5Set(text: UTF8String): ArrayData = {
+    val words = splitWords(text)
+    if (words.length < SubstrW) return null
+    val (buf, starts) = joinBuffer(words)
+    val md = digests.get()
+    val seen = new java.util.LinkedHashSet[java.nio.ByteBuffer]()
+    var i = 0
+    while (i <= words.length - SubstrW) {
+      md.reset()
+      md.update(buf, starts(i), starts(i + SubstrW) - 1 - starts(i))
+      seen.add(java.nio.ByteBuffer.wrap(md.digest()))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().array(); j += 1 }
+    new GenericArrayData(out)
+  }
+}

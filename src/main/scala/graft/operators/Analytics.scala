@@ -1264,12 +1264,16 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         (col("max_ship") > col("o_orderdate") + expr(s"INTERVAL $WaitLagDays DAY")).cast("long"))
-    val perO = perOs.groupBy(col("l_orderkey").as("ok"))
-      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+    // The qualifying orders have EXACTLY ONE late supplier (n_late = 1), so
+    // the waiting supplier per order is max(late suppkey) inside the SAME
+    // per-order aggregate — no second reference to perOs, no self-join
+    // (r9's shape computed perOs twice and re-joined it on the order key;
+    // this is one extra column in an aggregate the plan already pays for).
+    perOs.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"),
+        max(when(col("late") === 1, col("l_suppkey"))).as("wait_sk"))
       .where(col("n_supp") > 1 && col("n_late") === 1)
-    perOs.where(col("late") === 1)
-      .join(perO, col("l_orderkey") === col("ok"))
-      .join(Tables.supplier(spark, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, d), col("wait_sk") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(desc("numwait"), asc("s_name"))

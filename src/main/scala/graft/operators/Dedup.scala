@@ -687,21 +687,31 @@ object Dedup {
   private val SubstrW = 16
 
   def dedupSubstring(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-    val grams = docs
-      .filter(size(col("w")) >= SubstrW)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, size(w) - ${SubstrW - 1}), i -> unhex(md5(concat_ws(' ', slice(w, i, $SubstrW))))))")).as("g"))
-    val df = grams.groupBy("g").agg(count(lit(1)).as("nd"))
-    val per = grams.join(df, Seq("g"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
-    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+    // Per-doc distinct window set via the native window_md5_set kernel (one
+    // buffer pass; the r9 HOF chain re-sliced and re-concatenated 16 tokens
+    // per window and round-tripped the digest through hex).
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"), expr("window_md5_set(text)").as("gs"))
+      .filter(col("gs").isNotNull)
+    // n_windows never needs the gram shuffle: it is size(gs) in the scan.
+    val nw = base.select(col("doc_id"), size(col("gs")).cast("long").as("n_windows"))
+    // n_dup = n_windows − n_uniq, and a window with cross-doc frequency 1
+    // has a UNIQUE owning doc — so one hash-agg on g (count + min owner)
+    // followed by a doc-sized agg replaces r9's grams⋈df join, cutting the
+    // full-width gram exchanges from two to one and the kernel passes the
+    // join's double subtree paid. No window function, no broadcast of an
+    // unbounded set: hot grams collapse map-side (per-doc-distinct keys),
+    // so the shape survives a boilerplate-heavy 100 TB corpus.
+    val uniq = base.select(col("doc_id"), explode(col("gs")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("nd"), min(col("doc_id")).as("d0"))
+      .filter(col("nd") === 1)
+      .groupBy(col("d0").as("doc_id")).agg(count(lit(1)).as("n_uniq"))
+    Tables.documents(spark, d).select("doc_id")
+      .join(nw, Seq("doc_id"), "left")
+      .join(uniq, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+        (coalesce(col("n_windows"), lit(0L)) - coalesce(col("n_uniq"), lit(0L))).as("n_dup"))
       .withColumn("dup_ratio",
         when(col("n_windows") > 0, col("n_dup").cast("double") / col("n_windows")))
       .orderBy("doc_id")

@@ -635,11 +635,23 @@ object Sketches {
   private val AmsS = 64 // estimators (bits of one md5 prefix)
 
   def sketchAms(spark: SparkSession, d: String): DataFrame = {
+    // Parse the 64-bit md5 prefix ONCE per row as two 32-bit halves (conv of
+    // an 8-hex-char slice fits a signed long; the full 16 chars would not),
+    // then carve each estimator's sign with a shift+mask on those longs.
+    // The r9 form re-parsed one hex CHAR per estimator — 64 substring+conv
+    // calls per row — for bits that were already adjacent in the same
+    // number. Bit layout is IDENTICAL to the per-char form: estimator j
+    // reads bit (j%4) of the nibble at hex position j/4, which inside
+    // conv(chars p..p+7) sits at bit 4*(7 - (j/4 - 8*half)) + j%4.
     val ev = Tables.events(spark, d)
       .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("lo"))
     def signJ(j: Int) = {
-      val nib = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
-      when(shiftright(nib, j % 4).bitwiseAND(lit(1)) === 1, 1L).otherwise(-1L)
+      val half = if (j < 32) col("hi") else col("lo")
+      val shift = 4 * (7 - (j / 4) % 8) + j % 4
+      when(shiftright(half, shift).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
     }
     val counters = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),

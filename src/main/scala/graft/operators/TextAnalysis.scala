@@ -256,12 +256,24 @@ object TextAnalysis {
       .select(col("doc_id"), expr("shingle_set(text)").as("ss"))
       .filter(col("ss").isNotNull)
       .select(col("doc_id"), explode(col("ss")).as("s"))
-    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, d).agg(count(lit(1)).as("n"))
-    sh.join(df, Seq("s")).crossJoin(broadcast(n))
+    // The boilerplate set is SMALL BY CONSTRUCTION at any corpus size: each
+    // qualifying shingle has df > N/100, and per-doc-distinct df sums to at
+    // most (shingles per doc)·N, so at most 100·avg_shingles_per_doc
+    // shingles can qualify — a bounded, corpus-size-independent build side.
+    // Broadcasting it replaces r9's corpus-wide sh⋈df shuffle join with a
+    // map-side membership probe: the per-doc aggregate's partial combine
+    // then collapses rows before its exchange, so ONE full-width shingle
+    // exchange remains (the df groupBy) instead of two, and the skewed hot
+    // shingles never hit a shuffled join at all.
+    val boiler = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") > 2 && col("df") * 100 > col("n"))
+      .select(col("s"), lit(1L).as("b"))
+    sh.join(broadcast(boiler), Seq("s"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") > 2 && col("df") * 100 > col("n"), 1L).otherwise(0L)).as("n_boiler"))
+        sum(coalesce(col("b"), lit(0L))).as("n_boiler"))
       .withColumn("boiler_ratio", col("n_boiler").cast("double") / col("n_shingles"))
       .orderBy("doc_id")
   }
@@ -1227,15 +1239,23 @@ object TextAnalysis {
                                 j -> array_min(slice(g, j, $WinnowW)))
                  ELSE CAST(array() AS ARRAY<STRING>) END""").as("sel"))
 
+  /** The report path runs the native `winnow_stats` kernel — one fused
+    * buffer pass per document instead of [[winnowSelected]]'s three
+    * interpreted higher-order-function arrays (grams, window minima,
+    * distinct) with their O(n·w) `slice` copies. [[winnowSelected]] stays
+    * as the indexable fingerprint surface and the bitwise cross-check
+    * (NativeKernelSpec asserts kernel == composable per document). */
   def textWinnowFrom(docs: DataFrame): DataFrame =
-    winnowSelected(docs)
-      .select(col("doc_id"), col("n_grams"),
-        size(col("sel")).cast("long").as("n_windows"),
-        size(array_distinct(col("sel"))).cast("long").as("n_fp"),
-        when(size(col("sel")) > 0,
-          size(array_distinct(col("sel"))).cast("double") / size(col("sel")).cast("double"))
-          .as("density"))
-      .withColumn("n_grams", col("n_grams").cast("long"))
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("winnow_stats(text)").as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_grams"),
+        col("st").getItem(1).as("n_windows"),
+        col("st").getItem(2).as("n_fp"))
+      .withColumn("density",
+        when(col("n_windows") > 0,
+          col("n_fp").cast("double") / col("n_windows").cast("double")))
       .orderBy("doc_id")
 
   val textWinnowSql: String =
