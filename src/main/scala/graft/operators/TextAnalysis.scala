@@ -796,12 +796,23 @@ object TextAnalysis {
   // (1) per-score-bucket token totals — a map-side-combinable groupBy over
   // ≤100,001 keys; (2) the budget threshold found by a cumulative window
   // over that BUCKET table (bounded by score resolution, never corpus
-  // size); (3) docs join their bucket's cum-before offset (AQE broadcasts
-  // the bounded bucket table) — fully-covered buckets pass outright, and
-  // only CANDIDATE buckets (cum_before < budget) reach the per-bucket
-  // doc_id-ordered window that settles the boundary. The two formulations
-  // are provably equal because the global order is exactly (score DESC,
+  // size); (3) docs join their bucket's cumulative offsets (AQE broadcasts
+  // the bounded bucket table) — INTERIOR buckets (cumw ≤ budget) emit
+  // through the join alone with no per-doc state, and ONLY the single
+  // BOUNDARY bucket (cum_before < budget < cumw) runs the doc_id-ordered
+  // window that settles where the prefix cuts. The two formulations are
+  // provably equal because the global order is exactly (score DESC,
   // doc_id): bucket cum-before + within-bucket running = global running.
+  //
+  // The per-doc running total is deliberately NOT an output column: a
+  // running total is inherently per-row sequential state, so any
+  // formulation that emits it must run a doc-level window over EVERY kept
+  // bucket — on an integer score with few distinct values that is a
+  // skewed-key window over most of the corpus, exactly what this
+  // decomposition exists to avoid. The boundary decision needs the running
+  // total only inside the one boundary bucket, where it is computed over
+  // that bucket's rows and discarded. (Total budget spent, if a caller
+  // wants it, is sum(nw) over the — budget-bounded — selection.)
   private val TokenBudget = 15000L
   private val ScoreScale = 100000L
 
@@ -824,7 +835,19 @@ object TextAnalysis {
       budget)
 
   /** The bucket-decomposed budget selection on any scored relation —
-    * `m` needs (doc_id, nw, iq); shared with [[pipelineCurate]]. */
+    * `m` needs (doc_id, nw, iq); shared with [[pipelineCurate]].
+    *
+    * Interior buckets pass through the broadcast join with zero per-doc
+    * state; the one boundary bucket — a bounded slice: its kept prefix is
+    * ≤ budget rows (nw ≥ 1) — alone pays a window, leaving NO corpus-sized
+    * sort or skewable exchange anywhere in the plan. The result is
+    * deliberately unordered (a selection is a SET; forcing a total order
+    * on a 100 TB selection would reintroduce the global sort this
+    * decomposition removes, and the (iq desc, doc_id) order is fully
+    * reconstructible from the output columns). The price is that `m` is
+    * probed by two join branches instead of one (three scans total with
+    * the bucket aggregate); scans are the linear, partitioned cost and
+    * the right side of that trade at scale. */
   private def tokenBudgetSelect(m: DataFrame, budget: Long): DataFrame = {
     val wBucket = Window.orderBy(desc("iq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -832,13 +855,19 @@ object TextAnalysis {
       .withColumn("cumw", sum(col("bw")).over(wBucket))
       .withColumn("cum_before", col("cumw") - col("bw"))
       .filter(col("cum_before") < budget)
+    // one broadcast join against the full candidate-bucket table; the two
+    // branches filter AFTER it, so the identical scan⋈broadcast subtree
+    // shares a single reused BroadcastExchange
+    val joined = m.join(buckets.select("iq", "cum_before", "cumw"), Seq("iq"))
+    val interior = joined.filter(col("cumw") <= budget)
+      .select("doc_id", "iq", "nw")
     val wDoc = Window.partitionBy("iq").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    m.join(buckets.select("iq", "cum_before"), Seq("iq"))
-      .withColumn("cum_tokens", col("cum_before") + sum(col("nw")).over(wDoc))
-      .filter(col("cum_tokens") <= budget)
-      .select("doc_id", "iq", "nw", "cum_tokens")
-      .orderBy(desc("iq"), col("doc_id"))
+    val boundary = joined.filter(col("cumw") > budget)
+      .withColumn("cum", col("cum_before") + sum(col("nw")).over(wDoc))
+      .filter(col("cum") <= budget)
+      .select("doc_id", "iq", "nw")
+    interior.unionByName(boundary)
   }
 
   // --- pipeline_curate ----------------------------------------------------
@@ -908,8 +937,8 @@ object TextAnalysis {
        |   AND topn * 5 <= nw AND nsym * 10 <= nchars),
        |c AS (SELECT doc_id, iq, nw,
        |      sum(nw) OVER (ORDER BY iq DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM m)
-       |SELECT doc_id, iq, nw, CAST(cum AS BIGINT) AS cum_tokens
-       |FROM c WHERE cum <= $TokenBudget ORDER BY iq DESC, doc_id""".stripMargin
+       |SELECT doc_id, iq, nw
+       |FROM c WHERE cum <= $TokenBudget""".stripMargin
 
   val selectTokenBudgetSql: String =
     s"""WITH m AS (SELECT doc_id,
@@ -919,8 +948,8 @@ object TextAnalysis {
        |  FROM documents),
        |c AS (SELECT doc_id, iq, nw,
        |      sum(nw) OVER (ORDER BY iq DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM m)
-       |SELECT doc_id, iq, nw, CAST(cum AS BIGINT) AS cum_tokens
-       |FROM c WHERE cum <= $TokenBudget ORDER BY iq DESC, doc_id""".stripMargin
+       |SELECT doc_id, iq, nw
+       |FROM c WHERE cum <= $TokenBudget""".stripMargin
 
   // --- sample_bottomk -----------------------------------------------------
   // Deterministic uniform sample via bottom-k order statistics: the k

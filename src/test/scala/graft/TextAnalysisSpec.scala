@@ -355,35 +355,37 @@ class TextAnalysisSpec extends SparkSpec {
     val ordered = docs.sortBy { case (id, _, iq) => (-iq, id) }
     // the reference semantics: running total is strictly increasing, so the
     // selection is the maximal PREFIX whose cumulative tokens fit the budget
-    val expected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     var cum = 0L
     var stopped = false
     ordered.foreach { case (id, nw, iq) =>
       if (!stopped) {
         cum += nw
-        if (cum <= 15000L) expected += ((id, iq, nw, cum)) else stopped = true
+        if (cum <= 15000L) expected += ((id, iq, nw)) else stopped = true
       }
     }
+    // output is an unordered selection; impose the (iq desc, doc_id) order
+    // client-side — it is reconstructible from the output columns
     val got = graft.operators.TextAnalysis.selectTokenBudget(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("iq"),
-        r.getAs[Long]("nw"), r.getAs[Long]("cum_tokens"))).toSeq
+        r.getAs[Long]("nw"))).toSeq.sortBy(t => (-t._2, t._1))
     assert(got === expected.toSeq)
 
     // boundary coverage: a budget smaller than the corpus must cut a
     // bucket mid-way (the per-bucket window path) and stay a maximal prefix
     val small = 1000L
-    val expSmall = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val expSmall = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     var c2 = 0L
     var stop2 = false
     ordered.foreach { case (id, nw, iq) =>
       if (!stop2) {
         c2 += nw
-        if (c2 <= small) expSmall += ((id, iq, nw, c2)) else stop2 = true
+        if (c2 <= small) expSmall += ((id, iq, nw)) else stop2 = true
       }
     }
     val gotSmall = graft.operators.TextAnalysis.selectTokenBudgetWith(spark, sf, small).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("iq"),
-        r.getAs[Long]("nw"), r.getAs[Long]("cum_tokens"))).toSeq
+        r.getAs[Long]("nw"))).toSeq.sortBy(t => (-t._2, t._1))
     assert(gotSmall === expSmall.toSeq)
     assert(gotSmall.nonEmpty && gotSmall.size < got.size)
   }
@@ -406,11 +408,10 @@ class TextAnalysisSpec extends SparkSpec {
       .sortBy { case (id, _, iq) => (-iq, id) }
     var cum = 0L
     val expected = scored.takeWhile { case (_, nw, _) => { cum += nw; cum <= 15000L } }
-    var cum2 = 0L // recompute cum for the expected prefix
-    val expRows = expected.map { case (id, nw, iq) => cum2 += nw; (id, iq, nw, cum2) }
+    val expRows = expected.map { case (id, nw, iq) => (id, iq, nw) }
     val got = graft.operators.TextAnalysis.pipelineCurate(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("iq"),
-        r.getAs[Long]("nw"), r.getAs[Long]("cum_tokens")))
+        r.getAs[Long]("nw"))).sortBy(t => (-t._2, t._1))
     assert(got.nonEmpty)
     assert(got.toSeq === expRows.toSeq)
   }
