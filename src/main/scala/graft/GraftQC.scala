@@ -103,18 +103,8 @@ class GraftQC(spark: SparkSession, utcOffsetHours: Int = -2) {
     * [[applyFilter]] directly. Parsed on the driver: exports are small by
     * contract; the result is distributed for the join.
     */
-  def importSelections(json: String): DataFrame = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    val parsed = JsonMethods.parse(json)
-    val pairs = for {
-      JObject(fields) <- List(parsed)
-      (key, JArray(compounds)) <- fields
-      JString(compound) <- compounds
-    } yield (compound, key)
-    import spark.implicits._
-    pairs.toDF("compound", "sel_key")
-  }
+  def importSelections(json: String): DataFrame =
+    Selection.importSelections(spark, json)
 
   /** README's "automated filtering": drop selected points from the raw
     * data. Selection side broadcast — the raw data never shuffles.

@@ -309,6 +309,57 @@ object Selection {
     |WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.compound = k.compound AND s.sel_key = k.sel_key)
     |ORDER BY event_id""".stripMargin
 
+  /** Parse a reference-format selection export (`{key: [compounds...]}`,
+    * index.js:818-836) back into a (compound, sel_key) DataFrame — the
+    * inverse of [[exportJson]]. Parsed on the driver: exports are
+    * analyst-sized by the same contract that lets exportJson collect; the
+    * result is distributed (and broadcast-sized) for the apply join.
+    */
+  def importSelections(spark: SparkSession, json: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed = JsonMethods.parse(json)
+    val pairs = for {
+      JObject(fields) <- List(parsed)
+      (key, JArray(compounds)) <- fields
+      JString(compound) <- compounds
+    } yield (compound, key)
+    import spark.implicits._
+    pairs.toDF("compound", "sel_key")
+  }
+
+  // --- ds_sel_import ------------------------------------------------------
+  // The README's downstream-consumption contract ("a readily readable
+  // format for automated filtering") at oracle level: render an
+  // analyst-sized selection as the reference's getJSONfile bytes
+  // (index.js:818-836), parse the STRING back with importSelections, and
+  // anti-join-apply the imported set. The oracle applies the same selection
+  // predicate directly — a hash match proves export ∘ import = identity on
+  // the selection set, i.e. a selection file produced by the reference tool
+  // (or by graft) drives ds_apply_filter with no loss. The selection here
+  // is deliberately analyst-sized (value > 320 → ~160 keys at sf0.1, ≥1 at every SF),
+  // honoring the export contract's "selection lists ≪ raw data", so the
+  // broadcast hint on the imported side is the designed plan at any SF.
+  def dsSelImport(spark: SparkSession, d: String): DataFrame = {
+    val k = keyed(spark, d)
+    val sel = k.filter(col("value") > 320.0).select("compound", "sel_key").distinct()
+    val json = exportJson(sel)
+    val imported = importSelections(spark, json).withColumn("_hit", lit(1))
+    k.join(broadcast(imported), Seq("compound", "sel_key"), "left")
+      .groupBy("compound")
+      .agg(count(when(col("_hit").isNull, 1)).as("kept_ct"),
+        count(col("_hit")).as("dropped_ct"))
+      .orderBy("compound")
+  }
+
+  val dsSelImportSql: String = KeyedCte + """,
+    |s AS (SELECT DISTINCT compound, sel_key FROM k WHERE value > 320.0)
+    |SELECT k.compound,
+    | count(*) FILTER (WHERE s.sel_key IS NULL) AS kept_ct,
+    | count(*) FILTER (WHERE s.sel_key IS NOT NULL) AS dropped_ct
+    |FROM k LEFT JOIN s ON s.compound = k.compound AND s.sel_key = k.sel_key
+    |GROUP BY k.compound ORDER BY k.compound""".stripMargin
+
   // --- ds_zoom_clamp ------------------------------------------------------
   // index.js:230-240: requested window out of bounds → full extent; width
   // under xZoomLimit → expand to mid ± limit/2 (no re-clamp, as in the
@@ -1731,6 +1782,7 @@ object Selection {
     "ds_sel_counts" -> dsSelCounts,
     "ds_sel_export" -> dsSelExport,
     "ds_apply_filter" -> dsApplyFilter,
+    "ds_sel_import" -> dsSelImport,
     "ds_zoom_clamp" -> dsZoomClamp,
     "ds_zoom_history" -> dsZoomHistory,
     "ds_zoom_replay" -> dsZoomReplay,
@@ -1767,6 +1819,7 @@ object Selection {
     "ds_sel_counts" -> dsSelCountsSql,
     "ds_sel_export" -> dsSelExportSql,
     "ds_apply_filter" -> dsApplyFilterSql,
+    "ds_sel_import" -> dsSelImportSql,
     "ds_zoom_clamp" -> dsZoomClampSql,
     "ds_zoom_history" -> dsZoomHistorySql,
     "ds_zoom_replay" -> dsZoomReplaySql,

@@ -57,6 +57,31 @@ class SelectionSpec extends SparkSpec {
     assert(survivorsInBox === 0)
   }
 
+  test("ds_sel_import: export → parse → apply equals direct apply") {
+    // the operator itself round-trips through the reference JSON bytes;
+    // here we pin the equivalence it claims: per-compound kept/dropped
+    // counts equal the counts from applying the selection SET directly
+    // (pair-based, not predicate-based: a flagged (compound, sel_key)
+    // drops every row sharing the minute+user key, not just the >320 row)
+    val viaImport = Selection.dsSelImport(spark, sf).collect()
+    val epochSec = unix_timestamp(col("ts")) - lit(7200L)
+    val k = graft.sources.Tables.events(spark, sf)
+      .withColumnRenamed("event_type", "compound")
+      .withColumn("sel_key", concat(
+        date_format(timestamp_seconds(epochSec), "yyyy-MM-dd HH:mm"),
+        lit(" "), col("user_id").cast("string")))
+    val sel = k.filter(col("value") > 320.0)
+      .select("compound", "sel_key").distinct().withColumn("_hit", lit(1))
+    val direct = k.join(sel, Seq("compound", "sel_key"), "left")
+      .groupBy("compound")
+      .agg(count(when(col("_hit").isNull, 1)).as("kept_ct"),
+        count(col("_hit")).as("dropped_ct"))
+      .orderBy("compound").collect()
+    assert(viaImport.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    assert(viaImport.map(_.getLong(2)).sum > 0, "selection should drop rows")
+  }
+
   test("extent rounds the numeric axis to multiples of yAxisRound=50") {
     Selection.dsExtent(spark, sf).collect().foreach { r =>
       assert(r.getAs[Double]("y_min") % 50 === 0.0)
