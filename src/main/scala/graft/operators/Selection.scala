@@ -667,14 +667,33 @@ object Selection {
     */
   final case class ZoomPlane(name: String, x: Column, y: Column)
 
-  /** The reference's default-ish lattice instance: the time plane and the
-    * alternate numeric attribute plane (props.$.k), both against value. */
-  val DefaultZoomPlanes: Seq[ZoomPlane] = Seq(
-    ZoomPlane("time", col("ms"), col("value")),
-    ZoomPlane("attr_k", get_json_object(col("props"), "$.k").cast("long"), col("value")))
+  /** The reference's FULL config lattice (config.js:21-32): xOptions =
+    * {date, meas_date} × yOptions = {month, day, year, MR} — 8 planes,
+    * keyed `x<xOpt>_y<yOpt>` exactly like joinXYStrings (index.js:715-717).
+    * Events-table analogues: date → the corrected epoch-millis (`ms`,
+    * the reference's UTC-corrected d.date), meas_date → the RAW epoch-millis
+    * (a second, uncorrected time field, as d.meas_date is a second time
+    * field beside d.date); month/day/year → calendar fields of the
+    * corrected timestamp (the reference's per-row derived fields), MR →
+    * value. Each entry is (name, Spark Column over the keyed stream, DuckDB
+    * SQL over the oracle's k CTE) so the lattice and its oracle derive from
+    * ONE table and cannot drift.
+    */
+  private val ZoomXOptions: Seq[(String, Column, String)] = Seq(
+    ("date", col("ms"), "ms"),
+    ("meas_date", unix_timestamp(col("ts")) * 1000, "ms_raw"))
+  private val ZoomYOptions: Seq[(String, Column, String)] = Seq(
+    ("month", month(col("cts")), "CAST(month(cts) AS DOUBLE)"),
+    ("day", dayofmonth(col("cts")), "CAST(day(cts) AS DOUBLE)"),
+    ("year", year(col("cts")), "CAST(year(cts) AS DOUBLE)"),
+    ("MR", col("value"), "value"))
+
+  val ConfigZoomPlanes: Seq[ZoomPlane] =
+    for { (xn, x, _) <- ZoomXOptions; (yn, y, _) <- ZoomYOptions }
+      yield ZoomPlane(s"x${xn}_y$yn", x, y)
 
   def dsZoomPlanes(spark: SparkSession, d: String): DataFrame =
-    zoomPlanes(spark, d, DefaultZoomPlanes)
+    zoomPlanes(spark, d, ConfigZoomPlanes)
 
   def zoomPlanes(spark: SparkSession, d: String, lattice: Seq[ZoomPlane]): DataFrame = {
     require(lattice.nonEmpty, "zoomPlanes needs at least one plane")
@@ -712,16 +731,21 @@ object Selection {
       .orderBy("compound", "plane")
   }
 
-  val dsZoomPlanesSql: String =
-    """WITH k AS (
-      | SELECT event_id, event_type AS compound, value, props,
-      |  (CAST(floor(epoch(ts)) AS BIGINT) - 7200)*1000 AS ms
+  val dsZoomPlanesSql: String = {
+    val planeSelects = (for {
+      (xn, _, xSql) <- ZoomXOptions
+      (yn, _, ySql) <- ZoomYOptions
+    } yield s"SELECT compound, 'x${xn}_y$yn' AS plane, event_id, $ySql AS value, ms, $xSql AS x FROM k")
+      .mkString("\n      UNION ALL\n      ")
+    s"""WITH k AS (
+      | SELECT event_id, event_type AS compound, value,
+      |  (CAST(floor(epoch(ts)) AS BIGINT) - 7200)*1000 AS ms,
+      |  CAST(floor(epoch(ts)) AS BIGINT)*1000 AS ms_raw,
+      |  make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) - 7200)*1000000) AS cts
       | FROM events),
-      |p AS (SELECT compound, 'time' AS plane, event_id, value, ms, ms AS x FROM k
-      |      UNION ALL
-      |      SELECT compound, 'attr_k', event_id, value, ms,
-      |             CAST(json_extract_string(props, '$.k') AS BIGINT) FROM k),
-      |a AS (SELECT compound, plane, event_id, value, x,
+      |p AS ($planeSelects),
+      |a AS (SELECT compound, plane, event_id, value, x,""".stripMargin +
+    """
       |       CAST(row_number() OVER (PARTITION BY compound, plane ORDER BY ms, event_id) AS BIGINT) AS i
       |      FROM p QUALIFY i <= 12),
       |act AS (SELECT compound, plane, i,
@@ -739,6 +763,7 @@ object Selection {
       |        FROM dep2 WHERE step = 1 AND depth <= coalesce(sufmin, depth))
       |SELECT compound, plane, final_depth, x0, x1, y0, y1
       |FROM top WHERE rn = 1 ORDER BY compound, plane""".stripMargin
+  }
 
   // --- ds_outlier_mad -----------------------------------------------------
   // Automated outlier pre-flagging — the batch sibling of the reference's

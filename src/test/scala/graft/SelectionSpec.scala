@@ -140,10 +140,15 @@ class SelectionSpec extends SparkSpec {
 
   test("zoom planes: one stack per (compound, plane) with identical depth evolution") {
     val rows = Selection.dsZoomPlanes(spark, sf).collect()
+    // the full config lattice: xOptions {date, meas_date} × yOptions
+    // {month, day, year, MR} keyed exactly like joinXYStrings
+    val expectedPlanes = (for {
+      x <- Seq("date", "meas_date"); y <- Seq("month", "day", "year", "MR")
+    } yield s"x${x}_y$y").sorted
     val byCompound = rows.groupBy(_.getAs[String]("compound"))
     byCompound.foreach { case (_, rs) =>
-      // both planes present, and the pop cadence (i % 5) is plane-independent
-      assert(rs.map(_.getAs[String]("plane")).sorted.toSeq === Seq("attr_k", "time"))
+      // all 8 planes present, and the pop cadence (i % 5) is plane-independent
+      assert(rs.map(_.getAs[String]("plane")).sorted.toSeq === expectedPlanes)
       assert(rs.map(_.getAs[Long]("final_depth")).distinct.length === 1)
       // each surviving top is a well-formed ±i window
       rs.foreach(r => assert(r.getAs[Long]("x1") > r.getAs[Long]("x0")))
@@ -173,8 +178,8 @@ class SelectionSpec extends SparkSpec {
       assert(rs.map(_.getAs[Long]("final_depth")).distinct.length === 1)
       rs.foreach(r => assert(r.getAs[Long]("x1") > r.getAs[Long]("x0")))
     }
-    // the default 2-plane lattice is exactly the verified oracle instance
-    val defaults = Selection.zoomPlanes(spark, sf, Selection.DefaultZoomPlanes)
+    // the config lattice is exactly the verified oracle instance
+    val defaults = Selection.zoomPlanes(spark, sf, Selection.ConfigZoomPlanes)
     assert(defaults.collect().toSeq === Selection.dsZoomPlanes(spark, sf).collect().toSeq)
   }
 
