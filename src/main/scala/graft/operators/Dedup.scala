@@ -870,24 +870,47 @@ object Dedup {
   // verification (n_match·2 ≥ NumPerms ⇔ est ≥ 0.5) keeps the screen one
   // integer comparison; every batch doc with a signature is reported, hit
   // or not (left join + coalesce).
-  def dedupIncremental(spark: SparkSession, d: String): DataFrame = {
-    val sig = Tables.documents(spark, d)
+  /** (doc_id, sig) for every document with a signature — shared by the
+    * inline and persisted-index incremental paths. */
+  private def incrSigs(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
       .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
       .filter(col("sig").isNotNull)
-    def bandsOf(s: DataFrame): DataFrame = s.select(col("doc_id"),
-      explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> struct(b as band, concat_ws('|', slice(sig, b*${NumPerms / Bands} + 1, ${NumPerms / Bands})) as bk))")).as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
-    val newSig = sig.filter(col("doc_id") % 10 === 0)
-    val oldSig = sig.filter(col("doc_id") % 10 =!= 0)
-    val oldBands = bandsOf(oldSig)
+
+  private def incrBandsOf(s: DataFrame): DataFrame = s.select(col("doc_id"),
+    explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> struct(b as band, concat_ws('|', slice(sig, b*${NumPerms / Bands} + 1, ${NumPerms / Bands})) as bk))")).as("x"))
+    .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
+
+  /** The corpus-side LSH index the batch probes: the bucket-capped
+    * (cid, band, bk) band table. At 100 TB this is built ONCE and
+    * persisted bucketed-by-bk (`Sinks.writeLshIndex`) — the cap is applied
+    * at BUILD time, so the persisted index already excludes degenerate
+    * buckets and the probe join's corpus side never shuffles again.
+    */
+  private[graft] def lshBandIndex(corpusSigs: DataFrame): DataFrame =
+    incrBandsOf(corpusSigs)
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bk")))
       .filter(col("bsz") <= BandBucketCap)
       .select(col("doc_id").as("cid"), col("band"), col("bk"))
-    val cand = bandsOf(newSig).join(oldBands, Seq("band", "bk"))
-      .select(col("doc_id").as("nid"), col("cid")).distinct()
+
+  /** The probe: screen `newSig` docs against a corpus band index +
+    * signature table. `oldBands`/`oldSigs` come either from the inline
+    * rebuild (the oracle entry) or from the persisted bucketed tables
+    * (the production path — their bucketing on bk / doc_id makes the
+    * corpus side of both joins exchange-free).
+    */
+  private def incrScreen(newSig: DataFrame, oldBands: DataFrame,
+      oldSigs: DataFrame): DataFrame = {
+    // join keys written in (band, bk) order — the persisted index is
+    // bucketed on exactly these keys in this order, so its side of the
+    // probe satisfies the join's required distribution with no exchange
+    val nb = incrBandsOf(newSig)
+    val cand = nb.join(oldBands, nb("band") === oldBands("band") &&
+        nb("bk") === oldBands("bk"))
+      .select(nb("doc_id").as("nid"), col("cid")).distinct()
     val scored = cand
       .join(newSig.select(col("doc_id").as("nid"), col("sig").as("sa")), Seq("nid"))
-      .join(oldSig.select(col("doc_id").as("cid"), col("sig").as("sb")), Seq("cid"))
+      .join(oldSigs.select(col("doc_id").as("cid"), col("sig").as("sb")), Seq("cid"))
       .select(col("nid"),
         expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").cast("long").as("m"))
       .groupBy("nid")
@@ -900,6 +923,36 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         when(coalesce(col("n_dup"), lit(0L)) > 0, 1L).otherwise(0L).as("is_dup"))
       .orderBy("doc_id")
+  }
+
+  def dedupIncremental(spark: SparkSession, d: String): DataFrame = {
+    val sig = incrSigs(spark, d)
+    val newSig = sig.filter(col("doc_id") % 10 === 0)
+    val oldSig = sig.filter(col("doc_id") % 10 =!= 0)
+    incrScreen(newSig, lshBandIndex(oldSig), oldSig)
+  }
+
+  /** Production probe against a PERSISTED index written by
+    * `Sinks.writeLshIndex(prefix)`: the corpus band table (bucketed by
+    * (band, bk)) and signature table (bucketed by doc_id) are read back as
+    * tables, so only the day's batch computes signatures — the corpus is
+    * never re-scanned, and its side of the bucket-probe and verify joins
+    * needs no exchange. Output is identical to [[dedupIncremental]]
+    * (DedupSpec pins parity).
+    */
+  def dedupIncrementalFromIndex(spark: SparkSession, d: String,
+      tablePrefix: String): DataFrame = {
+    val newSig = incrSigs(spark, d).filter(col("doc_id") % 10 === 0)
+    incrScreen(newSig,
+      spark.table(s"${tablePrefix}_bands"),
+      spark.table(s"${tablePrefix}_sigs"))
+  }
+
+  /** The (bands, sigs) pair `Sinks.writeLshIndex` persists — the one
+    * full-corpus pass of the incremental-dedup deployment. */
+  def incrementalIndexParts(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val oldSig = incrSigs(spark, d).filter(col("doc_id") % 10 =!= 0)
+    (lshBandIndex(oldSig), oldSig)
   }
 
   val dedupIncrementalSql: String =

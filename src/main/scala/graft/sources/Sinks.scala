@@ -80,4 +80,23 @@ object Sinks {
     */
   def writeIvfCells(cells: DataFrame, path: String): Unit =
     cells.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Persist the incremental-dedup corpus index (`Dedup.lshBandIndex` +
+    * the corpus signature table) as bucketed tables: bands hashed+sorted
+    * on the probe join's exact keys (band, bk), signatures on doc_id.
+    * At 100 TB the index build is the one full-corpus pass; every daily
+    * batch screen after it probes these tables with NO corpus-side
+    * exchange (the bucketing satisfies both joins' distributions) and no
+    * corpus re-scan — the inline rebuild `dedup_incremental` benches is
+    * the cost this layout amortizes away.
+    */
+  def writeLshIndex(bands: DataFrame, sigs: DataFrame, tablePrefix: String,
+      buckets: Int = 8): Unit = {
+    bands.write.mode("overwrite")
+      .bucketBy(buckets, "band", "bk").sortBy("band", "bk")
+      .saveAsTable(s"${tablePrefix}_bands")
+    sigs.write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${tablePrefix}_sigs")
+  }
 }

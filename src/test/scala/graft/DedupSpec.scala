@@ -285,6 +285,48 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("incremental probe against the persisted bucketed LSH index: parity + exchange-free layout") {
+    import org.apache.spark.sql.functions._
+    // clean a previous JVM's warehouse leftovers (BucketJoinSpec convention)
+    Seq("lshidx_bands", "lshidx_sigs").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get("/tmp/graft-test-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val (bands, sigs) = Dedup.incrementalIndexParts(spark, sf)
+    graft.sources.Sinks.writeLshIndex(bands, sigs, "lshidx")
+
+    // numFiles: each table is exactly its bucket files (8 buckets, one
+    // file each — a single write task per bucket at this scale)
+    Seq("lshidx_bands", "lshidx_sigs").foreach { t =>
+      val files = java.nio.file.Files.list(
+          java.nio.file.Paths.get("/tmp/graft-test-warehouse", t))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+      assert(files === 8, s"$t should be 8 bucket files, was $files")
+    }
+
+    // parity: the persisted-index probe returns exactly the inline result
+    val got = Dedup.dedupIncrementalFromIndex(spark, sf, "lshidx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expect = Dedup.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+
+    // layout property: a merge join keyed exactly (band, bk) consumes the
+    // bucketing with ZERO exchange (BucketJoinSpec regime — at 100 TB the
+    // corpus index is never broadcast, and this is the plan that matters)
+    val a = spark.table("lshidx_bands")
+    val b = spark.table("lshidx_bands").withColumnRenamed("cid", "cid2")
+    val j = a.hint("merge").join(b, Seq("band", "bk"))
+    assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucketed (band, bk) self-join must not shuffle")
+    assert(j.count() > 0)
+  }
+
   test("prefix dedup groups are real: members share the 24-token prefix, canonical is the min id") {
     import org.apache.spark.sql.functions._
     val groups = Dedup.dedupPrefix(spark, sf).collect()
