@@ -1504,11 +1504,15 @@ object Analytics {
   // 100 TB fact) joins orders on its own key — the one genuinely large
   // shuffle, on the natural key AQE can split on skew; supplier/customer
   // are SF-proportional dims planned from observed size (no hints — AQE
-  // broadcasts while they fit); the two 25-row nation name lookups ride
-  // whatever plan AQE picks for their parents. The cross-nation filter
+  // broadcasts while they fit); the cross-nation filter
   // (c_nationkey != s_nationkey) runs on the integer KEYS at the customer
   // join, before any name lookup, so excluded rows never reach the final
-  // joins. Money in integer cents (q5 idiom): one IEEE division at the end.
+  // joins. The two 25-row nation NAME lookups join AFTER the aggregation
+  // (r11, StageTime audit): the per-fact-row path probes only
+  // supplier/orders/customer, and names attach to the ≤25·25·years result
+  // rows — two fewer hash probes per fact row, and the partial agg keys
+  // are 3 integers instead of 2 strings + 1 integer. Money in integer
+  // cents (q5 idiom): one IEEE division at the end.
   def q7NationVolume(spark: SparkSession, d: String): DataFrame = {
     val n1 = Tables.nation(spark, d)
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
@@ -1524,10 +1528,12 @@ object Analytics {
     l.join(s, l("l_suppkey") === s("s_suppkey"))
       .join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") =!= s("s_nationkey"))
-      .join(n1, s("s_nationkey") === n1("s_nk"))
-      .join(n2, c("c_nationkey") === n2("c_nk"))
-      .groupBy("supp_nation", "cust_nation", "l_year")
-      .agg((sum(col("vol")) / 10000.0).as("revenue"))
+      .groupBy("s_nationkey", "c_nationkey", "l_year")
+      .agg(sum(col("vol")).as("volc"))
+      .join(n1, col("s_nationkey") === n1("s_nk"))
+      .join(n2, col("c_nationkey") === n2("c_nk"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        (col("volc") / 10000.0).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
