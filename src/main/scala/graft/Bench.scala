@@ -15,10 +15,20 @@ object Bench {
     // is the standard noise estimator (and what the round-3 review asked
     // for). Caches are wiped BETWEEN passes, so each pass pays the full
     // pipeline costs exactly like a single-pass run would.
-    // 3 passes by default (r6 review): with the shared box's contention
-    // spikes, 2 passes can't distinguish "one pass was dirty" from "the
-    // workload regressed" — 3 gives a median and a spread.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // 5 passes by default (r10 verdict #9: r10's three passes read
+    // 281/318/161s — two dirty — so the recorded minima leaned on one
+    // clean pass; with 5, the min estimator has headroom even when the
+    // box is bad). SPARK_GRAFT_BENCH_PASSES still overrides for the dev
+    // loop.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
+    // contention marker (r10 verdict #9): 1-minute /proc/loadavg sampled
+    // at each pass boundary, recorded per pass in the side file, so a
+    // dirty pass is diagnosable as box noise rather than a regression
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val passLoad = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     // Same builder as Verify/ExplainDump — benched plans = audited plans.
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -68,6 +78,7 @@ object Bench {
       // real deployment).
       graft.operators.Dedup.releaseCaches()
       spark.catalog.clearCache()
+      val loadStart = loadavg()
       val tb = System.nanoTime()
       // NonFatal only (ADVICE r9): an OutOfMemoryError/Interrupted must not
       // be swallowed. A failed warm records -1.0 (a value no real duration
@@ -126,6 +137,7 @@ object Bench {
       passTotals += passTotal
       passClean += clean
       passDetail += detail
+      passLoad += ((loadStart, loadavg()))
     }
     val results = best.filter { case (k, _) => succeeded(k) }
     val permanent = errors.filterNot { case (k, _) => succeeded(k) }
@@ -164,7 +176,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r(v, 4) }.mkString("{", ",", "}")
     val passesJson = passDetail.zipWithIndex.map { case (m, i) =>
       val qd = m.map { case (k, v) => "\"" + k + "\":" + r(v, 4) }.mkString("{", ",", "}")
-      s"""{"pass":${i + 1},"clean":${passClean(i)},"total":${r(passTotals(i), 3)},"family_build_s":${r(familyBuilds(i), 3)},"queries":$qd}"""
+      s"""{"pass":${i + 1},"clean":${passClean(i)},"total":${r(passTotals(i), 3)},"family_build_s":${r(familyBuilds(i), 3)},"load_1m_start":${r(passLoad(i)._1, 2)},"load_1m_end":${r(passLoad(i)._2, 2)},"queries":$qd}"""
     }.mkString("[\n", ",\n", "\n]")
     val detailJson = s"""{"query_mins":$minJson,\n"query_exec_mins":$execMinJson,\n"passes":$passesJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson)
