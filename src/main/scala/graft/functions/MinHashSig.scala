@@ -88,7 +88,7 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
   * and order-insensitive, so it equals the count-weighted sums bit for bit
   * (asserted per doc in DedupSpec); the DuckDB oracle still verifies the
   * operator end-to-end. Splitting matches `split(trim(text), "\\s+")`
-  * exactly (see [[MinHashKernel.splitWords]]) — including the single empty
+  * exactly (see [[TextKernelUtil.splitWords]]) — including the single empty
   * token an all-space document yields.
   */
 /** Native [top-bigram-count, top-trigram-count] of a document's word
@@ -220,37 +220,12 @@ object MinHashKernel {
   private val NumPerms = 16
   private val WordsPerHash = 4
   private val Seeds = NumPerms / WordsPerHash
-  // one MessageDigest per thread — codegen calls this from task threads
-  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
-    () => java.security.MessageDigest.getInstance("MD5"))
-  private val HexChars = "0123456789abcdef".toCharArray
-  // Compiled once: Pattern is immutable and thread-safe for split; compiling
-  // per row in the map-side kernel was measurable regex+GC overhead.
-  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  // tokenizer + digest helpers shared with TextWindowKernel (ADVICE r10:
+  // one implementation of the split(trim(text), "\\s+") contract)
+  import TextKernelUtil.{digests, splitWords}
 
-  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
-      out(2 * i + 1) = HexChars(d(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
-
-  /** Exactly `split(trim(text), "\\s+")`: trim = Spark's `trim` (spaces
-    * only); split = Spark's `split(s, re)` which uses Pattern.split with
-    * limit -1 (trailing empties kept). */
-  private def splitWords(text: UTF8String): Array[String] = {
-    var s = text.toString
-    var b = 0; var e = s.length
-    while (b < e && s.charAt(b) == ' ') b += 1
-    while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    s = s.substring(b, e)
-    WsPattern.split(s, -1)
-  }
+  private def md5Hex(md: java.security.MessageDigest, s: String): String =
+    TextKernelUtil.toHex(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
   /** 64-bit simhash as 4 × 16-bit chunk ints (see [[SimHash64]]). */
   def simhash(text: UTF8String): ArrayData = {

@@ -70,20 +70,9 @@ object TextWindowKernel {
   private val WinnowW = 8
   private val SubstrW = 16
 
-  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
-    () => java.security.MessageDigest.getInstance("MD5"))
-  private val HexChars = "0123456789abcdef".toCharArray
-  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
-
-  /** Exactly `split(trim(text), "\\s+")` — see MinHashKernel.splitWords. */
-  private def splitWords(text: UTF8String): Array[String] = {
-    var s = text.toString
-    var b = 0; var e = s.length
-    while (b < e && s.charAt(b) == ' ') b += 1
-    while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    s = s.substring(b, e)
-    WsPattern.split(s, -1)
-  }
+  // tokenizer + digest helpers shared with MinHashKernel (ADVICE r10:
+  // one implementation of the split(trim(text), "\\s+") contract)
+  import TextKernelUtil.{digests, splitWords}
 
   /** Single-space rejoined UTF-8 buffer + per-token start offsets (one
     * sentinel past the end): the W-token window starting at token i is the
@@ -119,15 +108,7 @@ object TextWindowKernel {
       buf: Array[Byte], off: Int, len: Int): String = {
     md.reset()
     md.update(buf, off, len)
-    val d = md.digest()
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
-      out(2 * i + 1) = HexChars(d(i) & 0xf)
-      i += 1
-    }
-    new String(out)
+    TextKernelUtil.toHex(md.digest())
   }
 
   /** `[n_grams, n_windows, n_fp]` (see [[WinnowStats]]). */

@@ -20,6 +20,7 @@ object TextAnalysis {
   // declaration order (a later declaration would interpolate as "null").
   private val ShuffleSeed = "ep0"
 
+
   // --- text_tokens --------------------------------------------------------
   // Whitespace tokens plus a BPE-ish regex segmentation (letter runs,
   // digit runs, single other symbols) — the two counts a token-budget
@@ -257,20 +258,22 @@ object TextAnalysis {
       .filter(col("ss").isNotNull)
       .select(col("doc_id"), explode(col("ss")).as("s"))
     val n = Tables.documents(spark, d).agg(count(lit(1)).as("n"))
-    // The boilerplate set is SMALL BY CONSTRUCTION at any corpus size: each
-    // qualifying shingle has df > N/100, and per-doc-distinct df sums to at
-    // most (shingles per doc)·N, so at most 100·avg_shingles_per_doc
-    // shingles can qualify — a bounded, corpus-size-independent build side.
-    // Broadcasting it replaces r9's corpus-wide sh⋈df shuffle join with a
-    // map-side membership probe: the per-doc aggregate's partial combine
-    // then collapses rows before its exchange, so ONE full-width shingle
-    // exchange remains (the df groupBy) instead of two, and the skewed hot
-    // shingles never hit a shuffled join at all.
+    // The boilerplate set is SMALL BY CONSTRUCTION at any corpus size:
+    // each qualifying shingle has df > N/100, and per-doc-distinct df sums
+    // to at most (shingles per doc)·N, so at most 100·avg_shingles_per_doc
+    // shingles can qualify — corpus-size-independent, but it DOES scale
+    // with document length (ADVICE r10). So NO forced broadcast hint: the
+    // boiler side is a shuffle-stage output whose runtime size AQE
+    // observes, and AQE converts the join to broadcast exactly when the
+    // set is actually small (the normal case — measured equal-or-faster
+    // than the r10 forced hint) while a pathological long-document corpus
+    // degrades to the shuffled join instead of blowing the driver. Same
+    // stance as ds_apply_filter: never pin a data-dependent build side.
     val boiler = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .filter(col("df") > 2 && col("df") * 100 > col("n"))
       .select(col("s"), lit(1L).as("b"))
-    sh.join(broadcast(boiler), Seq("s"), "left")
+    sh.join(boiler, Seq("s"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("b"), lit(0L))).as("n_boiler"))

@@ -160,6 +160,61 @@ class NativeKernelSpec extends SparkSpec {
     assert(native(10L) === 3L)
   }
 
+  test("winnow_stats equals the md5-gram + sliding-array_min formulation on adversarial input") {
+    val native = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("winnow_stats(text)").as("st")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    // the composable formulation the kernel's Scaladoc names: k=4 grams as
+    // md5(concat_ws(' ', 4 tokens)), w=8 sliding lexicographic min via
+    // array_min over slices, fingerprints = distinct window minima
+    val composable = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= 4,
+          expr("transform(sequence(0, size(w)-4), i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])))"))
+          .otherwise(typedLit(Array.empty[String])).as("g"))
+      .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
+        when(size(col("g")) >= 8,
+          expr("transform(sequence(1, size(g)-7), j -> array_min(slice(g, j, 8)))"))
+          .otherwise(typedLit(Array.empty[String])).as("mins"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("mins")).cast("long").as("n_windows"),
+        size(array_distinct(col("mins"))).cast("long").as("n_fp"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Seq(r.getAs[Long]("n_grams"), r.getAs[Long]("n_windows"), r.getAs[Long]("n_fp"))).toMap
+    assert(native.keySet === composable.keySet)
+    composable.foreach { case (id, s) => assert(native(id) === s, s"doc $id") }
+    // anchors: the 40-token doc has 37 grams, 30 windows, and repeats
+    // (w1..w7 cycle) force fp < windows; short docs hit the 0-branches
+    assert(native(13L)(0) === 37L && native(13L)(1) === 30L)
+    assert(native(13L)(2) < native(13L)(1))
+    assert(native(4L) === Seq(0L, 0L, 0L)) // 3 tokens < k
+    assert(native(8L) === Seq(1L, 0L, 0L)) // 4 tokens: 1 gram < w
+  }
+
+  test("window_md5_set equals the array_distinct(transform(unhex(md5))) formulation on adversarial input") {
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    val native = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("window_md5_set(text)").as("s"))
+      .filter(col("s").isNotNull).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Array[Byte]](1).map(hex)).toMap
+    val composable = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 16)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, size(w)-15), i -> unhex(md5(concat_ws(' ', slice(w, i, 16))))))").as("s"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Array[Byte]](1).map(hex)).toMap
+    // identical doc membership: <16 tokens → NULL in the kernel, filtered
+    // in the composable path (only the 40-token doc qualifies here)
+    assert(native.keySet === composable.keySet)
+    assert(native.keySet === Set(13L))
+    // identical digests in identical (first-occurrence) order
+    composable.foreach { case (id, s) => assert(native(id) === s, s"doc $id") }
+  }
+
   test("pq_encode equals the least-of-structs composable formulation on real embeddings") {
     import graft.operators.Similarity
     val e = graft.sources.Tables.embeddings(spark, sf).select(
