@@ -858,6 +858,56 @@ object Dedup {
        | FROM p)
        |SELECT ia, ib, cos FROM c WHERE cos >= $CosineTau ORDER BY ia, ib""".stripMargin
 
+  // --- dedup_semantic -----------------------------------------------------
+  // SemDeDup-shaped semantic deduplication (Abbas et al. 2023, "SemDeDup:
+  // Data-efficient learning at web-scale through semantic deduplication"):
+  // cluster the embedding space with the IVF coarse quantizer (the SAME
+  // literal-injected centroids ann_ivf probes — assignment is a pure map,
+  // zero corpus shuffle) and deduplicate WITHIN cells only: a vector is
+  // dropped iff some LOWER-id vector in its cell clears cosine ≥ τ
+  // (min-id canonical, the dedup_exact convention, so reruns and engines
+  // agree). Cell blocking is what makes semantic dedup run at corpus
+  // scale — candidate pairs are cell-bounded (≈ n²/cells for balanced
+  // cells, and cell count is the knob a deployment raises with corpus
+  // size), never corpus²; the pair join is a cid-equijoin. Unlike
+  // dedup_embedding (sign-bucket near-dup PAIR listing), this reports the
+  // per-vector KEEP/DROP verdict a curation pipeline applies.
+  def dedupSemantic(spark: SparkSession, d: String): DataFrame = {
+    val cells = Similarity.ivfCells(spark, d)
+    val lower = cells.select(col("cid"), col("vec_id").as("ib"), col("v").as("vb"))
+    val nbr = cells.join(lower, Seq("cid"))
+      .filter(col("ib") < col("vec_id"))
+      // native codegen'd cosine — bit-identical to the oracle's fold
+      .filter(expr("cosine_sim(v, vb)") >= CosineTau)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_dup_of"))
+    cells.join(nbr, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_dup_of"), lit(0L)).as("n_dup_of"),
+        (coalesce(col("n_dup_of"), lit(0L)) === 0L).cast("long").as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val dedupSemanticSql: String = {
+    def cos(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[CAST(k AS INT)]*$b[CAST(k AS INT)])), (acc, x) -> acc + x) /
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[CAST(k AS INT)]*$a[CAST(k AS INT)])), (acc, x) -> acc + x) *
+         |       list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $b[CAST(k AS INT)]*$b[CAST(k AS INT)])), (acc, x) -> acc + x))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - 100 AS cid, v AS cv FROM e WHERE vec_id >= 100 AND vec_id < 116),
+       |asg AS (SELECT vec_id, v, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cos("v", "cv")} DESC, cid) AS arn
+       |  FROM e CROSS JOIN c),
+       |cell AS (SELECT vec_id, v, cid FROM asg WHERE arn = 1),
+       |nbr AS (SELECT a.vec_id AS id, CAST(count(*) AS BIGINT) AS n_dup_of
+       |        FROM cell a JOIN cell b ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |        WHERE ${cos("a.v", "b.v")} >= $CosineTau GROUP BY 1)
+       |SELECT cell.vec_id, cell.cid,
+       | CAST(coalesce(n_dup_of, 0) AS BIGINT) AS n_dup_of,
+       | CAST(coalesce(n_dup_of, 0) = 0 AS BIGINT) AS keep
+       |FROM cell LEFT JOIN nbr ON nbr.id = cell.vec_id
+       |ORDER BY cell.vec_id""".stripMargin
+  }
+
   // --- dedup_incremental --------------------------------------------------
   // Incremental dedup: screen a NEW batch (doc_id % 10 == 0) against the
   // EXISTING corpus (the rest) — the production shape where yesterday's
@@ -1191,7 +1241,8 @@ object Dedup {
     "dedup_substring" -> dedupSubstring,
     "dedup_edit_verify" -> dedupEditVerify,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_embedding" -> dedupEmbedding)
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_semantic" -> dedupSemantic)
 
   val oracle: Map[String, String] = Map(
     "dedup_recall" -> dedupRecallSql,
@@ -1212,5 +1263,6 @@ object Dedup {
     "dedup_substring" -> dedupSubstringSql,
     "dedup_edit_verify" -> dedupEditVerifySql,
     "dedup_simhash" -> dedupSimhashSql,
-    "dedup_embedding" -> dedupEmbeddingSql)
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_semantic" -> dedupSemanticSql)
 }

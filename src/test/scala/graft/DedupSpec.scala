@@ -327,6 +327,40 @@ class DedupSpec extends SparkSpec {
     assert(j.count() > 0)
   }
 
+  test("dedup_semantic verdicts match an in-process cell + cosine recompute") {
+    import org.apache.spark.sql.functions._
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    val cents = (100L until 116L).map(vecs)
+    // same assignment rule: argmax cosine, ties to the lower cell id
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.zipWithIndex.map { case (c, ci) => (ci, cos(c, v)) }
+        .maxBy { case (ci, s) => (s, -ci) }._1
+    }
+    val got = Dedup.dedupSemantic(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cid"), r.getAs[Long]("n_dup_of"), r.getAs[Long]("keep")))).toMap
+    assert(got.keySet === vecs.keySet)
+    vecs.keys.foreach { id =>
+      val nDup = vecs.keys.count(o => o < id && cellOf(o) == cellOf(id) &&
+        cos(vecs(o), vecs(id)) >= 0.3)
+      val (cid, n, keep) = got(id)
+      assert(cid === cellOf(id).toLong, s"vec $id cell")
+      assert(n === nDup.toLong, s"vec $id n_dup_of")
+      assert(keep === (if (nDup == 0) 1L else 0L), s"vec $id keep")
+    }
+    // the dedup actually drops something, and min-id canonicals survive
+    assert(got.values.exists(_._3 === 0L))
+    val minPerCell = vecs.keys.groupBy(cellOf).map { case (_, ids) => ids.min }
+    minPerCell.foreach(id => assert(got(id)._3 === 1L, s"cell-min $id must be kept"))
+  }
+
   test("prefix dedup groups are real: members share the 24-token prefix, canonical is the min id") {
     import org.apache.spark.sql.functions._
     val groups = Dedup.dedupPrefix(spark, sf).collect()
