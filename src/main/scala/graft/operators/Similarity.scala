@@ -1025,7 +1025,48 @@ object Similarity {
        | CAST(sum(q) AS DOUBLE) / CAST(n_vecs * $KmQ AS DOUBLE) AS mean
        |FROM q, n GROUP BY dim, n_vecs ORDER BY dim""".stripMargin
 
+  // --- embed_knn_graph ----------------------------------------------------
+  // k-NN graph construction over the embedding corpus — the shared
+  // substrate under graph-based semantic clustering, duplicate-community
+  // detection (feed its edges to dedup_components), and quality-score
+  // propagation. Candidates are CELL-BLOCKED by the same literal-injected
+  // IVF quantizer ann_ivf and dedup_semantic use: each vector ranks only
+  // its own cell's members (≈ n²/cells candidate rows through the one
+  // vec_id-partitioned top-k window — cell count is the scale knob), never
+  // the corpus. Neighbor lists are deterministic ((sim DESC, nbr ASC)
+  // tie-break); a vector in an underfull cell simply reports fewer than K
+  // edges — the honest output, not a padded one.
+  private val KnnK = 5
+
+  def embedKnnGraph(spark: SparkSession, d: String): DataFrame = {
+    val cells = ivfCells(spark, d)
+    val nb = cells.select(col("cid"), col("vec_id").as("nbr"), col("v").as("vb"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("nbr"))
+    cells.join(nb, Seq("cid"))
+      .filter(col("nbr") =!= col("vec_id"))
+      .withColumn("sim", expr("cosine_sim(v, vb)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KnnK)
+      .select("vec_id", "rank", "nbr", "sim")
+      .orderBy("vec_id", "rank")
+  }
+
+  val embedKnnGraphSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |asg AS (SELECT vec_id, v, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${CosSqlFor("v", "cv")} DESC, cid) AS arn
+       |  FROM e CROSS JOIN c),
+       |cell AS (SELECT vec_id, v, cid FROM asg WHERE arn = 1),
+       |p AS (SELECT a.vec_id, b.vec_id AS nbr, ${CosSqlFor("a.v", "b.v")} AS sim
+       |      FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |r AS (SELECT vec_id, nbr, sim,
+       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr) AS BIGINT) AS rank FROM p)
+       |SELECT vec_id, rank, nbr, sim FROM r WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_knn_graph" -> embedKnnGraph,
     "embed_dim_stats" -> embedDimStats,
     "embed_drift" -> embedDrift,
     "embed_outliers" -> embedOutliers,
@@ -1042,6 +1083,7 @@ object Similarity {
     "embed_cluster" -> embedCluster)
 
   val oracle: Map[String, String] = Map(
+    "embed_knn_graph" -> embedKnnGraphSql,
     "embed_dim_stats" -> embedDimStatsSql,
     "embed_drift" -> embedDriftSql,
     "embed_outliers" -> embedOutliersSql,

@@ -321,4 +321,33 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("share_a") === na.toDouble / totA)
     }
   }
+
+  test("embed_knn_graph edges match an in-process cell + top-k recompute") {
+    import org.apache.spark.sql.functions._
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    val cents = (100L until 116L).map(vecs)
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.zipWithIndex.map { case (c, ci) => (ci, cos(c, v)) }
+        .maxBy { case (ci, sc) => (sc, -ci) }._1
+    }
+    val expected = vecs.keys.flatMap { id =>
+      vecs.keys.toSeq.filter(o => o != id && cellOf(o) == cellOf(id))
+        .map(o => (o, cos(vecs(id), vecs(o))))
+        .sortBy { case (o, sc) => (-sc, o) }.take(5).zipWithIndex
+        .map { case ((o, _), i) => (id, (i + 1).toLong, o) }
+    }.toSet
+    val got = Similarity.embedKnnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"), r.getAs[Long]("nbr"))).toSet
+    assert(got === expected)
+    // every vector with at least one cellmate has edges
+    val populated = vecs.keys.count(id => vecs.keys.exists(o => o != id && cellOf(o) == cellOf(id)))
+    assert(got.map(_._1).size > 0 && got.groupBy(_._1).size === populated)
+  }
 }
