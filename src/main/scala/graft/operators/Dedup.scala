@@ -908,6 +908,76 @@ object Dedup {
        |ORDER BY cell.vec_id""".stripMargin
   }
 
+  // --- dedup_semantic_tune ------------------------------------------------
+  // The semantic-dedup threshold curve, measured before a deployment fixes
+  // τ (dedup_lsh_tune's twin for the embedding path; SemDeDup sweeps its ε
+  // the same way): for each candidate τ, how many in-cell pairs clear it
+  // and how many vectors the min-id keep rule would drop. ONE pass over
+  // the cell-bounded pair table: each pair lands in the highest-τ bucket
+  // it clears and each vector contributes its MAX lower-neighbor cosine,
+  // then both curves are suffix sums over the 4-row τ lattice (the
+  // select_token_budget decomposition — no per-τ re-scan of pairs).
+  // drop_rate is one division of exact integers.
+  private val SemTaus = Seq(0.5, 0.4, 0.3, 0.2) // descending
+
+  def dedupSemanticTune(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cells = Similarity.ivfCells(spark, d)
+    val lower = cells.select(col("cid"), col("vec_id").as("ib"), col("v").as("vb"))
+    // foldRight over the DESCENDING taus builds CASE cos>=0.5 → 0.5 ELSE
+    // CASE cos>=0.4 → 0.4 ... — each row lands in the highest τ it clears
+    val bucketOf = SemTaus.foldRight(lit(null).cast("double")) { (t, acc) =>
+      when(col("cos") >= t, lit(t)).otherwise(acc)
+    }
+    val pairs = cells.join(lower, Seq("cid"))
+      .filter(col("ib") < col("vec_id"))
+      .withColumn("cos", expr("cosine_sim(v, vb)"))
+      .filter(col("cos") >= SemTaus.min)
+      .select(col("vec_id"), col("cos"))
+    val pairBuckets = pairs.withColumn("b", bucketOf)
+      .groupBy("b").agg(count(lit(1)).as("np"))
+    val vecBuckets = pairs.groupBy("vec_id").agg(max(col("cos")).as("cos"))
+      .withColumn("b", bucketOf)
+      .groupBy("b").agg(count(lit(1)).as("nd"))
+    val nVecs = cells.agg(count(lit(1)).as("n_vecs"))
+    val taus = SemTaus.toDF("tau")
+    taus
+      .join(pairBuckets, col("b") >= col("tau"), "left")
+      .groupBy("tau").agg(sum(col("np")).as("np"))
+      .join(vecBuckets.withColumnRenamed("b", "vb_b"), col("vb_b") >= col("tau"), "left")
+      .groupBy("tau", "np").agg(sum(col("nd")).as("nd"))
+      .crossJoin(broadcast(nVecs))
+      .select(col("tau"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"),
+        (coalesce(col("nd"), lit(0L)).cast("double") / col("n_vecs").cast("double")).as("drop_rate"))
+      .orderBy("tau")
+  }
+
+  val dedupSemanticTuneSql: String = {
+    def cos(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[CAST(k AS INT)]*$b[CAST(k AS INT)])), (acc, x) -> acc + x) /
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[CAST(k AS INT)]*$a[CAST(k AS INT)])), (acc, x) -> acc + x) *
+         |       list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $b[CAST(k AS INT)]*$b[CAST(k AS INT)])), (acc, x) -> acc + x))""".stripMargin
+    val tauList = SemTaus.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - 100 AS cid, v AS cv FROM e WHERE vec_id >= 100 AND vec_id < 116),
+       |asg AS (SELECT vec_id, v, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cos("v", "cv")} DESC, cid) AS arn
+       |  FROM e CROSS JOIN c),
+       |cell AS (SELECT vec_id, v, cid FROM asg WHERE arn = 1),
+       |p AS (SELECT a.vec_id, ${cos("a.v", "b.v")} AS cos
+       |      FROM cell a JOIN cell b ON a.cid = b.cid AND b.vec_id < a.vec_id),
+       |t AS (SELECT CAST(unnest([$tauList]) AS DOUBLE) AS tau),
+       |n AS (SELECT count(*) AS n_vecs FROM cell),
+       |v AS (SELECT vec_id, max(cos) AS cos FROM p GROUP BY 1)
+       |SELECT tau,
+       | CAST(coalesce((SELECT count(*) FROM p WHERE p.cos >= t.tau), 0) AS BIGINT) AS n_pairs,
+       | CAST(coalesce((SELECT count(*) FROM v WHERE v.cos >= t.tau), 0) AS BIGINT) AS n_dropped,
+       | CAST(coalesce((SELECT count(*) FROM v WHERE v.cos >= t.tau), 0) AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS drop_rate
+       |FROM t, n ORDER BY tau""".stripMargin
+  }
+
   // --- dedup_incremental --------------------------------------------------
   // Incremental dedup: screen a NEW batch (doc_id % 10 == 0) against the
   // EXISTING corpus (the rest) — the production shape where yesterday's
@@ -1242,7 +1312,8 @@ object Dedup {
     "dedup_edit_verify" -> dedupEditVerify,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
-    "dedup_semantic" -> dedupSemantic)
+    "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_tune" -> dedupSemanticTune)
 
   val oracle: Map[String, String] = Map(
     "dedup_recall" -> dedupRecallSql,
@@ -1264,5 +1335,6 @@ object Dedup {
     "dedup_edit_verify" -> dedupEditVerifySql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
-    "dedup_semantic" -> dedupSemanticSql)
+    "dedup_semantic" -> dedupSemanticSql,
+    "dedup_semantic_tune" -> dedupSemanticTuneSql)
 }

@@ -361,6 +361,24 @@ class DedupSpec extends SparkSpec {
     minPerCell.foreach(id => assert(got(id)._3 === 1L, s"cell-min $id must be kept"))
   }
 
+  test("dedup_semantic_tune: curves are monotone in tau and agree with dedup_semantic at 0.3") {
+    val rows = Dedup.dedupSemanticTune(spark, sf).collect()
+      .map(r => r.getAs[Double]("tau") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_dropped"), r.getAs[Double]("drop_rate")))).toMap
+    assert(rows.keySet === Set(0.2, 0.3, 0.4, 0.5))
+    // raising tau never finds more pairs or drops more vectors
+    val taus = Seq(0.2, 0.3, 0.4, 0.5)
+    taus.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(rows(lo)._1 >= rows(hi)._1, s"pairs not monotone at $hi")
+      assert(rows(lo)._2 >= rows(hi)._2, s"dropped not monotone at $hi")
+    }
+    // the tau=0.3 point IS dedup_semantic's drop count
+    val dropped = Dedup.dedupSemantic(spark, sf).filter("keep = 0").count()
+    assert(rows(0.3)._2 === dropped)
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows(0.3)._3 === dropped.toDouble / nVecs.toDouble)
+  }
+
   test("prefix dedup groups are real: members share the 24-token prefix, canonical is the min id") {
     import org.apache.spark.sql.functions._
     val groups = Dedup.dedupPrefix(spark, sf).collect()
