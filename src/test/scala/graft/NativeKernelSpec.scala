@@ -215,6 +215,34 @@ class NativeKernelSpec extends SparkSpec {
     composable.foreach { case (id, s) => assert(native(id) === s, s"doc $id") }
   }
 
+  test("shingle_set tokenization matches split(trim) on 300 random whitespace-adversarial strings") {
+    import spark.implicits._
+    // seeded random corpus over an alphabet heavy in the characters that
+    // distinguish the tokenizer contract: every \s class member, runs,
+    // NON-\s unicode spaces (U+00A0 must NOT split in either engine),
+    // and multi-byte letters — breadth the 15 fixed docs can't give
+    val alphabet = "ab \t\n\r é語 "
+    val rnd = new scala.util.Random(42)
+    val corpus = (0 until 300).map { i =>
+      val len = rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    val native = docs.select(col("doc_id"), expr("shingle_set(text)").as("ss"))
+      .filter(col("ss").isNotNull).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet).toMap
+    val composable = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("ss"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet).toMap
+    assert(native.keySet === composable.keySet)
+    composable.foreach { case (id, s) => assert(native(id) === s, s"doc $id") }
+    assert(native.nonEmpty, "random corpus produced no >=3-token docs — alphabet drifted")
+  }
+
   test("pq_encode equals the least-of-structs composable formulation on real embeddings") {
     import graft.operators.Similarity
     val e = graft.sources.Tables.embeddings(spark, sf).select(
