@@ -1065,8 +1065,103 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr) AS BIGINT) AS rank FROM p)
        |SELECT vec_id, rank, nbr, sim FROM r WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
 
+  // --- embed_class_purity -------------------------------------------------
+  // Cluster-vs-ground-truth purity — the standard clustering-quality grade
+  // when labels exist (here the embeddings table's `label` column): per
+  // IVF cell, the majority true label and the fraction of members carrying
+  // it. This is how a deployment decides whether the coarse quantizer's
+  // cells are semantically coherent enough for cell-blocked semantic dedup
+  // (dedup_semantic) and cell-probe ANN to be safe. Counts are exact
+  // integers (majority tie → smallest label, deterministic); purity is one
+  // division. Scale shape: one (cid, label) combinable groupBy — ≤
+  // cells·labels keys — then report-sized windows.
+  def embedClassPurity(spark: SparkSession, d: String): DataFrame = {
+    val cells = ivfCells(spark, d).select("vec_id", "cid")
+    val labels = Tables.embeddings(spark, d).select(col("vec_id"), col("label"))
+    val cl = cells.join(labels, Seq("vec_id"))
+      .groupBy("cid", "label").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("cid").orderBy(desc("c"), asc("label"))
+    cl.withColumn("rn", row_number().over(w))
+      .withColumn("n_vecs", sum(col("c")).over(Window.partitionBy("cid")))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("n_vecs"),
+        col("label").cast("long").as("major_label"), col("c").as("n_major"),
+        (col("c").cast("double") / col("n_vecs").cast("double")).as("purity"))
+      .orderBy("cid")
+  }
+
+  val embedClassPuritySql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |asg AS (SELECT vec_id, label, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${CosSqlFor("v", "cv")} DESC, cid) AS arn
+       |  FROM e CROSS JOIN c),
+       |cell AS (SELECT vec_id, label, cid FROM asg WHERE arn = 1),
+       |cl AS (SELECT cid, label, CAST(count(*) AS BIGINT) AS c FROM cell GROUP BY 1, 2),
+       |r AS (SELECT cid, label, c,
+       |  row_number() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rn,
+       |  CAST(sum(c) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs FROM cl)
+       |SELECT cid, n_vecs, CAST(label AS BIGINT) AS major_label, c AS n_major,
+       | CAST(c AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS purity
+       |FROM r WHERE rn = 1 ORDER BY cid""".stripMargin
+
+  // --- embed_knn_label_acc ------------------------------------------------
+  // k-NN label-probe accuracy — THE standard embedding-space benchmark
+  // (predict each vector's label by majority vote of its graph neighbors,
+  // grade against ground truth): reuses embed_knn_graph's cell-blocked
+  // edges, so the candidate bound is the same n²/cells and the vote is a
+  // ≤ K-row aggregate per vector. Prediction ties break to the smallest
+  // label (deterministic); per-true-label report with one final division.
+  // Vectors in single-member cells have no neighbors and are excluded from
+  // the denominator — the honest count, reported via n_voted.
+  def embedKnnLabelAcc(spark: SparkSession, d: String): DataFrame = {
+    val labels = Tables.embeddings(spark, d).select(col("vec_id"), col("label"))
+    val edges = embedKnnGraph(spark, d).select("vec_id", "nbr")
+    val votes = edges
+      .join(labels.select(col("vec_id").as("nbr"), col("label").as("nl")), Seq("nbr"))
+      .groupBy("vec_id", "nl").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("c"), asc("nl"))
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nl").as("pred"))
+    labels.join(pred, Seq("vec_id"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_voted"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc", col("n_correct").cast("double") / col("n_voted").cast("double"))
+      .orderBy("label")
+  }
+
+  val embedKnnLabelAccSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |asg AS (SELECT vec_id, v, label, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${CosSqlFor("v", "cv")} DESC, cid) AS arn
+       |  FROM e CROSS JOIN c),
+       |cell AS (SELECT vec_id, v, label, cid FROM asg WHERE arn = 1),
+       |p AS (SELECT a.vec_id, b.vec_id AS nbr, ${CosSqlFor("a.v", "b.v")} AS sim
+       |      FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |g AS (SELECT vec_id, nbr FROM (SELECT vec_id, nbr, sim,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr) AS rank FROM p)
+       |  WHERE rank <= $KnnK),
+       |votes AS (SELECT g.vec_id, e2.label AS nl, CAST(count(*) AS BIGINT) AS c
+       |  FROM g JOIN cell e2 ON e2.vec_id = g.nbr GROUP BY 1, 2),
+       |pred AS (SELECT vec_id, nl AS pred FROM (SELECT vec_id, nl, c,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nl) AS rn FROM votes)
+       |  WHERE rn = 1)
+       |SELECT CAST(cell.label AS BIGINT) AS label,
+       | CAST(count(*) AS BIGINT) AS n_voted,
+       | CAST(sum(CASE WHEN pred = cell.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       | CAST(sum(CASE WHEN pred = cell.label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acc
+       |FROM cell JOIN pred ON pred.vec_id = cell.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_knn_graph" -> embedKnnGraph,
+    "embed_class_purity" -> embedClassPurity,
+    "embed_knn_label_acc" -> embedKnnLabelAcc,
     "embed_dim_stats" -> embedDimStats,
     "embed_drift" -> embedDrift,
     "embed_outliers" -> embedOutliers,
@@ -1084,6 +1179,8 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "embed_knn_graph" -> embedKnnGraphSql,
+    "embed_class_purity" -> embedClassPuritySql,
+    "embed_knn_label_acc" -> embedKnnLabelAccSql,
     "embed_dim_stats" -> embedDimStatsSql,
     "embed_drift" -> embedDriftSql,
     "embed_outliers" -> embedOutliersSql,

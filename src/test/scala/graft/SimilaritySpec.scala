@@ -350,4 +350,50 @@ class SimilaritySpec extends SparkSpec {
     val populated = vecs.keys.count(id => vecs.keys.exists(o => o != id && cellOf(o) == cellOf(id)))
     assert(got.map(_._1).size > 0 && got.groupBy(_._1).size === populated)
   }
+
+  test("embed_class_purity and embed_knn_label_acc match in-process recomputes") {
+    import org.apache.spark.sql.functions._
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val rows = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"), col("label"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray, r.getAs[Int]("label")))
+    val vecs = rows.map(r => r._1 -> r._2).toMap
+    val lbl = rows.map(r => r._1 -> r._3).toMap
+    val cents = (100L until 116L).map(vecs)
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.zipWithIndex.map { case (c, ci) => (ci, cos(c, v)) }
+        .maxBy { case (ci, sc) => (sc, -ci) }._1
+    }
+    // purity: per-cell majority label, ties to the smallest label
+    val purity = Similarity.embedClassPurity(spark, sf).collect()
+      .map(r => r.getAs[Long]("cid") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("major_label"), r.getAs[Long]("n_major")))).toMap
+    cellOf.values.toSet.foreach { (c: Int) =>
+      val members = vecs.keys.filter(cellOf(_) == c).toSeq
+      val byLabel = members.groupBy(lbl).map { case (l, m) => (l, m.size) }
+      val (ml, mc) = byLabel.toSeq.maxBy { case (l, n) => (n, -l) }
+      val (n, gotL, gotC) = purity(c.toLong)
+      assert(n === members.size.toLong && gotL === ml.toLong && gotC === mc.toLong, s"cell $c")
+    }
+    // knn label probe: majority over the top-5 in-cell neighbors
+    val acc = Similarity.embedKnnLabelAcc(spark, sf).collect()
+      .map(r => r.getAs[Long]("label") -> ((r.getAs[Long]("n_voted"), r.getAs[Long]("n_correct")))).toMap
+    val expected = vecs.keys.toSeq.flatMap { id =>
+      val nbrs = vecs.keys.toSeq.filter(o => o != id && cellOf(o) == cellOf(id))
+        .map(o => (o, cos(vecs(id), vecs(o)))).sortBy { case (o, sc) => (-sc, o) }
+        .take(5).map(_._1)
+      if (nbrs.isEmpty) None else {
+        val votes = nbrs.groupBy(lbl).map { case (l, m) => (l, m.size) }
+        val pred = votes.toSeq.maxBy { case (l, n) => (n, -l) }._1
+        Some((lbl(id), pred == lbl(id)))
+      }
+    }
+    val byTrue = expected.groupBy(_._1).map { case (l, xs) =>
+      l.toLong -> ((xs.size.toLong, xs.count(_._2).toLong)) }
+    assert(acc === byTrue)
+  }
 }
