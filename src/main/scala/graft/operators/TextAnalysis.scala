@@ -873,6 +873,76 @@ object TextAnalysis {
     interior.unionByName(boundary)
   }
 
+  // --- pipeline_embed_curate ------------------------------------------------
+  // Cross-signal curation: the per-source audit of combining the TEXT
+  // quality gate (C4/Gopher heuristics over documents.text) with the
+  // SEMANTIC keep verdict (dedup_semantic over the embeddings table,
+  // joined on doc_id = vec_id). A document survives iff its text passes
+  // AND — when it has an embedding — the min-id semantic rule keeps it;
+  // unembedded documents default to semantic-keep (the honest default: no
+  // evidence is not a drop reason). Scale shape: both inputs are existing
+  // audited plans (pure-map gate; cell-bounded semantic verdicts); this
+  // operator adds two doc_id-keyed left joins and a ≤|sources| groupBy —
+  // the multi-signal curation join every production pipeline runs once
+  // text and embedding passes land in the same lake.
+  def pipelineEmbedCurate(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val gate = textQualityGate(spark, d).select(col("doc_id"), col("pass"))
+    val sem = Dedup.dedupSemantic(spark, d)
+      .select(col("vec_id").as("doc_id"), col("keep").as("sem_keep"))
+    docs.join(gate, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("pass"), lit(0L))).as("n_text_pass"),
+        count(col("sem_keep")).as("n_embedded"),
+        sum(when(col("sem_keep") === 0L, 1L).otherwise(0L)).as("n_sem_drop"),
+        sum(when(coalesce(col("pass"), lit(0L)) === 1L &&
+          coalesce(col("sem_keep"), lit(1L)) === 1L, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val pipelineEmbedCurateSql: String =
+    s"""WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents WHERE text IS NOT NULL),
+      |m AS (SELECT doc_id, text, len(w) AS nw,
+      |  list_sum(list_transform(w, x -> length(x))) AS sumlen,
+      |  len(list_filter(w, x -> x IN ('the', 'a'))) AS stopn,
+      |  list_max(list_transform(list_distinct(w), t -> len(list_filter(w, x -> x = t)))) AS topn,
+      |  len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS nsym
+      | FROM w),
+      |g AS (SELECT doc_id,
+      |  CAST(nw >= 20 AND sumlen >= 3*nw AND sumlen <= 10*nw AND stopn >= 1
+      |       AND topn * 5 <= nw AND nsym * 10 <= length(text) AS BIGINT) AS pass
+      | FROM m),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |c AS (SELECT vec_id - 100 AS cid, v AS cv FROM e WHERE vec_id >= 100 AND vec_id < 116),
+      |asg AS (SELECT vec_id, v, cid,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY
+      |  list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> v[CAST(k AS INT)]*cv[CAST(k AS INT)])), (acc, x) -> acc + x) /
+      |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> v[CAST(k AS INT)]*v[CAST(k AS INT)])), (acc, x) -> acc + x) *
+      |       list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> cv[CAST(k AS INT)]*cv[CAST(k AS INT)])), (acc, x) -> acc + x)) DESC, cid) AS arn
+      |  FROM e CROSS JOIN c),
+      |cell AS (SELECT vec_id, v, cid FROM asg WHERE arn = 1),
+      |nbr AS (SELECT a.vec_id AS id, CAST(count(*) AS BIGINT) AS n_dup_of
+      |        FROM cell a JOIN cell b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      |        WHERE list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> a.v[CAST(k AS INT)]*b.v[CAST(k AS INT)])), (acc, x) -> acc + x) /
+      |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> a.v[CAST(k AS INT)]*a.v[CAST(k AS INT)])), (acc, x) -> acc + x) *
+      |       list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> b.v[CAST(k AS INT)]*b.v[CAST(k AS INT)])), (acc, x) -> acc + x)) >= 0.3
+      |        GROUP BY 1),
+      |sem AS (SELECT cell.vec_id AS doc_id,
+      |  CAST(coalesce(n_dup_of, 0) = 0 AS BIGINT) AS sem_keep
+      | FROM cell LEFT JOIN nbr ON nbr.id = cell.vec_id)
+      |SELECT d.source,
+      | CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(coalesce(pass, 0)) AS BIGINT) AS n_text_pass,
+      | CAST(count(sem_keep) AS BIGINT) AS n_embedded,
+      | CAST(sum(CASE WHEN sem_keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_drop,
+      | CAST(sum(CASE WHEN coalesce(pass, 0) = 1 AND coalesce(sem_keep, 1) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents d
+      |LEFT JOIN g ON g.doc_id = d.doc_id
+      |LEFT JOIN sem ON sem.doc_id = d.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- pipeline_curate ----------------------------------------------------
   // The end-to-end curation job a training run actually submits — dedup →
   // quality gate → budget selection COMPOSED as one declarative plan, no
@@ -1511,6 +1581,7 @@ object TextAnalysis {
     "text_rarity" -> textRarity,
     "sample_bottomk" -> sampleBottomk,
     "pipeline_curate" -> pipelineCurate,
+    "pipeline_embed_curate" -> pipelineEmbedCurate,
     "doc_shuffle" -> docShuffle,
     "doc_interleave" -> docInterleave,
     "select_stratified" -> selectStratified,
@@ -1547,6 +1618,7 @@ object TextAnalysis {
     "text_rarity" -> textRaritySql,
     "sample_bottomk" -> sampleBottomkSql,
     "pipeline_curate" -> pipelineCurateSql,
+    "pipeline_embed_curate" -> pipelineEmbedCurateSql,
     "doc_shuffle" -> docShuffleSql,
     "doc_interleave" -> docInterleaveSql,
     "select_stratified" -> selectStratifiedSql,

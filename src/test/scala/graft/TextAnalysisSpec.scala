@@ -659,4 +659,23 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("pipeline_embed_curate totals reconcile with its two input signals") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.pipelineEmbedCurate(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, tp, emb, sd, kept) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_text_pass"),
+        r.getAs[Long]("n_embedded"), r.getAs[Long]("n_sem_drop"), r.getAs[Long]("n_kept"))
+      assert(tp <= n && emb <= n && sd <= emb && kept <= tp)
+    }
+    // cross-signal reconciliation against the standalone operators
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      graft.sources.Tables.documents(spark, sf).count())
+    assert(rows.map(_.getAs[Long]("n_text_pass")).sum ===
+      TextAnalysis.textQualityGate(spark, sf).filter(col("pass") === 1).count())
+    assert(rows.map(_.getAs[Long]("n_sem_drop")).sum ===
+      graft.operators.Dedup.dedupSemantic(spark, sf).filter(col("keep") === 0).count())
+    assert(rows.map(_.getAs[Long]("n_embedded")).sum ===
+      graft.sources.Tables.embeddings(spark, sf).count())
+  }
 }
