@@ -16,6 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Selection.queries ++ Analytics.queries ++ Temporal.queries ++ Dedup.queries ++
+      Graph.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Sketches.queries ++ Layout.queries ++
       Map("mm_binary_meta" -> (Multimodal.mmBinaryMeta _),
         "mm_dedup" -> (Multimodal.mmDedup _),
@@ -29,6 +30,7 @@ object SparkEntry {
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
     Selection.oracle ++ Analytics.oracle ++ Temporal.oracle ++ Dedup.oracle ++
+      Graph.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Sketches.oracle ++ Layout.oracle ++
       Map("mm_binary_meta" -> Multimodal.mmBinaryMetaSql,
         "mm_dedup" -> Multimodal.mmDedupSql,

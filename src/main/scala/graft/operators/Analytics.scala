@@ -415,6 +415,93 @@ object Analytics {
       |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_1h_n
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  // --- q_decay_sum --------------------------------------------------------
+  // Recency-decayed per-user value — the feature-engineering staple behind
+  // "recent activity counts more": each event's cents are weighted by
+  // 2^-min(age_days, 16) relative to the corpus's latest event day. The
+  // weight is a POWER OF TWO on purpose: cents · 2^(16-age) stays an exact
+  // BIGINT (a shift, not a float multiply), so the per-user sum is an
+  // associative integer sum — bit-identical at any partition count — and
+  // ONE final division by 2^16·100 converts to decayed dollars. A float
+  // e^-λt weighting would make the sum order-dependent and unverifiable.
+  // Scale shape: the anchor day is a 1-row aggregate (AQE broadcasts it),
+  // weights compute map-side, then one combinable per-user groupBy.
+  private val DecayCapDays = 16
+
+  def qDecaySum(spark: SparkSession, d: String): DataFrame =
+    qDecaySumFrom(Tables.events(spark, d))
+
+  /** DataFrame-in variant for library callers / specs: `events` needs
+    * (user_id, ts, value). */
+  def qDecaySumFrom(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), to_date(col("ts")).as("day"), cents(col("value")).as("vc"))
+    val anchor = ev.agg(max(col("day")).as("d1"))
+    ev.crossJoin(anchor)
+      .withColumn("w", expr(
+        s"shiftleft(CAST(1 AS BIGINT), $DecayCapDays - least(datediff(d1, day), $DecayCapDays))"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("vc") * col("w")).as("decayed_c"))
+      .withColumn("decayed",
+        col("decayed_c").cast("double") / lit((1L << DecayCapDays) * 100.0))
+      .select("user_id", "n_events", "decayed_c", "decayed")
+      .orderBy("user_id")
+  }
+
+  val qDecaySumSql: String =
+    s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+       |  CAST(round(value*100) AS BIGINT) AS vc FROM events),
+       |a AS (SELECT max(day) AS d1 FROM ev)
+       |SELECT user_id,
+       | CAST(count(*) AS BIGINT) AS n_events,
+       | CAST(sum(vc * (CAST(1 AS BIGINT) << ($DecayCapDays - least(datediff('day', day, d1), $DecayCapDays)))) AS BIGINT) AS decayed_c,
+       | CAST(sum(vc * (CAST(1 AS BIGINT) << ($DecayCapDays - least(datediff('day', day, d1), $DecayCapDays)))) AS DOUBLE)
+       |   / ${(1L << DecayCapDays) * 100}.0 AS decayed
+       |FROM ev CROSS JOIN a
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- q_event_dedup ------------------------------------------------------
+  // At-least-once telemetry dedup (debounce semantics): an event is dropped
+  // when the PREVIOUS event with the same (user, type, cents) key — kept or
+  // dropped — lies within 5 minutes; re-deliveries and client retries
+  // collapse, genuine repeats further apart survive. One lag over the
+  // key-partitioned (ts, event_id) total order: a single key shuffle, no
+  // self-join, deterministic under ties (equal timestamps order by
+  // event_id, so the later id sees gap 0 and drops).
+  private val DebounceMicros = 300000000L // 5 min
+
+  def qEventDedup(spark: SparkSession, d: String): DataFrame =
+    qEventDedupFrom(Tables.events(spark, d))
+
+  /** DataFrame-in variant for library callers / specs: `events` needs
+    * (event_id, user_id, event_type, ts, value). The shipped corpus has no
+    * same-key re-deliveries (values are near-unique doubles), so the DROP
+    * path is proven on synthetic retries in AnalyticsSpec; the oracle row
+    * pins the identity path on real data. */
+  def qEventDedupFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type", "vc")
+      .orderBy("t", "event_id")
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), cents(col("value")).as("vc"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .withColumn("pt", lag(col("t"), 1).over(w))
+      .filter(col("pt").isNull || col("t") - col("pt") > DebounceMicros)
+      .select("event_id", "user_id", "event_type", "ts_s")
+      .orderBy("event_id")
+  }
+
+  val qEventDedupSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, event_type,
+       |  epoch_us(ts) AS t, CAST(round(value*100) AS BIGINT) AS vc,
+       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM events),
+       |lg AS (SELECT *, lag(t) OVER (
+       |  PARTITION BY user_id, event_type, vc ORDER BY t, event_id) AS pt FROM ev)
+       |SELECT event_id, user_id, event_type, ts_s
+       |FROM lg WHERE pt IS NULL OR t - pt > $DebounceMicros
+       |ORDER BY event_id""".stripMargin
+
   // --- q_salted_agg -------------------------------------------------------
   // Skew-mitigation pattern, demonstrated end-to-end: events has only 5
   // event_types, so a direct groupBy sends ~20% of ALL rows to one reducer
@@ -2096,7 +2183,9 @@ object Analytics {
     "q_sessionize" -> qSessionize,
     "q_percentiles" -> qPercentiles,
     "q_salted_agg" -> qSaltedAgg,
-    "q_sliding_window" -> qSlidingWindow)
+    "q_sliding_window" -> qSlidingWindow,
+    "q_decay_sum" -> qDecaySum,
+    "q_event_dedup" -> qEventDedup)
 
   val oracle: Map[String, String] = Map(
     "q_cohort_ltv" -> qCohortLtvSql,
@@ -2150,5 +2239,7 @@ object Analytics {
     "q_sessionize" -> qSessionizeSql,
     "q_percentiles" -> qPercentilesSql,
     "q_salted_agg" -> qSaltedAggSql,
-    "q_sliding_window" -> qSlidingWindowSql)
+    "q_sliding_window" -> qSlidingWindowSql,
+    "q_decay_sum" -> qDecaySumSql,
+    "q_event_dedup" -> qEventDedupSql)
 }

@@ -603,6 +603,75 @@ object Dedup {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  // --- shared graph surface -----------------------------------------------
+  /** The memoized verified near-dup pair table (da, db, inter, jaccard) —
+    * the edge set the graph-analytics family (graph_pagerank,
+    * graph_triangles in operators/Graph.scala) runs on. Bounded by
+    * true-duplicate density like every other pair table here; exposing the
+    * MEMOIZED stage output means graph queries after any dedup-family
+    * member cost only their own joins, never a second signature pipeline.
+    */
+  private[graft] def verifiedPairs(spark: SparkSession, d: String): DataFrame =
+    lshShared(spark, d).verified
+
+  /** Oracle CTE chain ending in `vp(da, db)` = the verified near-dup edge
+    * set — the SQL mirror of [[verifiedPairs]], shared with Graph.scala's
+    * oracles (the same sz/inter/vp text every dedup oracle above inlines).
+    */
+  private[graft] val VerifiedPairsCte: String = LshCte +
+    s""",
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT cand.da, cand.db, count(*) AS inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = cand.da
+       |  JOIN sh b ON b.doc_id = cand.db AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |vp AS (SELECT da, db FROM inter JOIN sz x ON inter.da = x.doc_id JOIN sz y ON inter.db = y.doc_id
+       |       WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardTau)""".stripMargin
+
+  // --- dedup_source_inflation ---------------------------------------------
+  // Per-SOURCE duplicate-mass report — the slice a corpus owner reads when
+  // deciding which feeds to renegotiate or drop: for each source, how many
+  // of its docs are non-canonical near-dup copies and what share of its
+  // character mass they carry (dedup_cluster_stats answers "how big are
+  // clusters", dedup_cross_source answers "which source PAIRS overlap";
+  // this answers "which source is paying for duplication"). Reuses the
+  // memoized canonical assignment, so the marginal cost is one
+  // |sources|-key combinable groupBy over the cluster-labeled corpus; the
+  // only division is the share, of identical exact integers.
+  def dedupSourceInflation(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d).select(col("doc_id"), col("source"), col("n_chars"))
+      .join(dedupComponents(spark, d), Seq("doc_id"))
+      .withColumn("is_dup", (col("canonical_id") =!= col("doc_id")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dup_docs"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(col("is_dup") * col("n_chars")).as("chars_dup"))
+      .withColumn("dup_char_share",
+        col("chars_dup").cast("double") / col("chars_total"))
+      .select("source", "n_docs", "n_dup_docs", "chars_total", "chars_dup", "dup_char_share")
+      .orderBy("source")
+
+  val dedupSourceInflationSql: String = {
+    val replaced = dedupComponentsSql.replace(
+      """SELECT d.doc_id, least(coalesce(c.mn, d.doc_id), d.doc_id) AS canonical_id
+        |FROM documents d LEFT JOIN canon c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT source,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN least(coalesce(c.mn, d.doc_id), d.doc_id) <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        | CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+        | CAST(sum(CASE WHEN least(coalesce(c.mn, d.doc_id), d.doc_id) <> d.doc_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_dup,
+        | CAST(sum(CASE WHEN least(coalesce(c.mn, d.doc_id), d.doc_id) <> d.doc_id THEN d.n_chars ELSE 0 END) AS DOUBLE)
+        |   / CAST(sum(d.n_chars) AS BIGINT) AS dup_char_share
+        |FROM documents d LEFT JOIN canon c USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin)
+    require(replaced != dedupComponentsSql,
+      "dedup_source_inflation oracle: tail replacement did not match dedupComponentsSql")
+    replaced
+  }
+
   // --- dedup_keep_best ----------------------------------------------------
   // Survivor SELECTION POLICY for near-dup clusters — production dedup
   // rarely keeps the min-id copy (dedup_apply's baseline): it keeps the
@@ -1296,6 +1365,7 @@ object Dedup {
     "dedup_lsh_tune" -> ((s: SparkSession, d: String) =>
       dedupLshTune(s, d, TuneAuditMod, TuneAuditRem)),
     "dedup_keep_best" -> dedupKeepBest,
+    "dedup_source_inflation" -> dedupSourceInflation,
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_degree_dist" -> dedupDegreeDist,
     "dedup_prefix" -> dedupPrefix,
@@ -1319,6 +1389,7 @@ object Dedup {
     "dedup_recall" -> dedupRecallSql,
     "dedup_lsh_tune" -> dedupLshTuneSql,
     "dedup_keep_best" -> dedupKeepBestSql,
+    "dedup_source_inflation" -> dedupSourceInflationSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_degree_dist" -> dedupDegreeDistSql,
     "dedup_prefix" -> dedupPrefixSql,

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.3b graph analytics over the verified near-dup graph.
+  *
+  * Dedup pipelines stop at connected components (dedup_components), but the
+  * pair graph carries more signal than its components: PageRank finds the
+  * template/boilerplate HUBS a crawl keeps re-collecting (high-rank docs are
+  * near-dups of many distinct things — exactly the pages worth manual
+  * review), and triangle counts separate clique-like true-duplicate clusters
+  * from star-shaped false-positive sprays around a hub (a star has zero
+  * triangles; a copied page's cluster is a near-clique).
+  *
+  * Both operators reuse the dedup family's MEMOIZED verified pair table
+  * ([[Dedup.verifiedPairs]]), so their marginal cost is joins over a
+  * duplicate-density-bounded edge list — never a second signature pipeline,
+  * never anything corpus-sized.
+  *
+  * Exactness strategy: float PageRank is order-dependent under parallel
+  * summation, so ranks live in integer MICRO-units (start 1_000_000; each
+  * round r' = 150_000 + (85 · Σ (r_u div deg_u)) div 100 — all floor
+  * divisions of positives). Long sums are associative → bit-identical
+  * between a 1000-executor run and the DuckDB oracle; ONE final division
+  * converts to a double for reading. Triangles are pure integers.
+  *
+  * 100 TB notes: per-iteration cost is one shuffle of the edge list keyed
+  * by dst — the textbook Pregel/GraphX lowering, linear in edges; rounds
+  * are a fixed constant (3). Triangle counting orients each edge from the
+  * lower (degree, id) endpoint to the higher, so every wedge join fans out
+  * from the LOW-degree side — the standard bound (Σ_u deg_out(u)²  with
+  * deg_out ≤ √|E|) that keeps hub nodes from exploding the wedge table.
+  */
+object Graph {
+
+  private val Iters = 3
+  private val RankUnit = 1000000L // rank fixed-point scale (micro-units)
+  private val TeleportMicro = 150000L // (1 - 0.85) · RankUnit
+  private val DampNum = 85L // damping 0.85 as a ratio of integers
+  private val DampDen = 100L
+
+  /** Undirected pair list (da, db) in both directions — (src, dst) with
+    * degree attached to src. The edge list every round shuffles;
+    * density-bounded. */
+  private def edgesFrom(vp: DataFrame): DataFrame = {
+    val e = vp.select(col("da").as("src"), col("db").as("dst"))
+      .union(vp.select(col("db").as("src"), col("da").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    e.join(deg, Seq("src"))
+  }
+
+  // --- graph_pagerank -----------------------------------------------------
+  // Integer-exact PageRank over the undirected near-dup graph, 3 unrolled
+  // rounds. Every endpoint has deg >= 1 and the graph is symmetric, so every
+  // node receives at least one contribution each round — the inner
+  // join+groupBy covers the node set with no dangling-mass term.
+  def graphPagerank(spark: SparkSession, d: String): DataFrame =
+    graphPagerankFrom(Dedup.verifiedPairs(spark, d).select("da", "db"))
+
+  /** DataFrame-in variant for library callers / specs: `vp` needs one row
+    * per undirected edge (da, db). */
+  def graphPagerankFrom(vp: DataFrame): DataFrame = {
+    val e = edgesFrom(vp)
+    val r0 = e.select(col("src").as("doc_id")).distinct()
+      .withColumn("r", lit(RankUnit))
+    val rN = (1 to Iters).foldLeft(r0) { (r, _) =>
+      e.join(r.select(col("doc_id").as("src"), col("r")), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(expr("r div deg")).as("s"))
+        .select(col("doc_id"),
+          (lit(TeleportMicro) + expr(s"($DampNum * s) div $DampDen")).as("r"))
+    }
+    rN.select(col("doc_id"), col("r").as("rank_micro"),
+        (col("r").cast("double") / lit(RankUnit.toDouble)).as("rank"))
+      .orderBy(desc("rank_micro"), asc("doc_id"))
+  }
+
+  val graphPagerankSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (SELECT e.dst AS doc_id,
+         |  $TeleportMicro + ($DampNum * sum($prev.r // e.deg)) // $DampDen AS r
+         |  FROM e JOIN $prev ON e.src = $prev.doc_id GROUP BY 1)""".stripMargin
+    Dedup.VerifiedPairsCte +
+      s""",
+         |e0 AS (SELECT da AS src, db AS dst FROM vp UNION ALL SELECT db, da FROM vp),
+         |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY 1),
+         |e AS (SELECT e0.src, e0.dst, dg.deg FROM e0 JOIN dg USING (src)),
+         |i0 AS (SELECT DISTINCT src AS doc_id, CAST($RankUnit AS BIGINT) AS r FROM e0),
+         |${iter("i0", "i1")},
+         |${iter("i1", "i2")},
+         |${iter("i2", "i3")}
+         |SELECT doc_id, CAST(r AS BIGINT) AS rank_micro,
+         | CAST(r AS DOUBLE) / $RankUnit.0 AS rank
+         |FROM i3 ORDER BY rank_micro DESC, doc_id""".stripMargin
+  }
+
+  // --- graph_triangles ----------------------------------------------------
+  // Per-node triangle participation via degree-ordered edge orientation:
+  // each undirected edge points from its lower (deg, id) endpoint to the
+  // higher, making the oriented graph a DAG in which every triangle closes
+  // exactly once (from its lowest corner). The wedge join therefore fans
+  // out only from low-degree endpoints — the bound that makes triangle
+  // counting feasible on hub-heavy graphs at scale.
+  def graphTriangles(spark: SparkSession, d: String): DataFrame =
+    graphTrianglesFrom(Dedup.verifiedPairs(spark, d).select("da", "db"))
+
+  /** DataFrame-in variant for library callers / specs. */
+  def graphTrianglesFrom(vp: DataFrame): DataFrame = {
+    val e = vp.select(col("da").as("src"), col("db").as("dst"))
+      .union(vp.select(col("db").as("src"), col("da").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = vp
+      .join(deg.select(col("src").as("da"), col("deg").as("dega")), Seq("da"))
+      .join(deg.select(col("src").as("db"), col("deg").as("degb")), Seq("db"))
+    val aLower = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("da") < col("db"))
+    val o = withDeg.select(
+      when(aLower, col("da")).otherwise(col("db")).as("u"),
+      when(aLower, col("db")).otherwise(col("da")).as("v"))
+    val tri = o.as("o1")
+      .join(o.as("o2"), col("o1.v") === col("o2.u"))
+      .join(o.as("o3"),
+        col("o3.u") === col("o1.u") && col("o3.v") === col("o2.v"))
+      .select(col("o1.u").as("x"), col("o1.v").as("y"), col("o2.v").as("z"))
+    tri.select(col("x").as("doc_id"))
+      .union(tri.select(col("y").as("doc_id")))
+      .union(tri.select(col("z").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  val graphTrianglesSql: String = Dedup.VerifiedPairsCte +
+    s""",
+       |e0 AS (SELECT da AS src, db AS dst FROM vp UNION ALL SELECT db, da FROM vp),
+       |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY 1),
+       |wd AS (SELECT vp.da, vp.db, a.deg AS dega, b.deg AS degb
+       |       FROM vp JOIN dg a ON a.src = vp.da JOIN dg b ON b.src = vp.db),
+       |o AS (SELECT CASE WHEN dega < degb OR (dega = degb AND da < db) THEN da ELSE db END AS u,
+       |             CASE WHEN dega < degb OR (dega = degb AND da < db) THEN db ELSE da END AS v
+       |      FROM wd),
+       |tri AS (SELECT o1.u AS x, o1.v AS y, o2.v AS z
+       |        FROM o o1 JOIN o o2 ON o1.v = o2.u
+       |        JOIN o o3 ON o3.u = o1.u AND o3.v = o2.v),
+       |corners AS (SELECT x AS doc_id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM corners GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> graphPagerank,
+    "graph_triangles" -> graphTriangles)
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> graphPagerankSql,
+    "graph_triangles" -> graphTrianglesSql)
+}

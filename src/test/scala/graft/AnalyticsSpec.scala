@@ -638,4 +638,45 @@ class AnalyticsSpec extends SparkSpec {
         (r.getAs[Double]("min_price"), r.getAs[Long]("suppkey"))).toMap
     assert(got === Map(1L -> (5.00, 3L), 2L -> (1.00, 9L)))
   }
+
+  test("q_event_dedup synthetic: retries inside the debounce window drop, the rest survive") {
+    import spark.implicits._
+    // user 1, same (type, cents) key: t=0 kept, t=100s dropped (within 5
+    // min of the previous OCCURRENCE), t=401s kept (301s after the t=100
+    // retry — debounce measures from the previous occurrence, kept or not).
+    // ids 4/5 share one timestamp: the lower id wins the tie, the higher
+    // sees gap 0 and drops. id 6 has a different cents key and never drops.
+    val ev = Seq(
+      (1L, 1L, "click", "2024-01-01 00:00:00", 1.00),
+      (2L, 1L, "click", "2024-01-01 00:01:40", 1.00),
+      (3L, 1L, "click", "2024-01-01 00:06:41", 1.00),
+      (4L, 1L, "click", "2024-01-01 01:00:00", 1.00),
+      (5L, 1L, "click", "2024-01-01 01:00:00", 1.00),
+      (6L, 1L, "click", "2024-01-01 00:01:40", 2.00)
+    ).toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_s").cast("timestamp").as("ts"), col("value"))
+    val kept = Analytics.qEventDedupFrom(ev).collect().map(_.getAs[Long]("event_id")).toSet
+    assert(kept === Set(1L, 3L, 4L, 6L))
+  }
+
+  test("q_decay_sum synthetic: power-of-two weights match the hand sum and the age cap bites") {
+    import spark.implicits._
+    // anchor day = 2024-01-21 (user 2's event). user 1: same-day event
+    // weighs 2^16, a 3-day-old one 2^13, a 20-day-old one caps at 2^0.
+    val ev = Seq(
+      (1L, "2024-01-21 10:00:00", 1.00),
+      (1L, "2024-01-18 09:00:00", 2.00),
+      (1L, "2024-01-01 08:00:00", 1.00),
+      (2L, "2024-01-21 23:59:59", 0.50)
+    ).toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"), col("value"))
+    val got = Analytics.qDecaySumFrom(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("decayed_c"), r.getAs[Double]("decayed"))).toMap
+    val u1 = 100L * 65536L + 200L * 8192L + 100L * 1L
+    assert(got === Map(
+      1L -> (3L, u1, u1 / 6553600.0),
+      2L -> (1L, 50L * 65536L, 50L * 65536L / 6553600.0)))
+  }
 }

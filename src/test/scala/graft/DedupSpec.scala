@@ -440,4 +440,26 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.dedupRecall(spark, sf, 1L, 0L) }
     intercept[IllegalArgumentException] { Dedup.dedupLshTune(spark, sf, 1L, 0L) }
   }
+
+  test("source inflation reconciles with the canonical assignment it derives from") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    val canon = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    val rows = Dedup.dedupSourceInflation(spark, sf).collect()
+    // every source accounted for, corpus totals preserved
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    assert(rows.map(_.getAs[Long]("chars_total")).sum === docs.map(_._3).sum)
+    // per-source duplicate mass matches a direct recompute off the mapping
+    val expect = docs.groupBy(_._2).view.mapValues { ds =>
+      val dups = ds.filter { case (id, _, _) => canon(id) != id }
+      (dups.length.toLong, dups.map(_._3).sum)
+    }.toMap
+    rows.foreach { r =>
+      val (nd, cd) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_dup_docs") === nd)
+      assert(r.getAs[Long]("chars_dup") === cd)
+    }
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+
+  private def vp(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("da", "db")
+  }
+
+  test("triangles: K4 has every node in 3 triangles") {
+    val k4 = vp((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = Graph.graphTrianglesFrom(k4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_triangles")).toMap
+    // K4 has C(4,3)=4 triangles; each node sits in C(3,2)=3 of them
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: a star graph has none (hub false-positive shape)") {
+    val star = vp((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    assert(Graph.graphTrianglesFrom(star).collect().isEmpty)
+  }
+
+  test("triangles: orientation counts each triangle exactly once under skewed degrees") {
+    // triangle 1-2-3 with extra spokes on node 1 (degree 5): the oriented
+    // wedge must fan out from the LOW-degree corners, and the count must
+    // still be exactly one triangle per corner
+    val g = vp((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (1L, 5L), (1L, 6L))
+    val got = Graph.graphTrianglesFrom(g).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_triangles")).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("pagerank: symmetric 2-node graph is a fixpoint at the unit rank") {
+    val got = Graph.graphPagerankFrom(vp((7L, 9L))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_micro")).toMap
+    // each node forwards its whole rank to the other: r' = 150000 +
+    // (85·1000000) div 100 = 1000000 every round
+    assert(got === Map(7L -> 1000000L, 9L -> 1000000L))
+  }
+
+  test("pagerank: 3-node path matches the hand-unrolled integer recurrence") {
+    val got = Graph.graphPagerankFrom(vp((1L, 2L), (2L, 3L))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_micro")).toMap
+    // i1: ends 150000+(85·500000)div100=575000, mid 150000+(85·2000000)div100=1850000
+    // i2: ends 150000+(85·925000)div100=936250, mid 150000+(85·1150000)div100=1127500
+    // i3: ends 150000+(85·563750)div100=629187, mid 150000+(85·1872500)div100=1741625
+    assert(got === Map(1L -> 629187L, 2L -> 1741625L, 3L -> 629187L))
+    // the double view is the micro value over one division
+    val ranks = Graph.graphPagerankFrom(vp((1L, 2L), (2L, 3L))).collect()
+      .map(r => r.getAs[Long]("rank_micro") -> r.getAs[Double]("rank"))
+    ranks.foreach { case (m, x) => assert(x === m / 1000000.0) }
+  }
+
+  test("pagerank: corpus ranks stay in the stochastic envelope") {
+    val rows = Graph.graphPagerank(spark, sf).collect()
+    val n = rows.length
+    val total = rows.map(_.getAs[Long]("rank_micro")).sum
+    // floor divisions only ever LOSE mass (never create it), and every node
+    // keeps at least its teleport share
+    assert(total <= n * 1000000L)
+    rows.foreach(r => assert(r.getAs[Long]("rank_micro") >= 150000L))
+  }
+}
