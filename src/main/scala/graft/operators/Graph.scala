@@ -40,14 +40,23 @@ object Graph {
   private val DampNum = 85L // damping 0.85 as a ratio of integers
   private val DampDen = 100L
 
-  /** Undirected pair list (da, db) in both directions — (src, dst) with
-    * degree attached to src. The edge list every round shuffles;
-    * density-bounded. */
-  private def edgesFrom(vp: DataFrame): DataFrame = {
-    val e = vp.select(col("da").as("src"), col("db").as("dst"))
-      .union(vp.select(col("db").as("src"), col("da").as("dst")))
+  /** Undirected pairs with BOTH endpoint degrees attached —
+    * (da, db, dega, degb) — then localCheckpoint'd: both operators
+    * reference this subtree many times (PageRank's edge list 4×, the
+    * triangle wedge join 3×), and Spark evaluates each reference
+    * independently, so without flattening the degree aggregate and its
+    * joins re-execute per reference (the same plan-growth failure mode
+    * canonFor documents). The table is duplicate-density-bounded, so the
+    * checkpoint is exactly the small stage output a production graph job
+    * would persist between rounds; downstream derivations are pure maps
+    * over it. */
+  private def vpDegFrom(vp: DataFrame): DataFrame = {
+    val e = vp.select(col("da").as("src"))
+      .union(vp.select(col("db").as("src")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    e.join(deg, Seq("src"))
+    vp.join(deg.select(col("src").as("da"), col("deg").as("dega")), Seq("da"))
+      .join(deg.select(col("src").as("db"), col("deg").as("degb")), Seq("db"))
+      .localCheckpoint()
   }
 
   // --- graph_pagerank -----------------------------------------------------
@@ -61,7 +70,9 @@ object Graph {
   /** DataFrame-in variant for library callers / specs: `vp` needs one row
     * per undirected edge (da, db). */
   def graphPagerankFrom(vp: DataFrame): DataFrame = {
-    val e = edgesFrom(vp)
+    val vd = vpDegFrom(vp)
+    val e = vd.select(col("da").as("src"), col("db").as("dst"), col("dega").as("deg"))
+      .union(vd.select(col("db").as("src"), col("da").as("dst"), col("degb").as("deg")))
     val r0 = e.select(col("src").as("doc_id")).distinct()
       .withColumn("r", lit(RankUnit))
     val rN = (1 to Iters).foldLeft(r0) { (r, _) =>
@@ -107,15 +118,10 @@ object Graph {
 
   /** DataFrame-in variant for library callers / specs. */
   def graphTrianglesFrom(vp: DataFrame): DataFrame = {
-    val e = vp.select(col("da").as("src"), col("db").as("dst"))
-      .union(vp.select(col("db").as("src"), col("da").as("dst")))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = vp
-      .join(deg.select(col("src").as("da"), col("deg").as("dega")), Seq("da"))
-      .join(deg.select(col("src").as("db"), col("deg").as("degb")), Seq("db"))
+    val vd = vpDegFrom(vp)
     val aLower = col("dega") < col("degb") ||
       (col("dega") === col("degb") && col("da") < col("db"))
-    val o = withDeg.select(
+    val o = vd.select(
       when(aLower, col("da")).otherwise(col("db")).as("u"),
       when(aLower, col("db")).otherwise(col("da")).as("v"))
     val tri = o.as("o1")
@@ -123,9 +129,9 @@ object Graph {
       .join(o.as("o3"),
         col("o3.u") === col("o1.u") && col("o3.v") === col("o2.v"))
       .select(col("o1.u").as("x"), col("o1.v").as("y"), col("o2.v").as("z"))
-    tri.select(col("x").as("doc_id"))
-      .union(tri.select(col("y").as("doc_id")))
-      .union(tri.select(col("z").as("doc_id")))
+    // one corner unpivot (explode), not a 3-way union — a union would
+    // re-evaluate the wedge join once per branch
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
       .orderBy("doc_id")
   }
