@@ -415,6 +415,116 @@ object Analytics {
       |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_1h_n
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  // --- q6_forecast_revenue ------------------------------------------------
+  // TPC-H Q6 shape: the pure pushdown showcase — one scan, three scan-level
+  // predicates, one global sum, NO shuffle beyond the 1-row partial-agg
+  // combine. The discount band is tested on the exact integer points
+  // (dc BETWEEN 5 AND 7), not a float range, so the cut is engine-identical;
+  // revenue accumulates as epc·dc integers (10^-4 dollar lattice, the
+  // q_promo_share convention) with one final division. .explain shows all
+  // three predicates in PushedFilters and a 2-column ReadSchema — at 100 TB
+  // this query IS the scan, which is exactly the point.
+  def q6ForecastRevenue(spark: SparkSession, d: String): DataFrame = {
+    val dc = cents(col("l_discount"))
+    Tables.lineitem(spark, d)
+      .select(col("l_shipdate"), col("l_quantity"), col("l_extendedprice"), dc.as("dc"))
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("dc").between(5L, 7L) && col("l_quantity") < 24.0)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents(col("l_extendedprice")) * col("dc")).as("revenue_c4"))
+      .select(col("n_lines"), col("revenue_c4"),
+        (col("revenue_c4") / 10000.0).as("revenue"))
+  }
+
+  val q6ForecastRevenueSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)/10000.0 AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+      |  AND l_quantity < 24.0""".stripMargin
+
+  // --- q10_returned_items -------------------------------------------------
+  // TPC-H Q10 shape: revenue lost to returns per customer over a 6-month
+  // window — returned lines (scan predicate) joined to window-filtered
+  // orders, aggregated per customer, top 20 joined to the customer and
+  // nation dims AFTER the cut so only 20 rows reach the dim joins.
+  // Revenue = epc·(100−dc) exact integers; the top-k tie-breaks on custkey
+  // through a 1-partition window over the |customers|-bounded aggregate
+  // (report-sized by the same argument as q3's top-k sort).
+  def q10ReturnedItems(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c4"))
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-07-01 00:00:00"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val per = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("rev_c4")).as("revenue_c4"))
+      .orderBy(desc("revenue_c4"), asc("custkey")).limit(20)
+    per.join(Tables.customer(spark, d), col("custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("custkey"), col("c_name"), col("n_name"),
+        col("revenue_c4"), (col("revenue_c4") / 10000.0).as("revenue"))
+      .orderBy(desc("revenue_c4"), asc("custkey"))
+  }
+
+  val q10ReturnedItemsSql: String =
+    """WITH r AS (SELECT l_orderkey,
+      |  CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT)) AS rev_c4
+      | FROM lineitem WHERE l_returnflag = 'R'),
+      |o AS (SELECT o_orderkey, o_custkey FROM orders
+      |      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'),
+      |per AS (SELECT o_custkey AS custkey, CAST(sum(rev_c4) AS BIGINT) AS revenue_c4
+      |        FROM r JOIN o ON r.l_orderkey = o.o_orderkey GROUP BY 1
+      |        ORDER BY revenue_c4 DESC, custkey LIMIT 20)
+      |SELECT custkey, c_name, n_name, revenue_c4, revenue_c4/10000.0 AS revenue
+      |FROM per JOIN customer ON custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY revenue_c4 DESC, custkey""".stripMargin
+
+  // --- q18_large_orders ---------------------------------------------------
+  // TPC-H Q18 shape: orders whose total quantity clears a threshold —
+  // the classic HAVING-over-join: ONE map-side-combinable per-order
+  // quantity sum (cents-quantized so the threshold cut is an integer
+  // compare), the surviving |orders|·p99-sized key list joins back to
+  // orders + customer, top 100 by (totalprice, orderkey). The heavy
+  // aggregate runs BEFORE any dim join, so raw lineitem never joins.
+  private val LargeOrderQtyC = 25000L // sum(l_quantity) > 250, in cents
+
+  def q18LargeOrders(spark: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(spark, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"))
+      .filter(col("sum_qty_c") > LargeOrderQtyC)
+    big.join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        cents(col("o_totalprice")).as("totalprice_c"),
+        (col("sum_qty_c") / 100.0).as("sum_qty"))
+      .orderBy(desc("totalprice_c"), asc("o_orderkey")).limit(100)
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""WITH big AS (SELECT l_orderkey,
+       |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+       | FROM lineitem GROUP BY 1 HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > $LargeOrderQtyC)
+       |SELECT c_custkey, c_name, o_orderkey,
+       | strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       | CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c,
+       | sum_qty_c/100.0 AS sum_qty
+       |FROM big JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY totalprice_c DESC, o_orderkey LIMIT 100""".stripMargin
+
   // --- q_decay_sum --------------------------------------------------------
   // Recency-decayed per-user value — the feature-engineering staple behind
   // "recent activity counts more": each event's cents are weighted by
@@ -2185,7 +2295,10 @@ object Analytics {
     "q_salted_agg" -> qSaltedAgg,
     "q_sliding_window" -> qSlidingWindow,
     "q_decay_sum" -> qDecaySum,
-    "q_event_dedup" -> qEventDedup)
+    "q_event_dedup" -> qEventDedup,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q18_large_orders" -> q18LargeOrders)
 
   val oracle: Map[String, String] = Map(
     "q_cohort_ltv" -> qCohortLtvSql,
@@ -2241,5 +2354,8 @@ object Analytics {
     "q_salted_agg" -> qSaltedAggSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_decay_sum" -> qDecaySumSql,
-    "q_event_dedup" -> qEventDedupSql)
+    "q_event_dedup" -> qEventDedupSql,
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "q10_returned_items" -> q10ReturnedItemsSql,
+    "q18_large_orders" -> q18LargeOrdersSql)
 }

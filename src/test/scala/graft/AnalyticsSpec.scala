@@ -639,6 +639,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Map(1L -> (5.00, 3L), 2L -> (1.00, 9L)))
   }
 
+  test("q6 equals a driver-side recompute of the same integer lattice") {
+    val rows = Analytics.q6ForecastRevenue(spark, sf).collect()
+    assert(rows.length === 1)
+    val (n, rc4) = (rows(0).getAs[Long]("n_lines"), rows(0).getAs[Long]("revenue_c4"))
+    assert(n > 0 && rc4 > 0)
+    assert(rows(0).getAs[Double]("revenue") === rc4 / 10000.0)
+    val expect = Tables.lineitem(spark, sf)
+      .select("l_shipdate", "l_quantity", "l_extendedprice", "l_discount").collect()
+      .filter { r =>
+        val sd = r.getAs[Any]("l_shipdate").toString.take(10)
+        val dc = math.round(r.getAs[Double]("l_discount") * 100)
+        sd >= "1996-01-01" && sd <= "1996-12-31" && dc >= 5 && dc <= 7 &&
+          r.getAs[Double]("l_quantity") < 24.0
+      }
+      .map(r => math.round(r.getAs[Double]("l_extendedprice") * 100) *
+        math.round(r.getAs[Double]("l_discount") * 100)).sum
+    assert(rc4 === expect)
+  }
+
+  test("q10 returns at most 20 customers in strict revenue order") {
+    val rows = Analytics.q10ReturnedItems(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Long]("revenue_c4"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+    assert(rows.map(_.getAs[Long]("custkey")).distinct.length === rows.length)
+  }
+
+  test("q18 survivors all clear the quantity threshold, ordered by totalprice") {
+    val rows = Analytics.q18LargeOrders(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach(r => assert(r.getAs[Double]("sum_qty") > 250.0))
+    val tps = rows.map(_.getAs[Long]("totalprice_c"))
+    assert(tps.sameElements(tps.sortBy(-_)))
+  }
+
   test("q_event_dedup synthetic: retries inside the debounce window drop, the rest survive") {
     import spark.implicits._
     // user 1, same (type, cents) key: t=0 kept, t=100s dropped (within 5
