@@ -421,9 +421,12 @@ object Analytics {
   // combine. The discount band is tested on the exact integer points
   // (dc BETWEEN 5 AND 7), not a float range, so the cut is engine-identical;
   // revenue accumulates as epc·dc integers (10^-4 dollar lattice, the
-  // q_promo_share convention) with one final division. .explain shows all
-  // three predicates in PushedFilters and a 2-column ReadSchema — at 100 TB
-  // this query IS the scan, which is exactly the point.
+  // q_promo_share convention) with one final division. .explain: the date
+  // window and quantity cut reach PushedFilters; the discount band runs in
+  // the scan's Filter because it tests a COMPUTED column — the deliberate
+  // trade (an equivalent raw-float range predicate would push but reopens
+  // cross-engine float-boundary semantics, the exact thing the integer
+  // lattice exists to exclude). At 100 TB this query IS the scan.
   def q6ForecastRevenue(spark: SparkSession, d: String): DataFrame = {
     val dc = cents(col("l_discount"))
     Tables.lineitem(spark, d)

@@ -152,11 +152,57 @@ object Graph {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
        |FROM corners GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // --- graph_cluster_density ----------------------------------------------
+  // Per-cluster edge density — the aggregate sibling of graph_triangles'
+  // per-node view: a true-duplicate cluster is a near-clique (density → 1),
+  // a hub false-positive spray is a star (density → 2/n). Every verified
+  // edge lies inside one component BY CONSTRUCTION (components are built
+  // from these edges), so per-cluster edge counts need only ONE endpoint
+  // join; sizes come from the memoized canonical assignment. Both inputs
+  // are density-bounded; the division is one exact-integer ratio per
+  // report row.
+  def graphClusterDensity(spark: SparkSession, d: String): DataFrame = {
+    val canon = Dedup.dedupComponents(spark, d)
+    val sizes = canon.groupBy("canonical_id").agg(count(lit(1)).as("n_nodes"))
+      .filter(col("n_nodes") >= 2L)
+    val edges = Dedup.verifiedPairs(spark, d).select(col("da").as("doc_id"))
+      .join(canon, Seq("doc_id"))
+      .groupBy("canonical_id").agg(count(lit(1)).as("n_edges"))
+    sizes.join(edges, Seq("canonical_id"))
+      .select(col("canonical_id"), col("n_nodes"), col("n_edges"),
+        ((col("n_edges") * 2L).cast("double") / (col("n_nodes") * (col("n_nodes") - 1L)))
+          .as("density"))
+      .orderBy("canonical_id")
+  }
+
+  val graphClusterDensitySql: String = {
+    val replaced = Dedup.dedupComponentsSql.replace(
+      """SELECT d.doc_id, least(coalesce(c.mn, d.doc_id), d.doc_id) AS canonical_id
+        |FROM documents d LEFT JOIN canon c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT canonical_id, n_nodes, n_edges,
+        | CAST(n_edges*2 AS DOUBLE) / (n_nodes*(n_nodes-1)) AS density
+        |FROM (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_nodes
+        |      FROM (SELECT d.doc_id, least(coalesce(c.mn, d.doc_id), d.doc_id) AS canonical_id
+        |            FROM documents d LEFT JOIN canon c USING (doc_id))
+        |      GROUP BY 1 HAVING count(*) >= 2) s
+        |JOIN (SELECT least(coalesce(c.mn, vp.da), vp.da) AS canonical_id,
+        |             CAST(count(*) AS BIGINT) AS n_edges
+        |      FROM vp LEFT JOIN canon c ON c.doc_id = vp.da GROUP BY 1) e
+        |USING (canonical_id)
+        |ORDER BY canonical_id""".stripMargin)
+    require(replaced != Dedup.dedupComponentsSql,
+      "graph_cluster_density oracle: tail replacement did not match dedupComponentsSql")
+    replaced
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank,
-    "graph_triangles" -> graphTriangles)
+    "graph_triangles" -> graphTriangles,
+    "graph_cluster_density" -> graphClusterDensity)
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
-    "graph_triangles" -> graphTrianglesSql)
+    "graph_triangles" -> graphTrianglesSql,
+    "graph_cluster_density" -> graphClusterDensitySql)
 }

@@ -54,6 +54,24 @@ class GraphSpec extends SparkSpec {
     ranks.foreach { case (m, x) => assert(x === m / 1000000.0) }
   }
 
+  test("cluster density: bounded by the star floor and clique ceiling, edges reconcile") {
+    import graft.operators.Dedup
+    val rows = Graph.graphClusterDensity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_nodes"); val e = r.getAs[Long]("n_edges")
+      val dty = r.getAs[Double]("density")
+      assert(n >= 2 && e >= 1)
+      // connectivity floor (a component has >= n-1 edges) up to the clique
+      assert(e >= n - 1 && e <= n * (n - 1) / 2)
+      assert(dty === 2.0 * e / (n * (n - 1)))
+      if (n == 2) assert(dty === 1.0)
+    }
+    // every verified edge lands in exactly one cluster
+    val totalEdges = Dedup.dedupNgramJaccard(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_edges")).sum === totalEdges)
+  }
+
   test("pagerank: corpus ranks stay in the stochastic envelope") {
     val rows = Graph.graphPagerank(spark, sf).collect()
     val n = rows.length
