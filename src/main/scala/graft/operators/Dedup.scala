@@ -786,6 +786,79 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // --- dedup_substring_apply ----------------------------------------------
+  // The ACTION on dedup_substring's report (Lee et al.'s actual edit to
+  // training data): for every doc, the sorted list of window START INDICES
+  // to mask — windows whose text occurs in MORE THAN ONE document, masked
+  // in every doc except the min-id owner (one copy of each span survives
+  // corpus-wide; the owner keeps all its occurrences, non-owners mask all
+  // of theirs). n_windows here counts ALL windows (len−W+1), not the
+  // distinct set the report counts — positions are the point.
+  //
+  // Scale shape: the indexed window table (doc, idx, 16-byte hash) is the
+  // one corpus-sized explode; the dup-hash dimension (hash, owner) comes
+  // from the SAME kernel-built distinct sets as dedup_substring and is
+  // bounded by cross-doc duplicate density, so the index join is
+  // equijoin-vs-small-dim (AQE broadcasts it at toy scale, shuffles by
+  // hash when a boilerplate-heavy corpus makes it big). Per-doc mask lists
+  // are then one combinable groupBy; nothing all-pairs. The indexed HOF
+  // re-slices W tokens per window (the cost the report avoids via the
+  // kernel) — the apply op pays it because positions don't exist in a
+  // distinct set.
+  def dedupSubstringApply(spark: SparkSession, d: String): DataFrame =
+    dedupSubstringApplyFrom(Tables.documents(spark, d))
+
+  /** DataFrame-in variant for library callers / specs: `docs` needs
+    * (doc_id, text). */
+  def dedupSubstringApplyFrom(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    val gi = toks.filter(size(col("w")) >= SubstrW)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${SubstrW - 1}), i -> " +
+          s"struct(CAST(i AS BIGINT) AS idx, unhex(md5(concat_ws(' ', slice(w, i, $SubstrW)))) AS g))")).as("x"))
+      .select(col("doc_id"), col("x.idx").as("idx"), col("x.g").as("g"))
+    // dup-hash dim off the kernel's per-doc DISTINCT sets: cross-doc
+    // frequency + min owner, > 1 docs only — density-bounded
+    val dup = docs
+      .select(col("doc_id"), expr("window_md5_set(text)").as("gs"))
+      .filter(col("gs").isNotNull)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("nd"), min(col("doc_id")).as("d0"))
+      .filter(col("nd") > 1)
+      .select("g", "d0")
+    val m = gi.join(dup, Seq("g"))
+      .filter(col("doc_id") =!= col("d0"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_masked"),
+        // string-encoded like ds_sel_export's compound lists: the oracle
+        // compare sorts rows by every column, and array columns don't sort
+        concat_ws(",", sort_array(collect_list(col("idx")))).as("masked_idx"))
+    toks.select(col("doc_id"),
+        when(size(col("w")) >= SubstrW, (size(col("w")) - (SubstrW - 1)).cast("long"))
+          .otherwise(0L).as("n_windows"))
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"), col("masked_idx"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSubstringApplySql: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS w FROM documents),
+       |gi AS (SELECT doc_id, u['idx'] AS idx, u['g'] AS g FROM (
+       |  SELECT doc_id, unnest([{'idx': CAST(i AS BIGINT), 'g': unhex(md5(array_to_string(w[i:i+${SubstrW - 1}],' ')))} FOR i IN range(1, len(w)-${SubstrW - 2})]) AS u
+       |  FROM w WHERE len(w) >= $SubstrW)),
+       |dup AS (SELECT g, min(doc_id) AS d0 FROM (SELECT DISTINCT doc_id, g FROM gi)
+       |        GROUP BY 1 HAVING count(*) > 1),
+       |m AS (SELECT gi.doc_id, CAST(count(*) AS BIGINT) AS n_masked,
+       |             array_to_string(list(idx ORDER BY idx), ',') AS masked_idx
+       |      FROM gi JOIN dup USING (g) WHERE gi.doc_id <> dup.d0 GROUP BY 1)
+       |SELECT w.doc_id,
+       | CAST(CASE WHEN len(w.w) >= $SubstrW THEN len(w.w)-${SubstrW - 1} ELSE 0 END AS BIGINT) AS n_windows,
+       | CAST(coalesce(m.n_masked, 0) AS BIGINT) AS n_masked,
+       | m.masked_idx
+       |FROM w LEFT JOIN m ON w.doc_id = m.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+
   val dedupSubstringSql: String =
     s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS w FROM documents),
        |g AS (SELECT DISTINCT doc_id, unnest([unhex(md5(array_to_string(w[i:i+${SubstrW - 1}],' '))) FOR i IN range(1, len(w)-${SubstrW - 2})]) AS g
@@ -1379,6 +1452,7 @@ object Dedup {
     "dedup_apply" -> dedupApply,
     "dedup_cluster_stats" -> dedupClusterStats,
     "dedup_substring" -> dedupSubstring,
+    "dedup_substring_apply" -> dedupSubstringApply,
     "dedup_edit_verify" -> dedupEditVerify,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
@@ -1403,6 +1477,7 @@ object Dedup {
     "dedup_apply" -> dedupApplySql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_substring" -> dedupSubstringSql,
+    "dedup_substring_apply" -> dedupSubstringApplySql,
     "dedup_edit_verify" -> dedupEditVerifySql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,

@@ -441,6 +441,35 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.dedupLshTune(spark, sf, 1L, 0L) }
   }
 
+  test("substring apply masks the shared span everywhere except the min-id owner") {
+    import spark.implicits._
+    // 16-token span S shared by docs 1 (owner), 2 (at offset 3), and 3
+    // (twice, offsets 1 and 20); doc 4 has no 16-token window at all.
+    val S = (1 to 16).map(i => s"s$i").mkString(" ")
+    val pre3 = "a b c" // 3 tokens -> S starts at index 4 in doc 2
+    val mid3 = (1 to 3).map(i => s"m$i").mkString(" ") // between S copies in doc 3
+    val docs = Seq(
+      (1L, S + " tail1 tail2"),
+      (2L, pre3 + " " + S),
+      (3L, S + " " + mid3 + " " + S),
+      (4L, "too short to window")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSubstringApplyFrom(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_masked"),
+          Option(r.getAs[String]("masked_idx")))).toMap
+    // doc 1 owns every duplicated window -> nothing masked
+    assert(got(1L)._2 === 0L && got(1L)._3.isEmpty)
+    // doc 2: 19 tokens -> 4 windows; only the one at idx 4 is the full S
+    assert(got(2L)._1 === 4L)
+    assert(got(2L)._3 === Some("4"))
+    // doc 3: both copies of S mask (idx 1 and 20); the straddling windows
+    // between them are unique corpus-wide and survive
+    assert(got(3L)._3 === Some("1,20"))
+    // doc 4: no windows, nothing masked, NULL mask list
+    assert(got(4L) === ((0L, 0L, None)))
+  }
+
   test("source inflation reconciles with the canonical assignment it derives from") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("n_chars")).collect()
