@@ -72,6 +72,46 @@ class GraphSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_edges")).sum === totalEdges)
   }
 
+  test("randomized: triangles and pagerank match in-process brute force on 25 seeded graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 25) {
+      val n = 4 + rnd.nextInt(9) // 4..12 nodes
+      val ids = (1 to n).map(_ * 3L + trial) // non-contiguous ids
+      val all = for (i <- 0 until n; j <- i + 1 until n) yield (ids(i), ids(j))
+      val pairs = all.filter(_ => rnd.nextDouble() < 0.4)
+      if (pairs.nonEmpty) {
+        val edges = pairs.toSet
+        def connected(a: Long, b: Long) = edges((a min b, a max b))
+        // brute-force triangle participation
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for {
+          i <- nodes.indices; j <- i + 1 until nodes.length; k <- j + 1 until nodes.length
+          if connected(nodes(i), nodes(j)) && connected(nodes(j), nodes(k)) && connected(nodes(i), nodes(k))
+        } Seq(nodes(i), nodes(j), nodes(k)).foreach(x => triCount(x) += 1)
+        // brute-force integer pagerank recurrence
+        val deg = nodes.map(u => u -> pairs.count(p => p._1 == u || p._2 == u).toLong).toMap
+        var rank = nodes.map(_ -> 1000000L).toMap
+        for (_ <- 1 to 3) {
+          val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+          for ((a, b) <- pairs) {
+            in(b) += rank(a) / deg(a)
+            in(a) += rank(b) / deg(b)
+          }
+          rank = nodes.map(u => u -> (150000L + 85L * in(u) / 100L)).toMap
+        }
+        import spark.implicits._
+        val vpDf = pairs.toDF("da", "db")
+        val gotTri = Graph.graphTrianglesFrom(vpDf).collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_triangles")).toMap
+        assert(gotTri === triCount.filter(_._2 > 0).toMap, s"triangles trial $trial pairs=$pairs")
+        val gotPr = Graph.graphPagerankFrom(vpDf).collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_micro")).toMap
+        assert(gotPr === rank, s"pagerank trial $trial pairs=$pairs")
+      }
+    }
+  }
+
   test("pagerank: corpus ranks stay in the stochastic envelope") {
     val rows = Graph.graphPagerank(spark, sf).collect()
     val n = rows.length
