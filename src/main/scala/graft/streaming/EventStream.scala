@@ -175,6 +175,48 @@ object EventStream {
       |WHERE session_id < last_sid
       |ORDER BY user_id, session_id""".stripMargin
 
+  case class DebounceIn(event_id: Long, user_id: Long, event_type: String,
+    ts: Timestamp, vc: Long)
+  case class DebounceOut(event_id: Long, user_id: Long, event_type: String)
+  /** Per-key last-occurrence time, carried across micro-batches (public:
+    * the state encoder's generated code must see the constructor). */
+  case class DebounceState(lastMicros: Long)
+
+  /** Stateful debounce — the streaming twin of `Analytics.qEventDedup`
+    * (same semantics: drop an event whose previous same-(user, type, cents)
+    * occurrence — kept or dropped — lies within 5 minutes; the last-seen
+    * time advances on EVERY occurrence). Unlike the sessionizer, every
+    * decision emits immediately and no state waits on a timeout, so a
+    * bounded replay's output equals the batch operator EXACTLY — the spec
+    * asserts two-sided parity with no trailing-state carve-out. State per
+    * key is one long; at scale the watermark-driven eviction a production
+    * job would add (state TTL) bounds the key universe.
+    */
+  def debounce(spark: SparkSession, events: Dataset[DebounceIn]): Dataset[DebounceOut] = {
+    import spark.implicits._
+    val gapMicros = 300000000L // 5 min, = Analytics.qEventDedup's window
+    events.groupByKey(e => (e.user_id, e.event_type, e.vc))
+      .flatMapGroupsWithState[DebounceState, DebounceOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_, rows, state: GroupState[DebounceState]) =>
+          def micros(t: Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+          // sort within the per-batch group; a production job would rely on
+          // watermarked event-time ordering instead (same note as sessionize)
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[DebounceOut]()
+          var last = state.getOption.map(_.lastMicros)
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            if (last.forall(l => t - l > gapMicros))
+              out += DebounceOut(e.event_id, e.user_id, e.event_type)
+            last = Some(t) // advances on kept AND dropped occurrences
+          }
+          last.foreach(l => state.update(DebounceState(l)))
+          out.iterator
+      }
+  }
+
   /** Streaming dedup: at most one event per (user, minute) — the throttle/
     * exactly-once-ish pattern every ingest pipeline needs. ONE transform for
     * batch and stream: batch mode it is a distinct(); stream mode

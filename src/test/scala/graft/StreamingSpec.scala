@@ -150,6 +150,26 @@ class StreamingSpec extends SparkSpec {
       "batch closed a session the stream never emitted")
   }
 
+  test("stateful debounce via flatMapGroupsWithState equals the batch window dedup exactly") {
+    import spark.implicits._
+    val dir = stageEventsDir()
+    val stream = EventStream.eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .as[EventStream.DebounceIn]
+    val q = EventStream.debounce(spark, stream)
+      .writeStream.format("memory").queryName("debounce_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("debounce_stream").select("event_id")
+    val batch = graft.operators.Analytics.qEventDedup(spark, sf).select("event_id")
+    // every decision emits immediately, so parity is exact two-sided —
+    // no trailing-open-state carve-out like the sessionizer needs
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0, "stream kept an event batch dropped")
+    assert(batch.except(streamed).count() === 0, "batch kept an event the stream dropped")
+  }
+
   test("streaming minute-dedup equals the batch distinct (update mode, availableNow)") {
     val dir = stageEventsDir()
     val stream = EventStream.eventsStream(spark, dir)
