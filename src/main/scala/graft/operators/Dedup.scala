@@ -786,6 +786,77 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // --- pipeline_dedup -----------------------------------------------------
+  // The dedup family's OUTPUT JOB as one fused plan (the dedup counterpart
+  // of pipeline_curate / pipeline_qc): exact-norm duplicate drop + near-dup
+  // keep-best drop composed into a single per-source survival report —
+  // which feeds stay, what character mass survives, one keep_ratio
+  // division per source. Stage outputs compose from the MEMOIZED canonical
+  // assignment (no second signature pipeline); the exact-norm pass is one
+  // md5 hash-groupBy whose >1 groups are duplicate-density-bounded, so the
+  // drop-list union is sparse and the corpus streams through one flag join.
+  // A doc caught by both lists (exact dups are usually near-dups too)
+  // drops once — the lists union DISTINCT.
+  def pipelineDedup(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select("doc_id", "source", "n_chars")
+    val normed = Tables.documents(spark, d).select(col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+    val normGroups = normed.groupBy("h")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val dropExact = normed.join(normGroups, Seq("h"))
+      .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+    val dropNear = dedupComponents(spark, d)
+      .join(dedupKeepBest(spark, d).select("canonical_id", "kept_doc_id"), Seq("canonical_id"))
+      .filter(col("doc_id") =!= col("kept_doc_id")).select("doc_id")
+    val drops = dropExact.union(dropNear).distinct().withColumn("dropped", lit(1L))
+    docs.join(drops, Seq("doc_id"), "left")
+      .withColumn("keep", when(col("dropped").isNull, 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(col("keep") * col("n_chars")).as("chars_kept"))
+      .withColumn("keep_ratio", col("chars_kept").cast("double") / col("chars_total"))
+      .select("source", "n_docs", "n_kept", "chars_total", "chars_kept", "keep_ratio")
+      .orderBy("source")
+  }
+
+  val pipelineDedupSql: String = LshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+    s""",
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT cand.da, cand.db, count(*) AS inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = cand.da
+       |  JOIN sh b ON b.doc_id = cand.db AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |vp AS (SELECT da, db FROM inter JOIN sz x ON inter.da = x.doc_id JOIN sz y ON inter.db = y.doc_id
+       |       WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardTau),
+       |e AS (SELECT da AS a, db AS b FROM vp UNION SELECT db, da FROM vp),
+       |reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |cn AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY 1),
+       |lab AS (SELECT d.doc_id, d.source, d.n_chars,
+       |        least(coalesce(c.mn, d.doc_id), d.doc_id) AS canonical_id
+       |        FROM documents d LEFT JOIN cn c USING (doc_id)),
+       |rk AS (SELECT doc_id, row_number() OVER (PARTITION BY canonical_id ORDER BY n_chars DESC, doc_id) AS rn FROM lab),
+       |dropb AS (SELECT doc_id FROM rk WHERE rn > 1),
+       |nh AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM documents),
+       |ng AS (SELECT h, min(doc_id) AS keep_id FROM nh GROUP BY 1 HAVING count(*) > 1),
+       |dropa AS (SELECT nh.doc_id FROM nh JOIN ng USING (h) WHERE nh.doc_id <> ng.keep_id),
+       |-- DISTINCT spelled out: inside a WITH RECURSIVE clause DuckDB does
+       |-- not collapse a plain UNION's duplicates (observed at sf0.1 — the
+       |-- 8 docs on both drop lists each counted twice through the join)
+       |drops AS (SELECT DISTINCT doc_id FROM (SELECT doc_id FROM dropa UNION ALL SELECT doc_id FROM dropb))
+       |SELECT source,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(CASE WHEN drops.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       | CAST(sum(lab.n_chars) AS BIGINT) AS chars_total,
+       | CAST(sum(CASE WHEN drops.doc_id IS NULL THEN lab.n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+       | CAST(sum(CASE WHEN drops.doc_id IS NULL THEN lab.n_chars ELSE 0 END) AS DOUBLE)
+       |   / CAST(sum(lab.n_chars) AS BIGINT) AS keep_ratio
+       |FROM lab LEFT JOIN drops ON lab.doc_id = drops.doc_id
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // --- dedup_substring_apply ----------------------------------------------
   // The ACTION on dedup_substring's report (Lee et al.'s actual edit to
   // training data): for every doc, the sorted list of window START INDICES
@@ -1453,6 +1524,7 @@ object Dedup {
     "dedup_cluster_stats" -> dedupClusterStats,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_apply" -> dedupSubstringApply,
+    "pipeline_dedup" -> pipelineDedup,
     "dedup_edit_verify" -> dedupEditVerify,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
@@ -1478,6 +1550,7 @@ object Dedup {
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_substring_apply" -> dedupSubstringApplySql,
+    "pipeline_dedup" -> pipelineDedupSql,
     "dedup_edit_verify" -> dedupEditVerifySql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,

@@ -441,6 +441,44 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.dedupLshTune(spark, sf, 1L, 0L) }
   }
 
+  test("pipeline_dedup reconciles with the standalone family members") {
+    val rows = Dedup.pipelineDedup(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("chars_kept") <= r.getAs[Long]("chars_total"))
+      assert(r.getAs[Double]("keep_ratio") ===
+        r.getAs[Long]("chars_kept").toDouble / r.getAs[Long]("chars_total"))
+    }
+    // total drops = |exact-norm non-canonical ∪ keep-best losers|, recomputed
+    // from the standalone operators
+    val normDrops = Dedup.dedupExactNorm(spark, sf).collect()
+      .map(_.getAs[Long]("n_docs") - 1L).sum
+    val bestKept = Dedup.dedupKeepBest(spark, sf).collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("kept_doc_id")).toMap
+    val canon = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("canonical_id")))
+    val nearDropSet = canon.collect {
+      case (doc, c) if bestKept.get(c).exists(_ != doc) => doc
+    }.toSet
+    // union accounting needs the exact drop SET, so recompute it off
+    // dedup_exact_norm's group table
+    val normHash = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.col("text"))), "\\s+", " ")).as("h"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("h")))
+    val keepByHash = normHash.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val normDropSet = normHash.collect {
+      case (doc, h) if keepByHash(h) != doc => doc
+    }.toSet
+    assert(normDropSet.size.toLong === normDrops)
+    val expectKept = nDocs - (normDropSet ++ nearDropSet).size
+    assert(rows.map(_.getAs[Long]("n_kept")).sum === expectKept)
+  }
+
   test("substring apply masks the shared span everywhere except the min-id owner") {
     import spark.implicits._
     // 16-token span S shared by docs 1 (owner), 2 (at offset 3), and 3
