@@ -170,6 +170,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0, "batch kept an event the stream dropped")
   }
 
+  test("debounce drop path: a cross-batch retry is dropped by state carried between batches") {
+    import spark.implicits._
+    val dir = "/tmp/graft-debounce-" + System.nanoTime()
+    def write(rows: (Long, String, Double)*): Unit =
+      rows.map { case (id, ts, v) => (id, 1L, "click", ts, v) }
+        .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_s").cast("timestamp").as("ts"), col("value"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    // file 1 = batch 1: first occurrence; file 2 = batch 2: a 2-min retry
+    // (must drop via state persisted from batch 1) and a fresh event 10 min
+    // later (must survive)
+    write((1L, "2024-01-01 00:00:00", 1.0))
+    Thread.sleep(1100) // distinct file mod-times -> deterministic batch order
+    write((2L, "2024-01-01 00:02:00", 1.0), (3L, "2024-01-01 00:10:00", 1.0))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .as[EventStream.DebounceIn]
+    val q = EventStream.debounce(spark, stream)
+      .writeStream.format("memory").queryName("debounce_drop_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val kept = spark.table("debounce_drop_stream")
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    // id 2 is 2 min after id 1 (same key, earlier BATCH) -> dropped only if
+    // DebounceState survived the batch boundary; id 3 is 8 min after the
+    // retry -> kept because last-seen advanced on the DROPPED occurrence too
+    assert(kept === Set(1L, 3L))
+  }
+
   test("streaming minute-dedup equals the batch distinct (update mode, availableNow)") {
     val dir = stageEventsDir()
     val stream = EventStream.eventsStream(spark, dir)
