@@ -455,9 +455,10 @@ object Analytics {
   // window — returned lines (scan predicate) joined to window-filtered
   // orders, aggregated per customer, top 20 joined to the customer and
   // nation dims AFTER the cut so only 20 rows reach the dim joins.
-  // Revenue = epc·(100−dc) exact integers; the top-k tie-breaks on custkey
-  // through a 1-partition window over the |customers|-bounded aggregate
-  // (report-sized by the same argument as q3's top-k sort).
+  // Revenue = epc·(100−dc) exact integers; the top-k is orderBy+limit —
+  // Spark plans TakeOrderedAndProject (per-partition top-20 then a 20-row
+  // merge, never a global sort) — with a custkey tie-break for
+  // determinism at the rank-20 boundary.
   def q10ReturnedItems(spark: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(spark, d)
       .filter(col("l_returnflag") === "R")

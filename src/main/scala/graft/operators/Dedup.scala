@@ -822,16 +822,8 @@ object Dedup {
       .orderBy("source")
   }
 
-  val pipelineDedupSql: String = LshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+  val pipelineDedupSql: String = VerifiedPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
     s""",
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |inter AS (SELECT cand.da, cand.db, count(*) AS inter
-       |  FROM cand
-       |  JOIN sh a ON a.doc_id = cand.da
-       |  JOIN sh b ON b.doc_id = cand.db AND b.s = a.s
-       |  GROUP BY 1, 2),
-       |vp AS (SELECT da, db FROM inter JOIN sz x ON inter.da = x.doc_id JOIN sz y ON inter.db = y.doc_id
-       |       WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardTau),
        |e AS (SELECT da AS a, db AS b FROM vp UNION SELECT db, da FROM vp),
        |reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
        |cn AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY 1),

@@ -187,10 +187,16 @@ object EventStream {
     * occurrence — kept or dropped — lies within 5 minutes; the last-seen
     * time advances on EVERY occurrence). Unlike the sessionizer, every
     * decision emits immediately and no state waits on a timeout, so a
-    * bounded replay's output equals the batch operator EXACTLY — the spec
-    * asserts two-sided parity with no trailing-state carve-out. State per
-    * key is one long; at scale the watermark-driven eviction a production
-    * job would add (state TTL) bounds the key universe.
+    * bounded replay's output equals the batch operator EXACTLY for
+    * event-time-ordered arrival (what a watermarked production input
+    * guarantees and what the replay spec's corpus satisfies) — the spec
+    * asserts two-sided parity with no trailing-state carve-out. Under
+    * cross-batch LATE arrival the already-emitted past can't be revised
+    * (no streaming dedup can), so state is kept MONOTONE — a late event is
+    * judged against the newest occurrence seen and never rewinds the
+    * clock for its successors. State per key is one long; at scale the
+    * watermark-driven eviction a production job would add (state TTL)
+    * bounds the key universe.
     */
   def debounce(spark: SparkSession, events: Dataset[DebounceIn]): Dataset[DebounceOut] = {
     import spark.implicits._
@@ -210,7 +216,9 @@ object EventStream {
             val t = micros(e.ts)
             if (last.forall(l => t - l > gapMicros))
               out += DebounceOut(e.event_id, e.user_id, e.event_type)
-            last = Some(t) // advances on kept AND dropped occurrences
+            // advances on kept AND dropped occurrences; max() keeps the
+            // state monotone under late cross-batch arrival
+            last = Some(last.fold(t)(math.max(_, t)))
           }
           last.foreach(l => state.update(DebounceState(l)))
           out.iterator

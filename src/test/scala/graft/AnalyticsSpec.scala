@@ -648,6 +648,9 @@ class AnalyticsSpec extends SparkSpec {
     val expect = Tables.lineitem(spark, sf)
       .select("l_shipdate", "l_quantity", "l_extendedprice", "l_discount").collect()
       .filter { r =>
+        // l_shipdate is timestamp_ntz -> collect() yields LocalDateTime,
+        // whose toString is the stored wall-clock value (no JVM-default-TZ
+        // conversion), so the string date cut is timezone-robust
         val sd = r.getAs[Any]("l_shipdate").toString.take(10)
         val dc = math.round(r.getAs[Double]("l_discount") * 100)
         sd >= "1996-01-01" && sd <= "1996-12-31" && dc >= 5 && dc <= 7 &&

@@ -203,6 +203,40 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set(1L, 3L))
   }
 
+  test("debounce state is monotone: a late event neither emits nor rewinds the clock") {
+    import spark.implicits._
+    val dir = "/tmp/graft-debounce-late-" + System.nanoTime()
+    def write(rows: (Long, String)*): Unit =
+      rows.map { case (id, ts) => (id, 1L, "click", ts, 1.0) }
+        .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_s").cast("timestamp").as("ts"), col("value"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    write((1L, "2024-01-01 00:00:00"))
+    Thread.sleep(1100)
+    write((2L, "2024-01-01 00:08:00"))
+    Thread.sleep(1100)
+    // batch 3: id 3 arrives LATE (event time before id 2) and id 4 lands
+    // 4 min after the newest occurrence
+    write((3L, "2024-01-01 00:04:00"), (4L, "2024-01-01 00:12:00"))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .as[EventStream.DebounceIn]
+    val q = EventStream.debounce(spark, stream)
+      .writeStream.format("memory").queryName("debounce_late_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val kept = spark.table("debounce_late_stream")
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    // id 3 (late, judged against the NEWEST occurrence 00:08) drops; id 4
+    // at 00:12 is 4 min after 00:08 and must ALSO drop — if the late event
+    // had rewound state to 00:04, id 4 would wrongly survive
+    assert(kept === Set(1L, 2L))
+  }
+
   test("streaming minute-dedup equals the batch distinct (update mode, availableNow)") {
     val dir = stageEventsDir()
     val stream = EventStream.eventsStream(spark, dir)
