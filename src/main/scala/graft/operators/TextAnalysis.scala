@@ -15,6 +15,11 @@ object TextAnalysis {
 
   private def words = split(trim(col("text")), "\\s+")
 
+  // Integer quality-score lattice scale — at the TOP of the object for the
+  // same init-order reason as the seed below (text_quality_auc's oracle
+  // val interpolates it; a later declaration would interpolate as 0).
+  private val ScoreScale = 100000L
+
   // Shuffle/sample epoch seed — declared at the TOP of the object: the
   // oracle-SQL vals interpolate it, and Scala object vals initialize in
   // declaration order (a later declaration would interpolate as "null").
@@ -235,6 +240,61 @@ object TextAnalysis {
       |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
       |      FROM s)
       |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // --- text_quality_auc ---------------------------------------------------
+  // Rank-based AUC of the curation quality score against a weak label —
+  // the eval a selection recipe runs BEFORE trusting its score: does the
+  // stopword-share score actually separate English documents (whose
+  // stopwords the score counts) from the rest? AUC computes as the exact
+  // Mann–Whitney U-statistic with tie correction, decomposed over the
+  // SCORE-BUCKET table exactly like select_token_budget's prefix sum:
+  // per-bucket (n_pos, n_neg) is one combinable groupBy (≤ score-lattice
+  // keys, never corpus rows), concordant pairs are np·cum_neg_below via
+  // one window over that REPORT-sized table, ties contribute np·nn, and
+  //   u2 = 2·#concordant + #ties,  auc = u2 / (2·P·N)
+  // — all exact integers until the ONE final division, so both engines
+  // agree bitwise. No pair join anywhere: the O(P·N) pair space collapses
+  // through the bucket decomposition.
+  def textQualityAuc(spark: SparkSession, d: String): DataFrame =
+    textQualityAucFrom(Tables.documents(spark, d))
+
+  /** DataFrame-in variant for library callers / specs: `docs` needs
+    * (lang, text). */
+  def textQualityAucFrom(docs: DataFrame): DataFrame = {
+    val q = docs
+      .select((col("lang") === "en").cast("long").as("pos"), words.as("w"))
+      .select(col("pos"),
+        size(col("w")).cast("long").as("nw"),
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"))
+      .select(col("pos"), expr(s"($ScoreScale * stopn) div nw").as("iq"))
+    val buckets = q.groupBy("iq")
+      .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+    val wBelow = Window.orderBy("iq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    buckets
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(wBelow), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * col("cum_nn") * 2L + col("np") * col("nn")).as("u2"))
+      .withColumn("auc",
+        col("u2").cast("double") / (col("n_pos") * col("n_neg") * 2L))
+      .select("n_pos", "n_neg", "u2", "auc")
+  }
+
+  val textQualityAucSql: String =
+    s"""WITH m AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |s AS (SELECT pos, CAST(len(w) AS BIGINT) AS nw,
+       |  CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS stopn FROM m),
+       |q AS (SELECT pos, ($ScoreScale * stopn) // nw AS iq FROM s),
+       |b AS (SELECT iq, CAST(sum(pos) AS BIGINT) AS np, CAST(sum(1 - pos) AS BIGINT) AS nn
+       |      FROM q GROUP BY 1),
+       |c AS (SELECT iq, np, nn,
+       |  coalesce(sum(nn) OVER (ORDER BY iq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+       |  FROM b)
+       |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+       | CAST(sum(2*np*cum_nn + np*nn) AS BIGINT) AS u2,
+       | CAST(sum(2*np*cum_nn + np*nn) AS DOUBLE) / (sum(np) * sum(nn) * 2) AS auc
+       |FROM c""".stripMargin
 
   // --- text_boilerplate ---------------------------------------------------
   // Corpus-level boilerplate detection — the template-stripping signal every
@@ -817,7 +877,8 @@ object TextAnalysis {
   // that bucket's rows and discarded. (Total budget spent, if a caller
   // wants it, is sum(nw) over the — budget-bounded — selection.)
   private val TokenBudget = 15000L
-  private val ScoreScale = 100000L
+  // (ScoreScale — the score lattice this selection buckets on — is
+  // declared at the top of the object for oracle-val init order)
 
   def selectTokenBudget(spark: SparkSession, d: String): DataFrame =
     selectTokenBudgetWith(spark, d, TokenBudget)
@@ -1586,6 +1647,7 @@ object TextAnalysis {
     "doc_interleave" -> docInterleave,
     "select_stratified" -> selectStratified,
     "select_token_budget" -> selectTokenBudget,
+    "text_quality_auc" -> textQualityAuc,
     "text_quality_gate" -> textQualityGate,
     "text_decontaminate" -> textDecontaminate,
     "doc_source_stats" -> docSourceStats,
@@ -1623,6 +1685,7 @@ object TextAnalysis {
     "doc_interleave" -> docInterleaveSql,
     "select_stratified" -> selectStratifiedSql,
     "select_token_budget" -> selectTokenBudgetSql,
+    "text_quality_auc" -> textQualityAucSql,
     "text_quality_gate" -> textQualityGateSql,
     "text_decontaminate" -> textDecontaminateSql,
     "doc_source_stats" -> docSourceStatsSql,
