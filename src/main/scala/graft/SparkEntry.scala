@@ -23,6 +23,7 @@ object SparkEntry {
         "mm_chunk_dedup" -> (Multimodal.mmChunkDedup _),
         "mm_phash" -> (Multimodal.mmPhash _),
         "mm_phash_near" -> (Multimodal.mmPhashNear _),
+        "mm_components" -> (Multimodal.mmComponents _),
         "mm_frames" -> (Multimodal.mmFrames _),
         "mm_shard_manifest" -> (Multimodal.mmShardManifest _)) ++ EventStream.queries
 
@@ -37,6 +38,7 @@ object SparkEntry {
         "mm_chunk_dedup" -> Multimodal.mmChunkDedupSql,
         "mm_phash" -> Multimodal.mmPhashSql,
         "mm_phash_near" -> Multimodal.mmPhashNearSql,
+        "mm_components" -> Multimodal.mmComponentsSql,
         // the mapPartitions codec op runs a FAKE codec whose output is
         // SQL-expressible, so even the non-SQL operator gets a full oracle
         "mm_frames" -> Multimodal.mmFramesSql,

@@ -497,42 +497,15 @@ object Dedup {
 
   private def canonFor(spark: SparkSession, d: String): DataFrame =
     canonCache.get((spark, d)).filter(isCached).getOrElse {
-      val pairs = lshShared(spark, d).verified.select("da", "db")
-      // localCheckpoint (not persist) on every iteration input: a persisted
-      // DataFrame keeps its FULL logical plan, so each round's plan would
-      // embed the previous round's (plus the whole LSH pipeline subtree,
-      // twice per join) — plan canonicalization and AQE re-optimization then
-      // grow ~3× per round and dominate runtime long before the data does.
-      // Checkpointing flattens each round to a LogicalRDD over a tiny,
-      // duplicate-density-bounded table; the checkpoint RDDs are freed by
-      // the ContextCleaner when the loop's references drop.
-      val edges = pairs
-        .union(pairs.select(col("db").as("da"), col("da").as("db")))
-        .localCheckpoint()
-      var labels = edges.select(col("da").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("canonical_id")).localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 25) {
-        val prop = edges
-          .join(labels.select(col("doc_id").as("da"), col("canonical_id").as("nl")), Seq("da"))
-          .groupBy(col("db").as("doc_id")).agg(min(col("nl")).as("pl"))
-        val next = labels.join(prop, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("canonical_id"), coalesce(col("pl"), col("canonical_id"))).as("canonical_id"))
-          .localCheckpoint()
-        // round 1 always changes labels (any non-trivial edge does), so the
-        // convergence count — a full action — starts at round 2
-        changed =
-          if (rounds == 0) 1L
-          else next.join(labels.select(col("doc_id"), col("canonical_id").as("old")), Seq("doc_id"))
-            .filter(col("canonical_id") =!= col("old")).count()
-        labels = next
-        rounds += 1
-      }
+      // the propagation loop (localCheckpoint-per-round plan flattening,
+      // convergence accounting) lives in Graph.connectedComponentsFrom —
+      // shared verbatim with mm_components; this wrapper only adds the
+      // family memo
+      val converged = Graph
+        .connectedComponentsFrom(lshShared(spark, d).verified.select("da", "db"))
+        .persist()
       // register the converged mapping in the cache manager so the memo's
       // eviction check (isCached) sees it; tiny — O(docs with a neighbor)
-      val converged = labels.persist()
       converged.count()
       canonCache((spark, d)) = converged
       converged

@@ -152,6 +152,48 @@ object Graph {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
        |FROM corners GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Connected components over an undirected pair list (da, db) by
+    * iterative min-label propagation to a fixpoint — the shared engine
+    * under `dedup_components` and `mm_components`. Returns
+    * (doc_id, canonical_id) for every edge ENDPOINT; callers left-join
+    * their full node universe (untouched nodes label themselves).
+    *
+    * Every round is a distributed join+aggregate partitioned by node id —
+    * the GraphX/Pregel lowering; rounds = component diameter (near-dup
+    * components are clique-like, diameter 1–2). localCheckpoint per round
+    * flattens the iteration's plan (see canonFor's history in
+    * Dedup.scala); the checkpointed tables are all density-bounded.
+    * Deterministic: the converged minimum is iteration-order-independent,
+    * which is what lets a recursive-CTE oracle agree exactly.
+    */
+  def connectedComponentsFrom(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("da"), col("db"))
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .localCheckpoint()
+    var labels = edges.select(col("da").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("canonical_id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("da"), col("canonical_id").as("nl")), Seq("da"))
+        .groupBy(col("db").as("doc_id")).agg(min(col("nl")).as("pl"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"), coalesce(col("pl"), col("canonical_id"))).as("canonical_id"))
+        .localCheckpoint()
+      // round 1 always changes labels (any non-trivial edge does), so the
+      // convergence count — a full action — starts at round 2
+      changed =
+        if (rounds == 0) 1L
+        else next.join(labels.select(col("doc_id"), col("canonical_id").as("old")), Seq("doc_id"))
+          .filter(col("canonical_id") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
   // --- graph_cluster_density ----------------------------------------------
   // Per-cluster edge density — the aggregate sibling of graph_triangles'
   // per-node view: a true-duplicate cluster is a near-clique (density → 1),

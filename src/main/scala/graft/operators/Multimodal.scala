@@ -264,6 +264,46 @@ object Multimodal {
        |ORDER BY da, db""".stripMargin
   }
 
+  // --- mm_components ------------------------------------------------------
+  // Canonical-media assignment: connected components over the perceptual
+  // near-dup pairs — the clustering step that turns mm_phash_near's PAIR
+  // report into the keep/drop decision an image dedup pipeline actually
+  // applies (a re-encode chain a↔b↔c is ONE asset even when a and c sit
+  // beyond the pairwise hamming cut). Runs the SAME min-label propagation
+  // engine as dedup_components (Graph.connectedComponentsFrom — per round
+  // one density-bounded node-keyed shuffle); the corpus appears once, in
+  // the final left join that assigns untouched payloads to themselves.
+  def mmComponents(spark: SparkSession, d: String): DataFrame = {
+    val pairs = mmPhashNear(spark, d).select("da", "db")
+    Tables.documents(spark, d).select(col("doc_id"))
+      .join(Graph.connectedComponentsFrom(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  val mmComponentsSql: String = {
+    val tail =
+      s"""SELECT da, db,
+         | CAST(len(list_filter(range(1, 65), i -> substr(fa, CAST(i AS INT), 1) <> substr(fb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE CAST(len(list_filter(range(1, 65), i -> substr(fa, CAST(i AS INT), 1) <> substr(fb, CAST(i AS INT), 1))) AS BIGINT) <= $PhashHammingMax
+         |ORDER BY da, db""".stripMargin
+    val replaced = mmPhashNearSql.replace(tail,
+      s""",
+         |np AS (SELECT da, db FROM cand
+         |  WHERE CAST(len(list_filter(range(1, 65), i -> substr(fa, CAST(i AS INT), 1) <> substr(fb, CAST(i AS INT), 1))) AS BIGINT) <= $PhashHammingMax),
+         |e AS (SELECT da AS a, db AS b FROM np UNION SELECT db, da FROM np),
+         |reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |cn AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY 1)
+         |SELECT d.doc_id, least(coalesce(c.mn, d.doc_id), d.doc_id) AS canonical_id
+         |FROM documents d LEFT JOIN cn c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)
+    require(replaced != mmPhashNearSql,
+      "mm_components oracle: tail replacement did not match mmPhashNearSql")
+    replaced.replaceFirst("^WITH ", "WITH RECURSIVE ")
+  }
+
   /** Decoded-frame record produced by the codec stub. */
   case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int, checksum: Long)
 

@@ -139,4 +139,18 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < 16)
     }
   }
+
+  test("mm_components: every near-dup pair shares a canonical, untouched payloads label themselves") {
+    val canon = Multimodal.mmComponents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(canon.size.toLong === graft.sources.Tables.documents(spark, sf).count())
+    // canonical is a component MINIMUM: never above the member's own id
+    canon.foreach { case (doc, c) => assert(c <= doc) }
+    val pairs = Multimodal.mmPhashNear(spark, sf).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    pairs.foreach { case (a, b) => assert(canon(a) === canon(b)) }
+    // docs in NO pair are their own canonical
+    val touched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    canon.foreach { case (doc, c) => if (!touched(doc)) assert(c === doc) }
+  }
 }
