@@ -112,6 +112,37 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("randomized: connectedComponentsFrom matches union-find on 25 seeded graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 25) {
+      val n = 4 + rnd.nextInt(12)
+      val ids = (1 to n).map(_ * 5L + trial)
+      val all = for (i <- 0 until n; j <- i + 1 until n) yield (ids(i), ids(j))
+      val pairs = all.filter(_ => rnd.nextDouble() < 0.25)
+      if (pairs.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra max rb) = ra min rb
+        }
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        // min-id canonical per component from the union-find roots
+        val byRoot = nodes.groupBy(find)
+        val expect = byRoot.values.flatMap { members =>
+          val m = members.min; members.map(_ -> m)
+        }.toMap
+        import spark.implicits._
+        val got = Graph.connectedComponentsFrom(pairs.toDF("da", "db")).collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+        assert(got === expect, s"components trial $trial pairs=$pairs")
+      }
+    }
+  }
+
   test("pagerank: corpus ranks stay in the stochastic envelope") {
     val rows = Graph.graphPagerank(spark, sf).collect()
     val n = rows.length
