@@ -296,6 +296,54 @@ object TextAnalysis {
        | CAST(sum(2*np*cum_nn + np*nn) AS DOUBLE) / (sum(np) * sum(nn) * 2) AS auc
        |FROM c""".stripMargin
 
+  // --- select_pareto ------------------------------------------------------
+  // 2-D skyline selection for curation: keep every document NOT dominated
+  // in (quality score, token count) — doc e dominates d when e is ≥ on
+  // both axes and strictly better on at least one. The skyline is the
+  // classic "no doc is better on both counts" frontier a recipe reads
+  // when quality and length trade off.
+  //
+  // Scale shape: the O(n²) dominance test decomposes over the integer
+  // SCORE-BUCKET table (select_token_budget's pattern) — per-bucket
+  // max token count is one combinable groupBy, "best length strictly
+  // above my score" is a suffix max over the report-sized bucket table
+  // (allowlisted global window), and each doc joins its bucket's two
+  // scalars: d survives iff above_max < nw_d (no higher-score doc is at
+  // least as long) AND bucket_max ≤ nw_d (no same-score doc is strictly
+  // longer). Equal points both survive (neither dominates). No pair
+  // join, no corpus sort.
+  def selectPareto(spark: SparkSession, d: String): DataFrame = {
+    val m = Tables.documents(spark, d)
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("nw"),
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"))
+      .select(col("doc_id"), col("nw"), expr(s"($ScoreScale * stopn) div nw").as("iq"))
+    val buckets = m.groupBy("iq").agg(max(col("nw")).as("bmax"))
+    val wAbove = Window.orderBy(desc("iq")).rowsBetween(Window.unboundedPreceding, -1)
+    val dims = buckets.withColumn("amax",
+      coalesce(max(col("bmax")).over(wAbove), lit(Long.MinValue)))
+    m.join(dims, Seq("iq"))
+      .filter(col("amax") < col("nw") && col("bmax") <= col("nw"))
+      .select("doc_id", "iq", "nw")
+      .orderBy("doc_id")
+  }
+
+  val selectParetoSql: String =
+    s"""WITH m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nw,
+       |  CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS stopn
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)),
+       |q AS (SELECT doc_id, nw, ($ScoreScale * stopn) // nw AS iq FROM m),
+       |b AS (SELECT iq, max(nw) AS bmax FROM q GROUP BY 1),
+       |dims AS (SELECT iq, bmax,
+       |  coalesce(max(bmax) OVER (ORDER BY iq DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           ${Long.MinValue}) AS amax
+       |  FROM b)
+       |SELECT doc_id, q.iq, nw
+       |FROM q JOIN dims ON q.iq = dims.iq
+       |WHERE amax < nw AND bmax <= nw
+       |ORDER BY doc_id""".stripMargin
+
   // --- text_boilerplate ---------------------------------------------------
   // Corpus-level boilerplate detection — the template-stripping signal every
   // crawl-cleaning pipeline computes (shared headers/footers/nav text shows
@@ -1648,6 +1696,7 @@ object TextAnalysis {
     "select_stratified" -> selectStratified,
     "select_token_budget" -> selectTokenBudget,
     "text_quality_auc" -> textQualityAuc,
+    "select_pareto" -> selectPareto,
     "text_quality_gate" -> textQualityGate,
     "text_decontaminate" -> textDecontaminate,
     "doc_source_stats" -> docSourceStats,
@@ -1686,6 +1735,7 @@ object TextAnalysis {
     "select_stratified" -> selectStratifiedSql,
     "select_token_budget" -> selectTokenBudgetSql,
     "text_quality_auc" -> textQualityAucSql,
+    "select_pareto" -> selectParetoSql,
     "text_quality_gate" -> textQualityGateSql,
     "text_decontaminate" -> textDecontaminateSql,
     "doc_source_stats" -> docSourceStatsSql,

@@ -679,6 +679,31 @@ class TextAnalysisSpec extends SparkSpec {
       graft.sources.Tables.embeddings(spark, sf).count())
   }
 
+  test("select_pareto equals the brute-force skyline on the corpus") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.selectPareto(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("iq"), r.getAs[Long]("nw")))
+    // recompute (iq, nw) per doc in-process with the same integer lattice
+    val m = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("nw"),
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        100000L * r.getAs[Long]("stopn") / r.getAs[Long]("nw"), r.getAs[Long]("nw")))
+    val skyline = m.filter { case (_, iq, nw) =>
+      !m.exists { case (_, iq2, nw2) =>
+        iq2 >= iq && nw2 >= nw && (iq2 > iq || nw2 > nw)
+      }
+    }
+    assert(rows.map(_._1).toSet === skyline.map(_._1).toSet)
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, iq, nw) =>
+      val e = m.find(_._1 == id).get
+      assert((e._2, e._3) === ((iq, nw)))
+    }
+  }
+
   test("text_quality_auc matches a hand-computed U-statistic and separates langs on the corpus") {
     import spark.implicits._
     // scores: en docs at iq 66666 ("the a x") and 33333 ("the x y");
