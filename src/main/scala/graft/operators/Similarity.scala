@@ -1065,6 +1065,72 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr) AS BIGINT) AS rank FROM p)
        |SELECT vec_id, rank, nbr, sim FROM r WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
 
+  // --- embed_knn_recall ---------------------------------------------------
+  // Edge recall of the cell-blocked k-NN graph against EXACT neighbors —
+  // the ann_recall treatment applied to embed_knn_graph: cell blocking
+  // misses true neighbors that land in a different IVF cell, and this is
+  // the measurement of how many. Exact top-K is computed only for an
+  // AUDIT-BAND sample (vec_id % sampleMod == sampleRem, the dedup_recall
+  // contract): the sample set rides a broadcast into a nested-loop scoring
+  // pass over the corpus — the designed audit exception, which is why the
+  // SIGNATURE enforces sampleMod ≥ 10 (broadcast side ≤ corpus/10 vectors;
+  // a full-corpus exact k-NN is n² and must never ship). Recall is one
+  // division of exact integer counts; edge sets intersect by equijoin.
+  private[graft] val KnnAuditMod = 10L
+  private[graft] val KnnAuditRem = 0L
+
+  def embedKnnRecall(spark: SparkSession, d: String,
+      sampleMod: Long, sampleRem: Long): DataFrame = {
+    require(sampleMod >= 10 && sampleRem >= 0 && sampleRem < sampleMod,
+      s"embed_knn_recall is an audit-slice job: need 10 <= sampleMod (got $sampleMod), " +
+        "0 <= sampleRem < sampleMod — the exact-kNN pass broadcasts the sample")
+    val e = vectors(spark, d)
+    val s = e.filter(col("vec_id") % sampleMod === sampleRem)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nbr"))
+    val exact = e.select(col("vec_id").as("nbr"), col("v"))
+      .crossJoin(broadcast(s))
+      .filter(col("nbr") =!= col("qid"))
+      .withColumn("sim", cosExpr)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KnnK)
+      .select(col("qid").as("vec_id"), col("nbr"))
+    val g = embedKnnGraph(spark, d)
+      .filter(col("vec_id") % sampleMod === sampleRem)
+      .select("vec_id", "nbr")
+    val hits = g.join(exact, Seq("vec_id", "nbr"), "left_semi")
+    exact.agg(countDistinct(col("vec_id")).as("n_sampled"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+      .select("n_sampled", "n_exact", "n_hit", "recall")
+  }
+
+  val embedKnnRecallSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |asg AS (SELECT vec_id, v, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${CosSqlFor("v", "cv")} DESC, cid) AS arn
+       |  FROM e CROSS JOIN c),
+       |cell AS (SELECT vec_id, v, cid FROM asg WHERE arn = 1),
+       |p AS (SELECT a.vec_id, b.vec_id AS nbr, ${CosSqlFor("a.v", "b.v")} AS sim
+       |      FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |      WHERE a.vec_id % $KnnAuditMod = $KnnAuditRem),
+       |g AS (SELECT vec_id, nbr FROM (SELECT vec_id, nbr, sim,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr) AS rank FROM p)
+       |  WHERE rank <= $KnnK),
+       |s AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % $KnnAuditMod = $KnnAuditRem),
+       |ex AS (SELECT qid AS vec_id, e2.vec_id AS nbr,
+       |  row_number() OVER (PARTITION BY qid ORDER BY ${CosSqlFor("qv", "e2.v")} DESC, e2.vec_id) AS rn
+       |  FROM s JOIN e e2 ON e2.vec_id <> s.qid),
+       |et AS (SELECT vec_id, nbr FROM ex WHERE rn <= $KnnK),
+       |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM g JOIN et USING (vec_id, nbr))
+       |SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_sampled,
+       | CAST(count(*) AS BIGINT) AS n_exact, hit.n_hit,
+       | CAST(hit.n_hit AS DOUBLE) / count(*) AS recall
+       |FROM et CROSS JOIN hit GROUP BY hit.n_hit""".stripMargin
+
   // --- embed_class_purity -------------------------------------------------
   // Cluster-vs-ground-truth purity — the standard clustering-quality grade
   // when labels exist (here the embeddings table's `label` column): per
@@ -1160,6 +1226,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_knn_graph" -> embedKnnGraph,
+    "embed_knn_recall" -> ((s: SparkSession, d: String) =>
+      embedKnnRecall(s, d, KnnAuditMod, KnnAuditRem)),
     "embed_class_purity" -> embedClassPurity,
     "embed_knn_label_acc" -> embedKnnLabelAcc,
     "embed_dim_stats" -> embedDimStats,
@@ -1179,6 +1247,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "embed_knn_graph" -> embedKnnGraphSql,
+    "embed_knn_recall" -> embedKnnRecallSql,
     "embed_class_purity" -> embedClassPuritySql,
     "embed_knn_label_acc" -> embedKnnLabelAccSql,
     "embed_dim_stats" -> embedDimStatsSql,

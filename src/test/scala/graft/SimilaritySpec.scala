@@ -396,4 +396,15 @@ class SimilaritySpec extends SparkSpec {
       l.toLong -> ((xs.size.toLong, xs.count(_._2).toLong)) }
     assert(acc === byTrue)
   }
+
+  test("embed_knn_recall: counts reconcile and the audit contract is enforced") {
+    val r = Similarity.embedKnnRecall(spark, sf, 10L, 0L).collect()(0)
+    val (ns, ne, nh) = (r.getAs[Long]("n_sampled"), r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"))
+    // every sampled vector has a full exact top-5 (corpus far exceeds K)
+    assert(ne === ns * 5L)
+    assert(nh >= 0L && nh <= ne)
+    assert(r.getAs[Double]("recall") === nh.toDouble / ne)
+    // the exact-kNN broadcast is bounded in the SIGNATURE, not the docs
+    intercept[IllegalArgumentException] { Similarity.embedKnnRecall(spark, sf, 2L, 0L) }
+  }
 }
