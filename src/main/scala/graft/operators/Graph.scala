@@ -35,6 +35,7 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   private val Iters = 3
+  private val MaxPropagationRounds = 50
   private val RankUnit = 1000000L // rank fixed-point scale (micro-units)
   private val TeleportMicro = 150000L // (1 - 0.85) · RankUnit
   private val DampNum = 85L // damping 0.85 as a ratio of integers
@@ -174,7 +175,7 @@ object Graph {
       .select(col("doc_id"), col("doc_id").as("canonical_id")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    while (changed > 0 && rounds < MaxPropagationRounds) {
       val prop = edges
         .join(labels.select(col("doc_id").as("da"), col("canonical_id").as("nl")), Seq("da"))
         .groupBy(col("db").as("doc_id")).agg(min(col("nl")).as("pl"))
@@ -191,6 +192,14 @@ object Graph {
       labels = next
       rounds += 1
     }
+    // a component whose diameter exceeds the round cap would exit here
+    // with STALE labels — fail loudly instead of silently splitting one
+    // component into several (min-label advances one hop per round; a
+    // >50-hop near-dup chain means the blocking upstream is broken, and
+    // the pointer-doubling variant is the fix, not a higher cap)
+    require(changed == 0,
+      s"connectedComponentsFrom did not converge in $MaxPropagationRounds rounds — " +
+        "component diameter exceeds the cap; labels would be stale")
     labels
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -19,6 +19,19 @@ object TextAnalysis {
   // same init-order reason as the seed below (text_quality_auc's oracle
   // val interpolates it; a later declaration would interpolate as 0).
   private val ScoreScale = 100000L
+
+  /** THE quality-score projection every selection/eval operator shares —
+    * iq = (ScoreScale · stopword-count) div token-count over the
+    * whitespace tokenizer — computed in ONE place so the score definition
+    * cannot fork between the operators documented to share it (r11
+    * review: it had been copy-pasted four times). `extra` columns carry
+    * through; output is (extra…, nw, iq). */
+  private def scoredDocs(docs: DataFrame, extra: Column*): DataFrame =
+    docs.select(extra :+ words.as("w"): _*)
+      .withColumn("nw", size(col("w")).cast("long"))
+      .withColumn("stopn", size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long"))
+      .withColumn("iq", expr(s"($ScoreScale * stopn) div nw"))
+      .drop("w", "stopn")
 
   // Shuffle/sample epoch seed — declared at the TOP of the object: the
   // oracle-SQL vals interpolate it, and Scala object vals initialize in
@@ -261,12 +274,12 @@ object TextAnalysis {
   /** DataFrame-in variant for library callers / specs: `docs` needs
     * (lang, text). */
   def textQualityAucFrom(docs: DataFrame): DataFrame = {
-    val q = docs
-      .select((col("lang") === "en").cast("long").as("pos"), words.as("w"))
-      .select(col("pos"),
-        size(col("w")).cast("long").as("nw"),
-        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"))
-      .select(col("pos"), expr(s"($ScoreScale * stopn) div nw").as("iq"))
+    // NULL-safe label: a NULL lang counts as a NEGATIVE (the SQL CASE's
+    // behavior) rather than vanishing from the statistic (what a bare
+    // three-valued === would do under sum)
+    val q = scoredDocs(docs,
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .select("pos", "iq")
     val buckets = q.groupBy("iq")
       .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
     val wBelow = Window.orderBy("iq")
@@ -276,7 +289,10 @@ object TextAnalysis {
       .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("np") * col("cum_nn") * 2L + col("np") * col("nn")).as("u2"))
       .withColumn("auc",
-        col("u2").cast("double") / (col("n_pos") * col("n_neg") * 2L))
+        // single-class corpus -> AUC is undefined; say so with an explicit
+        // NULL on both engines instead of a divide-by-zero artifact
+        when(col("n_pos") * col("n_neg") > 0L,
+          col("u2").cast("double") / (col("n_pos") * col("n_neg") * 2L)))
       .select("n_pos", "n_neg", "u2", "auc")
   }
 
@@ -293,7 +309,8 @@ object TextAnalysis {
        |  FROM b)
        |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
        | CAST(sum(2*np*cum_nn + np*nn) AS BIGINT) AS u2,
-       | CAST(sum(2*np*cum_nn + np*nn) AS DOUBLE) / (sum(np) * sum(nn) * 2) AS auc
+       | CASE WHEN sum(np) * sum(nn) > 0
+       |   THEN CAST(sum(2*np*cum_nn + np*nn) AS DOUBLE) / (sum(np) * sum(nn) * 2) END AS auc
        |FROM c""".stripMargin
 
   // --- select_pareto ------------------------------------------------------
@@ -313,12 +330,7 @@ object TextAnalysis {
   // longer). Equal points both survive (neither dominates). No pair
   // join, no corpus sort.
   def selectPareto(spark: SparkSession, d: String): DataFrame = {
-    val m = Tables.documents(spark, d)
-      .select(col("doc_id"), words.as("w"))
-      .select(col("doc_id"),
-        size(col("w")).cast("long").as("nw"),
-        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"))
-      .select(col("doc_id"), col("nw"), expr(s"($ScoreScale * stopn) div nw").as("iq"))
+    val m = scoredDocs(Tables.documents(spark, d), col("doc_id"))
     val buckets = m.groupBy("iq").agg(max(col("nw")).as("bmax"))
     val wAbove = Window.orderBy(desc("iq")).rowsBetween(Window.unboundedPreceding, -1)
     val dims = buckets.withColumn("amax",
@@ -936,15 +948,7 @@ object TextAnalysis {
     * boundary bucket at sf0.001, where the default budget exceeds the
     * whole corpus. */
   private[graft] def selectTokenBudgetWith(spark: SparkSession, d: String, budget: Long): DataFrame =
-    tokenBudgetSelect(
-      Tables.documents(spark, d)
-        .select(col("doc_id"), words.as("w"))
-        .select(col("doc_id"),
-          size(col("w")).cast("long").as("nw"),
-          size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"))
-        .select(col("doc_id"), col("nw"),
-          expr(s"($ScoreScale * stopn) div nw").as("iq")),
-      budget)
+    tokenBudgetSelect(scoredDocs(Tables.documents(spark, d), col("doc_id")), budget)
 
   /** The bucket-decomposed budget selection on any scored relation —
     * `m` needs (doc_id, nw, iq); shared with [[pipelineCurate]].
@@ -1255,13 +1259,7 @@ object TextAnalysis {
   private val StratK = 20
 
   def selectStratified(spark: SparkSession, d: String): DataFrame = {
-    val m = Tables.documents(spark, d)
-      .select(col("doc_id"), col("source"), words.as("w"))
-      .select(col("doc_id"), col("source"),
-        size(col("w")).cast("long").as("nw"),
-        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"))
-      .select(col("doc_id"), col("source"), col("nw"),
-        expr(s"($ScoreScale * stopn) div nw").as("iq"))
+    val m = scoredDocs(Tables.documents(spark, d), col("doc_id"), col("source"))
     val w = Window.partitionBy("source").orderBy(desc("iq"), col("doc_id"))
     m.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= StratK)
