@@ -508,6 +508,46 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === ((0L, 0L, None)))
   }
 
+  test("randomized: substring-apply masks equal brute force on 10 seeded corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val W = 16
+    for (trial <- 1 to 10) {
+      // small vocab + doc lengths straddling the window width force both
+      // shared spans and sub-window docs
+      val docs = (1L to (3 + rnd.nextInt(5)).toLong).map { id =>
+        val n = 10 + rnd.nextInt(30)
+        (id, (1 to n).map(_ => s"t${rnd.nextInt(6)}").mkString(" "))
+      }
+      // brute force: window text -> owner = min doc over docs CONTAINING
+      // it; an occurrence masks when >=2 docs contain it and this doc
+      // isn't the owner
+      val wins = docs.flatMap { case (id, text) =>
+        val w = text.trim.split("\\s+")
+        if (w.length >= W)
+          (0 to w.length - W).map(i => (id, i + 1L, w.slice(i, i + W).mkString(" ")))
+        else Seq.empty
+      }
+      val owners = wins.groupBy(_._3).map { case (g, xs) =>
+        g -> ((xs.map(_._1).distinct.size, xs.map(_._1).min))
+      }
+      val expect = docs.map { case (id, text) =>
+        val w = text.trim.split("\\s+")
+        val nw = if (w.length >= W) (w.length - W + 1).toLong else 0L
+        val masked = wins.collect {
+          case (d, idx, g) if d == id && owners(g)._1 > 1 && owners(g)._2 != id => idx
+        }.sorted
+        id -> ((nw, masked.length.toLong,
+          if (masked.isEmpty) None else Some(masked.mkString(","))))
+      }.toMap
+      val got = Dedup.dedupSubstringApplyFrom(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_masked"),
+            Option(r.getAs[String]("masked_idx"))))).toMap
+      assert(got === expect, s"trial $trial docs=$docs")
+    }
+  }
+
   test("source inflation reconciles with the canonical assignment it derives from") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("n_chars")).collect()

@@ -679,6 +679,36 @@ class TextAnalysisSpec extends SparkSpec {
       graft.sources.Tables.embeddings(spark, sf).count())
   }
 
+  test("randomized: token-budget selection equals the sorted prefix for 8 budgets") {
+    import org.apache.spark.sql.functions._
+    // the bucket-decomposed plan must equal the naive global
+    // (iq DESC, doc_id) prefix for ANY budget — including ones that land
+    // exactly on bucket boundaries, mid-bucket, 0-ish, and over-corpus
+    val m = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("nw"),
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("nw"),
+        100000L * r.getAs[Long]("stopn") / r.getAs[Long]("nw")))
+    val ordered = m.sortBy { case (id, _, iq) => (-iq, id) }
+    val total = m.map(_._2).sum
+    val budgets = Seq(1L, 137L, 1000L, 2204L, total / 2, total - 1, total, total + 500)
+    budgets.foreach { budget =>
+      // the operator's keep rule: a doc survives iff the running token
+      // total INCLUDING itself (over the (iq DESC, doc_id) order) fits
+      var cum = 0L
+      val expect = scala.collection.mutable.Set[Long]()
+      ordered.foreach { case (id, nw, _) =>
+        cum += nw
+        if (cum <= budget) expect += id
+      }
+      val got = TextAnalysis.selectTokenBudgetWith(spark, sf, budget)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(got === expect.toSet, s"budget=$budget")
+    }
+  }
+
   test("select_pareto equals the brute-force skyline on the corpus") {
     import org.apache.spark.sql.functions._
     val rows = TextAnalysis.selectPareto(spark, sf).collect()
