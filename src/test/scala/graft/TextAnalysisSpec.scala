@@ -679,6 +679,32 @@ class TextAnalysisSpec extends SparkSpec {
       graft.sources.Tables.embeddings(spark, sf).count())
   }
 
+  test("doc_interleave's arithmetic ordinal equals a direct round-robin simulation") {
+    import org.apache.spark.sql.functions._
+    // the oracle mirrors the SAME ord(r, s) formula, so a shared formula
+    // error would hash-match; this check derives the order INDEPENDENTLY
+    // by actually playing the round-robin
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("ep0"), lit("|"), col("doc_id").cast("string"))).as("sk"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[String]("sk")))
+    val bySource = docs.groupBy(_._2).view
+      .mapValues(_.sortBy(x => (x._3, x._1)).map(_._1).toVector).toMap
+    val sources = bySource.keys.toSeq.sorted
+    val maxLen = bySource.values.map(_.size).max
+    val simulated = (0 until maxLen).flatMap { r =>
+      sources.flatMap(s => bySource(s).lift(r))
+    }
+    val got = TextAnalysis.docInterleave(spark, sf).collect()
+      .sortBy(_.getAs[Long]("ord")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(got === simulated)
+    // ordinals are a dense 1-based permutation (the |{s' <= s}| term
+    // counts the doc's own source inclusively)
+    val ords = TextAnalysis.docInterleave(spark, sf).collect().map(_.getAs[Long]("ord")).sorted
+    assert(ords.toSeq === (1L to docs.length.toLong))
+  }
+
   test("randomized: token-budget selection equals the sorted prefix for 8 budgets") {
     import org.apache.spark.sql.functions._
     // the bucket-decomposed plan must equal the naive global
