@@ -583,7 +583,7 @@ object Analytics {
   // key-partitioned (ts, event_id) total order: a single key shuffle, no
   // self-join, deterministic under ties (equal timestamps order by
   // event_id, so the later id sees gap 0 and drops).
-  private val DebounceMicros = 300000000L // 5 min
+  private[graft] val DebounceMicros = 300000000L // 5 min (shared with EventStream.debounce)
 
   def qEventDedup(spark: SparkSession, d: String): DataFrame =
     qEventDedupFrom(Tables.events(spark, d))

@@ -698,13 +698,23 @@ object Selection {
   def zoomPlanes(spark: SparkSession, d: String, lattice: Seq[ZoomPlane]): DataFrame = {
     require(lattice.nonEmpty, "zoomPlanes needs at least one plane")
     val base = keyed(spark, d)
-    val planes = base.select(col("compound"), col("event_id"), col("ms"),
+    // The action ordinal is PLANE-INDEPENDENT — every plane replays the
+    // same (ms, event_id)-ordered action stream — so rank once per
+    // compound on the BASE stream and cut to the 12 surviving actions
+    // BEFORE the 8-way plane explode: the corpus-sized window sees each
+    // event once instead of |lattice| times, and the explode runs over
+    // ≤12 rows per compound (r11 verdict #1; the oracle keeps the
+    // per-plane rank, provably equal).
+    val wi = Window.partitionBy("compound").orderBy("ms", "event_id")
+    val top = base
+      .withColumn("i", row_number().over(wi).cast("long"))
+      .filter(col("i") <= 12)
+    val a = top.select(col("compound"), col("i"),
       explode(array(lattice.map(p =>
         struct(lit(p.name).as("plane"), p.x.cast("long").as("x"),
           p.y.cast("double").as("value"))): _*)).as("p"))
-      .select(col("compound"), col("p.plane").as("plane"), col("event_id"),
-        col("p.value").as("value"), col("ms"), col("p.x").as("x"))
-    val wi = Window.partitionBy("compound", "plane").orderBy("ms", "event_id")
+      .select(col("compound"), col("p.plane").as("plane"), col("i"),
+        col("p.value").as("value"), col("p.x").as("x"))
     val wRun = Window.partitionBy("compound", "plane").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("compound", "plane").orderBy("i")
@@ -712,9 +722,6 @@ object Selection {
     val wSuf = Window.partitionBy("compound", "plane").orderBy("i")
       .rowsBetween(1, Window.unboundedFollowing)
     val wLast = Window.partitionBy("compound", "plane").orderBy(desc("i"))
-    val a = planes
-      .withColumn("i", row_number().over(wi).cast("long"))
-      .filter(col("i") <= 12)
     val isPop = col("i") % 5 === 0
     val act = a.select(col("compound"), col("plane"), col("i"),
       when(isPop, -1).otherwise(1).as("step"),

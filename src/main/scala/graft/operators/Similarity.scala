@@ -1125,11 +1125,12 @@ object Similarity {
        |  row_number() OVER (PARTITION BY qid ORDER BY ${CosSqlFor("qv", "e2.v")} DESC, e2.vec_id) AS rn
        |  FROM s JOIN e e2 ON e2.vec_id <> s.qid),
        |et AS (SELECT vec_id, nbr FROM ex WHERE rn <= $KnnK),
-       |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM g JOIN et USING (vec_id, nbr))
-       |SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_sampled,
-       | CAST(count(*) AS BIGINT) AS n_exact, hit.n_hit,
-       | CAST(hit.n_hit AS DOUBLE) / count(*) AS recall
-       |FROM et CROSS JOIN hit GROUP BY hit.n_hit""".stripMargin
+       |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM g JOIN et USING (vec_id, nbr)),
+       |ag AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_sampled,
+       |       CAST(count(*) AS BIGINT) AS n_exact FROM et)
+       |SELECT n_sampled, n_exact, hit.n_hit,
+       | CAST(hit.n_hit AS DOUBLE) / n_exact AS recall
+       |FROM ag CROSS JOIN hit""".stripMargin
 
   // --- embed_class_purity -------------------------------------------------
   // Cluster-vs-ground-truth purity — the standard clustering-quality grade

@@ -333,8 +333,13 @@ object TextAnalysis {
     val m = scoredDocs(Tables.documents(spark, d), col("doc_id"))
     val buckets = m.groupBy("iq").agg(max(col("nw")).as("bmax"))
     val wAbove = Window.orderBy(desc("iq")).rowsBetween(Window.unboundedPreceding, -1)
+    // no-higher-bucket sentinel is -1, safely inside BIGINT in both
+    // engines (nw >= 1 for every scored doc, so -1 < nw always holds —
+    // the top bucket passes the above-check unconditionally; an
+    // interpolated Long.MinValue forced DuckDB through a silent HUGEINT
+    // promotion, ADVICE r11)
     val dims = buckets.withColumn("amax",
-      coalesce(max(col("bmax")).over(wAbove), lit(Long.MinValue)))
+      coalesce(max(col("bmax")).over(wAbove), lit(-1L)))
     m.join(dims, Seq("iq"))
       .filter(col("amax") < col("nw") && col("bmax") <= col("nw"))
       .select("doc_id", "iq", "nw")
@@ -349,7 +354,7 @@ object TextAnalysis {
        |b AS (SELECT iq, max(nw) AS bmax FROM q GROUP BY 1),
        |dims AS (SELECT iq, bmax,
        |  coalesce(max(bmax) OVER (ORDER BY iq DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-       |           ${Long.MinValue}) AS amax
+       |           -1) AS amax
        |  FROM b)
        |SELECT doc_id, q.iq, nw
        |FROM q JOIN dims ON q.iq = dims.iq

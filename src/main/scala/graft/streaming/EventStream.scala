@@ -207,8 +207,14 @@ object EventStream {
         (_, rows, state: GroupState[DebounceState]) =>
           def micros(t: Timestamp): Long =
             t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-          // sort within the per-batch group; a production job would rely on
-          // watermarked event-time ordering instead (same note as sessionize)
+          // Sort within the per-batch group — this MATERIALIZES the group
+          // (rows.toSeq), so one key's per-batch volume must fit executor
+          // memory: bounded here because a (user, type, cents) key sees a
+          // handful of retries per micro-batch, not a corpus (same
+          // bounded-group convention as sessionize). A production job
+          // would rely on watermarked event-time ordering instead, and add
+          // the watermark-driven state TTL noted above before the key
+          // universe grows unboundedly.
           val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           val out = scala.collection.mutable.ArrayBuffer[DebounceOut]()
           var last = state.getOption.map(_.lastMicros)
@@ -224,6 +230,30 @@ object EventStream {
           out.iterator
       }
   }
+
+  /** The deterministic output contract of the stateful debounce above —
+    * the `stream_sessions` treatment applied to it (r11 verdict #3): every
+    * decision emits immediately and no state waits on a timeout, so a
+    * bounded (availableNow) replay's emitted set equals the batch window
+    * dedup EXACTLY — a pure function of the data, independent of
+    * micro-batch boundaries. This batch expression of that contract is
+    * what the oracle verifies; StreamingSpec runs the real
+    * `flatMapGroupsWithState` stream against the same relation (exact
+    * two-sided parity, no carve-out). Output columns = `DebounceOut`.
+    */
+  def streamDebounce(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Analytics.qEventDedup(spark, d)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+
+  val streamDebounceSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, event_type,
+       |  epoch_us(ts) AS t, CAST(round(value*100) AS BIGINT) AS vc FROM events),
+       |lg AS (SELECT *, lag(t) OVER (
+       |  PARTITION BY user_id, event_type, vc ORDER BY t, event_id) AS pt FROM ev)
+       |SELECT event_id, user_id, event_type
+       |FROM lg WHERE pt IS NULL OR t - pt > ${graft.operators.Analytics.DebounceMicros}
+       |ORDER BY event_id""".stripMargin
 
   /** Streaming dedup: at most one event per (user, minute) — the throttle/
     * exactly-once-ish pattern every ingest pipeline needs. ONE transform for
@@ -342,9 +372,11 @@ object EventStream {
     "stream_dedup" -> streamDedup,
     "stream_latest" -> streamLatest,
     "stream_sessions" -> streamSessions,
+    "stream_debounce" -> streamDebounce,
     "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
+    "stream_debounce" -> streamDebounceSql,
     "stream_hourly" -> streamHourlySql,
     "stream_dedup" -> streamDedupSql,
     "stream_latest" -> streamLatestSql,

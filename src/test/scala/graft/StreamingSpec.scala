@@ -6,7 +6,42 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.EventStream
 
-class StreamingSpec extends SparkSpec {
+class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  /** Managed root for the per-batch staging dirs (ADVICE r11: the debounce
+    * tests left /tmp/graft-debounce-* behind); deleted recursively after
+    * the suite. */
+  private val tmpRoot = Files.createTempDirectory("graft-stream-batches-")
+
+  override def afterAll(): Unit = {
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    } finally super.afterAll()
+  }
+
+  /** Stages micro-batches into one directory with each batch's files
+    * pinned to a strictly increasing mtime clock: the file stream source
+    * orders files (and maxFilesPerTrigger=1 cuts batches) by modification
+    * time, and an explicit clock is deterministic on any filesystem
+    * granularity (ADVICE r11: Thread.sleep spacing could flake where
+    * mtimes are coarse).
+    */
+  private final class BatchStager {
+    val dirPath: java.nio.file.Path = Files.createTempDirectory(tmpRoot, "batch-")
+    val dir: String = dirPath.toString
+    private var batchNo = 0
+    private val stamped = scala.collection.mutable.Set.empty[java.nio.file.Path]
+    def sealBatch(): Unit = {
+      import scala.jdk.CollectionConverters._
+      batchNo += 1
+      val t = java.nio.file.attribute.FileTime.fromMillis(1700000000000L + batchNo * 60000L)
+      Files.list(dirPath).iterator().asScala.foreach { p =>
+        if (!stamped.contains(p)) { Files.setLastModifiedTime(p, t); stamped += p }
+      }
+    }
+  }
 
   private def stageEventsDir(): String = {
     val dir = Files.createTempDirectory("graft-stream-").toString
@@ -161,8 +196,11 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("debounce_stream")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
-    val streamed = spark.table("debounce_stream").select("event_id")
-    val batch = graft.operators.Analytics.qEventDedup(spark, sf).select("event_id")
+    val streamed = spark.table("debounce_stream")
+      .select("event_id", "user_id", "event_type")
+    // compare against the REGISTERED batch contract (the stream_debounce
+    // oracle entry), all output columns included
+    val batch = EventStream.streamDebounce(spark, sf)
     // every decision emits immediately, so parity is exact two-sided —
     // no trailing-open-state carve-out like the sessionizer needs
     assert(streamed.count() > 0)
@@ -172,18 +210,20 @@ class StreamingSpec extends SparkSpec {
 
   test("debounce drop path: a cross-batch retry is dropped by state carried between batches") {
     import spark.implicits._
-    val dir = "/tmp/graft-debounce-" + System.nanoTime()
-    def write(rows: (Long, String, Double)*): Unit =
+    val stager = new BatchStager
+    val dir = stager.dir
+    def write(rows: (Long, String, Double)*): Unit = {
       rows.map { case (id, ts, v) => (id, 1L, "click", ts, v) }
         .toDF("event_id", "user_id", "event_type", "ts_s", "value")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts_s").cast("timestamp").as("ts"), col("value"))
         .coalesce(1).write.mode("append").parquet(dir)
+      stager.sealBatch()
+    }
     // file 1 = batch 1: first occurrence; file 2 = batch 2: a 2-min retry
     // (must drop via state persisted from batch 1) and a fresh event 10 min
     // later (must survive)
     write((1L, "2024-01-01 00:00:00", 1.0))
-    Thread.sleep(1100) // distinct file mod-times -> deterministic batch order
     write((2L, "2024-01-01 00:02:00", 1.0), (3L, "2024-01-01 00:10:00", 1.0))
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema)
@@ -205,17 +245,18 @@ class StreamingSpec extends SparkSpec {
 
   test("debounce state is monotone: a late event neither emits nor rewinds the clock") {
     import spark.implicits._
-    val dir = "/tmp/graft-debounce-late-" + System.nanoTime()
-    def write(rows: (Long, String)*): Unit =
+    val stager = new BatchStager
+    val dir = stager.dir
+    def write(rows: (Long, String)*): Unit = {
       rows.map { case (id, ts) => (id, 1L, "click", ts, 1.0) }
         .toDF("event_id", "user_id", "event_type", "ts_s", "value")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts_s").cast("timestamp").as("ts"), col("value"))
         .coalesce(1).write.mode("append").parquet(dir)
+      stager.sealBatch()
+    }
     write((1L, "2024-01-01 00:00:00"))
-    Thread.sleep(1100)
     write((2L, "2024-01-01 00:08:00"))
-    Thread.sleep(1100)
     // batch 3: id 3 arrives LATE (event time before id 2) and id 4 lands
     // 4 min after the newest occurrence
     write((3L, "2024-01-01 00:04:00"), (4L, "2024-01-01 00:12:00"))
