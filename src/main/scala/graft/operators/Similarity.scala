@@ -310,9 +310,13 @@ object Similarity {
     * driver-side array between rounds — k·dim doubles, a few hundred KB
     * even for thousands of cells — and the corpus itself never shuffles.
     * Initial centroids are the deterministic seed set (in production:
-    * k-means‖ oversampling); not part of the oracle surface because float
-    * means are engine-specific — SimilaritySpec asserts the training
-    * objective (mean assigned cosine) improves instead.
+    * k-means‖ oversampling). This raw-float trainer is not oracle-covered
+    * because unquantized float mean ACCUMULATION is partition-order-
+    * dependent — SimilaritySpec asserts the training objective (mean
+    * assigned cosine) improves instead. The train → literal-inject →
+    * assign loop itself IS oracle-covered via `embed_cluster_trained`,
+    * which runs the exact-integer Lloyd step (embed_kmeans_step) and
+    * verifies the trained quantizer's assignment.
     */
   def trainCentroids(spark: SparkSession, d: String, k: Int = NumCells,
       rounds: Int = 5, init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
@@ -839,6 +843,61 @@ object Similarity {
        |FROM q JOIN n ON q.cid = n.cid
        |ORDER BY q.cid, dim""".stripMargin
 
+    // --- embed_cluster_trained ----------------------------------------------
+  // Assignment against TRAINED centroids, oracle-covered (r12, closes r11
+  // verdict #6 / the Similarity gap note below): one exact-integer Lloyd
+  // step (embed_kmeans_step) turns the seed quantizer into data-fitted
+  // centroids whose components are exact rationals — (integer sum / 2^20)
+  // / n, two IEEE divisions of identical operands in both engines — so
+  // the trained quantizer can be literal-injected and the resulting cell
+  // occupancy verified exactly, the same contract embed_cluster pins for
+  // the seed quantizer. This is the missing oracle link in the train →
+  // literal-inject → assign loop the ann_ivf/trainCentroids Scaladoc
+  // promises. Scale shape: identical to embed_cluster (pure-map argmax in
+  // the projection, one 16-key combinable groupBy); the training step's
+  // state is the same k·dim-double driver array every IVF index keeps.
+  /** Trained centroids = the embed_kmeans_step means, collected
+    * driver-side (k·dim doubles, KBs — quantizer state). */
+  private[graft] def trainedCentroids(spark: SparkSession, d: String): Seq[Array[Double]] = {
+    val rows = embedKmeansStep(spark, d).collect() // k·Dim report rows
+    rows.groupBy(_.getAs[Long]("cid")).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("mean"))
+    }
+  }
+
+  def embedClusterTrained(spark: SparkSession, d: String): DataFrame = {
+    val e = vectors(spark, d)
+    e.select(bestCentroid(trainedCentroids(spark, d)).as("b"))
+      .select((-col("b.ncid")).cast("long").as("cid"), col("b.csim").as("csim"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("csim")).as("min_sim"), max(col("csim")).as("max_sim"))
+      .orderBy("cid")
+  }
+
+  val embedClusterTrainedSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |s AS (SELECT vec_id, v, cid, ${CosSqlFor("v", "cv")} AS csim FROM e CROSS JOIN c),
+       |asg AS (SELECT vec_id, v, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS arn FROM s),
+       |cell AS (SELECT vec_id, v, cid FROM asg WHERE arn = 1),
+       |n AS (SELECT cid, count(*) AS nv FROM cell GROUP BY 1),
+       |q AS (SELECT cid, CAST(i AS BIGINT) AS dim,
+       |  sum(CAST(round(v[CAST(i AS INT)] * $KmQ) AS BIGINT)) AS sum_q
+       | FROM cell, range(1, ${Dim + 1}) t(i) GROUP BY 1, 2),
+       |mn AS (SELECT q.cid, dim,
+       |  (CAST(sum_q AS DOUBLE) / $KmQ.0) / CAST(nv AS DOUBLE) AS mean
+       | FROM q JOIN n ON q.cid = n.cid),
+       |tc AS (SELECT cid, list(mean ORDER BY dim) AS tv FROM mn GROUP BY 1),
+       |s2 AS (SELECT e.vec_id, tc.cid, ${CosSqlFor("v", "tv")} AS csim
+       |       FROM e CROSS JOIN tc),
+       |a2 AS (SELECT vec_id, cid, csim,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS arn FROM s2)
+       |SELECT cid, count(*) AS n_vecs, min(csim) AS min_sim, max(csim) AS max_sim
+       |FROM a2 WHERE arn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- embed_power_iter ---------------------------------------------------
   // One power-iteration step toward the corpus's TOP PRINCIPAL DIRECTION:
   // v1 ∝ Σ_i (x_i·v0)·x_i = (XᵀX)v0 with the literal uniform seed
@@ -1244,9 +1303,11 @@ object Similarity {
     "ann_refine" -> annRefine,
     "ann_recall" -> annRecall,
     "ann_nprobe_sweep" -> annNprobeSweep,
-    "embed_cluster" -> embedCluster)
+    "embed_cluster" -> embedCluster,
+    "embed_cluster_trained" -> embedClusterTrained)
 
   val oracle: Map[String, String] = Map(
+    "embed_cluster_trained" -> embedClusterTrainedSql,
     "embed_knn_graph" -> embedKnnGraphSql,
     "embed_knn_recall" -> embedKnnRecallSql,
     "embed_class_purity" -> embedClassPuritySql,

@@ -81,6 +81,26 @@ object Sinks {
   def writeIvfCells(cells: DataFrame, path: String): Unit =
     cells.write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** Write a training-ready corpus (`TextAnalysis.trainingCorpus`: one
+    * row per kept document with its deterministic training position `pos`
+    * and token-bin assignment) as the layout a sequential trainer reads:
+    * `source=<s>/` partition directories, each holding ≤ `shards`
+    * pos-CONTIGUOUS files with rows sorted by `pos` inside — so epoch
+    * order is a directory listing + sequential scans, never a shuffle at
+    * read time. The range partitioning on (source, pos) is the one-time
+    * ingest sort (an 8-bit-style range exchange over the already
+    * budget-bounded selection); `partitionBy` then splits each range task
+    * by source, giving per-directory file counts ≤ shards with
+    * non-overlapping pos ranges (SinksSpec reads the real files and
+    * checks both). At 100 TB `shards` scales with selection size — the
+    * layout contract (contiguous, sorted, per-source pruned) is
+    * unchanged.
+    */
+  def writeTrainingCorpus(df: DataFrame, path: String, shards: Int = 8): Unit =
+    df.repartitionByRange(shards, col("source"), col("pos"))
+      .sortWithinPartitions("source", "pos")
+      .write.mode("overwrite").partitionBy("source").parquet(path)
+
   /** Persist the incremental-dedup corpus index (`Dedup.lshBandIndex` +
     * the corpus signature table) as bucketed tables: bands hashed+sorted
     * on the probe join's exact keys (band, bk), signatures on doc_id.
@@ -92,11 +112,31 @@ object Sinks {
     */
   def writeLshIndex(bands: DataFrame, sigs: DataFrame, tablePrefix: String,
       buckets: Int = 8): Unit = {
+    // drop + clear any stale warehouse location first: mode("overwrite")
+    // only replaces tables the CURRENT catalog knows, but the in-memory
+    // catalog forgets managed tables across sessions while their
+    // directories survive — a rewrite from a fresh session would otherwise
+    // die with LOCATION_ALREADY_EXISTS
+    replaceTable(bands.sparkSession, s"${tablePrefix}_bands")
+    replaceTable(sigs.sparkSession, s"${tablePrefix}_sigs")
     bands.write.mode("overwrite")
       .bucketBy(buckets, "band", "bk").sortBy("band", "bk")
       .saveAsTable(s"${tablePrefix}_bands")
     sigs.write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${tablePrefix}_sigs")
+  }
+
+  /** Drop `table` from the catalog AND delete its (possibly orphaned)
+    * managed location — the overwrite semantics a writer needs when the
+    * warehouse outlives the in-memory catalog.
+    */
+  private def replaceTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(wh), table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 }

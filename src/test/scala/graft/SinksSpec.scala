@@ -90,6 +90,43 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() === ev.count())
   }
 
+  test("writeTrainingCorpus: source-partitioned, pos-sorted, non-overlapping files that round-trip exactly") {
+    val out = java.nio.file.Files.createTempDirectory("graft-train-").toString
+    val corpus = graft.operators.TextAnalysis.trainingCorpus(spark, sf)
+    graft.sources.Sinks.writeTrainingCorpus(corpus, out, shards = 4)
+    // layout: one partition directory per source present in the selection
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName).toSet
+    val sources = corpus.select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(sources.nonEmpty)
+    assert(dirs === sources.map(s => s"source=$s"))
+    // exact round trip, text included — the written artifact IS the corpus
+    val back = spark.read.parquet(out).select(corpus.columns.map(col): _*)
+    assert(back.count() === corpus.count())
+    assert(back.except(corpus).count() === 0 && corpus.except(back).count() === 0)
+    // per-source: ≤ shards files; each file pos-SORTED internally (read
+    // order via monotonically_increasing_id) with non-overlapping pos
+    // ranges across a source's files — the sequential-reader contract
+    val rows = spark.read.parquet(out)
+      .select(col("source"), input_file_name().as("f"), col("pos"),
+        monotonically_increasing_id().as("mid"))
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (s, rs) =>
+      val files = rs.groupBy(_.getString(1))
+      assert(files.size <= 4, s"source $s has ${files.size} files")
+      files.foreach { case (f, fr) =>
+        val inReadOrder = fr.sortBy(_.getLong(3)).map(_.getLong(2)).toSeq
+        assert(inReadOrder === inReadOrder.sorted, s"file $f not pos-sorted")
+      }
+      val ranges = files.values.map(fr =>
+        (fr.map(_.getLong(2)).min, fr.map(_.getLong(2)).max)).toSeq.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi1), (lo2, _)) => assert(hi1 < lo2,
+          s"source $s has overlapping pos ranges across files")
+        case _ =>
+      }
+    }
+  }
+
   test("ORC round-trips the events table with schema and contents intact") {
     // format portability: the engine is parquet-first, but a lake migration
     // must be able to write/read ORC without semantic drift
