@@ -29,6 +29,24 @@ object Bench {
         .split("\\s+")(0).toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
     val passLoad = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    // Direct contention evidence (r11 verdict #8: loadavg alone can't
+    // separate "this JVM kept the box busy" from "someone else did"):
+    // sample system-wide busy/total jiffies (/proc/stat) and THIS
+    // process's jiffies (/proc/self/stat utime+stime) at pass boundaries;
+    // ext_cpu_pct = share of the pass's total CPU capacity consumed by
+    // OTHER processes. A dirty pass now carries its own attribution — a
+    // high-ext pass is box noise, a low-ext slow pass is ours.
+    def cpuSample(): (Long, Long, Long) =
+      try {
+        val stat = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+          .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+        val total = stat.sum
+        val idle = stat(3) + (if (stat.length > 4) stat(4) else 0L)
+        val self = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+          .split("\\s+")
+        (total, total - idle, self(13).toLong + self(14).toLong)
+      } catch { case scala.util.control.NonFatal(_) => (-1L, -1L, -1L) }
+    val passExtCpu = scala.collection.mutable.ArrayBuffer[Double]()
     // Same builder as Verify/ExplainDump — benched plans = audited plans.
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -79,6 +97,7 @@ object Bench {
       graft.operators.Dedup.releaseCaches()
       spark.catalog.clearCache()
       val loadStart = loadavg()
+      val cpuStart = cpuSample()
       val tb = System.nanoTime()
       // NonFatal only (ADVICE r9): an OutOfMemoryError/Interrupted must not
       // be swallowed. A failed warm records -1.0 (a value no real duration
@@ -138,6 +157,14 @@ object Bench {
       passClean += clean
       passDetail += detail
       passLoad += ((loadStart, loadavg()))
+      val cpuEnd = cpuSample()
+      passExtCpu += {
+        if (cpuStart._1 < 0 || cpuEnd._1 < 0 || cpuEnd._1 == cpuStart._1) -1.0
+        else {
+          val ext = (cpuEnd._2 - cpuStart._2) - (cpuEnd._3 - cpuStart._3)
+          100.0 * math.max(0L, ext) / (cpuEnd._1 - cpuStart._1)
+        }
+      }
     }
     val results = best.filter { case (k, _) => succeeded(k) }
     val permanent = errors.filterNot { case (k, _) => succeeded(k) }
@@ -176,7 +203,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r(v, 4) }.mkString("{", ",", "}")
     val passesJson = passDetail.zipWithIndex.map { case (m, i) =>
       val qd = m.map { case (k, v) => "\"" + k + "\":" + r(v, 4) }.mkString("{", ",", "}")
-      s"""{"pass":${i + 1},"clean":${passClean(i)},"total":${r(passTotals(i), 3)},"family_build_s":${r(familyBuilds(i), 3)},"load_1m_start":${r(passLoad(i)._1, 2)},"load_1m_end":${r(passLoad(i)._2, 2)},"queries":$qd}"""
+      s"""{"pass":${i + 1},"clean":${passClean(i)},"total":${r(passTotals(i), 3)},"family_build_s":${r(familyBuilds(i), 3)},"load_1m_start":${r(passLoad(i)._1, 2)},"load_1m_end":${r(passLoad(i)._2, 2)},"ext_cpu_pct":${r(passExtCpu(i), 1)},"queries":$qd}"""
     }.mkString("[\n", ",\n", "\n]")
     val detailJson = s"""{"query_mins":$minJson,\n"query_exec_mins":$execMinJson,\n"passes":$passesJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson)

@@ -537,17 +537,34 @@ object TextAnalysis {
   def textPii(spark: SparkSession, d: String): DataFrame =
     textPiiFrom(Tables.documents(spark, d))
 
+  /** Every PII pattern needs a digit or an '@' (email requires '@'; the
+    * ipv4/ssn/phone forms require digits), so ONE cheap character-class
+    * scan decides whether the four heavy Java-regex passes can match at
+    * all — the standard production prefilter before expensive regex work
+    * (Java's NFA engine is ~an order of magnitude slower than RE2-style
+    * engines on these patterns; the `when` compiles to a per-row branch,
+    * so clean documents — the overwhelming majority of a real corpus —
+    * never enter them). NULL text stays NULL on every output, exactly as
+    * the unguarded expressions behaved.
+    */
+  private val PiiCandidate = "[0-9@]"
+
   /** DataFrame-in variant: `docs` needs (doc_id, text). */
-  def textPiiFrom(docs: DataFrame): DataFrame =
+  def textPiiFrom(docs: DataFrame): DataFrame = {
+    val cand = col("text").rlike(PiiCandidate)
+    def n(re: String) =
+      when(cand, size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long"))
+        .otherwise(when(col("text").isNotNull, 0L))
     docs.select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_email"),
-      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ipv4"),
-      size(regexp_extract_all(col("text"), lit(SsnRe), lit(0))).cast("long").as("n_ssn"),
-      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phone"))
+      n(EmailRe).as("n_email"),
+      n(Ipv4Re).as("n_ipv4"),
+      n(SsnRe).as("n_ssn"),
+      n(PhoneRe).as("n_phone"))
       .withColumn("has_pii",
         (col("n_email") + col("n_ipv4") + col("n_ssn") + col("n_phone")) > 0)
       .orderBy("doc_id")
+  }
 
   val textPiiSql: String =
     s"""SELECT doc_id,
@@ -573,19 +590,30 @@ object TextAnalysis {
   def textPiiRedact(spark: SparkSession, d: String): DataFrame =
     textPiiRedactFrom(Tables.documents(spark, d))
 
-  /** DataFrame-in variant: `docs` needs (doc_id, text). */
-  def textPiiRedactFrom(docs: DataFrame): DataFrame =
+  /** DataFrame-in variant: `docs` needs (doc_id, text). Same `[0-9@]`
+    * candidate prefilter as textPiiFrom: a document with no digit and no
+    * '@' cannot match any pattern, so it skips all eight regex passes and
+    * passes through unchanged with count 0 — identical output, and the
+    * common clean-document path costs one character-class scan.
+    */
+  def textPiiRedactFrom(docs: DataFrame): DataFrame = {
+    val cand = col("text").rlike(PiiCandidate)
     docs.select(
       col("doc_id"),
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("text"),
-        lit(EmailRe), lit("[EMAIL]")), lit(Ipv4Re), lit("[IPV4]")),
-        lit(SsnRe), lit("[SSN]")), lit(PhoneRe), lit("[PHONE]")).as("redacted"),
-      (size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
-        + size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
-        + size(regexp_extract_all(col("text"), lit(SsnRe), lit(0)))
-        + size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))))
-        .cast("long").as("n_redacted"))
+      when(cand,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit(EmailRe), lit("[EMAIL]")), lit(Ipv4Re), lit("[IPV4]")),
+          lit(SsnRe), lit("[SSN]")), lit(PhoneRe), lit("[PHONE]")))
+        .otherwise(col("text")).as("redacted"),
+      when(cand,
+        (size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          + size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+          + size(regexp_extract_all(col("text"), lit(SsnRe), lit(0)))
+          + size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))))
+          .cast("long"))
+        .otherwise(when(col("text").isNotNull, 0L)).as("n_redacted"))
       .orderBy("doc_id")
+  }
 
   val textPiiRedactSql: String =
     s"""SELECT doc_id,
