@@ -1276,7 +1276,7 @@ object Dedup {
     // Verify queries, bench passes 2..N — goes straight to the probe
     val prefix = indexedLock.synchronized {
       indexedPrefixes.getOrElseUpdate((spark, d), {
-        val p = s"graft_lshidx_${math.abs(d.hashCode.toLong)}"
+        val p = s"graft_lshidx_${graft.sources.Sinks.pathSlug(d)}"
         val (bands, sigs) = incrementalIndexParts(spark, d)
         graft.sources.Sinks.writeLshIndex(bands, sigs, p)
         p

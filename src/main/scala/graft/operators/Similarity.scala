@@ -857,10 +857,24 @@ object Similarity {
   // the projection, one 16-key combinable groupBy); the training step's
   // state is the same k·dim-double driver array every IVF index keeps.
   /** Trained centroids = the embed_kmeans_step means, collected
-    * driver-side (k·dim doubles, KBs — quantizer state). */
+    * driver-side (k·dim doubles, KBs — quantizer state).
+    *
+    * `bestCentroid` labels cells by SEQUENCE POSITION, so the returned
+    * seq must be exactly cids 0..k-1 in order — an empty trained cell
+    * would silently shift every later label. Empty cells cannot occur
+    * with the shipped seed set (every seed captures at least itself),
+    * but a custom corpus could produce one, so this is a LOUD contract
+    * (the components-engine convention), not an assumption.
+    */
   private[graft] def trainedCentroids(spark: SparkSession, d: String): Seq[Array[Double]] = {
     val rows = embedKmeansStep(spark, d).collect() // k·Dim report rows
-    rows.groupBy(_.getAs[Long]("cid")).toSeq.sortBy(_._1).map { case (_, rs) =>
+    val byCid = rows.groupBy(_.getAs[Long]("cid")).toSeq.sortBy(_._1)
+    byCid.zipWithIndex.foreach { case ((cid, _), i) =>
+      require(cid == i,
+        s"trained cell $i is empty (cids present: ${byCid.map(_._1).mkString(",")}) — " +
+          "positional literal-injection would mislabel every cell after it")
+    }
+    byCid.map { case (_, rs) =>
       rs.sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("mean"))
     }
   }

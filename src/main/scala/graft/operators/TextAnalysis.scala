@@ -1232,7 +1232,7 @@ object TextAnalysis {
     // queries read the real persisted files, the deployment's read cost
     val path = exportLock.synchronized {
       exportPaths.getOrElseUpdate((spark, d), {
-        val p = s"/tmp/graft-export-${math.abs(d.hashCode.toLong)}"
+        val p = s"/tmp/graft-export-${graft.sources.Sinks.pathSlug(d)}"
         graft.sources.Sinks.writeTrainingCorpus(trainingCorpus(spark, d), p, ExportShards)
         p
       })

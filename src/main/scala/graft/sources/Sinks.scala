@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
+  /** Collision-free identifier slug for a data-directory path — the key
+    * persisted-artifact names (LSH index tables, export dirs) embed.
+    * Character-by-character sanitization is INJECTIVE up to case (every
+    * non-alphanumeric maps to '_', which cannot un-collide two distinct
+    * alphanumeric tails), unlike the hashCode the r12 review caught: two
+    * corpus dirs with colliding hashes would silently share one artifact
+    * and the write-once memo would serve corpus B's index to corpus A.
+    */
+  def pathSlug(path: String): String =
+    path.toLowerCase.map(c => if (c.isLetterOrDigit) c else '_')
+
   /** Write `df` as parquet partitioned by the day of `tsCol`
     * (`p_date=yyyy-MM-dd/` directories). Callers filter on `p_date` to get
     * partition pruning; the original timestamp column is preserved.

@@ -200,7 +200,7 @@ object EventStream {
     */
   def debounce(spark: SparkSession, events: Dataset[DebounceIn]): Dataset[DebounceOut] = {
     import spark.implicits._
-    val gapMicros = 300000000L // 5 min, = Analytics.qEventDedup's window
+    val gapMicros = graft.operators.Analytics.DebounceMicros // = the batch twin's window
     events.groupByKey(e => (e.user_id, e.event_type, e.vc))
       .flatMapGroupsWithState[DebounceState, DebounceOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
@@ -233,11 +233,16 @@ object EventStream {
 
   /** The deterministic output contract of the stateful debounce above —
     * the `stream_sessions` treatment applied to it (r11 verdict #3): every
-    * decision emits immediately and no state waits on a timeout, so a
-    * bounded (availableNow) replay's emitted set equals the batch window
-    * dedup EXACTLY — a pure function of the data, independent of
-    * micro-batch boundaries. This batch expression of that contract is
-    * what the oracle verifies; StreamingSpec runs the real
+    * decision emits immediately and no state waits on a timeout, so for
+    * EVENT-TIME-ORDERED arrival (what a watermarked production input
+    * guarantees, and what the replay corpus satisfies) a bounded
+    * (availableNow) replay's emitted set equals the batch window dedup
+    * EXACTLY, independent of where micro-batch boundaries fall within
+    * that order. Under cross-batch LATE arrival the already-emitted past
+    * can't be revised, so the stream diverges from this batch expression
+    * by exactly the monotone-state rule documented on `debounce` (the
+    * spec's late-arrival case pins that divergence). This batch
+    * expression is what the oracle verifies; StreamingSpec runs the real
     * `flatMapGroupsWithState` stream against the same relation (exact
     * two-sided parity, no carve-out). Output columns = `DebounceOut`.
     */

@@ -55,10 +55,13 @@ object ReplicateCorpus {
     val copiesE = (0 until n).map { i =>
       if (i == 0) emb
       else {
-        val s = i % dim
+        // shift in [1, dim-1] for EVERY copy: a plain i % dim would make
+        // copy `dim` (and every multiple) a zero-shift exact duplicate of
+        // the originals — cos≈1 twins, the duplicate explosion the shift
+        // exists to prevent (r12 review)
+        val s = 1 + (i - 1) % (dim - 1)
         val shifted =
-          if (s == 0) col("embedding")
-          else concat(slice(col("embedding"), s + 1, dim - s),
+          concat(slice(col("embedding"), s + 1, dim - s),
             slice(col("embedding"), 1, s))
         emb.select((col("vec_id") + lit(i * IdOffset)).as("vec_id"),
           shifted.as("embedding"), col("label"))
@@ -69,8 +72,10 @@ object ReplicateCorpus {
 
     AllTables.filterNot(Set("documents", "embeddings")).foreach { t =>
       val link = Paths.get(dst, s"$t.parquet")
-      if (!Files.exists(link))
-        Files.createSymbolicLink(link, Paths.get(src, s"$t.parquet"))
+      // re-create, never skip: a surviving link from an earlier run with a
+      // DIFFERENT srcDir would silently mix two corpora (r12 review)
+      Files.deleteIfExists(link)
+      Files.createSymbolicLink(link, Paths.get(src, s"$t.parquet"))
     }
     println(s"REPLICATED x$n -> $dst")
     spark.stop()

@@ -3,10 +3,26 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.sources.{Sinks, Tables}
 
-class SinksSpec extends SparkSpec {
+class SinksSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // every written artifact lives under one managed root, deleted after
+  // the suite (r12 review: the training-corpus test reintroduced the
+  // /tmp litter the r11 StreamingSpec fix removed; the older tests had
+  // the same leak)
+  private val tmpRoot = java.nio.file.Files.createTempDirectory("graft-sinks-")
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(tmpRoot, prefix).toString
+
+  override def afterAll(): Unit = {
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally super.afterAll()
+  }
 
   test("daily-partitioned writes give partition-pruned reads") {
-    val path = java.nio.file.Files.createTempDirectory("graft-part-").toString
+    val path = tmpDir("part-")
     val ev = Tables.events(spark, sf)
     Sinks.writePartitionedDaily(ev, "ts", path)
 
@@ -48,8 +64,8 @@ class SinksSpec extends SparkSpec {
   test("writeZOrdered: real file stats form tiles — user-band probes touch fewer files than a time-linear layout") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), unix_timestamp(col("ts")).as("epoch"), col("value"))
-    val zDir = java.nio.file.Files.createTempDirectory("graft-z-").toString
-    val tDir = java.nio.file.Files.createTempDirectory("graft-t-").toString
+    val zDir = tmpDir("z-")
+    val tDir = tmpDir("t-")
     Sinks.writeZOrdered(ev, "user_id", "epoch", zDir, files = 16)
     ev.repartitionByRange(16, col("epoch")).sortWithinPartitions("epoch")
       .write.mode("overwrite").parquet(tDir)
@@ -91,7 +107,7 @@ class SinksSpec extends SparkSpec {
   }
 
   test("writeTrainingCorpus: source-partitioned, pos-sorted, non-overlapping files that round-trip exactly") {
-    val out = java.nio.file.Files.createTempDirectory("graft-train-").toString
+    val out = tmpDir("train-")
     val corpus = graft.operators.TextAnalysis.trainingCorpus(spark, sf)
     graft.sources.Sinks.writeTrainingCorpus(corpus, out, shards = 4)
     // layout: one partition directory per source present in the selection
@@ -130,7 +146,7 @@ class SinksSpec extends SparkSpec {
   test("ORC round-trips the events table with schema and contents intact") {
     // format portability: the engine is parquet-first, but a lake migration
     // must be able to write/read ORC without semantic drift
-    val out = java.nio.file.Files.createTempDirectory("graft-orc-").toString
+    val out = tmpDir("orc-")
     val src = graft.sources.Tables.events(spark, sf)
     src.write.mode("overwrite").orc(out)
     val back = spark.read.orc(out)
@@ -143,7 +159,7 @@ class SinksSpec extends SparkSpec {
   test("CSV round-trips lineitem and quoted free text without drift") {
     // lineitem: numerics + timestamps through an explicit schema + a fixed
     // timestamp format (CSV has no types of its own)
-    val outL = java.nio.file.Files.createTempDirectory("graft-csv-l-").toString
+    val outL = tmpDir("csv-l-")
     val li = graft.sources.Tables.lineitem(spark, sf)
     val fmt = "yyyy-MM-dd HH:mm:ss"
     li.write.mode("overwrite").option("header", "true").option("timestampFormat", fmt).csv(outL)
@@ -153,7 +169,7 @@ class SinksSpec extends SparkSpec {
     assert(backL.except(li).count() === 0 && li.except(backL).count() === 0)
     // documents: free text with commas/quotes/newlines must survive CSV
     // quoting (multiLine read for embedded newlines)
-    val outD = java.nio.file.Files.createTempDirectory("graft-csv-d-").toString
+    val outD = tmpDir("csv-d-")
     val docs = graft.sources.Tables.documents(spark, sf)
     docs.write.mode("overwrite").option("header", "true").csv(outD)
     val backD = spark.read.schema(docs.schema).option("header", "true")
