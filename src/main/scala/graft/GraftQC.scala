@@ -234,6 +234,13 @@ class GraftQC(spark: SparkSession, utcOffsetHours: Int = -2) {
     def current(compound: String, plane: String = "default"): Limits =
       stacks.getOrElse((compound, plane), Nil).headOption
         .getOrElse(extents(compound))
+
+    /** totalRefresh / initVars (index.js:864-871): wipe every stored zoom
+      * stack across all compounds and planes — every `current` falls back
+      * to the data extent, exactly the re-initialized render state. The
+      * distributed post-refresh report is `ds_total_refresh`.
+      */
+    def totalRefresh(): Unit = stacks.clear()
   }
 }
 

@@ -323,6 +323,30 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"))
 
+  /** Deterministic output contract of the retry dedup above — the 7th
+    * streaming oracle promotion: `dropDuplicatesWithinWatermark` emits
+    * each key's FIRST arrival, and for event-time-ordered arrival (the
+    * watermarked production guarantee) the first arrival is the record
+    * with the minimum event time — a pure function of the data. The
+    * struct-min makes the contract total even for a key with tied
+    * timestamps across retries (min event_type wins the tie). The corpus
+    * has unique event_ids, so the oracle run pins the identity path;
+    * the replay spec stages real +30s retries through the actual stream
+    * and checks the emitted set against this relation.
+    */
+  def streamRetryDedup(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_id"), struct(col("ts"), col("event_type")).as("r"))
+      .groupBy("event_id").agg(min(col("r")).as("r"))
+      .select(col("event_id"), col("r.event_type").as("event_type"))
+      .orderBy("event_id")
+
+  val streamRetryDedupSql: String =
+    """WITH r AS (SELECT event_id, event_type,
+      |  row_number() OVER (PARTITION BY event_id ORDER BY ts, event_type) AS rn
+      | FROM events)
+      |SELECT event_id, event_type FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   /** Stream-stream interval join: every event within 10 minutes after an
     * 'error' (the streaming twin of `Temporal.qRangeJoin`, same blocking).
     * Spark requires an equality predicate in stream-stream joins, and the
@@ -378,10 +402,12 @@ object EventStream {
     "stream_latest" -> streamLatest,
     "stream_sessions" -> streamSessions,
     "stream_debounce" -> streamDebounce,
+    "stream_retry_dedup" -> streamRetryDedup,
     "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
     "stream_debounce" -> streamDebounceSql,
+    "stream_retry_dedup" -> streamRetryDedupSql,
     "stream_hourly" -> streamHourlySql,
     "stream_dedup" -> streamDedupSql,
     "stream_latest" -> streamLatestSql,

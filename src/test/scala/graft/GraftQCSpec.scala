@@ -114,6 +114,15 @@ class GraftQCSpec extends SparkSpec {
     z.zoomOut("ethane"); z.zoomOut("ethane"); z.zoomOut("ethane")
     assert(z.depth("ethane") === 0)
     assert(z.current("ethane") === expected)
+    // totalRefresh = initVars: wipe EVERY stack across compounds and
+    // planes; every view falls back to its data extent
+    z.push("ethane", lim)
+    z.push("ethane", lim2, "lat_value")
+    z.push("propane", lim)
+    z.totalRefresh()
+    assert(z.depth("ethane") === 0 && z.depth("ethane", "lat_value") === 0 &&
+      z.depth("propane") === 0)
+    assert(z.current("ethane") === expected)
   }
 
   test("automated QC reports run on the reference's own data and compose with selections") {

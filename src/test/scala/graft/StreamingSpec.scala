@@ -316,6 +316,12 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       .select("event_id").distinct().count()
     assert(got.count() === nIds, "exactly one survivor per event_id")
     assert(got.select("event_id").distinct().count() === nIds)
+    // and the emitted set IS the registered batch contract (the
+    // stream_retry_dedup oracle entry): each key's first arrival — the
+    // original event, never the +30s retry
+    val batch = EventStream.streamRetryDedup(spark, sf)
+    assert(got.except(batch).count() === 0, "stream emitted a non-first arrival")
+    assert(batch.except(got).count() === 0, "a first arrival was never emitted")
   }
 
   test("stream-stream interval join emits exactly the batch join's pairs") {
