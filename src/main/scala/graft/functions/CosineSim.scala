@@ -142,5 +142,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("window_md5_set"),
       new ExpressionInfo(classOf[WindowMd5Set].getName, "window_md5_set"),
       (children: Seq[Expression]) => WindowMd5Set(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_i64"),
+      new ExpressionInfo(classOf[DotI64].getName, "dot_i64"),
+      (children: Seq[Expression]) => DotI64(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("eq_count"),
+      new ExpressionInfo(classOf[EqCount].getName, "eq_count"),
+      (children: Seq[Expression]) => EqCount(children.head, children(1))))
   }
 }

@@ -309,7 +309,16 @@ object Analytics {
   // --- q_sessionize -------------------------------------------------------
   // Gap>30min sessionization via the classic lag → flag → prefix-sum trick:
   // two window passes over data partitioned by user_id, no self-join.
-  def qSessionize(spark: SparkSession, d: String): DataFrame = {
+  def qSessionize(spark: SparkSession, d: String): DataFrame =
+    sessionsUnordered(spark, d).orderBy("user_id", "session_id")
+
+  /** The session table WITHOUT the presentation sort — the composable
+    * form: consumers that aggregate or window further (stream_sessions)
+    * keep the user_id hash partitioning the session window already paid
+    * for, instead of inheriting a wasted range exchange from the
+    * registered entry's final orderBy.
+    */
+  private[graft] def sessionsUnordered(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, d)
@@ -325,7 +334,6 @@ object Analytics {
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_s"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_s"),
         (max(col("ts")).cast("long") - min(col("ts")).cast("long")).as("dur_sec"))
-      .orderBy("user_id", "session_id")
   }
 
   val qSessionizeSql: String =

@@ -282,7 +282,10 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, d: String): DataFrame =
     lshShared(spark, d).cand
       .select(col("da"), col("db"),
-        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").cast("long").as("n_match"))
+        // native eq_count kernel — the codegen'd form of
+        // size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)),
+        // bitwise-equality-spec'd in NativeKernelSpec
+        expr("eq_count(sa, sb)").as("n_match"))
       .withColumn("est_jaccard", col("n_match") / lit(NumPerms.toDouble))
       .orderBy("da", "db")
 
@@ -1210,7 +1213,7 @@ object Dedup {
       .join(newSig.select(col("doc_id").as("nid"), col("sig").as("sa")), Seq("nid"))
       .join(oldSigs.select(col("doc_id").as("cid"), col("sig").as("sb")), Seq("cid"))
       .select(col("nid"),
-        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").cast("long").as("m"))
+        expr("eq_count(sa, sb)").as("m"))
       .groupBy("nid")
       .agg(count(lit(1)).as("n_cand"),
         sum(when(col("m") * 2 >= NumPerms, 1L).otherwise(0L)).as("n_dup"))

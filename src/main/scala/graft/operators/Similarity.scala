@@ -574,7 +574,10 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("q").as("qq"))
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
     qn.crossJoin(broadcast(qs))
-      .withColumn("score", expr("aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      // native dot_i64 kernel — the codegen'd form of
+      // aggregate(zip_with(qq, q, (x,y) -> x*y), 0L, (a,x) -> a+x);
+      // integer addition is associative, so the sums agree exactly
+      .withColumn("score", expr("dot_i64(qq, q)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select("qid", "rank", "vec_id", "score")

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.sources.Tables
@@ -145,9 +146,15 @@ object EventStream {
     * session state.
     */
   def streamSessions(spark: SparkSession, d: String): DataFrame = {
-    val all = graft.operators.Analytics.qSessionize(spark, d)
-    val last = all.groupBy("user_id").agg(max(col("session_id")).as("session_id"))
-    all.join(last, Seq("user_id", "session_id"), "left_anti")
+    // "all but each user's last session" as ONE window over the session
+    // table (exactly the oracle's formulation): the max-session-id window
+    // reuses the sessionizer's existing user_id partitioning, so this adds
+    // ZERO exchanges — the r12 replan replacing a groupBy + anti-join pair
+    // that re-shuffled the session table twice for the same answer
+    val all = graft.operators.Analytics.sessionsUnordered(spark, d)
+    val w = Window.partitionBy("user_id")
+    all.withColumn("last_sid", max(col("session_id")).over(w))
+      .filter(col("session_id") < col("last_sid"))
       .select("user_id", "session_id", "n_events", "start_s", "end_s")
       .orderBy("user_id", "session_id")
   }

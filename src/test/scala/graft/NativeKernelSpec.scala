@@ -261,4 +261,44 @@ class NativeKernelSpec extends SparkSpec {
     // every code addresses a real codeword
     native.values.foreach(codes => codes.foreach(c => assert(c >= 0 && c < 16)))
   }
+
+  test("dot_i64 equals the aggregate(zip_with) fold incl. null and length-mismatch cases") {
+    import spark.implicits._
+    val rows = Seq[(Long, Seq[java.lang.Long], Seq[java.lang.Long])](
+      (0L, Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (1L, Seq(-7L, 0L, 127L), Seq(127L, -127L, 2L)),
+      (2L, Seq(), Seq()),
+      (3L, Seq(1L, 2L), Seq(1L, 2L, 3L)), // length mismatch -> null both ways
+      (4L, Seq(1L, null, 3L), Seq(1L, 2L, 3L)), // null element -> null both ways
+      (5L, (1L to 64L).map(java.lang.Long.valueOf), (64L to 1L by -1L).map(java.lang.Long.valueOf)))
+      .toDF("id", "a", "b")
+    val got = rows.select(col("id"), expr("dot_i64(a, b)").as("d")).collect()
+      .map(r => r.getAs[Long]("id") -> (if (r.isNullAt(1)) null else r.getAs[Long]("d"))).toMap
+    val want = rows.select(col("id"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("d"))
+      .collect()
+      .map(r => r.getAs[Long]("id") -> (if (r.isNullAt(1)) null else r.getAs[Long]("d"))).toMap
+    assert(got === want)
+    assert(got(0L) === 32L && got(3L) === null && got(4L) === null)
+  }
+
+  test("eq_count equals size(filter(zip_with)) incl. null-element and length-mismatch cases") {
+    import spark.implicits._
+    val rows = Seq[(Long, Seq[String], Seq[String])](
+      (0L, Seq("a", "b", "c"), Seq("a", "x", "c")),
+      (1L, Seq(), Seq()),
+      (2L, Seq("a", "b"), Seq("a", "b", "c")), // pads never count
+      (3L, Seq("a", null, "c"), Seq("a", null, "c")), // null = null is NOT a match
+      (4L, Seq("é", "ü"), Seq("é", "u")),
+      (5L, (1 to 16).map(i => s"h$i"), (1 to 16).map(i => s"h$i")))
+      .toDF("id", "a", "b")
+    val got = rows.select(col("id"), expr("eq_count(a, b)").as("c")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("c")).toMap
+    val want = rows.select(col("id"),
+      expr("size(filter(zip_with(a, b, (x, y) -> x = y), v -> v))").cast("long").as("c"))
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("c")).toMap
+    assert(got === want)
+    assert(got(0L) === 2L && got(2L) === 2L && got(3L) === 2L && got(5L) === 16L)
+  }
 }

@@ -735,6 +735,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("trainingCorpus's bucket-decomposed order and bins equal the played-out global window") {
+    import org.apache.spark.sql.functions._
+    // the export lays pos AND token offsets from ONE 256-bucket digest;
+    // both must equal the naive global (sk, doc_id) window the oracle
+    // uses — replayed here in-process over the same kept set
+    val got = TextAnalysis.trainingCorpus(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("pos"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("bin_id"), r.getAs[Long]("bin_off")))).toMap
+    val kept = TextAnalysis.pipelineCurate(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("nw")))
+    assert(kept.nonEmpty && got.size === kept.length)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ordered = kept
+      .map { case (id, nw) => (md5hex(s"ep0|$id"), id, nw) }
+      .sortBy { case (sk, id, _) => (sk, id) }
+    var pos = 0L
+    var off = 0L
+    ordered.foreach { case (_, id, nw) =>
+      pos += 1
+      val (gPos, gN, gBin, gOff) = got(id)
+      assert(gPos === pos, s"doc $id pos")
+      assert(gN === nw, s"doc $id n_tokens")
+      assert(gBin === off / 256, s"doc $id bin_id")
+      assert(gOff === off % 256, s"doc $id bin_off")
+      off += nw
+    }
+  }
+
   test("select_pareto equals the brute-force skyline on the corpus") {
     import org.apache.spark.sql.functions._
     val rows = TextAnalysis.selectPareto(spark, sf).collect()
