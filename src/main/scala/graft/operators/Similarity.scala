@@ -285,6 +285,59 @@ object Similarity {
       .take(NProbe).map(_._2.toLong)
   }
 
+  // --- ann_ivf_layout -----------------------------------------------------
+  // The PERSISTED-index ANN probe, oracle-covered end to end (r12 — the
+  // similarity-side twin of dedup_incremental_indexed): the cell layout is
+  // written once per (session, corpus) via `Sinks.writeIvfCells`
+  // (cid-partitioned directories) and every query's probe reads ONLY its
+  // NProbe `cid=` directories — partition pruning does what the in-memory
+  // ann_ivf's join does, at storage level, which is the billion-vector
+  // deployment shape. Probe planning is pure driver-side quantizer math
+  // over the resident centroid array plus ONE NumQueries-row collect of
+  // the query vectors; the result contract is identical to ann_ivf, so
+  // one oracle SQL serves both.
+  private val ivfLayoutPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val ivfLayoutLock = new Object
+
+  def annIvfLayout(spark: SparkSession, d: String): DataFrame = {
+    val path = ivfLayoutLock.synchronized {
+      ivfLayoutPaths.getOrElseUpdate((spark, d), {
+        val p = s"/tmp/graft-ivf-${graft.sources.Sinks.pathSlug(d)}"
+        graft.sources.Sinks.writeIvfCells(ivfCells(spark, d), p)
+        p
+      })
+    }
+    val cents = seedCentroids(spark, d)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    // one collect for ALL query vectors (NumQueries rows — resident-state
+    // scale), instead of per-qid head() jobs
+    val qvs = vectors(spark, d).filter(col("vec_id") < NumQueries)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
+    val perQuery = qvs.map { case (qid, qv) =>
+      val cids = cents.zipWithIndex
+        .map { case (c, cid) => (cos(qv, c), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }
+        .take(NProbe).map(_._2.toLong)
+      spark.read.parquet(path)
+        .filter(col("cid").isin(cids: _*))
+        .withColumn("qv", array(qv.toSeq.map(lit): _*))
+        .withColumn("sim", cosExpr)
+        .orderBy(desc("sim"), asc("vec_id")).limit(K)
+        .select(lit(qid).as("qid"), col("vec_id"), col("sim"))
+    }
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    perQuery.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("qid", "rank", "vec_id", "sim")
+      .orderBy("qid", "rank")
+  }
+
   /** Top-k for one query against a PERSISTED cell layout. The `cid` filter
     * is a literal partition predicate, so the parquet scan lists only the
     * probed `cid=` directories; ranking is TakeOrderedAndProject (never a
@@ -1321,10 +1374,14 @@ object Similarity {
     "ann_recall" -> annRecall,
     "ann_nprobe_sweep" -> annNprobeSweep,
     "embed_cluster" -> embedCluster,
-    "embed_cluster_trained" -> embedClusterTrained)
+    "embed_cluster_trained" -> embedClusterTrained,
+    "ann_ivf_layout" -> annIvfLayout)
 
   val oracle: Map[String, String] = Map(
     "embed_cluster_trained" -> embedClusterTrainedSql,
+    // same result contract as ann_ivf (the probe reads the persisted
+    // layout instead of joining in memory), so one oracle serves both
+    "ann_ivf_layout" -> annIvfSql,
     "embed_knn_graph" -> embedKnnGraphSql,
     "embed_knn_recall" -> embedKnnRecallSql,
     "embed_class_purity" -> embedClassPuritySql,
