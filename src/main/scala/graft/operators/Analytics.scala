@@ -2253,7 +2253,334 @@ object Analytics {
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)/100.0 AS cum_revenue
       |FROM cells ORDER BY cohort_month, age""".stripMargin
 
+  // --- q8_market_share ------------------------------------------------------
+  // TPC-H Q8 shape: one supplier nation's share of a regional market —
+  // PROMO-type parts sold to ASIA customers in 1996-1997, share of revenue
+  // supplied by NATION_7 per order year. Scale shape: part (type-filtered)
+  // and the ASIA nation-key list are key-only dims AQE broadcasts; the one
+  // large shuffle is lineitem⋈orders on the natural key; the fact stream
+  // aggregates to (year, supplier nation key) FIRST — the share arithmetic
+  // and both name lookups run on the ≤25·|years| report table, never per
+  // fact row (the q7 post-agg-names idiom). Revenue in the exact epc·(100−dc)
+  // 10^-4 lattice; the share and total are each ONE division of identical
+  // exact BIGINT operands.
+  private val Q8Region = "ASIA"
+  private val Q8Nation = "NATION_7"
+  private val Q8Type = "PROMO"
+
+  def q8MarketShare(spark: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(spark, d).filter(col("p_type") === Q8Type).select("p_partkey")
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val c = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+    val asiaN = Tables.nation(spark, d)
+      .join(Tables.region(spark, d).filter(col("r_name") === Q8Region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val s = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+    val l = Tables.lineitem(spark, d).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("vol"))
+    val rep = l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(asiaN, c("c_nationkey") === col("cn_key"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .groupBy(col("o_year"), col("s_nationkey"))
+      .agg(sum(col("vol")).as("rc"))
+    rep.join(Tables.nation(spark, d).select("n_nationkey", "n_name"),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("n_name") === Q8Nation, col("rc")).otherwise(lit(0L))).as("tn"),
+        sum(col("rc")).as("tot"))
+      .select(col("o_year"),
+        (col("tn").cast("double") / col("tot").cast("double")).as("mkt_share"),
+        (col("tot") / 10000.0).as("total_revenue"))
+      .orderBy("o_year")
+  }
+
+  val q8MarketShareSql: String =
+    s"""WITH rep AS (
+       | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, s_nationkey,
+       |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+       |           *(100-CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS rc
+       | FROM lineitem
+       | JOIN part ON l_partkey = p_partkey AND p_type = '$Q8Type'
+       | JOIN orders ON l_orderkey = o_orderkey
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       | JOIN customer ON o_custkey = c_custkey
+       | JOIN nation cn ON c_nationkey = cn.n_nationkey
+       | JOIN region ON cn.n_regionkey = r_regionkey AND r_name = '$Q8Region'
+       | JOIN supplier ON l_suppkey = s_suppkey
+       | GROUP BY 1, 2)
+       |SELECT o_year,
+       | CAST(sum(CASE WHEN n_name = '$Q8Nation' THEN rc ELSE 0 END) AS DOUBLE)
+       |   / CAST(sum(rc) AS DOUBLE) AS mkt_share,
+       | CAST(sum(rc) AS BIGINT)/10000.0 AS total_revenue
+       |FROM rep JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  // --- q9_product_profit ----------------------------------------------------
+  // TPC-H Q9 shape on the available columns: profit per (supplier nation,
+  // order year) for parts whose name carries one token — profit per line =
+  // discounted revenue minus cost, with p_retailprice standing in for the
+  // absent partsupp supply cost. All arithmetic stays in the exact 10^-4
+  // dollar lattice: epc·(100−dc) − rpc·qty·100 is an exact BIGINT per line
+  // (qty is integral in this generator), so the per-(nation, year) sums are
+  // associative at any partitioning and ONE division renders dollars.
+  // Scale shape: the name-filtered part dim (carrying rpc) and supplier are
+  // AQE-planned from observed size; lineitem⋈orders is the one large
+  // shuffle; nation names attach to the ≤25·|years| report post-agg.
+  private val Q9Token = "red"
+
+  def q9ProductProfit(spark: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(spark, d).filter(col("p_name").like(s"%$Q9Token%"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("rpc"))
+    val s = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+    val o = Tables.orders(spark, d).select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"))
+    val l = Tables.lineitem(spark, d).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c4"),
+      round(col("l_quantity")).cast("long").as("qtyl"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("s_nationkey"), col("o_year"))
+      .agg(sum(col("rev_c4") - col("rpc") * col("qtyl") * lit(100L)).as("profit_c4"))
+      .join(Tables.nation(spark, d).select("n_nationkey", "n_name"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("o_year"),
+        (col("profit_c4") / 10000.0).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProductProfitSql: String =
+    s"""WITH rep AS (
+       | SELECT s_nationkey, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+       |            *(100-CAST(round(l_discount*100) AS BIGINT))
+       |         - CAST(round(p_retailprice*100) AS BIGINT)
+       |            *CAST(round(l_quantity) AS BIGINT)*100) AS BIGINT) AS profit_c4
+       | FROM lineitem
+       | JOIN part ON l_partkey = p_partkey AND p_name LIKE '%$Q9Token%'
+       | JOIN supplier ON l_suppkey = s_suppkey
+       | JOIN orders ON l_orderkey = o_orderkey
+       | GROUP BY 1, 2)
+       |SELECT n_name AS nation, o_year, profit_c4/10000.0 AS sum_profit
+       |FROM rep JOIN nation ON s_nationkey = n_nationkey
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  // --- q11_important_parts --------------------------------------------------
+  // TPC-H Q11 shape on the available columns: the "important stock" screen —
+  // parts whose shipped value through one nation's suppliers exceeds a
+  // fraction of that nation's total (ps_availqty·ps_supplycost stands
+  // replaced by shipped qty·p_retailprice). The correlated HAVING-over-total
+  // decorrelates exactly like q_scalar_subquery: the per-part value table is
+  // aggregated ONCE (one shuffle on l_partkey), its 1-row total cross-joins
+  // back (BroadcastNestedLoopJoin on a single row), and the threshold is the
+  // integer cross-multiply vc·10000 > total·2 (0.02% — selective but live at
+  // every shipped SF) — no division anywhere until the rendered value column.
+  private val Q11Nation = "NATION_3"
+
+  def q11ImportantParts(spark: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(spark, d)
+      .join(Tables.nation(spark, d).filter(col("n_name") === Q11Nation),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val p = Tables.part(spark, d)
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("rpc"))
+    val g = Tables.lineitem(spark, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity")).cast("long").as("qtyl"))
+      .join(sup, col("l_suppkey") === sup("s_suppkey"))
+      .join(p, col("l_partkey") === p("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("qtyl") * col("rpc")).as("vc"))
+    val tot = g.agg(sum(col("vc")).as("tvc"))
+    g.crossJoin(tot)
+      .filter(col("vc") * lit(10000L) > col("tvc") * lit(2L))
+      .select(col("l_partkey").as("p_partkey"), (col("vc") / 100.0).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  val q11ImportantPartsSql: String =
+    s"""WITH g AS (
+       | SELECT l_partkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)
+       |   * CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS vc
+       | FROM lineitem
+       | JOIN supplier ON l_suppkey = s_suppkey
+       | JOIN nation ON s_nationkey = n_nationkey AND n_name = '$Q11Nation'
+       | JOIN part ON l_partkey = p_partkey
+       | GROUP BY 1)
+       |SELECT l_partkey AS p_partkey, vc/100.0 AS value
+       |FROM g WHERE vc*10000 > (SELECT sum(vc) FROM g)*2
+       |ORDER BY value DESC, p_partkey""".stripMargin
+
+  // --- q12_late_priority ----------------------------------------------------
+  // TPC-H Q12 shape on the available columns: the late-shipment priority
+  // census — lines shipped more than 90 days after their order date inside a
+  // two-year ship window, counted per return flag as URGENT/HIGH vs other
+  // order priorities (l_shipmode and l_receiptdate don't exist in this
+  // generator; the flag plays the mode's grouping role and ship−order lag
+  // plays receipt−commit). Scale shape: the ship-window predicate pushes to
+  // the lineitem scan; lineitem⋈orders on the natural key is the one
+  // shuffle; the lag predicate is exact timestamp arithmetic at the join;
+  // the conditional counts are fully map-side-combinable onto ≤3 keys.
+  // Pure BIGINT counts — no division at all.
+  def q12LatePriority(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+    val o = Tables.orders(spark, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q12LatePrioritySql: String =
+    """SELECT l_returnflag,
+      | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  // --- q15_top_supplier -----------------------------------------------------
+  // TPC-H Q15 shape: the top revenue supplier over one quarter, ties kept.
+  // The view-over-max correlated pair decorrelates to ONE per-supplier
+  // aggregate (one shuffle, scan predicate pushed) whose 1-row max
+  // cross-joins back — revenue compares as exact BIGINTs so "top" is
+  // total-order sharp, and the supplier name attaches to the ≤|ties| winner
+  // rows post-filter, never per fact row.
+  def q15TopSupplier(spark: SparkSession, d: String): DataFrame = {
+    val g = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .as("rc4"))
+    val mx = g.agg(max(col("rc4")).as("mxc"))
+    g.crossJoin(mx).filter(col("rc4") === col("mxc"))
+      .join(Tables.supplier(spark, d).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), (col("rc4") / 10000.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH g AS (
+      | SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |   *(100-CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS rc4
+      | FROM lineitem
+      | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      | GROUP BY 1)
+      |SELECT s_suppkey, s_name, rc4/10000.0 AS total_revenue
+      |FROM g JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rc4 = (SELECT max(rc4) FROM g)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // --- q16_supplier_variety -------------------------------------------------
+  // TPC-H Q16 shape on the available columns: supplier variety per part
+  // attribute triple — distinct suppliers that SHIPPED each (brand, type,
+  // size) combination (lineitem stands in for the absent partsupp), minus
+  // one excluded brand, a type prefix, oversize parts, and "complaint"
+  // suppliers (negative account balance plays the Q16 complaints LIKE).
+  // Scale shape: the attribute dim rides the part join (AQE-planned); the
+  // complaint list is a ≤|suppliers| anti-join side; the count-distinct is
+  // Spark's two-phase partial-distinct aggregate hashed on the attribute
+  // triple — no Expand, no window, report-sized output.
+  def q16SupplierVariety(spark: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(spark, d)
+      .filter(col("p_brand") =!= "Brand#1" && !col("p_type").like("PROMO%") &&
+        col("p_size") <= 8)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val bad = Tables.supplier(spark, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_sk"))
+    Tables.lineitem(spark, d).select("l_partkey", "l_suppkey")
+      .join(p, col("l_partkey") === p("p_partkey"))
+      .join(bad, col("l_suppkey") === col("bad_sk"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16SupplierVarietySql: String =
+    """SELECT p_brand, p_type, p_size,
+      | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%' AND p_size <= 8
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // --- q20_volume_suppliers -------------------------------------------------
+  // TPC-H Q20 shape on the available columns: the semi-join chain finding
+  // suppliers who DOMINATE a part's flow — for name-matched parts in one
+  // ship year, suppliers carrying more than 2/3 of a part's shipped volume
+  // (shipped-share plays availqty-vs-half-shipped; the absent partsupp is
+  // the (part, supplier) aggregate itself). Scale shape: ONE corpus shuffle
+  // builds the (part, supplier) volume table; the per-part total is a
+  // window over THAT density-bounded table (never a second corpus pass);
+  // dominance is the integer cross-multiply q·3 > tq·2; the surviving
+  // distinct supplier keys semi-join the supplier dim for names.
+  private val Q20Token = "blue"
+
+  def q20VolumeSuppliers(spark: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(spark, d).filter(col("p_name").like(s"%$Q20Token%"))
+      .select("p_partkey")
+    val ps = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity")).cast("long").as("qtyl"))
+      .join(p, col("l_partkey") === p("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("qtyl")).as("q"))
+    ps.withColumn("tq", sum(col("q")).over(Window.partitionBy("l_partkey")))
+      .filter(col("q") * lit(3L) > col("tq") * lit(2L))
+      .select("l_suppkey").distinct()
+      .join(Tables.supplier(spark, d).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  val q20VolumeSuppliersSql: String =
+    s"""WITH ps AS (
+       | SELECT l_partkey, l_suppkey, CAST(sum(round(l_quantity)) AS BIGINT) AS q
+       | FROM lineitem
+       | JOIN part ON l_partkey = p_partkey AND p_name LIKE '%$Q20Token%'
+       | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       | GROUP BY 1, 2),
+       |t AS (SELECT l_partkey, l_suppkey, q,
+       |  sum(q) OVER (PARTITION BY l_partkey) AS tq FROM ps)
+       |SELECT DISTINCT s_suppkey, s_name
+       |FROM t JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE q*3 > tq*2
+       |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> q8MarketShare,
+    "q9_product_profit" -> q9ProductProfit,
+    "q11_important_parts" -> q11ImportantParts,
+    "q12_late_priority" -> q12LatePriority,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q16_supplier_variety" -> q16SupplierVariety,
+    "q20_volume_suppliers" -> q20VolumeSuppliers,
     "q_cohort_ltv" -> qCohortLtv,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q22_idle_balances" -> q22IdleBalances,
@@ -2313,6 +2640,13 @@ object Analytics {
     "q18_large_orders" -> q18LargeOrders)
 
   val oracle: Map[String, String] = Map(
+    "q8_market_share" -> q8MarketShareSql,
+    "q9_product_profit" -> q9ProductProfitSql,
+    "q11_important_parts" -> q11ImportantPartsSql,
+    "q12_late_priority" -> q12LatePrioritySql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q16_supplier_variety" -> q16SupplierVarietySql,
+    "q20_volume_suppliers" -> q20VolumeSuppliersSql,
     "q_cohort_ltv" -> qCohortLtvSql,
     "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
     "q22_idle_balances" -> q22IdleBalancesSql,

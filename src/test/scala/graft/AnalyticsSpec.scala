@@ -717,4 +717,136 @@ class AnalyticsSpec extends SparkSpec {
       1L -> (3L, u1, u1 / 6553600.0),
       2L -> (1L, 50L * 65536L, 50L * 65536L / 6553600.0)))
   }
+
+  test("q8 shares are valid fractions and total revenue conserves the joined cents") {
+    val rows = Analytics.q8MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    // independently recompute the market's total revenue in exact 10^-4 units
+    val total = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sf)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .agg(sum(expr(
+        "cast(round(l_extendedprice*100) as long) * (100 - cast(round(l_discount*100) as long))")))
+      .collect().head.getLong(0)
+    val got = rows.map { r =>
+      (BigDecimal(r.getAs[Double]("total_revenue")) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    assert(got === total)
+  }
+
+  test("q9 profit conserves the independently computed ungrouped total") {
+    val rows = Analytics.q9ProductProfit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_name").like("%red%")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(expr(
+        """cast(round(l_extendedprice*100) as long) * (100 - cast(round(l_discount*100) as long))
+           - cast(round(p_retailprice*100) as long) * cast(round(l_quantity) as long) * 100""")))
+      .collect().head.getLong(0)
+    val got = rows.map { r =>
+      (BigDecimal(r.getAs[Double]("sum_profit")) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    assert(got === total)
+  }
+
+  test("q11 reports exactly the parts clearing the 0.02% threshold") {
+    val perPart = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr(
+        "cast(round(l_quantity) as long) * cast(round(p_retailprice*100) as long)")).as("vc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tot = perPart.values.sum
+    val expected = perPart.filter { case (_, vc) => vc * 10000L > tot * 2L }.keySet
+    val got = Analytics.q11ImportantParts(spark, sf).collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    assert(got === expected && got.nonEmpty)
+  }
+
+  test("q12 high+low counts reconcile with an independent late-line census") {
+    val rows = Analytics.q12LatePriority(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(Set("A", "N", "R").contains(r.getAs[String]("l_returnflag"))))
+    val lateTotal = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .count()
+    val got = rows.map(r =>
+      r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    assert(got === lateTotal)
+  }
+
+  test("q15 winners carry exactly the maximum per-supplier quarter revenue") {
+    val per = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr(
+        "cast(round(l_extendedprice*100) as long) * (100 - cast(round(l_discount*100) as long))")).as("rc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mx = per.values.max
+    val expected = per.filter(_._2 == mx).keySet
+    val rows = Analytics.q15TopSupplier(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet === expected)
+    rows.foreach { r =>
+      val rc = (BigDecimal(r.getAs[Double]("total_revenue")) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(rc === mx)
+    }
+  }
+
+  test("q16 never counts a complaint supplier and matches a full recompute") {
+    val bad = Tables.supplier(spark, sf).filter(col("s_acctbal") < 0)
+      .collect().map(_.getAs[Long]("s_suppkey")).toSet
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") =!= "Brand#1" && !col("p_type").like("PROMO%") &&
+        col("p_size") <= 8)
+      .select("p_brand", "p_type", "p_size", "l_suppkey")
+      .collect()
+      .filter(r => !bad.contains(r.getAs[Long]("l_suppkey")))
+      .groupBy(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .view.mapValues(_.map(_.getAs[Long]("l_suppkey")).distinct.size.toLong).toMap
+    val got = Analytics.q16SupplierVariety(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        r.getAs[Long]("supplier_cnt")).toMap
+    assert(got === expected && got.nonEmpty)
+  }
+
+  test("q20 reports exactly the suppliers dominating some blue part's 1997 volume") {
+    val ps = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.part(spark, sf).filter(col("p_name").like("%blue%")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(expr("cast(round(l_quantity) as long)")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totals = ps.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expected = ps.filter { case (pk, _, q) => q * 3L > totals(pk) * 2L }
+      .map(_._2).toSet
+    val got = Analytics.q20VolumeSuppliers(spark, sf).collect()
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    assert(got === expected && got.nonEmpty)
+  }
 }
