@@ -180,6 +180,105 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM s)
        |SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // --- ann_range_search ---------------------------------------------------
+  // Radius (range) retrieval, the OTHER fundamental ANN query next to
+  // top-k: every vector within cosine ≥ τ of each query, not the k
+  // nearest — the ε-neighborhood primitive SemDeDup-style semantic dedup
+  // and density estimation are built on. Same IVF machinery as ann_ivf
+  // (literal-injected centroids → pure-map cell assignment, zero corpus
+  // shuffle; queries probe their NProbe cells via the bounded broadcast),
+  // but the reduction is a FILTER, not a rank window: no per-query sort at
+  // all, so the probe is a one-pass scan-join-filter — strictly cheaper
+  // than top-k at the same recall surface. τ matches the dedup family's
+  // CosineTau so the returned neighborhoods are the ones dedup_embedding
+  // verifies. Self-match (sim = 1) is kept: a range query answers "what
+  // lies within ε", and the query vector itself does.
+  private val RangeTau = 0.3
+
+  def annRangeSearch(spark: SparkSession, d: String): DataFrame = {
+    val e = vectors(spark, d)
+    val cents = seedCentroids(spark, d)
+    val cells = e.select(col("vec_id"), col("v"),
+      (-bestCentroid(cents).getField("ncid")).cast("long").as("cid"))
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(slice(sort_array(array(centroidStructs(cents): _*), asc = false),
+          1, NProbe)).as("sc"))
+      .select(col("qid"), col("qv"), (-col("sc.ncid")).cast("long").as("cid"))
+    cells.join(broadcast(probes), Seq("cid"))
+      .withColumn("sim", cosExpr)
+      .filter(col("sim") >= lit(RangeTau))
+      .select("qid", "vec_id", "sim")
+      .orderBy(asc("qid"), desc("sim"), asc("vec_id"))
+  }
+
+  val annRangeSearchSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |asg AS (SELECT vec_id, v, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${CosSqlFor("v", "cv")} DESC, cid) AS arn
+       |  FROM e CROSS JOIN c),
+       |cell AS (SELECT vec_id, v, cid FROM asg WHERE arn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, cid FROM asg WHERE vec_id < $NumQueries AND arn <= $NProbe),
+       |s AS (SELECT qid, cell.vec_id, ${CosSqlFor("qv", "v")} AS sim FROM cell JOIN q USING (cid))
+       |SELECT qid, vec_id, sim FROM s WHERE sim >= $RangeTau
+       |ORDER BY qid, sim DESC, vec_id""".stripMargin
+
+  // --- embed_sim_hist -----------------------------------------------------
+  // Pairwise-cosine histogram — the embedding-space collapse diagnostic
+  // read before trusting ANY cosine threshold (dedup τ, range-search ε,
+  // outlier cut): a healthy space concentrates mass near 0 with a thin
+  // high-sim tail; a collapsed encoder piles mass at the top and every
+  // τ-based screen silently degrades. Pairs are cell-blocked on the SAME
+  // literal-injected IVF cells the ann/dedup family probes (≈ n²/cells
+  // candidates, the accepted scale knob — never corpus²), the histogram is
+  // one map-side-combinable groupBy onto ≤20 integer bins, empty bins are
+  // emitted via a 20-row scaffold, and the share is one division of exact
+  // BIGINTs on the report table. Binning is all-deterministic arithmetic
+  // on the same sim doubles both engines compute bitwise-identically.
+  private val SimHistBins = 20
+
+  def embedSimHist(spark: SparkSession, d: String): DataFrame = {
+    val e = vectors(spark, d)
+    val cents = seedCentroids(spark, d)
+    val cells = e.select(col("vec_id"), col("v"),
+      (-bestCentroid(cents).getField("ncid")).cast("long").as("cid"))
+    val a = cells.select(col("cid"), col("vec_id").as("ida"), col("v").as("qv"))
+    val b = cells.select(col("cid"), col("vec_id").as("idb"), col("v"))
+    val hist = a.join(b, Seq("cid")).filter(col("ida") < col("idb"))
+      .withColumn("sim", cosExpr)
+      .select(least(lit((SimHistBins - 1).toLong),
+        floor((col("sim") + lit(1.0)) * 10.0).cast("long")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    val grid = spark.range(0, SimHistBins.toLong).select(col("id").as("bin"))
+    val full = grid.join(hist, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+    val tot = full.agg(sum(col("n_pairs")).as("tot"))
+    full.crossJoin(tot)
+      .select(col("bin"), (col("bin") / 10.0 - 1.0).as("lo"), col("n_pairs"),
+        (col("n_pairs").cast("double") / col("tot").cast("double")).as("share"))
+      .orderBy("bin")
+  }
+
+  val embedSimHistSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |asg AS (SELECT vec_id, v, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${CosSqlFor("v", "cv")} DESC, cid) AS arn
+       |  FROM e CROSS JOIN c),
+       |cell AS (SELECT vec_id, v, cid FROM asg WHERE arn = 1),
+       |p AS (SELECT least(${SimHistBins - 1},
+       |        CAST(floor((${CosSqlFor("a.v", "b.v")} + 1.0) * 10.0) AS BIGINT)) AS bin
+       |      FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |h AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1),
+       |g AS (SELECT CAST(unnest(range(0, $SimHistBins)) AS BIGINT) AS bin),
+       |f AS (SELECT g.bin, COALESCE(n_pairs, 0) AS n_pairs FROM g LEFT JOIN h ON g.bin = h.bin)
+       |SELECT bin, bin/10.0 - 1.0 AS lo, CAST(n_pairs AS BIGINT) AS n_pairs,
+       | CAST(n_pairs AS DOUBLE)/CAST((SELECT sum(n_pairs) FROM f) AS DOUBLE) AS share
+       |FROM f ORDER BY bin""".stripMargin
+
   // --- ann_nprobe_sweep ---------------------------------------------------
   // The IVF cost/recall knob measured, not guessed (dedup_lsh_tune's ANN
   // twin): for nprobe ∈ {1, 2, 4}, how many candidates each setting scores
@@ -1368,6 +1467,8 @@ object Similarity {
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_range_search" -> annRangeSearch,
+    "embed_sim_hist" -> embedSimHist,
     "ann_quantized" -> annQuantized,
     "ann_pq" -> annPq,
     "ann_refine" -> annRefine,
@@ -1394,6 +1495,8 @@ object Similarity {
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_range_search" -> annRangeSearchSql,
+    "embed_sim_hist" -> embedSimHistSql,
     "ann_quantized" -> annQuantizedSql,
     "ann_pq" -> annPqSql,
     "ann_refine" -> annRefineSql,

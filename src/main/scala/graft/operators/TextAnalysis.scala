@@ -212,6 +212,58 @@ object TextAnalysis {
       |SELECT doc_id, string_agg(h, '' ORDER BY h) AS fp
       |FROM r WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- doc_ngram_novelty --------------------------------------------------
+  // Per-document n-gram NOVELTY under ingestion order (doc_id): the
+  // fraction of a document's distinct 3-word shingles whose corpus-wide
+  // FIRST occurrence is this document — the marginal-information curve a
+  // curation pipeline reads to decide when a crawl source has gone stale
+  // (novelty decaying to 0 means later documents only repeat earlier
+  // shingles). Shape: the native shingle_set kernel dedupes shingles
+  // INSIDE each document's row in the scan's project list, so the exploded
+  // (doc_id, shingle) stream is already per-doc distinct; ownership is ONE
+  // map-side-combinable min per shingle; the novelty count joins owners
+  // back on the shingle key (two gram-keyed shuffles total, the
+  // dedup_substring budget — never a pair join); every document is
+  // reported, shingle-free docs with n_shingles = 0 and NULL novelty
+  // (one division of exact BIGINTs otherwise).
+  def docNgramNovelty(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val sh = docs
+      .select(col("doc_id"), expr("shingle_set(text)").as("ss"))
+      .filter(col("ss").isNotNull)
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+    val own = sh.groupBy(col("s")).agg(min(col("doc_id")).as("owner"))
+    val per = sh.join(own, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0L,
+          col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val docNgramNoveltySql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest([w[CAST(i AS INT)+1]||' '||w[CAST(i AS INT)+2]||' '||w[CAST(i AS INT)+3] FOR i IN range(0, greatest(len(w)-2, 0))]) AS s
+      |  FROM w WHERE len(w) >= 3)),
+      |own AS (SELECT s, min(doc_id) AS owner FROM sh GROUP BY 1),
+      |per AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(CASE WHEN owner = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      | FROM sh JOIN own USING (s) GROUP BY 1)
+      |SELECT d.doc_id,
+      | COALESCE(n_shingles, 0) AS n_shingles,
+      | COALESCE(n_novel, 0) AS n_novel,
+      | CASE WHEN COALESCE(n_shingles, 0) > 0
+      |      THEN CAST(n_novel AS DOUBLE)/CAST(n_shingles AS DOUBLE) END AS novelty
+      |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // --- text_top_terms -----------------------------------------------------
   // TF-IDF-ranked top-3 terms per document. The score is (tf·N)/df computed
   // as ONE division of exact integers — deterministic and bit-identical in
@@ -1817,6 +1869,7 @@ object TextAnalysis {
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_ngram_novelty" -> docNgramNovelty,
     "select_temperature" -> selectTemperature,
     "select_kfold" -> selectKfold,
     "text_bpe_pairs" -> textBpePairs,
@@ -1857,6 +1910,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "doc_ngram_novelty" -> docNgramNoveltySql,
     "select_temperature" -> selectTemperatureSql,
     "select_kfold" -> selectKfoldSql,
     "text_bpe_pairs" -> textBpePairsSql,

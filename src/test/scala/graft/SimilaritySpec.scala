@@ -407,4 +407,66 @@ class SimilaritySpec extends SparkSpec {
     // the exact-kNN broadcast is bounded in the SIGNATURE, not the docs
     intercept[IllegalArgumentException] { Similarity.embedKnnRecall(spark, sf, 2L, 0L) }
   }
+
+  test("embed_sim_hist partitions exactly the within-cell pairs and shares sum to 1") {
+    import org.apache.spark.sql.functions._
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    val cents = (100L until 116L).map(vecs)
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.zipWithIndex.map { case (c, ci) => (ci, cos(c, v)) }
+        .maxBy { case (ci, sc) => (sc, -ci) }._1
+    }
+    val expBins = vecs.keys.toSeq.combinations(2).collect {
+      case Seq(a, b) if cellOf(a) == cellOf(b) =>
+        math.min(19L, math.floor((cos(vecs(a), vecs(b)) + 1.0) * 10.0).toLong)
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = Similarity.embedSimHist(spark, sf).collect()
+    assert(rows.length === 20)
+    val got = rows.map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_pairs")).toMap
+    (0L until 20L).foreach { b => assert(got(b) === expBins.getOrElse(b, 0L)) }
+    val totalPairs = expBins.values.sum
+    assert(got.values.sum === totalPairs && totalPairs > 0)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+  }
+
+  test("ann_range_search returns exactly the tau-ball inside each query's probed cells") {
+    import org.apache.spark.sql.functions._
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    val cents = (100L until 116L).map(vecs)
+    def ranked(v: Array[Double]): Seq[Int] =
+      cents.zipWithIndex.map { case (c, ci) => (ci, cos(c, v)) }
+        .sortBy { case (ci, sc) => (-sc, ci) }.map(_._1)
+    val cellOf = vecs.map { case (id, v) => id -> ranked(v).head }
+    val expected = (0L until 5L).flatMap { qid =>
+      val probed = ranked(vecs(qid)).take(2).toSet
+      vecs.keys.toSeq.filter(o => probed.contains(cellOf(o)))
+        .map(o => (qid, o, cos(vecs(qid), vecs(o))))
+        .filter(_._3 >= 0.3)
+    }.map { case (q, o, _) => (q, o) }.toSet
+    val rows = Similarity.annRangeSearch(spark, sf).collect()
+    assert(rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet === expected)
+    // self is always inside its own ball, at the top of its group
+    (0L until 5L).foreach { qid =>
+      val grp = rows.filter(_.getAs[Long]("qid") == qid)
+      assert(grp.head.getAs[Long]("vec_id") === qid)
+      assert(grp.head.getAs[Double]("sim") > 0.999)
+      val sims = grp.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      sims.foreach(s => assert(s >= 0.3))
+    }
+  }
 }

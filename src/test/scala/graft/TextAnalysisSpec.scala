@@ -816,4 +816,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c.getAs[Long]("u2") ===
       math.round(auc * 2 * c.getAs[Long]("n_pos") * c.getAs[Long]("n_neg")))
   }
+
+  test("doc_ngram_novelty matches an in-process first-occurrence recompute") {
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def grams(t: String): Set[String] = {
+      val w = t.trim.split("\\s+")
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val perDoc = texts.view.mapValues(grams).toMap
+    val owner = perDoc.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val rows = TextAnalysis.docNgramNovelty(spark, sf).collect()
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val gs = perDoc(id)
+      assert(r.getAs[Long]("n_shingles") === gs.size.toLong)
+      val novel = gs.count(g => owner(g) == id).toLong
+      assert(r.getAs[Long]("n_novel") === novel)
+      if (gs.nonEmpty)
+        assert(r.getAs[Double]("novelty") === novel.toDouble / gs.size)
+      else assert(r.isNullAt(r.fieldIndex("novelty")))
+    }
+    // conservation: every distinct corpus shingle is novel exactly once
+    assert(rows.map(_.getAs[Long]("n_novel")).sum === owner.size.toLong)
+    // doc 0 (the ingestion head) is fully novel
+    assert(rows.find(_.getAs[Long]("doc_id") == 0L).get.getAs[Double]("novelty") === 1.0)
+  }
 }
