@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -436,6 +436,122 @@ object Sketches {
        |             ELSE raw END * 1e6 + 0.5) / 1e6 AS hll_est
        |FROM est, e""".stripMargin
 
+  // --- sketch_hll_intersection ----------------------------------------------
+  // Approximate audience INTERSECTION per event-type pair by
+  // inclusion–exclusion over HLL sketches: |A∩B| ≈ est(A) + est(B) −
+  // est(A∪B), where the union estimate comes from the max-merged register
+  // pair — the standard warehouse answer to "how many users do both X and
+  // Y" when the raw user sets are 100 TB-scale (the exact counterpart is
+  // q_overlap_matrix; this is what replaces it when even the distinct
+  // user-type table is too large to pair exactly). Every estimate reuses
+  // sketch_hll's scaled-integer harmonic sum + verified ln() small-range
+  // branch; the three estimates are snapped to 1e-6 BEFORE the one
+  // subtraction chain, so the combination is arithmetic on identical
+  // doubles in both engines. Inclusion–exclusion noise can legitimately go
+  // negative for near-disjoint sets — reported as computed, because a
+  // calibration table must show the estimator's true behavior (exact
+  // intersection rides along, from one user-hashed combinable collect_set
+  // + in-row pair expansion — never a corpus self-join).
+  // Scale shape: registers are ONE combinable aggregate onto |types|·64
+  // keys; everything after is arithmetic over ≤ C(|types|,2)·64 rows.
+  private def hllEstimate: Column = {
+    val vEmpty = lit(M.toLong) - col("n_regs")
+    val raw = lit(Alpha * M * M) * lit(math.pow(2.0, 55)) / col("sum_scaled").cast("double")
+    val est = when(raw <= lit(2.5 * M) && vEmpty > 0,
+      lit(M.toDouble) * log(lit(M.toDouble) / vEmpty.cast("double"))).otherwise(raw)
+    floor(est * 1e6 + 0.5) / 1e6
+  }
+
+  private def hllScaled(regs: DataFrame, keys: Seq[String]): DataFrame =
+    regs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(1L, CAST(55 - m_j AS INT))")).as("sum_present"))
+      .withColumn("sum_scaled",
+        col("sum_present") + (lit(M.toLong) - col("n_regs")) * lit(1L << 55))
+
+  def sketchHllIntersection(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val regs = hllRegisters(ev)
+    val perType = hllScaled(regs, Seq("event_type"))
+      .select(col("event_type"), hllEstimate.as("est"))
+    val types = regs.select("event_type").distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val merged = pairs
+      .join(regs, col("event_type") === col("type_a") ||
+        col("event_type") === col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("idx"))
+      .agg(max(col("m_j")).as("m_j"))
+    val estAb = hllScaled(merged, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), hllEstimate.as("est_ab"))
+    val exactPairs = ev.select("user_id", "event_type").distinct()
+      .groupBy("user_id").agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(expr(
+        "flatten(transform(ts, (a, i) -> " +
+          "transform(slice(ts, i + 2, size(ts)), b -> struct(a AS ta, b AS tb))))")).as("p"))
+      .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+      .agg(count(lit(1)).as("n_exact"))
+    estAb
+      .join(perType.select(col("event_type").as("type_a"), col("est").as("ea")), Seq("type_a"))
+      .join(perType.select(col("event_type").as("type_b"), col("est").as("eb")), Seq("type_b"))
+      .join(exactPairs, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (floor((col("ea") + col("eb") - col("est_ab")) * 1e6 + 0.5) / 1e6).as("inter_est"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val sketchHllIntersectionSql: String =
+    s"""WITH h AS (SELECT event_type, user_id,
+       |  CAST(list_reduce(
+       |    list_transform(range(1, 16),
+       |      i -> strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+       |    (a, b) -> a * 16 + b) AS BIGINT) AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h % $M AS idx, h // $M AS rest FROM h),
+       |rho AS (SELECT event_type, idx,
+       |  CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END AS rho FROM r),
+       |m AS (SELECT event_type, idx, max(rho) AS m_j FROM rho GROUP BY 1, 2),
+       |pt AS (SELECT event_type, count(*) AS n_regs,
+       |  sum(1::BIGINT << CAST(55 - m_j AS INT)) AS sum_present FROM m GROUP BY 1),
+       |pte AS (SELECT event_type,
+       |  floor((CASE WHEN ${Alpha * M * M} * power(2.0, 55)
+       |      / CAST(sum_present + ($M - n_regs) * (1::BIGINT << 55) AS DOUBLE) <= ${2.5 * M}
+       |      AND $M - n_regs > 0
+       |    THEN $M.0 * ln($M.0 / CAST($M - n_regs AS DOUBLE))
+       |    ELSE ${Alpha * M * M} * power(2.0, 55)
+       |      / CAST(sum_present + ($M - n_regs) * (1::BIGINT << 55) AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS est
+       |  FROM pt),
+       |tp AS (SELECT DISTINCT event_type FROM m),
+       |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+       |       FROM tp a, tp b WHERE a.event_type < b.event_type),
+       |mg AS (SELECT type_a, type_b, idx, max(m_j) AS m_j
+       |       FROM pr JOIN m ON event_type = type_a OR event_type = type_b
+       |       GROUP BY 1, 2, 3),
+       |pu AS (SELECT type_a, type_b, count(*) AS n_regs,
+       |  sum(1::BIGINT << CAST(55 - m_j AS INT)) AS sum_present FROM mg GROUP BY 1, 2),
+       |pue AS (SELECT type_a, type_b,
+       |  floor((CASE WHEN ${Alpha * M * M} * power(2.0, 55)
+       |      / CAST(sum_present + ($M - n_regs) * (1::BIGINT << 55) AS DOUBLE) <= ${2.5 * M}
+       |      AND $M - n_regs > 0
+       |    THEN $M.0 * ln($M.0 / CAST($M - n_regs AS DOUBLE))
+       |    ELSE ${Alpha * M * M} * power(2.0, 55)
+       |      / CAST(sum_present + ($M - n_regs) * (1::BIGINT << 55) AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS est_ab
+       |  FROM pu),
+       |ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       |ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |  CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT pue.type_a, pue.type_b, COALESCE(n_exact, 0) AS n_exact,
+       |  floor((ea.est + eb.est - est_ab) * 1e6 + 0.5) / 1e6 AS inter_est
+       |FROM pue
+       |JOIN pte ea ON pue.type_a = ea.event_type
+       |JOIN pte eb ON pue.type_b = eb.event_type
+       |LEFT JOIN ex ON pue.type_a = ex.type_a AND pue.type_b = ex.type_b
+       |ORDER BY pue.type_a, pue.type_b""".stripMargin
+
   // --- sketch_quantile ----------------------------------------------------
   // Fixed-grid histogram quantile sketch — the mergeable quantile path
   // (the same role a KLL/t-digest plays, built deterministic so the
@@ -814,6 +930,7 @@ object Sketches {
     "sketch_jaccard_calib" -> sketchJaccardCalib,
     "sketch_hll" -> sketchHll,
     "sketch_hll_union" -> sketchHllUnion,
+    "sketch_hll_intersection" -> sketchHllIntersection,
     "sketch_quantile" -> sketchQuantile,
     "sketch_quantile_calib" -> sketchQuantileCalib,
     "sketch_cms" -> sketchCms,
@@ -828,6 +945,7 @@ object Sketches {
     "sketch_jaccard_calib" -> sketchJaccardCalibSql,
     "sketch_hll" -> sketchHllSql,
     "sketch_hll_union" -> sketchHllUnionSql,
+    "sketch_hll_intersection" -> sketchHllIntersectionSql,
     "sketch_quantile" -> sketchQuantileSql,
     "sketch_quantile_calib" -> sketchQuantileCalibSql,
     "sketch_cms" -> sketchCmsSql,

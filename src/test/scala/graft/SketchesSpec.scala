@@ -232,4 +232,44 @@ class SketchesSpec extends SparkSpec {
     // fact side (508 build keys in 4096 bits keeps fp low at every sf)
     assert(nPass < nFact / 2, s"bloom saturated: $nPass of $nFact passed")
   }
+
+  test("hll intersection: estimates rebuild from the register law and exact pairs reconcile") {
+    import org.apache.spark.sql.functions._
+    val M = 64
+    val regs = graft.operators.Sketches.hllRegisters(
+        graft.sources.Tables.events(spark, sf)).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("idx"), r.getAs[Long]("m_j")))
+    val byType = regs.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    def estOf(m: Map[Long, Long]): Double = {
+      val sumScaled = m.values.map(mj => 1L << (55 - mj).toInt).sum +
+        (M - m.size).toLong * (1L << 55)
+      val raw = 0.709 * M * M * math.pow(2.0, 55) / sumScaled.toDouble
+      val v = M - m.size
+      val est = if (raw <= 2.5 * M && v > 0) M.toDouble * math.log(M.toDouble / v) else raw
+      math.floor(est * 1e6 + 0.5) / 1e6
+    }
+    val exactPairs = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("event_type"))
+      .groupBy(_._1).values.flatMap { g =>
+        val ts = g.map(_._2).distinct.sorted
+        for (i <- ts.indices; j <- i + 1 until ts.length) yield (ts(i), ts(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = graft.operators.Sketches.sketchHllIntersection(spark, sf).collect()
+    val types = byType.keySet.toSeq.sorted
+    assert(rows.length === types.combinations(2).size)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(a < b)
+      // union registers = elementwise max; all three estimates rebuild exactly
+      val merged = (byType(a).keySet ++ byType(b).keySet).map { i =>
+        i -> math.max(byType(a).getOrElse(i, 0L), byType(b).getOrElse(i, 0L))
+      }.toMap
+      val expected = math.floor(
+        (estOf(byType(a)) + estOf(byType(b)) - estOf(merged)) * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("inter_est") === expected)
+      assert(r.getAs[Long]("n_exact") === exactPairs.getOrElse((a, b), 0L))
+    }
+  }
 }
