@@ -62,29 +62,19 @@ object Sketches {
       .groupBy("event_type", "idx").agg(max(col("rho")).as("m_j"))
 
   def sketchHll(spark: SparkSession, d: String): DataFrame = {
-    val sketch = hllRegisters(Tables.events(spark, d))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_regs"),
-        sum(expr("shiftleft(1L, CAST(55 - m_j AS INT))")).as("sum_present"))
-      .select(col("event_type"), col("n_regs"),
-        (col("sum_present") + (lit(M.toLong) - col("n_regs")) * lit(1L << 55))
-          .as("sum_scaled"))
+    // Small-range correction (the HLL paper's linear-counting branch) lives
+    // in the shared hllEstimate column: with V = m - touched registers
+    // empty and a raw estimate ≤ 2.5m, the raw harmonic estimate
+    // overshoots badly and m·ln(m/V) is the right estimator. ln() is the
+    // ONE libm call in the repo's oracle surface — admissible because its
+    // argument is one of only 63 discrete values (m/V, V ∈ 1..63), and JVM
+    // Math.log and DuckDB ln were verified to agree on all 63 at the 1e-6
+    // floor granularity.
+    val sketch = hllScaled(hllRegisters(Tables.events(spark, d)), Seq("event_type"))
     val exact = Tables.events(spark, d)
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
-    // Small-range correction (the HLL paper's linear-counting branch): with
-    // V = m - touched registers empty and a raw estimate ≤ 2.5m, the raw
-    // harmonic estimate overshoots badly and m·ln(m/V) is the right
-    // estimator. ln() is the ONE libm call in the repo's oracle surface —
-    // admissible because its argument is one of only 63 discrete values
-    // (m/V, V ∈ 1..63), and JVM Math.log and DuckDB ln were verified to
-    // agree on all 63 at the 1e-6 floor granularity.
-    val vEmpty = lit(M.toLong) - col("n_regs")
-    val raw = lit(Alpha * M * M) * lit(math.pow(2.0, 55)) / col("sum_scaled").cast("double")
-    val est = when(raw <= lit(2.5 * M) && vEmpty > 0,
-      lit(M.toDouble) * log(lit(M.toDouble) / vEmpty.cast("double"))).otherwise(raw)
     sketch.join(exact, Seq("event_type"))
-      .select(col("event_type"), col("n_exact"),
-        (floor(est * 1e6 + 0.5) / 1e6).as("hll_est"))
+      .select(col("event_type"), col("n_exact"), hllEstimate.as("hll_est"))
       .orderBy("event_type")
   }
 
@@ -395,22 +385,13 @@ object Sketches {
   // proves split-corpus register equality; this operator proves the
   // MERGED ESTIMATE against the oracle.)
   def sketchHllUnion(spark: SparkSession, d: String): DataFrame = {
-    val merged = hllRegisters(Tables.events(spark, d))
-      .groupBy("idx").agg(max(col("m_j")).as("m_j"))
-      .agg(count(lit(1)).as("n_regs"),
-        sum(expr("shiftleft(1L, CAST(55 - m_j AS INT))")).as("sum_present"))
-      .select(col("n_regs"),
-        (col("sum_present") + (lit(M.toLong) - col("n_regs")) * lit(1L << 55))
-          .as("sum_scaled"))
+    val merged = hllScaled(
+      hllRegisters(Tables.events(spark, d))
+        .groupBy("idx").agg(max(col("m_j")).as("m_j")), Seq.empty)
     val exact = Tables.events(spark, d)
       .agg(countDistinct(col("user_id")).as("n_exact"))
-    val vEmpty = lit(M.toLong) - col("n_regs")
-    val raw = lit(Alpha * M * M) * lit(math.pow(2.0, 55)) / col("sum_scaled").cast("double")
-    val est = when(raw <= lit(2.5 * M) && vEmpty > 0,
-      lit(M.toDouble) * log(lit(M.toDouble) / vEmpty.cast("double"))).otherwise(raw)
     merged.crossJoin(exact)
-      .select(lit("all_types").as("scope"), col("n_exact"),
-        (floor(est * 1e6 + 0.5) / 1e6).as("hll_est"))
+      .select(lit("all_types").as("scope"), col("n_exact"), hllEstimate.as("hll_est"))
   }
 
   val sketchHllUnionSql: String =
