@@ -1705,6 +1705,57 @@ object Analytics {
        |  CAST(sum(n_events) AS BIGINT) AS n_events
        |FROM ud GROUP BY 1 ORDER BY n_hours_active""".stripMargin
 
+  // --- q_bitmap_intersect -----------------------------------------------------
+  // The bitmap-index JOIN pattern (q_activity_bitmap's second half): "in
+  // how many hours-of-day was the same user active on BOTH event types"
+  // answered by ANDing two per-user hour masks — the roaring-bitmap
+  // intersection that replaces a per-hour self-join in warehouse engines.
+  // Per user, two 24-bit masks build in ONE map-side-combinable groupBy
+  // (bit_or over conditional 1<<hr terms — associative, commutative,
+  // idempotent, exactly the mergeable-sketch law), the intersection is a
+  // single integer AND, and the report groups the ≤|users| mask table by
+  // popcount onto ≤25 keys. Pure integer state end to end; hour derives
+  // from the epoch-second quotient in both engines (the bitmap/Layout
+  // idiom, never calendar functions).
+  private val BitmapTypeA = "view"
+  private val BitmapTypeB = "purchase"
+
+  def qBitmapIntersect(spark: SparkSession, d: String): DataFrame = {
+    val masks = Tables.events(spark, d)
+      .filter(col("event_type").isin(BitmapTypeA, BitmapTypeB))
+      .select(col("user_id"), col("event_type"),
+        expr("(cast(ts as long) div 3600) % 24").as("hr"))
+      .groupBy("user_id")
+      .agg(
+        expr(s"bit_or(CASE WHEN event_type = '$BitmapTypeA' " +
+          "THEN shiftleft(1L, cast(hr as int)) ELSE 0L END)").as("ma"),
+        expr(s"bit_or(CASE WHEN event_type = '$BitmapTypeB' " +
+          "THEN shiftleft(1L, cast(hr as int)) ELSE 0L END)").as("mb"))
+    masks
+      .groupBy(bit_count(col("ma").bitwiseAND(col("mb"))).cast("long")
+        .as("n_hours_both"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("ma").bitwiseAND(col("mb")) =!= 0L, 1L).otherwise(0L))
+          .as("n_users_overlapping"))
+      .orderBy("n_hours_both")
+  }
+
+  val qBitmapIntersectSql: String =
+    s"""WITH m AS (
+       | SELECT user_id,
+       |  bit_or(CASE WHEN event_type = '$BitmapTypeA'
+       |    THEN 1::BIGINT << CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS INT)
+       |    ELSE 0::BIGINT END) AS ma,
+       |  bit_or(CASE WHEN event_type = '$BitmapTypeB'
+       |    THEN 1::BIGINT << CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS INT)
+       |    ELSE 0::BIGINT END) AS mb
+       | FROM events WHERE event_type IN ('$BitmapTypeA', '$BitmapTypeB')
+       | GROUP BY 1)
+       |SELECT CAST(bit_count(ma & mb) AS BIGINT) AS n_hours_both,
+       | CAST(count(*) AS BIGINT) AS n_users,
+       | CAST(sum(CASE WHEN (ma & mb) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_overlapping
+       |FROM m GROUP BY 1 ORDER BY n_hours_both""".stripMargin
+
   // --- q7_nation_volume -----------------------------------------------------
   // TPC-H Q7 shape: bilateral trade volume by (supplier nation, customer
   // nation, ship year). Unlike q5's co-located star (c_nationkey =
@@ -2575,6 +2626,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q8_market_share" -> q8MarketShare,
+    "q_bitmap_intersect" -> qBitmapIntersect,
     "q9_product_profit" -> q9ProductProfit,
     "q11_important_parts" -> q11ImportantParts,
     "q12_late_priority" -> q12LatePriority,
@@ -2641,6 +2693,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q8_market_share" -> q8MarketShareSql,
+    "q_bitmap_intersect" -> qBitmapIntersectSql,
     "q9_product_profit" -> q9ProductProfitSql,
     "q11_important_parts" -> q11ImportantPartsSql,
     "q12_late_priority" -> q12LatePrioritySql,

@@ -212,6 +212,72 @@ object TextAnalysis {
       |SELECT doc_id, string_agg(h, '' ORDER BY h) AS fp
       |FROM r WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- select_quality_tiers -------------------------------------------------
+  // CCNet-style quality tiering: per language, split the corpus into
+  // head / middle / tail TERCILES of the shared quality score — the
+  // canonical "keep head, sample middle, drop tail" curation partition.
+  // Cut derivation is sort-free (the select_token_budget decomposition
+  // applied to terciles): the corpus collapses to a (lang, iq) histogram
+  // in ONE map-side-combinable groupBy (iq lives on the integer ScoreScale
+  // lattice, so the histogram is bounded by the score lattice, not by
+  // corpus size), cumulative counts over that report table pick the
+  // DISCRETE cut values at ranks ceil(n/3) and ceil(2n/3) under iq DESC,
+  // and tier assignment is a broadcast |langs|-row join + pure map.
+  // Tiers are VALUE-based (every doc with the same score lands in the
+  // same tier — tie-order-free, so both engines agree by construction);
+  // reported sizes therefore straddle n/3 at ties, which is the honest
+  // number. share = one division of exact BIGINTs.
+  def selectQualityTiers(spark: SparkSession, d: String): DataFrame = {
+    val scored = scoredDocs(Tables.documents(spark, d),
+      col("doc_id"), col("lang"), col("n_chars"))
+    val hist = scored.groupBy(col("lang"), col("iq")).agg(count(lit(1)).as("c"))
+    val wDesc = Window.partitionBy("lang").orderBy(col("iq").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+    val cuts = hist
+      .withColumn("cum", sum(col("c")).over(wDesc))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("r1", expr("(n + 2) div 3"))
+      .withColumn("r2", expr("(2 * n + 2) div 3"))
+      .groupBy(col("lang")).agg(
+        max(when(col("cum") - col("c") < col("r1") && col("r1") <= col("cum"),
+          col("iq"))).as("c1"),
+        max(when(col("cum") - col("c") < col("r2") && col("r2") <= col("cum"),
+          col("iq"))).as("c2"),
+        max(col("n")).as("nl"))
+    scored.join(cuts, Seq("lang"))
+      .withColumn("tier", when(col("iq") >= col("c1"), lit("head"))
+        .when(col("iq") >= col("c2"), lit("middle")).otherwise(lit("tail")))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        max(col("nl")).as("nl"))
+      .select(col("lang"), col("tier"), col("n_docs"), col("n_chars"),
+        (col("n_docs").cast("double") / col("nl").cast("double")).as("share"))
+      .orderBy("lang", "tier")
+  }
+
+  val selectQualityTiersSql: String =
+    s"""WITH m AS (SELECT doc_id, lang, n_chars,
+       |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |s AS (SELECT doc_id, lang, n_chars, CAST(len(w) AS BIGINT) AS nw,
+       |  CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS stopn FROM m),
+       |q AS (SELECT doc_id, lang, n_chars, ($ScoreScale * stopn) // nw AS iq FROM s),
+       |h AS (SELECT lang, iq, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY 1, 2),
+       |k AS (SELECT lang, iq, c,
+       |  sum(c) OVER (PARTITION BY lang ORDER BY iq DESC ROWS UNBOUNDED PRECEDING) AS cum,
+       |  sum(c) OVER (PARTITION BY lang) AS n FROM h),
+       |cuts AS (SELECT lang,
+       |  max(CASE WHEN cum - c < (n + 2)//3 AND (n + 2)//3 <= cum THEN iq END) AS c1,
+       |  max(CASE WHEN cum - c < (2*n + 2)//3 AND (2*n + 2)//3 <= cum THEN iq END) AS c2,
+       |  max(n) AS nl FROM k GROUP BY 1),
+       |t AS (SELECT q.lang AS lang,
+       |  CASE WHEN iq >= c1 THEN 'head' WHEN iq >= c2 THEN 'middle' ELSE 'tail' END AS tier,
+       |  n_chars, nl FROM q JOIN cuts ON q.lang = cuts.lang)
+       |SELECT lang, tier, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       | CAST(count(*) AS DOUBLE)/CAST(max(nl) AS DOUBLE) AS share
+       |FROM t GROUP BY 1, 2 ORDER BY lang, tier""".stripMargin
+
   // --- doc_ngram_novelty --------------------------------------------------
   // Per-document n-gram NOVELTY under ingestion order (doc_id): the
   // fraction of a document's distinct 3-word shingles whose corpus-wide
@@ -1870,6 +1936,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_ngram_novelty" -> docNgramNovelty,
+    "select_quality_tiers" -> selectQualityTiers,
     "select_temperature" -> selectTemperature,
     "select_kfold" -> selectKfold,
     "text_bpe_pairs" -> textBpePairs,
@@ -1911,6 +1978,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "doc_ngram_novelty" -> docNgramNoveltySql,
+    "select_quality_tiers" -> selectQualityTiersSql,
     "select_temperature" -> selectTemperatureSql,
     "select_kfold" -> selectKfoldSql,
     "text_bpe_pairs" -> textBpePairsSql,

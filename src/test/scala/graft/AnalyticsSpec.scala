@@ -833,6 +833,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expected && got.nonEmpty)
   }
 
+  test("q_bitmap_intersect distribution equals an in-process mask recompute") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        expr("(cast(ts as long) div 3600) % 24").as("hr")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getString(1), r.getAs[Long]("hr")))
+    val masks = ev.groupBy(_._1).view.mapValues { g =>
+      val ma = g.filter(_._2 == "view").map(t => 1L << t._3).fold(0L)(_ | _)
+      val mb = g.filter(_._2 == "purchase").map(t => 1L << t._3).fold(0L)(_ | _)
+      (ma, mb)
+    }.toMap
+    val expected = masks.values
+      .groupBy { case (ma, mb) => java.lang.Long.bitCount(ma & mb).toLong }
+      .view.mapValues { g =>
+        (g.size.toLong, g.count { case (ma, mb) => (ma & mb) != 0L }.toLong)
+      }.toMap
+    val rows = Analytics.qBitmapIntersect(spark, sf).collect()
+    assert(rows.map(r => r.getAs[Long]("n_hours_both") ->
+      ((r.getAs[Long]("n_users"), r.getAs[Long]("n_users_overlapping")))).toMap === expected)
+    // conservation: every user with a view or purchase appears exactly once
+    assert(rows.map(_.getAs[Long]("n_users")).sum === masks.size.toLong)
+  }
+
   test("q20 reports exactly the suppliers dominating some blue part's 1997 volume") {
     val ps = Tables.lineitem(spark, sf)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&

@@ -817,6 +817,38 @@ class TextAnalysisSpec extends SparkSpec {
       math.round(auc * 2 * c.getAs[Long]("n_pos") * c.getAs[Long]("n_neg")))
   }
 
+  test("select_quality_tiers: value-based tercile recompute and per-lang conservation") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars", "text").collect()
+      .map { r =>
+        val w = r.getAs[String]("text").trim.split("\\s+")
+        val stopn = w.count(x => x == "the" || x == "a").toLong
+        (r.getAs[String]("lang"), r.getAs[Long]("n_chars"),
+          100000L * stopn / w.length)
+      }
+    val expected = docs.groupBy(_._1).flatMap { case (lang, g) =>
+      val n = g.length.toLong
+      val sortedIq = g.map(_._3).sorted(Ordering[Long].reverse)
+      val c1 = sortedIq(((n + 2) / 3 - 1).toInt)
+      val c2 = sortedIq(((2 * n + 2) / 3 - 1).toInt)
+      g.groupBy { case (_, _, iq) =>
+        if (iq >= c1) "head" else if (iq >= c2) "middle" else "tail"
+      }.map { case (tier, t) =>
+        (lang, tier) -> ((t.length.toLong, t.map(_._2).sum, t.length.toDouble / n))
+      }
+    }
+    val got = TextAnalysis.selectQualityTiers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"), r.getAs[Double]("share"))))
+      .toMap
+    assert(got === expected)
+    // per-lang conservation: tiers partition the language's documents
+    docs.groupBy(_._1).foreach { case (lang, g) =>
+      assert(got.keys.count(_._1 == lang) > 0)
+      assert(got.filter(_._1._1 == lang).values.map(_._1).sum === g.length.toLong)
+    }
+  }
+
   test("doc_ngram_novelty matches an in-process first-occurrence recompute") {
     val texts = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
