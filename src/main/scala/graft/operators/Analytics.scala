@@ -1720,8 +1720,13 @@ object Analytics {
   private val BitmapTypeA = "view"
   private val BitmapTypeB = "purchase"
 
-  def qBitmapIntersect(spark: SparkSession, d: String): DataFrame = {
-    val masks = Tables.events(spark, d)
+  def qBitmapIntersect(spark: SparkSession, d: String): DataFrame =
+    qBitmapIntersectFrom(Tables.events(spark, d))
+
+  /** DataFrame-in core for [[qBitmapIntersect]] (events needs user_id,
+    * event_type, ts) — exposed for the randomized mask-recompute spec. */
+  def qBitmapIntersectFrom(events: DataFrame): DataFrame = {
+    val masks = events
       .filter(col("event_type").isin(BitmapTypeA, BitmapTypeB))
       .select(col("user_id"), col("event_type"),
         expr("(cast(ts as long) div 3600) % 24").as("hr"))

@@ -450,8 +450,14 @@ object Sketches {
       .withColumn("sum_scaled",
         col("sum_present") + (lit(M.toLong) - col("n_regs")) * lit(1L << 55))
 
-  def sketchHllIntersection(spark: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(spark, d)
+  def sketchHllIntersection(spark: SparkSession, d: String): DataFrame =
+    sketchHllIntersectionFrom(Tables.events(spark, d))
+
+  /** DataFrame-in core for [[sketchHllIntersection]] (events needs user_id,
+    * event_type) — exposed so the randomized spec can pin the
+    * inclusion–exclusion estimate against an in-process register
+    * simulation on constructed user sets. */
+  def sketchHllIntersectionFrom(ev: DataFrame): DataFrame = {
     val regs = hllRegisters(ev)
     val perType = hllScaled(regs, Seq("event_type"))
       .select(col("event_type"), hllEstimate.as("est"))

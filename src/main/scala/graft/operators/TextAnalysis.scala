@@ -227,9 +227,15 @@ object TextAnalysis {
   // same tier — tie-order-free, so both engines agree by construction);
   // reported sizes therefore straddle n/3 at ties, which is the honest
   // number. share = one division of exact BIGINTs.
-  def selectQualityTiers(spark: SparkSession, d: String): DataFrame = {
-    val scored = scoredDocs(Tables.documents(spark, d),
-      col("doc_id"), col("lang"), col("n_chars"))
+  def selectQualityTiers(spark: SparkSession, d: String): DataFrame =
+    selectQualityTiersFrom(Tables.documents(spark, d))
+
+  /** DataFrame-in core for [[selectQualityTiers]] (docs needs doc_id, lang,
+    * n_chars, text) — exposed so the randomized decomposition spec can pin
+    * the lattice-histogram cut derivation against a sort-based brute force
+    * on constructed corpora. */
+  def selectQualityTiersFrom(docs: DataFrame): DataFrame = {
+    val scored = scoredDocs(docs, col("doc_id"), col("lang"), col("n_chars"))
     val hist = scored.groupBy(col("lang"), col("iq")).agg(count(lit(1)).as("c"))
     val wDesc = Window.partitionBy("lang").orderBy(col("iq").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1,0 +1,141 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Sketches, TextAnalysis}
+
+/** Randomized brute-force checks for the round-12 decompositions — the
+  * r11 pattern (seeded corpora, exact equality, no epsilon) applied to the
+  * three subtlest new reductions:
+  *  - select_quality_tiers' sort-free lattice-histogram tercile cuts vs a
+  *    direct sort-based rank derivation,
+  *  - q_bitmap_intersect's combinable bit_or masks vs per-user fold,
+  *  - sketch_hll_intersection's inclusion–exclusion estimate vs an
+  *    in-process register simulation (md5 replicated exactly).
+  * Seeds are fixed so failures reproduce.
+  */
+class RandomizedDecompositionSpec extends SparkSpec {
+
+  test("randomized: quality-tier cuts equal the sort-based derivation on 10 seeded corpora") {
+    import spark.implicits._
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed)
+      val langs = (0 until 1 + rnd.nextInt(3)).map(i => s"l$i")
+      // text with k stop tokens out of n → iq = 100000·k div n exactly
+      val docs = langs.flatMap { lang =>
+        (0 until 1 + rnd.nextInt(40)).map { i =>
+          val n = 1 + rnd.nextInt(12)
+          val k = rnd.nextInt(n + 1)
+          val text = (Seq.fill(k)("the") ++ Seq.fill(n - k)("x")).mkString(" ")
+          (langs.indexOf(lang) * 1000L + i, lang, text.length.toLong, text)
+        }
+      }
+      val got = TextAnalysis.selectQualityTiersFrom(
+          docs.toDF("doc_id", "lang", "n_chars", "text"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"), r.getAs[Double]("share"))))
+        .toMap
+      val expected = docs.groupBy(_._2).flatMap { case (lang, g) =>
+        val scores = g.map { case (_, _, _, t) =>
+          val w = t.split(" ")
+          100000L * w.count(_ == "the") / w.length
+        }
+        val n = g.size.toLong
+        val desc = scores.sorted(Ordering[Long].reverse)
+        val c1 = desc(((n + 2) / 3 - 1).toInt)
+        val c2 = desc(((2 * n + 2) / 3 - 1).toInt)
+        g.zip(scores).groupBy { case (_, iq) =>
+          if (iq >= c1) "head" else if (iq >= c2) "middle" else "tail"
+        }.map { case (tier, t) =>
+          (lang, tier) ->
+            ((t.size.toLong, t.map(_._1._3).sum, t.size.toDouble / n))
+        }
+      }
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("randomized: bitmap-intersect masks equal the per-user fold on 10 seeded corpora") {
+    import spark.implicits._
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed)
+      val types = Seq("view", "purchase", "click")
+      val ev = (0 until 30 + rnd.nextInt(120)).map { i =>
+        (i.toLong, 1L + rnd.nextInt(15),
+          types(rnd.nextInt(types.length)), rnd.nextInt(72) * 3600L + rnd.nextInt(3600))
+      }
+      val df = ev.toDF("event_id", "user_id", "event_type", "sec")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_seconds(col("sec")).as("ts"))
+      val got = Analytics.qBitmapIntersectFrom(df).collect()
+        .map(r => r.getAs[Long]("n_hours_both") ->
+          ((r.getAs[Long]("n_users"), r.getAs[Long]("n_users_overlapping")))).toMap
+      val masks = ev.filter(e => e._3 == "view" || e._3 == "purchase")
+        .groupBy(_._2).view.mapValues { g =>
+          val ma = g.filter(_._3 == "view").map(e => 1L << ((e._4 / 3600) % 24)).fold(0L)(_ | _)
+          val mb = g.filter(_._3 == "purchase").map(e => 1L << ((e._4 / 3600) % 24)).fold(0L)(_ | _)
+          (ma, mb)
+        }.toMap
+      val expected = masks.values
+        .groupBy { case (ma, mb) => java.lang.Long.bitCount(ma & mb).toLong }
+        .view.mapValues(g => (g.size.toLong, g.count { case (ma, mb) => (ma & mb) != 0L }.toLong))
+        .toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("randomized: hll intersection equals the register simulation on 5 seeded corpora") {
+    import spark.implicits._
+    val M = 64
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def estOf(m: Map[Long, Long]): Double = {
+      val sumScaled = m.values.map(mj => 1L << (55 - mj).toInt).sum +
+        (M - m.size).toLong * (1L << 55)
+      val raw = 0.709 * M * M * math.pow(2.0, 55) / sumScaled.toDouble
+      val v = M - m.size
+      val est = if (raw <= 2.5 * M && v > 0) M.toDouble * math.log(M.toDouble / v) else raw
+      math.floor(est * 1e6 + 0.5) / 1e6
+    }
+    (1 to 5).foreach { seed =>
+      val rnd = new Random(seed)
+      val types = (0 until 2 + rnd.nextInt(2)).map(i => s"t$i")
+      val ev = types.flatMap { t =>
+        (0 until 5 + rnd.nextInt(60)).map(_ => (1L + rnd.nextInt(200), t))
+      }
+      val got = Sketches.sketchHllIntersectionFrom(ev.toDF("user_id", "event_type"))
+        .collect()
+      // simulate the registers exactly: h = first 60 bits of md5(user)
+      val regs = ev.distinct.groupBy(_._2).view.mapValues { g =>
+        g.map(_._1).distinct.map { u =>
+          val h = java.lang.Long.parseLong(md5hex(u.toString).take(15), 16)
+          val idx = h % M
+          val rest = h / M
+          val rho = if (rest == 0) 55L else 55L - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+          (idx, rho)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      }.toMap
+      val exact = ev.distinct.groupBy(_._1).values.flatMap { g =>
+        val ts = g.map(_._2).distinct.sorted
+        for (i <- ts.indices; j <- i + 1 until ts.length) yield (ts(i), ts(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got.length === types.sorted.combinations(2).size)
+      got.foreach { r =>
+        val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+        val merged = (regs(a).keySet ++ regs(b).keySet).map { i =>
+          i -> math.max(regs(a).getOrElse(i, 0L), regs(b).getOrElse(i, 0L))
+        }.toMap
+        val expected = math.floor(
+          (estOf(regs(a)) + estOf(regs(b)) - estOf(merged)) * 1e6 + 0.5) / 1e6
+        assert(r.getAs[Double]("inter_est") === expected, s"seed=$seed pair=($a,$b)")
+        assert(r.getAs[Long]("n_exact") === exact.getOrElse((a, b), 0L), s"seed=$seed")
+      }
+    }
+  }
+}
