@@ -143,6 +143,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WindowMd5Set].getName, "window_md5_set"),
       (children: Seq[Expression]) => WindowMd5Set(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("char_collision"),
+      new ExpressionInfo(classOf[CharCollision].getName, "char_collision"),
+      (children: Seq[Expression]) => CharCollision(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("dot_i64"),
       new ExpressionInfo(classOf[DotI64].getName, "dot_i64"),
       (children: Seq[Expression]) => DotI64(children.head, children(1))))

@@ -65,6 +65,35 @@ case class WindowMd5Set(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native per-document character statistics — `[n_chars, n_distinct,
+  * collision]` (count of code points, distinct code points, Σc² over
+  * per-character counts) in ONE pass over the string.
+  *
+  * The composable formulation (`slice(split(text, ''), 1, length(text))`
+  * then `aggregate(transform(array_distinct(cs), ch ->
+  * size(filter(cs, x -> x = ch))²))`) is semantically identical but
+  * materializes an n-element array of single-char strings per row and
+  * re-scans it once per distinct character through interpreted
+  * higher-order lambdas — O(k·n) boxed comparisons for what is an O(n)
+  * counting pass (measured 4.7s exec at sf0.1 vs 0.2s for this kernel).
+  * NativeKernelSpec asserts per-doc equality with the composable
+  * formulation.
+  */
+case class CharCollision(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_collision"
+
+  override def nullSafeEval(input: Any): Any =
+    TextWindowKernel.charCollision(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextWindowKernel.charCollision($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharCollision =
+    copy(child = newChild)
+}
+
 object TextWindowKernel {
   private val WinnowK = 4
   private val WinnowW = 8
@@ -140,6 +169,28 @@ object TextWindowKernel {
       i += 1
     }
     new GenericArrayData(Array[Any](nGrams.toLong, nWindows.toLong, fp.size().toLong))
+  }
+
+  /** `[n_chars, n_distinct, collision]` (see [[CharCollision]]): code-point
+    * counts — matching Spark `length()`/`split(text, '')` and DuckDB
+    * `length()`/`substr()` semantics, which all index characters, never
+    * UTF-16 units or bytes. */
+  def charCollision(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val cur = counts.get(cp)
+      if (cur == null) counts.put(cp, Array(1L)) else cur(0) += 1L
+    }
+    var coll = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next()(0); coll += c * c }
+    new GenericArrayData(Array[Any](n, counts.size().toLong, coll))
   }
 
   /** Distinct 16-byte md5 digests of 16-token windows, first-occurrence

@@ -38,6 +38,12 @@ object TextAnalysis {
   // declaration order (a later declaration would interpolate as "null").
   private val ShuffleSeed = "ep0"
 
+  // DSIR hashed-feature space: bucket count and the integer lattice scale
+  // for the per-bucket importance ratio — at the TOP of the object because
+  // selectDsirSql interpolates both (init-order, as above).
+  private val DsirBuckets = 64L
+  private val DsirScale = 1000000L
+
 
   // --- text_tokens --------------------------------------------------------
   // Whitespace tokens plus a BPE-ish regex segmentation (letter runs,
@@ -335,6 +341,160 @@ object TextAnalysis {
       |      THEN CAST(n_novel AS DOUBLE)/CAST(n_shingles AS DOUBLE) END AS novelty
       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  // --- text_gopher_rules --------------------------------------------------
+  // The MassiveText/Gopher rule-based quality filter (Rae et al. 2021,
+  // §A.1.1) as per-document boolean flags: word-count bounds [50, 100k],
+  // mean word length in [3, 10], ≥ 2 stop words (the repo-wide {'the','a'}
+  // list), ≥ 80% of words containing an alphabetic character, and
+  // symbol-to-word ratio ('#' or '...') ≤ 0.1. Every rule is an EXACT
+  // integer comparison (mean-length and ratio bounds cross-multiplied onto
+  // the integer lattice: 3·nw ≤ Σlen ≤ 10·nw, 10·nsym ≤ nw), so the row is
+  // hash-portable with no doubles at all. PURE MAP — all six flags compute
+  // in the scan's project list from one tokenization; no explode, no
+  // shuffle, embarrassingly parallel at any corpus size.
+  def textGopherRules(spark: SparkSession, d: String): DataFrame = {
+    val nw = size(col("w")).cast("long")
+    val sumLen = expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)")
+    val stopn = size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long")
+    val alphan = size(expr("filter(w, x -> x rlike '[a-zA-Z]')")).cast("long")
+    val symn = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("long")
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), words.as("w"))
+      .select(col("doc_id"), nw.as("nw"), sumLen.as("sl"), stopn.as("stopn"),
+        alphan.as("alphan"), symn.as("symn"))
+      .select(col("doc_id"),
+        col("nw").as("n_words"),
+        (col("nw") >= 50L && col("nw") <= 100000L).cast("long").as("r_words"),
+        (lit(3L) * col("nw") <= col("sl") && col("sl") <= lit(10L) * col("nw"))
+          .cast("long").as("r_avg_len"),
+        (col("stopn") >= 2L).cast("long").as("r_stop"),
+        (lit(5L) * col("alphan") >= lit(4L) * col("nw")).cast("long").as("r_alpha"),
+        (lit(10L) * col("symn") <= col("nw")).cast("long").as("r_symbol"))
+      .withColumn("pass",
+        (col("r_words") === 1L && col("r_avg_len") === 1L && col("r_stop") === 1L &&
+          col("r_alpha") === 1L && col("r_symbol") === 1L).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val textGopherRulesSql: String =
+    """WITH m AS (SELECT doc_id, text,
+      |  regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS nw,
+      |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sl,
+      |  CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS stopn,
+      |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alphan,
+      |  CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS symn
+      | FROM m),
+      |f AS (SELECT doc_id, nw AS n_words,
+      |  CAST(nw >= 50 AND nw <= 100000 AS BIGINT) AS r_words,
+      |  CAST(3*nw <= sl AND sl <= 10*nw AS BIGINT) AS r_avg_len,
+      |  CAST(stopn >= 2 AS BIGINT) AS r_stop,
+      |  CAST(5*alphan >= 4*nw AS BIGINT) AS r_alpha,
+      |  CAST(10*symn <= nw AS BIGINT) AS r_symbol
+      | FROM s)
+      |SELECT doc_id, n_words, r_words, r_avg_len, r_stop, r_alpha, r_symbol,
+      | CAST(r_words = 1 AND r_avg_len = 1 AND r_stop = 1 AND r_alpha = 1
+      |      AND r_symbol = 1 AS BIGINT) AS pass
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // --- select_dsir --------------------------------------------------------
+  // Data Selection via Importance Resampling (Xie et al. 2023) on the
+  // integer lattice: hashed-unigram features (md5 head → one of DsirBuckets
+  // buckets), a per-bucket importance score s_b = (DsirScale·(tgt_b+1)) div
+  // (raw_b+1) comparing the target slice (lang = 'en') against the raw
+  // corpus, and a per-document weight Σ_b n_db·s_b. The published method
+  // sums log-ratios of smoothed bucket probabilities; this is the same
+  // estimator with the ratio held on the integer lattice so the weight is
+  // an exact BIGINT — order-free under any partitioning, hash-verifiable,
+  // and monotone in the same direction (docs whose tokens concentrate in
+  // target-heavy buckets score high). Shape: per-(doc,bucket) counts are
+  // ONE map-side-combinable groupBy; the global bucket table is DsirBuckets
+  // rows aggregated FROM those counts (never a second corpus pass) and
+  // joins back by broadcast; the per-doc weight is one combinable sum.
+  // Nothing in the plan grows with corpus size except the linear scans.
+  def selectDsir(spark: SparkSession, d: String): DataFrame = {
+    val bucket = expr(
+      s"""CAST(((locate(substring(md5(t), 1, 1), '0123456789abcdef') - 1) * 16 +
+         |  locate(substring(md5(t), 2, 1), '0123456789abcdef') - 1) % $DsirBuckets AS BIGINT)""".stripMargin)
+    val per = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), explode(words).as("t"))
+      .select(col("doc_id"), col("lang"), bucket.as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val glob = per.groupBy(col("b"))
+      .agg(sum(col("c")).as("raw_c"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tgt_c"))
+      .select(col("b"),
+        expr(s"($DsirScale * (tgt_c + 1)) div (raw_c + 1)").as("s"))
+    // glob is ≤ DsirBuckets rows by construction — broadcast is safe at any SF
+    per.join(broadcast(glob), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("s")).as("weight"))
+      .select(col("doc_id"), col("n_tokens"), col("weight"),
+        expr("weight div n_tokens").as("w_per_tok"))
+      .orderBy("doc_id")
+  }
+
+  val selectDsirSql: String =
+    s"""WITH tok AS (SELECT doc_id, lang,
+       |  unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents),
+       |bk AS (SELECT doc_id, lang,
+       |  CAST(((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16 +
+       |    strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) % $DsirBuckets AS BIGINT) AS b
+       | FROM tok),
+       |per AS (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+       | FROM bk GROUP BY 1, 2, 3),
+       |gb AS (SELECT b, CAST(sum(c) AS BIGINT) AS raw_c,
+       |  CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tgt_c
+       | FROM per GROUP BY 1),
+       |sc AS (SELECT b, ($DsirScale * (tgt_c + 1)) // (raw_c + 1) AS s FROM gb)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       | CAST(sum(c * s) AS BIGINT) AS weight,
+       | CAST(CAST(sum(c * s) AS BIGINT) // CAST(sum(c) AS BIGINT) AS BIGINT) AS w_per_tok
+       |FROM per JOIN sc USING (b) GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // --- text_char_diversity ------------------------------------------------
+  // Character-level diversity via the COLLISION index (Rényi-2): per doc,
+  // the number of distinct characters and Σ c_i² over per-character counts
+  // — the exact-integer core of collision entropy −ln Σ p_i², a standard
+  // gibberish/repetitiveness signal (low diversity = high collision mass).
+  // A Shannon entropy would need per-engine ln() and an order-dependent
+  // double sum; the collision index is pure BIGINT arithmetic, so the row
+  // is hash-portable. simpson_ppm = (10⁶·Σc²) div n² stays on the lattice.
+  // PURE MAP: the native char_collision kernel counts in ONE pass over the
+  // string in the scan's project list — no explode, no shuffle; the corpus
+  // cost is one linear scan at any size. (The composable HOF formulation —
+  // slice(split(text,''),1,length(text)) re-filtered once per distinct
+  // char — is what NativeKernelSpec pins the kernel against; it measured
+  // 4.7s exec at sf0.1 through interpreted lambdas vs ~0.2s native.)
+  def textCharDiversity(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), expr("char_collision(text)").as("cc"))
+      .select(col("doc_id"),
+        element_at(col("cc"), 1).as("n_chars_calc"),
+        element_at(col("cc"), 2).as("n_distinct_chars"),
+        element_at(col("cc"), 3).as("collision_x"))
+      .withColumn("simpson_ppm",
+        expr("(1000000 * collision_x) div (n_chars_calc * n_chars_calc)"))
+      .orderBy("doc_id")
+
+  val textCharDiversitySql: String =
+    """WITH c AS (SELECT doc_id,
+      |  [substr(text, CAST(i AS INT) + 1, 1) FOR i IN range(0, length(text))] AS cs
+      | FROM documents),
+      |d AS (SELECT doc_id, cs, list_distinct(cs) AS dc FROM c),
+      |e AS (SELECT doc_id,
+      |  CAST(len(cs) AS BIGINT) AS n_chars_calc,
+      |  CAST(len(dc) AS BIGINT) AS n_distinct_chars,
+      |  CAST(list_sum(list_transform(dc,
+      |    ch -> CAST(len(list_filter(cs, x -> x = ch)) AS BIGINT) *
+      |          len(list_filter(cs, x -> x = ch)))) AS BIGINT) AS collision_x
+      | FROM d)
+      |SELECT doc_id, n_chars_calc, n_distinct_chars, collision_x,
+      | CAST((1000000 * collision_x) // (n_chars_calc * n_chars_calc) AS BIGINT) AS simpson_ppm
+      |FROM e ORDER BY doc_id""".stripMargin
 
   // --- text_top_terms -----------------------------------------------------
   // TF-IDF-ranked top-3 terms per document. The score is (tf·N)/df computed
@@ -1942,6 +2102,9 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_ngram_novelty" -> docNgramNovelty,
+    "text_gopher_rules" -> textGopherRules,
+    "select_dsir" -> selectDsir,
+    "text_char_diversity" -> textCharDiversity,
     "select_quality_tiers" -> selectQualityTiers,
     "select_temperature" -> selectTemperature,
     "select_kfold" -> selectKfold,
@@ -1984,6 +2147,9 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "doc_ngram_novelty" -> docNgramNoveltySql,
+    "text_gopher_rules" -> textGopherRulesSql,
+    "select_dsir" -> selectDsirSql,
+    "text_char_diversity" -> textCharDiversitySql,
     "select_quality_tiers" -> selectQualityTiersSql,
     "select_temperature" -> selectTemperatureSql,
     "select_kfold" -> selectKfoldSql,

@@ -282,6 +282,34 @@ class NativeKernelSpec extends SparkSpec {
     assert(got(0L) === 32L && got(3L) === null && got(4L) === null)
   }
 
+  test("char_collision equals the slice(split)+HOF formulation on adversarial input") {
+    val native = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("char_collision(text)").as("cc")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val composable = docs.filter(col("text").isNotNull)
+      // split(text, '') is Java split(regex, -1): the zero-width match at
+      // end-of-string appends a phantom "" element — slice to exactly
+      // length(text) chars
+      .select(col("doc_id"),
+        expr("slice(split(text, ''), 1, length(text))").as("cs"))
+      .select(col("doc_id"),
+        size(col("cs")).cast("long").as("n"),
+        size(array_distinct(col("cs"))).cast("long").as("k"),
+        expr("""aggregate(
+          transform(array_distinct(cs), ch -> CAST(size(filter(cs, x -> x = ch)) AS BIGINT)),
+          0L, (acc, x) -> acc + x * x)""").as("coll"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Seq(r.getAs[Long]("n"), r.getAs[Long]("k"), r.getAs[Long]("coll"))).toMap
+    assert(native === composable)
+    // empty string → [0, 0, 0]; NULL text → NULL out (nullSafeEval)
+    assert(native(0L) === Seq(0L, 0L, 0L))
+    assert(docs.filter(col("doc_id") === 14L)
+      .select(expr("char_collision(text)")).collect().head.isNullAt(0))
+    // unicode: counts are per code point, never per UTF-16 unit or byte
+    assert(native(9L).head === "héllo wörld ünïcode test".codePointCount(0, 24))
+  }
+
   test("eq_count equals size(filter(zip_with)) incl. null-element and length-mismatch cases") {
     import spark.implicits._
     val rows = Seq[(Long, Seq[String], Seq[String])](

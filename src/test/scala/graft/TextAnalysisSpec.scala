@@ -878,4 +878,93 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 0 (the ingestion head) is fully novel
     assert(rows.find(_.getAs[Long]("doc_id") == 0L).get.getAs[Double]("novelty") === 1.0)
   }
+
+  test("text_gopher_rules flags match an in-process rule recompute") {
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = TextAnalysis.textGopherRules(spark, sf).collect()
+    assert(rows.length === texts.size)
+    var passes = 0L
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val w = t.trim.split("\\s+")
+      val nw = w.length.toLong
+      val sl = w.map(_.length.toLong).sum
+      val flags = Map(
+        "r_words" -> (nw >= 50L && nw <= 100000L),
+        "r_avg_len" -> (3L * nw <= sl && sl <= 10L * nw),
+        "r_stop" -> (w.count(x => x == "the" || x == "a") >= 2),
+        "r_alpha" -> (5L * w.count(_.exists(_.isLetter)) >= 4L * nw),
+        "r_symbol" -> (10L * ("#|\\.\\.\\.".r.findAllIn(t).size) <= nw))
+      assert(r.getAs[Long]("n_words") === nw)
+      flags.foreach { case (name, v) =>
+        assert(r.getAs[Long](name) === (if (v) 1L else 0L), s"doc=${r.get(0)} $name")
+      }
+      assert(r.getAs[Long]("pass") === (if (flags.values.forall(identity)) 1L else 0L))
+      passes += r.getAs[Long]("pass")
+    }
+    // the corpus must exercise BOTH outcomes or the flags prove nothing
+    assert(passes > 0L && passes < rows.length.toLong)
+  }
+
+  test("select_dsir weights match an in-process hashed-bucket recompute") {
+    def bucket(t: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hex = "0123456789abcdef"
+      ((hex.indexOf(h(0)) * 16 + hex.indexOf(h(1))) % 64).toLong
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").trim.split("\\s+").toSeq))
+    val perDocBucket = docs.map { case (id, lang, w) =>
+      (id, lang, w.map(bucket).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }
+    val raw = perDocBucket.flatMap(_._3).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tgt = perDocBucket.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val score = raw.map { case (b, rc) => b -> 1000000L * (tgt.getOrElse(b, 0L) + 1L) / (rc + 1L) }
+    val rows = TextAnalysis.selectDsir(spark, sf).collect()
+    assert(rows.length === docs.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (_, _, counts) = perDocBucket.find(_._1 == id).get
+      val n = counts.values.sum
+      val wgt = counts.map { case (b, c) => c * score(b) }.sum
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Long]("weight") === wgt, s"doc=$id")
+      assert(r.getAs[Long]("w_per_tok") === wgt / n)
+    }
+    // the synthetic corpus draws every lang from ONE vocabulary, so a
+    // target-vs-rest separation assertion would be vacuous here — assert
+    // the structurally-true lattice properties instead: tgt_b ≤ raw_b
+    // forces every bucket score (hence every per-token weight) onto
+    // (0, DsirScale], and weights are strictly positive
+    rows.foreach { r =>
+      assert(r.getAs[Long]("weight") > 0L)
+      assert(r.getAs[Long]("w_per_tok") <= 1000000L)
+    }
+  }
+
+  test("text_char_diversity matches an in-process collision recompute") {
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = TextAnalysis.textCharDiversity(spark, sf).collect()
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val counts = t.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = t.length.toLong
+      val coll = counts.values.map(c => c * c).sum
+      assert(r.getAs[Long]("n_chars_calc") === n)
+      assert(r.getAs[Long]("n_distinct_chars") === counts.size.toLong)
+      assert(r.getAs[Long]("collision_x") === coll)
+      assert(r.getAs[Long]("simpson_ppm") === 1000000L * coll / (n * n))
+      // Cauchy–Schwarz floor: Σc² ≥ n²/k  ⇔  simpson_ppm ≥ 10⁶/k (floored)
+      assert(coll * counts.size.toLong >= n * n)
+    }
+  }
 }
