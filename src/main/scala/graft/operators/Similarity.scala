@@ -1253,6 +1253,56 @@ object Similarity {
        | CAST(sum(q) AS DOUBLE) / CAST(n_vecs * $KmQ AS DOUBLE) AS mean
        |FROM q, n GROUP BY dim, n_vecs ORDER BY dim""".stripMargin
 
+  // --- embed_source_divergence --------------------------------------------
+  // Pairwise distribution divergence between label groups — the linear-
+  // kernel MMD (Gretton et al., "A Kernel Two-Sample Test", JMLR 2012):
+  // with k(x,y) = ⟨x,y⟩ the squared MMD reduces EXACTLY to
+  // ‖μ_a − μ_b‖², the mean-embedding distance — the screen a data-mixing
+  // pipeline runs to ask "are these two sources/domains the same
+  // distribution in embedding space?" before pooling them. Exactness on
+  // the lattice: components quantize to round(v·2^20) integers in the scan
+  // (the embed_dim_stats idiom), per-(label,dim) sums are associative
+  // BIGINT math, the lattice mean is one truncating integer division
+  // (identical in both engines — Spark `div` and DuckDB `//` both
+  // truncate toward zero, including on negative sums), and the final
+  // Σ_d (m_ad − m_bd)² is pure BIGINT. Scale shape: pure map + ONE
+  // map-side-combinable (label,dim) groupBy (≤ labels·Dim keys — the
+  // shuffle is report-sized at any corpus size); the pair join runs on
+  // the labels·Dim report table, never on vectors.
+  def embedSourceDivergence(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d).select(
+      col("label").cast("long").as("label"),
+      expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $KmQ) AS BIGINT))").as("q"))
+    val dims = e.select(col("label"), posexplode(col("q")).as(Seq("i", "qi")))
+    val means = dims.groupBy(col("label"), col("i"))
+      .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"), expr("s div n").as("m"), col("n"))
+    val a = means.select(col("label").as("label_a"), col("i"),
+      col("m").as("ma"), col("n").as("n_a"))
+    val b = means.select(col("label").as("label_b"), col("i"),
+      col("m").as("mb"), col("n").as("n_b"))
+    a.join(b, Seq("i")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("mmd_l2sq"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val embedSourceDivergenceSql: String =
+    s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+       |  [CAST(round(CAST(x AS DOUBLE) * $KmQ) AS BIGINT) FOR x IN embedding] AS q
+       | FROM embeddings),
+       |dm AS (SELECT label, CAST(i AS BIGINT) AS i, q[CAST(i AS INT)] AS qi
+       | FROM e, range(1, ${Dim + 1}) t(i)),
+       |s AS (SELECT label, i, CAST(sum(qi) AS BIGINT) AS s,
+       |  CAST(count(*) AS BIGINT) AS n FROM dm GROUP BY 1, 2),
+       |m AS (SELECT label, i, s // n AS m, n FROM s)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       | CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b,
+       | CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS mmd_l2sq
+       |FROM m a JOIN m b ON a.i = b.i AND a.label < b.label
+       |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin
+
   // --- embed_knn_graph ----------------------------------------------------
   // k-NN graph construction over the embedding corpus — the shared
   // substrate under graph-based semantic clustering, duplicate-community
@@ -1460,6 +1510,7 @@ object Similarity {
     "embed_class_purity" -> embedClassPurity,
     "embed_knn_label_acc" -> embedKnnLabelAcc,
     "embed_dim_stats" -> embedDimStats,
+    "embed_source_divergence" -> embedSourceDivergence,
     "embed_drift" -> embedDrift,
     "embed_outliers" -> embedOutliers,
     "embed_power_iter" -> embedPowerIter,
@@ -1487,6 +1538,7 @@ object Similarity {
     "embed_knn_recall" -> embedKnnRecallSql,
     "embed_class_purity" -> embedClassPuritySql,
     "embed_knn_label_acc" -> embedKnnLabelAccSql,
+    "embed_source_divergence" -> embedSourceDivergenceSql,
     "embed_dim_stats" -> embedDimStatsSql,
     "embed_drift" -> embedDriftSql,
     "embed_outliers" -> embedOutliersSql,

@@ -469,4 +469,40 @@ class SimilaritySpec extends SparkSpec {
       sims.foreach(s => assert(s >= 0.3))
     }
   }
+
+  test("embed_source_divergence matches a local lattice-MMD recompute") {
+    val kmQ = 1L << 20
+    val rows = graft.sources.Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Int]("label").toLong,
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    val byLabel = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // quantize exactly as the operator does: round(v·2^20) per component —
+    // Spark/DuckDB round() is HALF_UP (away from zero), NOT Math.round
+    // (which floors x+0.5 and disagrees on negative halves) — then BIGINT
+    // sum per (label, dim) and a truncating lattice mean
+    def halfUp(x: Double): Long =
+      new java.math.BigDecimal(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val means = byLabel.map { case (l, vs) =>
+      val dim = vs.head.length
+      l -> ((0 until dim).map { i =>
+        val s = vs.map(v => halfUp(v(i) * kmQ)).sum
+        s / vs.length // Long division truncates toward zero, like `div`
+      }.toArray, vs.length.toLong)
+    }
+    val got = graft.operators.Similarity.queries("embed_source_divergence")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("label_a"), r.getAs[Long]("label_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("mmd_l2sq"))))
+      .toMap
+    val labels = means.keys.toSeq.sorted
+    assert(got.size === labels.combinations(2).size)
+    for (Seq(a, b) <- labels.combinations(2)) {
+      val (ma, na) = means(a)
+      val (mb, nb) = means(b)
+      val l2 = ma.zip(mb).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(got((a, b)) === ((na, nb, l2)), s"pair=($a,$b)")
+    }
+    // MMD² is nonnegative and zero only for identical lattice means
+    got.values.foreach { case (_, _, m) => assert(m >= 0L) }
+  }
 }
