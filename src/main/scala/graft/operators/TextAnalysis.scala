@@ -290,6 +290,66 @@ object TextAnalysis {
        | CAST(count(*) AS DOUBLE)/CAST(max(nl) AS DOUBLE) AS share
        |FROM t GROUP BY 1, 2 ORDER BY lang, tier""".stripMargin
 
+  // --- text_quality_ks ----------------------------------------------------
+  // Exact two-sample Kolmogorov–Smirnov distance between per-source
+  // quality-score distributions — the "did this source's quality profile
+  // shift / do these two crawls match?" screen a curation pipeline runs
+  // before reusing a mixing recipe. The KS statistic sup|F_a − F_b| is
+  // computed EXACTLY on the integer lattice: ks_x = max over the score
+  // grid of |cum_a·n_b − cum_b·n_a| (cross-multiplied empirical CDFs —
+  // zero doubles in the sup; ks_ppm = (10⁶·ks_x) div (n_a·n_b) is the
+  // one lattice division). Decomposition: the corpus collapses to a
+  // (source, iq) histogram in ONE map-side-combinable groupBy; the score
+  // grid is bounded by the (stopword, token-count) lattice (459 values at
+  // sf0.1), NEVER by corpus rows, so grid×sources, the per-source CDF
+  // windows, and the 190-pair join all run on report-sized tables. The
+  // grid broadcast is lattice-BOUNDED (audited in the allowlist).
+  def textQualityKs(spark: SparkSession, d: String): DataFrame = {
+    val scored = scoredDocs(Tables.documents(spark, d), col("doc_id"), col("source"))
+    val hist = scored.groupBy(col("source"), col("iq")).agg(count(lit(1)).as("c"))
+    val grid = hist.select(col("iq")).distinct()
+    val srcN = hist.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy("source").orderBy("iq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = srcN.crossJoin(broadcast(grid))
+      .join(hist, Seq("source", "iq"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum(col("c")).over(w))
+    val a = cum.select(col("source").as("source_a"), col("iq"),
+      col("cum").as("cum_a"), col("n").as("n_a"))
+    val b = cum.select(col("source").as("source_b"), col("iq"),
+      col("cum").as("cum_b"), col("n").as("n_b"))
+    a.join(b, Seq("iq")).filter(col("source_a") < col("source_b"))
+      .withColumn("d", abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("d")).as("ks_x"))
+      .withColumn("ks_ppm", expr("(1000000 * ks_x) div (n_a * n_b)"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val textQualityKsSql: String =
+    s"""WITH m AS (SELECT doc_id, source,
+       |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |q AS (SELECT source,
+       |  ($ScoreScale * CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT))
+       |    // CAST(len(w) AS BIGINT) AS iq FROM m),
+       |h AS (SELECT source, iq, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY 1, 2),
+       |grid AS (SELECT DISTINCT iq FROM h),
+       |sn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+       |f AS (SELECT sn.source, sn.n, grid.iq, COALESCE(h.c, 0) AS c
+       | FROM sn CROSS JOIN grid LEFT JOIN h ON h.source = sn.source AND h.iq = grid.iq),
+       |cm AS (SELECT source, n, iq,
+       |  CAST(sum(c) OVER (PARTITION BY source ORDER BY iq ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       | FROM f)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       | CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b,
+       | CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS BIGINT) AS ks_x,
+       | CAST((1000000 * CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS BIGINT))
+       |   // (CAST(max(a.n) AS BIGINT) * CAST(max(b.n) AS BIGINT)) AS BIGINT) AS ks_ppm
+       |FROM cm a JOIN cm b ON a.iq = b.iq AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   // --- doc_ngram_novelty --------------------------------------------------
   // Per-document n-gram NOVELTY under ingestion order (doc_id): the
   // fraction of a document's distinct 3-word shingles whose corpus-wide
@@ -2103,6 +2163,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_ngram_novelty" -> docNgramNovelty,
     "text_gopher_rules" -> textGopherRules,
+    "text_quality_ks" -> textQualityKs,
     "select_dsir" -> selectDsir,
     "text_char_diversity" -> textCharDiversity,
     "select_quality_tiers" -> selectQualityTiers,
@@ -2148,6 +2209,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "doc_ngram_novelty" -> docNgramNoveltySql,
     "text_gopher_rules" -> textGopherRulesSql,
+    "text_quality_ks" -> textQualityKsSql,
     "select_dsir" -> selectDsirSql,
     "text_char_diversity" -> textCharDiversitySql,
     "select_quality_tiers" -> selectQualityTiersSql,

@@ -948,6 +948,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("text_quality_ks matches an in-process exact KS recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map { r =>
+        val w = r.getAs[String]("text").trim.split("\\s+")
+        r.getAs[String]("source") -> 100000L * w.count(x => x == "the" || x == "a") / w.length
+      }
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val grid = docs.map(_._2).distinct.sorted
+    def cum(src: String): Map[Long, Long] = {
+      var acc = 0L
+      grid.map { x => acc += bySrc(src).count(_ == x); x -> acc }.toMap
+    }
+    val cums = bySrc.keys.map(s => s -> cum(s)).toMap
+    val got = TextAnalysis.textQualityKs(spark, sf).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("ks_x"), r.getAs[Long]("ks_ppm")))).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    assert(got.size === srcs.combinations(2).size)
+    for (Seq(sa, sb) <- srcs.combinations(2)) {
+      val (na, nb) = (bySrc(sa).length.toLong, bySrc(sb).length.toLong)
+      val ks = grid.map(x => math.abs(cums(sa)(x) * nb - cums(sb)(x) * na)).max
+      assert(got((sa, sb)) === ((na, nb, ks, 1000000L * ks / (na * nb))), s"pair=($sa,$sb)")
+    }
+    // KS on the ppm lattice is a [0, 1e6] statistic
+    got.values.foreach { case (_, _, _, ppm) => assert(ppm >= 0L && ppm <= 1000000L) }
+  }
+
   test("text_char_diversity matches an in-process collision recompute") {
     val texts = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
