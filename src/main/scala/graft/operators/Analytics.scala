@@ -762,6 +762,68 @@ object Analytics {
        | UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p)
        |ORDER BY stage""".stripMargin
 
+  // --- q_window_funnel ----------------------------------------------------
+  // Sliding-window funnel depth (the ClickHouse `windowFunnel` /
+  // product-analytics primitive, distinct from q_funnel's single
+  // first-event anchor): EVERY view event anchors a chain — the earliest
+  // click strictly after it, then the earliest purchase strictly after
+  // that click — with the WHOLE chain bounded to anchor + 4 hours
+  // (the narrowest window at which all three depths occur at oracle SF); a
+  // user's depth is the max over their anchors, and the output is the
+  // per-depth user histogram product analytics reads. Greedy
+  // earliest-next is optimal for a fixed anchor, and max-over-anchors
+  // makes the statistic anchor-order-free — fully deterministic on exact
+  // µs timestamps, no floats anywhere. Scale shape: every join hashes on
+  // user_id (co-partitioned chain); the anchor×step range joins carry at
+  // most each user's in-window activity (bounded by per-user rate ×
+  // window, never corpus²); the per-(anchor) mins and per-user max are
+  // map-side combinable; the histogram is ≤ 3 rows.
+  private val WfWindowSec = 14400L
+
+  def qWindowFunnel(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val win = expr(s"INTERVAL $WfWindowSec SECOND")
+    val anchors = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("t1")).distinct()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("tc"))
+    val t2 = anchors.join(clicks, Seq("user_id"))
+      .filter(col("tc") > col("t1") && col("tc") <= col("t1") + win)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("tc")).as("t2"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("tp"))
+    val t3 = t2.join(purchases, Seq("user_id"))
+      .filter(col("tp") > col("t2") && col("tp") <= col("t1") + win)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("tp")).as("t3"))
+    anchors
+      .join(t2, Seq("user_id", "t1"), "left")
+      .join(t3, Seq("user_id", "t1"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L).otherwise(1L).as("dep"))
+      .groupBy(col("user_id")).agg(max(col("dep")).as("depth"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+      .orderBy("depth")
+  }
+
+  val qWindowFunnelSql: String =
+    s"""WITH a AS (SELECT DISTINCT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
+       |c2 AS (SELECT a.user_id, a.t1, min(e.ts) AS t2
+       | FROM a JOIN events e ON e.user_id = a.user_id AND e.event_type = 'click'
+       |  AND e.ts > a.t1 AND e.ts <= a.t1 + INTERVAL $WfWindowSec SECOND
+       | GROUP BY 1, 2),
+       |c3 AS (SELECT c2.user_id, c2.t1, min(e.ts) AS t3
+       | FROM c2 JOIN events e ON e.user_id = c2.user_id AND e.event_type = 'purchase'
+       |  AND e.ts > c2.t2 AND e.ts <= c2.t1 + INTERVAL $WfWindowSec SECOND
+       | GROUP BY 1, 2),
+       |dep AS (SELECT a.user_id,
+       |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS dep
+       | FROM a LEFT JOIN c2 ON a.user_id = c2.user_id AND a.t1 = c2.t1
+       |        LEFT JOIN c3 ON a.user_id = c3.user_id AND a.t1 = c3.t1),
+       |pu AS (SELECT user_id, CAST(max(dep) AS BIGINT) AS depth FROM dep GROUP BY 1)
+       |SELECT depth, CAST(count(*) AS BIGINT) AS n_users FROM pu
+       |GROUP BY 1 ORDER BY depth""".stripMargin
+
   // --- q_latest_by_key ----------------------------------------------------
   // CDC / upsert compaction: the latest record per key — the MERGE-INTO /
   // snapshot primitive every changelog-shaped pipeline runs (Debezium
@@ -2675,6 +2737,7 @@ object Analytics {
     "q_skew_join" -> qSkewJoin,
     "q_retention" -> qRetention,
     "q_funnel" -> qFunnel,
+    "q_window_funnel" -> qWindowFunnel,
     "q_pivot" -> qPivot,
     "q_grouping_sets" -> qGroupingSets,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -2742,6 +2805,7 @@ object Analytics {
     "q_skew_join" -> qSkewJoinSql,
     "q_retention" -> qRetentionSql,
     "q_funnel" -> qFunnelSql,
+    "q_window_funnel" -> qWindowFunnelSql,
     "q_pivot" -> qPivotSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q1_pricing_summary" -> q1Sql,

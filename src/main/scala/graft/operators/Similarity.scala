@@ -945,6 +945,59 @@ object Similarity {
        |SELECT cid, count(*) AS n_vecs, min(csim) AS min_sim, max(csim) AS max_sim
        |FROM asg WHERE arn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- select_cluster_balanced --------------------------------------------
+  // Cluster-balanced diversity selection (the "cluster then sample
+  // uniformly per cluster" stage of SemDeDup/DataComp-style curation
+  // pipelines): assign every vector to its IVF cell, then keep a fixed
+  // QUOTA per cell in deterministic md5 order — a uniform per-cluster
+  // sample that caps any one topic's share of the selected subset.
+  // Exactness: assignment is the literal-centroid argmax (embed_cluster's
+  // rule), the per-cell order is (md5(vec_id), vec_id) — engine-identical
+  // hex strings, no float ties anywhere. Scale shape: assignment is a
+  // scan projection; the per-cell top-Q runs TWO-PHASE because cells are
+  // FEW (16) — a single cid-partitioned window would drain the corpus
+  // through 16 reducers, so phase 1 ranks within (cid, salt) shards
+  // (32-way map-spread, output ≤ cells·salts·quota rows) and phase 2
+  // ranks that report-sized table; the global top-Q per cell is a subset
+  // of its shards' top-Qs by construction. The oracle keeps the single
+  // direct window.
+  private val SelQuota = 8L
+  private val SelSalts = 32L
+
+  def selectClusterBalanced(spark: SparkSession, d: String): DataFrame = {
+    val cents = seedCentroids(spark, d)
+    val asg = vectors(spark, d)
+      .select(col("vec_id"), (-bestCentroid(cents).getField("ncid")).cast("long").as("cid"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .withColumn("salt", expr(
+        s"""((locate(substring(h, 1, 1), '0123456789abcdef') - 1) * 16 +
+           |  locate(substring(h, 2, 1), '0123456789abcdef') - 1) % $SelSalts""".stripMargin))
+    val sizes = asg.groupBy(col("cid")).agg(count(lit(1)).as("n_cell"))
+    val w1 = Window.partitionBy("cid", "salt").orderBy(asc("h"), asc("vec_id"))
+    val w2 = Window.partitionBy("cid").orderBy(asc("h"), asc("vec_id"))
+    asg.withColumn("r1", row_number().over(w1)).filter(col("r1") <= SelQuota)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= SelQuota)
+      .join(sizes, Seq("cid"))
+      .select(col("cid"), col("rank"), col("vec_id"), col("n_cell"))
+      .orderBy("cid", "rank")
+  }
+
+  val selectClusterBalancedSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |s AS (SELECT vec_id, cid, ${CosSqlFor("v", "cv")} AS csim FROM e CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS arn FROM s),
+       |m AS (SELECT vec_id, cid, md5(CAST(vec_id AS VARCHAR)) AS h FROM asg WHERE arn = 1),
+       |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_cell FROM m GROUP BY 1),
+       |r AS (SELECT cid, vec_id,
+       |  CAST(row_number() OVER (PARTITION BY cid ORDER BY h, vec_id) AS BIGINT) AS rank FROM m)
+       |SELECT r.cid AS cid, rank, vec_id, n_cell
+       |FROM r JOIN sz ON r.cid = sz.cid WHERE rank <= $SelQuota
+       |ORDER BY cid, rank""".stripMargin
+
   // --- embed_kmeans_step --------------------------------------------------
   // One Lloyd iteration from the seed quantizer — the training step that
   // turns seed centroids into data-fitted ones (at scale you iterate this
@@ -1511,6 +1564,7 @@ object Similarity {
     "embed_knn_label_acc" -> embedKnnLabelAcc,
     "embed_dim_stats" -> embedDimStats,
     "embed_source_divergence" -> embedSourceDivergence,
+    "select_cluster_balanced" -> selectClusterBalanced,
     "embed_drift" -> embedDrift,
     "embed_outliers" -> embedOutliers,
     "embed_power_iter" -> embedPowerIter,
@@ -1539,6 +1593,7 @@ object Similarity {
     "embed_class_purity" -> embedClassPuritySql,
     "embed_knn_label_acc" -> embedKnnLabelAccSql,
     "embed_source_divergence" -> embedSourceDivergenceSql,
+    "select_cluster_balanced" -> selectClusterBalancedSql,
     "embed_dim_stats" -> embedDimStatsSql,
     "embed_drift" -> embedDriftSql,
     "embed_outliers" -> embedOutliersSql,

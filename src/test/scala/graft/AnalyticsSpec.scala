@@ -872,4 +872,34 @@ class AnalyticsSpec extends SparkSpec {
       .map(_.getAs[Long]("s_suppkey")).toSet
     assert(got === expected && got.nonEmpty)
   }
+
+  test("q_window_funnel matches a per-anchor greedy recompute") {
+    import org.apache.spark.sql.functions.unix_micros
+    val winUs = 14400L * 1000000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Long]("us")))
+    val byUser = ev.groupBy(_._1)
+    val depths = byUser.map { case (u, es) =>
+      def of(t: String) = es.filter(_._2 == t).map(_._3).sorted
+      val (views, clicks, purchases) = (of("view"), of("click"), of("purchase"))
+      val perAnchor = views.distinct.map { t1 =>
+        clicks.find(tc => tc > t1 && tc <= t1 + winUs) match {
+          case None => 1L
+          case Some(t2) =>
+            if (purchases.exists(tp => tp > t2 && tp <= t1 + winUs)) 3L else 2L
+        }
+      }
+      val depth = if (perAnchor.isEmpty) 0L else perAnchor.max
+      u -> depth
+    }.filter(_._2 > 0L)
+    val expected = depths.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = Analytics.qWindowFunnel(spark, sf).collect()
+      .map(r => r.getAs[Long]("depth") -> r.getAs[Long]("n_users")).toMap
+    assert(got === expected)
+    // greedy-earliest is optimal for a fixed anchor, so depth counts are a
+    // partition of viewing users
+    assert(got.values.sum === depths.size.toLong)
+  }
 }

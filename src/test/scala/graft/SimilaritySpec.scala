@@ -470,6 +470,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("select_cluster_balanced matches a local assign + md5-order recompute") {
+    val raw = graft.sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cents = (100L until 116L).map(raw(_))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // operator tie-break: max (csim, -cid) struct = best cosine, then
+    // SMALLER cid
+    val assign = raw.view.mapValues { v =>
+      cents.zipWithIndex.map { case (c, i) => (cos(v, c), -i) }.max._2 * -1
+    }.toMap
+    val expected = assign.groupBy(_._2).flatMap { case (cid, members) =>
+      val ordered = members.keys.toSeq.sortBy(id => (md5hex(id.toString), id))
+      ordered.take(8).zipWithIndex.map { case (id, i) =>
+        (cid.toLong, (i + 1).toLong) -> ((id, members.size.toLong))
+      }
+    }
+    val got = graft.operators.Similarity.queries("select_cluster_balanced")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("vec_id"), r.getAs[Long]("n_cell")))).toMap
+    assert(got === expected)
+    // every cell is represented with at most the quota
+    assert(got.keys.map(_._1).toSet.size === 16)
+    got.keys.groupBy(_._1).values.foreach(rs => assert(rs.size <= 8))
+  }
+
   test("embed_source_divergence matches a local lattice-MMD recompute") {
     val kmQ = 1L << 20
     val rows = graft.sources.Tables.embeddings(spark, sf).collect()
