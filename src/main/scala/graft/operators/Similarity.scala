@@ -964,9 +964,16 @@ object Similarity {
   private val SelQuota = 8L
   private val SelSalts = 32L
 
-  def selectClusterBalanced(spark: SparkSession, d: String): DataFrame = {
-    val cents = seedCentroids(spark, d)
-    val asg = vectors(spark, d)
+  def selectClusterBalanced(spark: SparkSession, d: String): DataFrame =
+    selectClusterBalancedFrom(vectors(spark, d), seedCentroids(spark, d))
+
+  /** Core for [[selectClusterBalanced]] over an explicit (vec_id, v)
+    * frame and centroid set — exposed so the randomized decomposition
+    * spec can pin the two-phase salted rank against a direct per-cell
+    * sort on constructed corpora (cells below/above quota, shard-edge
+    * collisions). */
+  def selectClusterBalancedFrom(e: DataFrame, cents: Seq[Array[Double]]): DataFrame = {
+    val asg = e
       .select(col("vec_id"), (-bestCentroid(cents).getField("ncid")).cast("long").as("cid"))
       .withColumn("h", md5(col("vec_id").cast("string")))
       .withColumn("salt", expr(

@@ -304,8 +304,16 @@ object TextAnalysis {
   // sf0.1), NEVER by corpus rows, so grid×sources, the per-source CDF
   // windows, and the 190-pair join all run on report-sized tables. The
   // grid broadcast is lattice-BOUNDED (audited in the allowlist).
-  def textQualityKs(spark: SparkSession, d: String): DataFrame = {
-    val scored = scoredDocs(Tables.documents(spark, d), col("doc_id"), col("source"))
+  def textQualityKs(spark: SparkSession, d: String): DataFrame =
+    textQualityKsFrom(Tables.documents(spark, d))
+
+  /** DataFrame-in core for [[textQualityKs]] (docs needs doc_id, source,
+    * text) — exposed so the randomized decomposition spec can pin the
+    * grid/cross-multiplied-CDF sup against a direct per-pair brute force
+    * on constructed corpora (score ties, single-doc sources, disjoint
+    * supports). */
+  def textQualityKsFrom(docs: DataFrame): DataFrame = {
+    val scored = scoredDocs(docs, col("doc_id"), col("source"))
     val hist = scored.groupBy(col("source"), col("iq")).agg(count(lit(1)).as("c"))
     val grid = hist.select(col("iq")).distinct()
     val srcN = hist.groupBy(col("source")).agg(sum(col("c")).as("n"))

@@ -87,6 +87,82 @@ class RandomizedDecompositionSpec extends SparkSpec {
     }
   }
 
+  test("randomized: quality-KS sup equals the per-pair brute force on 10 seeded corpora") {
+    import spark.implicits._
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed)
+      val srcs = (0 until 2 + rnd.nextInt(4)).map(i => s"s$i")
+      // score ties across sources are the interesting case: draw from a
+      // tiny (k, n) lattice so collisions are dense
+      val docs = srcs.flatMap { src =>
+        (0 until 1 + rnd.nextInt(30)).map { i =>
+          val n = 1 + rnd.nextInt(5)
+          val k = rnd.nextInt(n + 1)
+          val text = (Seq.fill(k)("the") ++ Seq.fill(n - k)("x")).mkString(" ")
+          (srcs.indexOf(src) * 1000L + i, src, text)
+        }
+      }
+      val got = TextAnalysis.textQualityKsFrom(docs.toDF("doc_id", "source", "text"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+            r.getAs[Long]("ks_x"), r.getAs[Long]("ks_ppm")))).toMap
+      val scores = docs.groupBy(_._2).view.mapValues(_.map { case (_, _, t) =>
+        val w = t.split(" ")
+        100000L * w.count(_ == "the") / w.length
+      }).toMap
+      val grid = scores.values.flatten.toSeq.distinct.sorted
+      val expected = (for (Seq(a, b) <- srcs.sorted.combinations(2)) yield {
+        val (na, nb) = (scores(a).size.toLong, scores(b).size.toLong)
+        val ks = grid.map { x =>
+          math.abs(scores(a).count(_ <= x) * nb - scores(b).count(_ <= x) * na)
+        }.max
+        (a, b) -> ((na, nb, ks, 1000000L * ks / (na * nb)))
+      }).toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("randomized: cluster-balanced selection equals the per-cell sort on 10 seeded corpora") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed)
+      val dim = 4 + rnd.nextInt(5)
+      val nCents = 2 + rnd.nextInt(15)
+      val cents = Seq.fill(nCents)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+      // cells below AND above the quota of 8: cluster sizes 1..40
+      val vecs = (0 until 5 + rnd.nextInt(120)).map { i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+      }
+      val got = graft.operators.Similarity
+        .selectClusterBalancedFrom(vecs.toDF("vec_id", "v"), cents)
+        .collect()
+        .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("rank")) ->
+          ((r.getAs[Long]("vec_id"), r.getAs[Long]("n_cell")))).toMap
+      // brute force: same cosine fold, argmax with smaller-cid tie, md5
+      // order, take 8
+      def cos(a: Seq[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < b.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dot / math.sqrt(na * nb)
+      }
+      val assign = vecs.map { case (id, v) =>
+        id -> (cents.zipWithIndex.map { case (c, ci) => (cos(v, c), -ci) }.max._2 * -1).toLong
+      }
+      val expected = assign.groupBy(_._2).flatMap { case (cid, members) =>
+        val ordered = members.map(_._1).sortBy(id => (md5hex(id.toString), id))
+        ordered.take(8).zipWithIndex.map { case (id, i) =>
+          (cid, (i + 1).toLong) -> ((id, members.size.toLong))
+        }
+      }
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("randomized: hll intersection equals the register simulation on 5 seeded corpora") {
     import spark.implicits._
     val M = 64
