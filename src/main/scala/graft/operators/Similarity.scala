@@ -856,6 +856,78 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank FROM sc)
        |SELECT qid, rank, vec_id, score FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // --- ann_ivfpq ----------------------------------------------------------
+  // IVF + PQ fused — the canonical billion-scale index shape (FAISS
+  // IndexIVFPQ; Jégou et al. TPAMI'11 §VI): the corpus row's RESIDENT
+  // state is (cell id, 8 code nibbles) — coarse quantizer for pruning,
+  // product codes for memory — each query probes only its NProbe cells
+  // and pays ADC scoring on ~NProbe/NumCells of the corpus instead of
+  // all of it (ann_pq scans every code; ann_ivf stores full vectors —
+  // this is the missing fusion both deployments actually ship).
+  // Exactness: cell assignment and probe choice are ann_ivf's exact
+  // machinery, codes are pq_encode's deterministic argmin, the ADC sum
+  // is the same ascending subspace fold as ann_pq — no new float paths.
+  // Scale shape: assignment + encoding are ONE scan projection (pure
+  // map); the probe set is NumQueries·NProbe rows (bounded broadcast,
+  // allowlisted); the cid equijoin prunes the corpus to probed cells
+  // BEFORE any scoring; only (queries × K) rows survive the window.
+  def annIvfPq(spark: SparkSession, d: String): DataFrame = {
+    val e = vectors(spark, d)
+    val cents = seedCentroids(spark, d)
+    val cb = pqCodebooks(cents)
+    val cbLit = array(cb.map(sub =>
+      array(sub.map(w => array(w.toSeq.map(lit): _*)): _*)): _*)
+    val corpus = e.select(col("vec_id"),
+      (-bestCentroid(cents).getField("ncid")).cast("long").as("cid"),
+      call_function("pq_encode", col("v"), cbLit).as("code"))
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(slice(sort_array(array(centroidStructs(cents): _*), asc = false),
+          1, NProbe)).as("sc"))
+      .select(col("qid"), col("qv"), (-col("sc.ncid")).cast("long").as("cid"))
+    val score = (0 until PqSub).map { s =>
+      aggregate(
+        zip_with(
+          slice(col("qv"), s * PqSubDim + 1, PqSubDim),
+          element_at(element_at(cbLit, s + 1), element_at(col("code"), s + 1) + 1),
+          (x, y) => x * y),
+        lit(0.0), (a, x) => a + x)
+    }.reduce(_ + _)
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
+    corpus.join(broadcast(probes), Seq("cid"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("qid", "rank", "vec_id", "score")
+      .orderBy("qid", "rank")
+  }
+
+  val annIvfPqSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id - $CentroidBase AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + NumCells}),
+       |asg AS (SELECT vec_id, v, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${CosSqlFor("v", "cv")} DESC, cid) AS arn
+       |  FROM e CROSS JOIN c),
+       |cell AS (SELECT vec_id, v, cid FROM asg WHERE arn = 1),
+       |cw AS (SELECT cid, s, [cv[CAST(s*$PqSubDim + i AS INT)] FOR i IN range(1, ${PqSubDim + 1})] AS w
+       |       FROM c, range(0, $PqSub) t(s)),
+       |enc AS (SELECT vec_id, s, cw.cid AS code, row_number() OVER (PARTITION BY vec_id, s ORDER BY
+       |    list_reduce(list_prepend(0.0, [(v[CAST(s*$PqSubDim + i AS INT)] - w[CAST(i AS INT)]) * (v[CAST(s*$PqSubDim + i AS INT)] - w[CAST(i AS INT)]) FOR i IN range(1, ${PqSubDim + 1})]), (a, x) -> a + x), cw.cid) AS rn
+       |  FROM e CROSS JOIN cw),
+       |code AS (SELECT vec_id, s, code FROM enc WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, cid FROM asg WHERE vec_id < $NumQueries AND arn <= $NProbe),
+       |part AS (SELECT q.qid, cell.vec_id, code.s,
+       |    list_reduce(list_prepend(0.0, [qv[CAST(code.s*$PqSubDim + i AS INT)] * w[CAST(i AS INT)] FOR i IN range(1, ${PqSubDim + 1})]), (a, x) -> a + x) AS dt
+       |  FROM cell JOIN q USING (cid)
+       |  JOIN code ON code.vec_id = cell.vec_id
+       |  JOIN cw ON cw.s = code.s AND cw.cid = code.code),
+       |sc AS (SELECT qid, vec_id, list_reduce(list_prepend(0.0, list(dt ORDER BY s)), (a, x) -> a + x) AS score
+       |       FROM part GROUP BY qid, vec_id),
+       |r AS (SELECT qid, vec_id, score,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank FROM sc)
+       |SELECT qid, rank, vec_id, score FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   // --- ann_refine ---------------------------------------------------------
   // PQ shortlist + exact re-rank — the two-stage refine deployment every
   // production PQ index runs (FAISS IndexRefineFlat; Jégou et al.
@@ -1583,6 +1655,7 @@ object Similarity {
     "embed_sim_hist" -> embedSimHist,
     "ann_quantized" -> annQuantized,
     "ann_pq" -> annPq,
+    "ann_ivfpq" -> annIvfPq,
     "ann_refine" -> annRefine,
     "ann_recall" -> annRecall,
     "ann_nprobe_sweep" -> annNprobeSweep,
@@ -1613,6 +1686,7 @@ object Similarity {
     "embed_sim_hist" -> embedSimHistSql,
     "ann_quantized" -> annQuantizedSql,
     "ann_pq" -> annPqSql,
+    "ann_ivfpq" -> annIvfPqSql,
     "ann_refine" -> annRefineSql,
     "ann_recall" -> annRecallSql,
     "ann_nprobe_sweep" -> annNprobeSweepSql,

@@ -154,6 +154,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfpq ANN equals the local cell-pruned ADC ranking bitwise") {
+    val raw = graft.sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cents = (100L until 116L).map(raw(_))
+    val cb = (0 until 8).map(s => cents.map(_.slice(s * 8, s * 8 + 8)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    def code(v: Array[Double]): Seq[Int] =
+      (0 until 8).map { s =>
+        cb(s).zipWithIndex.map { case (w, c) =>
+          ((0 until 8).map { i => val d = v(s * 8 + i) - w(i); d * d }.reduce(_ + _), c)
+        }.min._2
+      }
+    def adc(q: Array[Double], cd: Seq[Int]): Double =
+      (0 until 8).map { s =>
+        q.slice(s * 8, s * 8 + 8).zip(cb(s)(cd(s))).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      }.reduce(_ + _)
+    // cell assignment: argmax cosine, smaller cid on ties (max (csim, -cid))
+    val cell = raw.view.mapValues { v =>
+      cents.zipWithIndex.map { case (c, i) => (cos(v, c), -i) }.max._2 * -1
+    }.toMap
+    val codes = raw.map { case (id, v) => id -> code(v) }
+    val got = Similarity.queries("ann_ivfpq")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      // query probes its 2 best cells; candidates = members of those cells
+      val probed = cents.indices
+        .map(i => (cos(raw(qid), cents(i)), -i)).sorted.reverse.take(2).map(_._2 * -1).toSet
+      val expTop = codes.toSeq
+        .filter { case (vid, _) => probed.contains(cell(vid)) }
+        .map { case (vid, cd) => (vid, adc(raw(qid), cd)) }
+        .sortBy { case (vid, s) => (-s, vid) }.take(10)
+      val gotTop = rs.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSeq
+      assert(gotTop === expTop, s"qid=$qid")
+      // self-hit: a query lands in its own best cell, which it probes
+      assert(rs.exists(_.getAs[Long]("vec_id") == qid))
+    }
+  }
+
   test("quantized ANN matches a local int8 dot-product recomputation") {
     val raw = graft.sources.Tables.embeddings(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
