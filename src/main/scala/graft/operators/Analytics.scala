@@ -780,8 +780,14 @@ object Analytics {
   // map-side combinable; the histogram is ≤ 3 rows.
   private val WfWindowSec = 14400L
 
-  def qWindowFunnel(spark: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(spark, d)
+  def qWindowFunnel(spark: SparkSession, d: String): DataFrame =
+    qWindowFunnelFrom(Tables.events(spark, d))
+
+  /** DataFrame-in core for [[qWindowFunnel]] (events needs user_id,
+    * event_type, ts) — exposed so the randomized spec can pin the
+    * greedy-chain semantics on constructed streams with timestamp
+    * collisions and window-edge events. */
+  def qWindowFunnelFrom(ev: DataFrame): DataFrame = {
     val win = expr(s"INTERVAL $WfWindowSec SECOND")
     val anchors = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("t1")).distinct()

@@ -421,13 +421,20 @@ object TextAnalysis {
   // hash-portable with no doubles at all. PURE MAP — all six flags compute
   // in the scan's project list from one tokenization; no explode, no
   // shuffle, embarrassingly parallel at any corpus size.
-  def textGopherRules(spark: SparkSession, d: String): DataFrame = {
+  def textGopherRules(spark: SparkSession, d: String): DataFrame =
+    textGopherRulesFrom(Tables.documents(spark, d))
+
+  /** DataFrame-in core for [[textGopherRules]] (docs needs doc_id, text) —
+    * exposed so the randomized spec can pin every rule at its exact
+    * integer boundary (nw = 49/50, Σlen = 3·nw and 10·nw, stopn = 1/2,
+    * the 80% alphabetic edge, the 0.1 symbol-ratio edge). */
+  def textGopherRulesFrom(docs: DataFrame): DataFrame = {
     val nw = size(col("w")).cast("long")
     val sumLen = expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)")
     val stopn = size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long")
     val alphan = size(expr("filter(w, x -> x rlike '[a-zA-Z]')")).cast("long")
     val symn = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("long")
-    Tables.documents(spark, d)
+    docs
       .select(col("doc_id"), col("text"), words.as("w"))
       .select(col("doc_id"), nw.as("nw"), sumLen.as("sl"), stopn.as("stopn"),
         alphan.as("alphan"), symn.as("symn"))

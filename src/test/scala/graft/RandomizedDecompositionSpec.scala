@@ -5,6 +5,7 @@ import scala.util.Random
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Analytics, Sketches, TextAnalysis}
+import org.apache.spark.sql.functions.timestamp_seconds
 
 /** Randomized brute-force checks for the round-12 decompositions — the
   * r11 pattern (seeded corpora, exact equality, no epsilon) applied to the
@@ -160,6 +161,74 @@ class RandomizedDecompositionSpec extends SparkSpec {
         }
       }
       assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("randomized: window-funnel depth equals the greedy recompute under ts collisions") {
+    import spark.implicits._
+    val winSec = 14400L
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed)
+      val types = Seq("view", "click", "purchase")
+      // coarse hour lattice over ~5 window-widths: dense exact-collision
+      // and exact-window-edge (tc == t1 + W) cases by construction
+      val ev = (0 until 40 + rnd.nextInt(160)).map { i =>
+        (i.toLong, 1L + rnd.nextInt(8),
+          types(rnd.nextInt(3)), rnd.nextInt(20).toLong * 3600L)
+      }
+      val df = ev.toDF("event_id", "user_id", "event_type", "sec")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_seconds(col("sec")).as("ts"))
+      val got = Analytics.qWindowFunnelFrom(df).collect()
+        .map(r => r.getAs[Long]("depth") -> r.getAs[Long]("n_users")).toMap
+      val expected = ev.groupBy(_._2).flatMap { case (_, es) =>
+        def of(t: String) = es.filter(_._3 == t).map(_._4).sorted
+        val (views, clicks, purchases) = (of("view"), of("click"), of("purchase"))
+        val perAnchor = views.distinct.map { t1 =>
+          clicks.find(tc => tc > t1 && tc <= t1 + winSec) match {
+            case None => 1L
+            case Some(t2) =>
+              if (purchases.exists(tp => tp > t2 && tp <= t1 + winSec)) 3L else 2L
+          }
+        }
+        if (perAnchor.isEmpty) None else Some(perAnchor.max)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("randomized: gopher-rule flags are exact at every integer boundary") {
+    import spark.implicits._
+    // pool chosen to strike each boundary: 'the'/'a' (stop + short),
+    // '###'/'...' (symbols, no letters), '1234' (no letters), long words
+    // for the mean-length edges
+    val pool = Seq("the", "a", "x", "abcd", "1234", "###", "...",
+      "abcdefghij", "abcdefghijklmno")
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed)
+      val docs = (0 until 30).map { i =>
+        // straddle the 50-word bound tightly
+        val n = 45 + rnd.nextInt(10)
+        (i.toLong, Seq.fill(n)(pool(rnd.nextInt(pool.length))).mkString(" "))
+      }
+      val got = TextAnalysis.textGopherRulesFrom(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          Seq("n_words", "r_words", "r_avg_len", "r_stop", "r_alpha", "r_symbol", "pass")
+            .map(c => r.getAs[Long](c))).toMap
+      docs.foreach { case (id, t) =>
+        val w = t.split(" ")
+        val nw = w.length.toLong
+        val sl = w.map(_.length.toLong).sum
+        val rw = if (nw >= 50 && nw <= 100000) 1L else 0L
+        val rl = if (3 * nw <= sl && sl <= 10 * nw) 1L else 0L
+        val rs = if (w.count(x => x == "the" || x == "a") >= 2) 1L else 0L
+        val ra = if (5L * w.count(_.exists(_.isLetter)) >= 4L * nw) 1L else 0L
+        val sym = "#|\\.\\.\\.".r.findAllIn(t).size.toLong
+        val ry = if (10L * sym <= nw) 1L else 0L
+        val pass = rw & rl & rs & ra & ry
+        assert(got(id) === Seq(nw, rw, rl, rs, ra, ry, pass), s"seed=$seed doc=$id")
+      }
     }
   }
 
