@@ -548,6 +548,22 @@ class SimilaritySpec extends SparkSpec {
     got.keys.groupBy(_._1).values.foreach(rs => assert(rs.size <= 8))
   }
 
+  test("select_cluster_balanced plan ranks in (cid, salt) shards before the cid window") {
+    // the structural guard for the two-phase top-Q: phase 1's Window must
+    // partition by BOTH cid and salt (32-way map-spread) and appear below
+    // phase 2's cid-only Window — a single cid window would drain the
+    // corpus through |cells| = 16 reducers at scale
+    val plan = graft.operators.Similarity.queries("select_cluster_balanced")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val saltShard = "\\[cid#\\d+L?, salt#\\d+".r.findFirstIn(plan)
+    assert(saltShard.isDefined, s"no (cid, salt)-partitioned window in:\n$plan")
+    // both windows present: one partitioned (cid, salt), one cid-only
+    val winDefs = "windowspecdefinition\\(cid#\\d+L?(, salt#\\d+L?)?,".r
+      .findAllIn(plan).toSeq
+    assert(winDefs.exists(_.contains("salt")) && winDefs.exists(!_.contains("salt")),
+      s"expected both shard and final windows, got: $winDefs")
+  }
+
   test("embed_source_divergence matches a local lattice-MMD recompute") {
     val kmQ = 1L << 20
     val rows = graft.sources.Tables.embeddings(spark, sf).collect()
