@@ -2697,7 +2697,130 @@ object Analytics {
        |WHERE q*3 > tq*2
        |ORDER BY s_suppkey""".stripMargin
 
+  // --- q_attribution ------------------------------------------------------
+  // Last-touch marketing attribution (the standard-model baseline of the
+  // Shapley/Markov attribution literature, e.g. Dalessandro et al. 2012):
+  // each purchase credits the user's LATEST preceding click-or-view within
+  // a 4-hour lookback; purchases with no qualifying touch credit 'direct'.
+  // Revenue stays on the integer cents lattice until the one final
+  // division, so per-channel sums are order-free and hash-portable.
+  // Scale shape: ONE hash join on user_id (purchases and touches
+  // co-partitioned); candidate rows per purchase are bounded by that
+  // user's 4h activity (per-user rate × window, never corpus²); the
+  // per-purchase argmax is a map-side-combinable struct-max — no window
+  // over the join output — and the channel rollup is ≤ 3 rows.
+  private val AttrWindowSec = 14400L
+
+  def qAttribution(spark: SparkSession, d: String): DataFrame =
+    qAttributionFrom(Tables.events(spark, d))
+
+  /** DataFrame-in core for [[qAttribution]] (events needs event_id,
+    * user_id, event_type, ts, value) — exposed so the randomized spec can
+    * pin the struct-max argmax against a direct window formulation on
+    * constructed streams (timestamp ties, window-edge touches, users with
+    * no touch). */
+  def qAttributionFrom(ev: DataFrame): DataFrame = {
+    val win = expr(s"INTERVAL $AttrWindowSec SECOND")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("tp"), cents(col("value")).as("vc"))
+    val t = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("tt"),
+        col("event_id").as("tid"), col("event_type").as("touch"))
+    val best = p.join(t, Seq("user_id"))
+      .filter(col("tt") < col("tp") && col("tt") >= col("tp") - win)
+      .groupBy(col("pid"))
+      // latest (tt, tid) wins; struct order never reaches `touch`
+      // because tid is unique
+      .agg(max(struct(col("tt"), col("tid"), col("touch")))
+        .getField("touch").as("t_touch"))
+    p.join(best, Seq("pid"), "left")
+      .select(coalesce(col("t_touch"), lit("direct")).as("touch"), col("vc"))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_conv"), (sum(col("vc")) / 100.0).as("revenue"))
+      .orderBy("touch")
+  }
+
+  val qAttributionSql: String =
+    s"""WITH p AS (SELECT event_id AS pid, user_id, ts AS tp,
+       |  CAST(round(value*100) AS BIGINT) AS vc
+       | FROM events WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, ts AS tt, event_id AS tid, event_type AS touch
+       | FROM events WHERE event_type IN ('click', 'view')),
+       |j AS (SELECT p.pid, t.touch,
+       |  row_number() OVER (PARTITION BY p.pid ORDER BY t.tt DESC, t.tid DESC) AS rn
+       | FROM p JOIN t ON p.user_id = t.user_id
+       |  AND t.tt < p.tp AND t.tt >= p.tp - INTERVAL $AttrWindowSec SECOND),
+       |a AS (SELECT p.pid, p.vc, coalesce(j.touch, 'direct') AS touch
+       | FROM p LEFT JOIN j ON p.pid = j.pid AND j.rn = 1)
+       |SELECT touch, count(*) AS n_conv,
+       | CAST(sum(vc) AS BIGINT)/100.0 AS revenue
+       |FROM a GROUP BY 1 ORDER BY touch""".stripMargin
+
+  // --- q_session_paths ----------------------------------------------------
+  // Top session paths (the product-analytics "user flow" report): reuse
+  // the gap>30min sessionization, take each session's first three event
+  // types in exact (ts, event_id) order, and count sessions per '>'-joined
+  // path. Deterministic: the path is a pure function of the event order,
+  // and the report is VALUE-sorted (n desc, path) — no sampled tie-break.
+  // Scale shape: both window passes partition by user_id (per-user data,
+  // co-partitioned with the sessionizer's shuffle); the rank-≤-3 filter
+  // drops the corpus to ≤ 3 rows per session BEFORE the pivot; the path
+  // rollup is bounded by |event_types|³ + shorter prefixes (≤ 155 rows
+  // here), a report-sized table at any corpus size.
+  def qSessionPaths(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, d)
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull, 1L)
+          .when(col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+    val ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    sess.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id", "session_id")
+      .agg(concat_ws(">",
+        max(when(col("rn") === 1, col("event_type"))),
+        max(when(col("rn") === 2, col("event_type"))),
+        max(when(col("rn") === 3, col("event_type")))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+  }
+
+  val qSessionPathsSql: String =
+    """WITH flagged AS (
+      | SELECT user_id, event_id, ts, event_type,
+      |  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |       WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+      |       ELSE 0 END AS new_sess
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      | SELECT user_id, event_id, ts, event_type,
+      |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM flagged
+      |), ranked AS (
+      | SELECT user_id, session_id, event_type,
+      |  row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn
+      | FROM sess
+      |), paths AS (
+      | SELECT user_id, session_id,
+      |  concat_ws('>',
+      |    max(CASE WHEN rn = 1 THEN event_type END),
+      |    max(CASE WHEN rn = 2 THEN event_type END),
+      |    max(CASE WHEN rn = 3 THEN event_type END)) AS path
+      | FROM ranked WHERE rn <= 3 GROUP BY 1, 2
+      |)
+      |SELECT path, count(*) AS n_sessions FROM paths
+      |GROUP BY 1 ORDER BY n_sessions DESC, path""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> qAttribution,
+    "q_session_paths" -> qSessionPaths,
     "q8_market_share" -> q8MarketShare,
     "q_bitmap_intersect" -> qBitmapIntersect,
     "q9_product_profit" -> q9ProductProfit,
@@ -2766,6 +2889,8 @@ object Analytics {
     "q18_large_orders" -> q18LargeOrders)
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" -> qAttributionSql,
+    "q_session_paths" -> qSessionPathsSql,
     "q8_market_share" -> q8MarketShareSql,
     "q_bitmap_intersect" -> qBitmapIntersectSql,
     "q9_product_profit" -> q9ProductProfitSql,

@@ -247,13 +247,84 @@ object Graph {
     replaced
   }
 
+  // --- graph_link_pred ----------------------------------------------------
+  // Resource-allocation link prediction (Zhou, Lü & Zhang 2009 — the
+  // common-neighbor index that outperforms Adamic-Adar while needing no
+  // logarithm): for every NON-adjacent pair (a,b) with ≥1 common neighbor
+  // z, score = Σ_z 1/deg(z). In a dedup graph a high-RA non-edge is a pair
+  // the verifier never compared but that shares many low-degree neighbors
+  // — exactly the "missed duplicate" audit candidates. Exactness: each
+  // center contributes RaScale div deg(z) on the integer lattice, so the
+  // pair sum is order-free and hash-portable; ONE final division renders
+  // the double. Scale shape: the wedge self-join fans out from each
+  // CENTER, so volume is Σ_z deg(z)² — bounded because verified-pair
+  // degrees are duplicate-density-bounded (the LSH band cap bounds
+  // per-doc candidates upstream, the same bound triangle counting leans
+  // on); edge membership attaches via one hash left-join flag, and the
+  // top-20 is a value-ordered limit, never a partition-less window.
+  // The report keeps BOTH edge and non-edge pairs with an is_edge flag:
+  // near-dup clusters are often perfect cliques (graph_cluster_density's
+  // finding), so a non-edge-only report would be empty exactly when the
+  // verifier is healthy — the flag column IS that health signal, and
+  // filtering is_edge = 0 recovers the classic missed-duplicate list.
+  private val RaScale = 1000000L
+  private val LinkPredTopK = 20
+
+  def graphLinkPred(spark: SparkSession, d: String): DataFrame =
+    graphLinkPredFrom(Dedup.verifiedPairs(spark, d).select("da", "db"))
+
+  /** DataFrame-in core for [[graphLinkPred]] — exposed so the randomized
+    * spec can pin the wedge/anti-join decomposition against a direct
+    * per-pair common-neighbor brute force on constructed graphs (stars,
+    * cliques, disconnected pairs). */
+  def graphLinkPredFrom(vp: DataFrame): DataFrame = {
+    val e0 = vp.select(col("da").as("src"), col("db").as("dst"))
+      .union(vp.select(col("db").as("src"), col("da").as("dst")))
+    val dg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ctr = e0.join(dg, Seq("src"))
+      .select(col("src").as("z"), col("dst"),
+        expr(s"CAST($RaScale AS BIGINT) div deg").as("w"))
+    val und = vp.select(least(col("da"), col("db")).as("a"),
+      greatest(col("da"), col("db")).as("b")).distinct()
+    ctr.as("x").join(ctr.as("y"),
+        col("x.z") === col("y.z") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("a"), col("y.dst").as("b"), col("x.w"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum(col("w")).as("ra_x"))
+      .join(und.withColumn("is_edge", lit(1L)), Seq("a", "b"), "left")
+      .withColumn("is_edge", coalesce(col("is_edge"), lit(0L)))
+      .withColumn("ra", col("ra_x").cast("double") / RaScale.toDouble)
+      .orderBy(desc("ra_x"), desc("cn"), asc("a"), asc("b"))
+      .limit(LinkPredTopK)
+  }
+
+  val graphLinkPredSql: String = Dedup.VerifiedPairsCte +
+    s""",
+       |e0 AS (SELECT da AS src, db AS dst FROM vp UNION ALL SELECT db, da FROM vp),
+       |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY 1),
+       |ctr AS (SELECT e0.src AS z, e0.dst, CAST($RaScale AS BIGINT) // deg AS w
+       |        FROM e0 JOIN dg ON dg.src = e0.src),
+       |pairs AS (SELECT x.dst AS a, y.dst AS b,
+       |   CAST(count(*) AS BIGINT) AS cn, CAST(sum(x.w) AS BIGINT) AS ra_x
+       | FROM ctr x JOIN ctr y ON x.z = y.z AND x.dst < y.dst
+       | GROUP BY 1, 2),
+       |ne AS (SELECT pairs.*, CASE WHEN e.a IS NULL THEN 0 ELSE 1 END AS is_edge
+       | FROM pairs
+       | LEFT JOIN (SELECT DISTINCT least(da, db) AS a, greatest(da, db) AS b FROM vp) e
+       |  ON pairs.a = e.a AND pairs.b = e.b)
+       |SELECT a, b, cn, ra_x, CAST(is_edge AS BIGINT) AS is_edge,
+       | CAST(ra_x AS DOUBLE) / $RaScale.0 AS ra
+       |FROM ne ORDER BY ra_x DESC, cn DESC, a, b LIMIT $LinkPredTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
+    "graph_link_pred" -> graphLinkPred,
     "graph_cluster_density" -> graphClusterDensity)
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
+    "graph_link_pred" -> graphLinkPredSql,
     "graph_cluster_density" -> graphClusterDensitySql)
 }

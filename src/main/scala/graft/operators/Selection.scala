@@ -1826,7 +1826,85 @@ object Selection {
       |FROM p JOIN r ON compound = rc
       |ORDER BY compound""".stripMargin
 
+  // --- ds_cusum -----------------------------------------------------------
+  // Two-sided CUSUM control chart per compound (Page 1954 — the classic
+  // sequential mean-shift detector; ds_changepoint finds ONE retrospective
+  // split, CUSUM flags every point where the accumulated drift since the
+  // last reset clears the decision band, the form QC monitoring runs).
+  // The sequential recurrence S_i = max(0, S_{i−1} + d_i) looks
+  // fold-only, but has the closed form S_i = P_i − min(0, min_{j≤i} P_j)
+  // over the drift prefix sum P — two plain windows, fully declarative.
+  // Everything lives on the cents lattice: target t = Σvc div n, slack
+  // k = meanabsdev div 2, band h = 4·meanabsdev — so prefix sums are
+  // order-free BIGINTs and the flags are engine-exact. Scale shape: one
+  // per-compound aggregate joined back (hash, co-partitioned with the
+  // windows' compound partitioning), two prefix-sum/prefix-min window
+  // pairs sharing ONE sort, a 2-way side unpivot AFTER the windows, and
+  // only points past the band reach the output.
+  def dsCusum(spark: SparkSession, d: String): DataFrame =
+    dsCusumFrom(keyed(spark, d).select("event_id", "compound", "cts", "value"))
+
+  /** DataFrame-in core for [[dsCusum]] (`kIn` needs event_id, compound,
+    * cts: timestamp, value) — exposed so the randomized spec can pin the
+    * prefix-sum/prefix-min closed form against the direct sequential
+    * fold S_i = max(0, S_{i−1} + d_i) on constructed series. */
+  def dsCusumFrom(kIn: DataFrame): DataFrame = {
+    val k0 = kIn
+      .select(col("event_id"), col("compound"), col("cts"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val stats = k0.groupBy("compound").agg(
+      count(lit(1)).as("n"), sum(col("vc")).as("sv"))
+      .withColumn("t", expr("sv div n"))
+    val dev = k0.join(stats.select("compound", "t", "n"), Seq("compound"))
+      .groupBy("compound").agg(max(col("t")).as("t"),
+        expr("sum(abs(vc - t)) div max(n)").as("madx"))
+      .withColumn("k", expr("madx div 2"))
+      .withColumn("h", expr("madx * 4"))
+    val w = Window.partitionBy("compound").orderBy("cts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = k0.join(dev, Seq("compound"))
+      .withColumn("ph", sum(col("vc") - col("t") - col("k")).over(w))
+      .withColumn("pl", sum(col("t") - col("k") - col("vc")).over(w))
+      .withColumn("sh", col("ph") - least(min(col("ph")).over(w), lit(0L)))
+      .withColumn("sl", col("pl") - least(min(col("pl")).over(w), lit(0L)))
+    p.select(col("compound"), col("event_id"), col("h"),
+        explode(array(
+          struct(lit("high").as("side"), col("sh").as("s")),
+          struct(lit("low").as("side"), col("sl").as("s")))).as("x"))
+      .select(col("compound"), col("event_id"),
+        col("x.side").as("side"), col("x.s").as("s"), col("h"))
+      .filter(col("s") > col("h"))
+      .orderBy("compound", "event_id", "side")
+  }
+
+  val dsCusumSql: String = KeyedCte +
+    """,
+      |v AS (SELECT event_id, compound, cts, CAST(round(value*100) AS BIGINT) AS vc FROM k),
+      |st AS (SELECT compound, count(*) AS n, CAST(sum(vc) AS BIGINT) // count(*) AS t
+      |       FROM v GROUP BY 1),
+      |dv AS (SELECT v.compound, max(t) AS t,
+      |  CAST(sum(abs(vc - t)) AS BIGINT) // max(n) AS madx
+      | FROM v JOIN st ON v.compound = st.compound GROUP BY 1),
+      |p AS (SELECT v.compound, event_id, cts, t, madx * 4 AS h,
+      |  sum(vc - t - madx // 2) OVER w AS ph,
+      |  sum(t - madx // 2 - vc) OVER w AS pl
+      | FROM v JOIN dv ON v.compound = dv.compound
+      | WINDOW w AS (PARTITION BY v.compound ORDER BY cts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (SELECT compound, event_id, h,
+      |  ph - least(min(ph) OVER w2, 0) AS sh,
+      |  pl - least(min(pl) OVER w2, 0) AS sl
+      | FROM p
+      | WINDOW w2 AS (PARTITION BY compound ORDER BY cts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |u AS (SELECT compound, event_id, 'high' AS side, CAST(sh AS BIGINT) AS s, CAST(h AS BIGINT) AS h FROM s
+      |      UNION ALL
+      |      SELECT compound, event_id, 'low', CAST(sl AS BIGINT), CAST(h AS BIGINT) FROM s)
+      |SELECT compound, event_id, side, s, h FROM u WHERE s > h
+      |ORDER BY compound, event_id, side""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_cusum" -> dsCusum,
     "pipeline_qc" -> pipelineQc,
     "ds_resolution" -> dsResolution,
     "ds_interp" -> dsInterp,
@@ -1865,6 +1943,7 @@ object Selection {
     "ds_total_refresh" -> dsTotalRefresh)
 
   val oracle: Map[String, String] = Map(
+    "ds_cusum" -> dsCusumSql,
     "pipeline_qc" -> pipelineQcSql,
     "ds_resolution" -> dsResolutionSql,
     "ds_interp" -> dsInterpSql,

@@ -1641,7 +1641,162 @@ object Similarity {
        |FROM cell JOIN pred ON pred.vec_id = cell.vec_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- embed_hard_negatives -----------------------------------------------
+  // Hard-negative mining for contrastive/embedding training (the in-batch
+  // negatives literature, e.g. DPR Karpukhin et al. 2020 / ANCE Xuan et
+  // al.): for a deterministic anchor sample, the top-3 most-similar
+  // vectors whose LABEL differs from the anchor's — the near-boundary
+  // negatives a trainer mines between epochs. Same execution shape as
+  // ann_bruteforce: the anchor set is a FIXED-size batch (vec_id <
+  // HnAnchors — a constant, so the broadcast is size-bounded by contract;
+  // a mod-sample would grow with the corpus and poison the broadcast),
+  // making the "cross join" a map-side nested loop over the corpus —
+  // each partition is scanned once, the label filter prunes BEFORE
+  // scoring reaches the window, and only (anchors × 3) rows survive.
+  // Corpus-WIDE mining is a different job: run embed_knn_graph's
+  // cell-blocked shape and filter cross-label edges; this entry is the
+  // per-batch miner a training loop calls with its current anchor batch.
+  // Cosines use the same left-to-right fold as every other entry
+  // (bit-identical to the oracle's list_reduce), ties broken by vec_id.
+  private val HnAnchors = 50L
+  private val HnK = 3
+
+  def embedHardNegatives(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"), col("label"))
+    val a = e.filter(col("vec_id") < HnAnchors)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("label").as("qlabel"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    e.crossJoin(broadcast(a))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("sim", cosExpr)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= HnK)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        col("label").cast("long").as("label"), col("sim"))
+      .orderBy("qid", "rank")
+  }
+
+  val embedHardNegativesSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
+       |a AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e WHERE vec_id < $HnAnchors),
+       |s AS (SELECT a.qid, e.vec_id, CAST(e.label AS BIGINT) AS label,
+       |  ${CosSqlFor("e.v", "a.qv")} AS sim
+       | FROM e CROSS JOIN a WHERE e.label <> a.qlabel),
+       |r AS (SELECT qid, vec_id, label, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+       | FROM s)
+       |SELECT qid, rank, vec_id, label, sim FROM r WHERE rank <= $HnK
+       |ORDER BY qid, rank""".stripMargin
+
+  // --- embed_matryoshka_eval ----------------------------------------------
+  // Matryoshka truncation eval (Kusupati et al. 2022, MRL): recall@K of
+  // PREFIX-dimension cosine ranking (first MrlDim of Dim components — the
+  // cheap index a deployment keeps hot) against the full-dimension exact
+  // top-K, per audit query. The decisive trick: both similarities are
+  // computed in the SAME corpus pass and ranked by two windows over that
+  // one (corpus × queries) table, so the intersection |full-topK ∩
+  // prefix-topK| is just `rank_full ≤ K AND rank_pref ≤ K` — no second
+  // scan, no self-join of rankings. Query set is the bounded NumQueries
+  // broadcast; recall lands on the ppm lattice (n_hit is exact, ≥1 since
+  // each query tops both of its own rankings).
+  private val MrlDim = 16
+
+  def embedMatryoshkaEval(spark: SparkSession, d: String): DataFrame = {
+    val e = vectors(spark, d)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wf = Window.partitionBy("qid").orderBy(desc("simf"), asc("vec_id"))
+    val wp = Window.partitionBy("qid").orderBy(desc("simp"), asc("vec_id"))
+    e.crossJoin(broadcast(q))
+      .withColumn("simf", cosExpr)
+      .withColumn("simp", expr(s"cosine_sim(slice(qv, 1, $MrlDim), slice(v, 1, $MrlDim))"))
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rp", row_number().over(wp))
+      .filter(col("rf") <= K && col("rp") <= K)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("recall_ppm", expr(s"(1000000 * n_hit) div $K"))
+      .orderBy("qid")
+  }
+
+  val embedMatryoshkaEvalSql: String = {
+    val cosPre = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${MrlDim + 1}), k -> $a[CAST(k AS INT)]*$b[CAST(k AS INT)])), (acc, x) -> acc + x) /
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${MrlDim + 1}), k -> $a[CAST(k AS INT)]*$a[CAST(k AS INT)])), (acc, x) -> acc + x) *
+         |       list_reduce(list_prepend(0.0, list_transform(range(1, ${MrlDim + 1}), k -> $b[CAST(k AS INT)]*$b[CAST(k AS INT)])), (acc, x) -> acc + x))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |s AS (SELECT q.qid, e.vec_id,
+       |  ${CosSqlFor("e.v", "q.qv")} AS simf,
+       |  ${cosPre("e.v", "q.qv")} AS simp
+       | FROM e CROSS JOIN q),
+       |r AS (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY simf DESC, vec_id) AS rf,
+       |  row_number() OVER (PARTITION BY qid ORDER BY simp DESC, vec_id) AS rp
+       | FROM s)
+       |SELECT qid, CAST(count(*) AS BIGINT) AS n_hit,
+       | CAST((1000000 * count(*)) // $K AS BIGINT) AS recall_ppm
+       |FROM r WHERE rf <= $K AND rp <= $K
+       |GROUP BY 1 ORDER BY qid""".stripMargin
+  }
+
+  // --- embed_gram_matrix --------------------------------------------------
+  // The distributed Gram / second-moment matrix XᵀX — the one-pass input
+  // to whitening, PCA, and covariance conditioning (embed_dim_stats holds
+  // the means; m_ij − μ_i·μ_j recovers covariance): upper-triangle
+  // Σ_rows q_i·q_j over components quantized to round(v·2^15) integers IN
+  // THE SCAN, so every (i,j) sum is associative BIGINT math — exact at
+  // any partitioning (|q_i·q_j| ≤ 2^30 → ~8.6e9-row headroom in a signed
+  // 64-bit sum; past that, lift the sums to DECIMAL(38), the
+  // embed_power_iter note). Scale shape: each row explodes to its
+  // Dim·(Dim+1)/2 = 2080 products feeding a combinable groupBy — map-side
+  // combine collapses the shuffle to partitions × 2080 keys regardless of
+  // corpus size (the classic outer-product-accumulate lowering of a tall
+  // skinny X); the report is 2080 rows, m = one division of identical
+  // exact operands on both engines.
+  private val GramQ = 1L << 15
+
+  def embedGramMatrix(spark: SparkSession, d: String): DataFrame =
+    embedGramMatrixFrom(Tables.embeddings(spark, d))
+
+  /** DataFrame-in core for [[embedGramMatrix]] (`emb` needs an
+    * `embedding: array<float>` column) — exposed so the randomized spec
+    * can pin the explode/combine decomposition against a per-pair direct
+    * sum on constructed matrices. */
+  def embedGramMatrixFrom(emb: DataFrame): DataFrame = {
+    val q = emb.select(expr(
+      s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $GramQ) AS BIGINT))").as("q"))
+    q.select(explode(expr(
+        s"""flatten(transform(sequence(1, $Dim), i ->
+           |  transform(sequence(i, $Dim), j ->
+           |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           |           element_at(q, i) * element_at(q, j) AS p))))""".stripMargin)).as("x"))
+      .select(col("x.i").as("i"), col("x.j").as("j"), col("x.p").as("p"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("p")).as("sum_q"))
+      .withColumn("m", col("sum_q").cast("double") /
+        (lit((GramQ * GramQ).toDouble) * col("n_vecs").cast("double")))
+      .orderBy("i", "j")
+  }
+
+  val embedGramMatrixSql: String =
+    s"""WITH e AS (SELECT list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * $GramQ) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |p AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       |  q[CAST(i AS INT)] * q[CAST(j AS INT)] AS p
+       | FROM e, range(1, ${Dim + 1}) t1(i), range(1, ${Dim + 1}) t2(j)
+       | WHERE j >= i)
+       |SELECT i, j, CAST(count(*) AS BIGINT) AS n_vecs,
+       | CAST(sum(p) AS BIGINT) AS sum_q,
+       | CAST(sum(p) AS DOUBLE) / (${GramQ * GramQ}.0 * CAST(count(*) AS DOUBLE)) AS m
+       |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_gram_matrix" -> embedGramMatrix,
+    "embed_hard_negatives" -> embedHardNegatives,
+    "embed_matryoshka_eval" -> embedMatryoshkaEval,
     "embed_knn_graph" -> embedKnnGraph,
     "embed_knn_recall" -> ((s: SparkSession, d: String) =>
       embedKnnRecall(s, d, KnnAuditMod, KnnAuditRem)),
@@ -1670,6 +1825,9 @@ object Similarity {
     "ann_ivf_layout" -> annIvfLayout)
 
   val oracle: Map[String, String] = Map(
+    "embed_gram_matrix" -> embedGramMatrixSql,
+    "embed_hard_negatives" -> embedHardNegativesSql,
+    "embed_matryoshka_eval" -> embedMatryoshkaEvalSql,
     "embed_cluster_trained" -> embedClusterTrainedSql,
     // same result contract as ann_ivf (the probe reads the persisted
     // layout instead of joining in memory), so one oracle serves both

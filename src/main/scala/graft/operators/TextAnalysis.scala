@@ -2175,7 +2175,187 @@ object TextAnalysis {
        | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- text_bigram_lm -----------------------------------------------------
+  // Corpus-trained bigram-MLE fluency score per document — the exact-
+  // integer core of the perplexity filter CCNet (Wenzek et al. 2020)
+  // applies with a KenLM: for each in-doc bigram (w₁,w₂), the MLE
+  // transition probability c(w₁w₂)/c(w₁) lands on the ppm lattice as
+  // (10⁶·c₂) div c₁ — corpus counts are exact BIGINTs, so every per-doc
+  // sum is order-free and the avg is one floor division (low avg = the
+  // doc's transitions are rare in this corpus = boilerplate-free
+  // gibberish; high = fluent/templated). Scale shape: bigram extraction
+  // is a per-doc window (lag over token position — per-doc data, never
+  // cross-doc); the unigram and bigram COUNT tables are the standard LM
+  // counting job (combinable groupBys bounded by vocabulary, not corpus
+  // rows; AQE splits the hot stopword reducers); scoring re-joins on
+  // those keys and the per-doc rollup is map-side combinable.
+  def textBigramLm(spark: SparkSession, d: String): DataFrame =
+    textBigramLmFrom(Tables.documents(spark, d))
+
+  /** DataFrame-in core for [[textBigramLm]] (docs needs doc_id, text) —
+    * exposed so the randomized spec can pin the count-join decomposition
+    * against a direct per-doc recount on constructed corpora (repeated
+    * bigrams, single-token docs, cross-doc count sharing). */
+  def textBigramLmFrom(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), posexplode(words).as(Seq("pos", "w")))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = tok
+      .withColumn("wp", lag(col("w"), 1).over(wd))
+      .filter(col("wp").isNotNull)
+    val c1 = tok.groupBy(col("w").as("wp")).agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy("wp", "w").agg(count(lit(1)).as("c2"))
+    bg.join(c2, Seq("wp", "w")).join(c1, Seq("wp"))
+      .select(col("doc_id"), expr("(1000000 * c2) div c1").as("ppm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("ppm_sum"))
+      .withColumn("lm_ppm", expr("ppm_sum div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val textBigramLmSql: String =
+    """WITH m AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS w FROM m),
+      |bg AS (SELECT doc_id,
+      |  unnest([struct_pack(wp := ws[CAST(i AS INT)], w := ws[CAST(i AS INT)+1])
+      |          FOR i IN range(1, len(ws))]) AS b
+      | FROM m WHERE len(ws) >= 2),
+      |pairs AS (SELECT doc_id, b.wp AS wp, b.w AS w FROM bg),
+      |c1 AS (SELECT w AS wp, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
+      |c2 AS (SELECT wp, w, CAST(count(*) AS BIGINT) AS c2 FROM pairs GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, (1000000 * c2.c2) // c1.c1 AS ppm
+      |       FROM pairs JOIN c2 USING (wp, w) JOIN c1 USING (wp))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      | CAST(sum(ppm) AS BIGINT) AS ppm_sum,
+      | CAST(sum(ppm) // count(*) AS BIGINT) AS lm_ppm
+      |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // --- text_quality_lift --------------------------------------------------
+  // Decile gains/lift table for the shared quality score — the companion
+  // report to text_quality_auc's single number: rank the corpus by score,
+  // cut into ten VALUE-based deciles, and read per-decile positive purity,
+  // cumulative capture, and lift (the "how much of the good data do the
+  // top-k deciles hold" curve a curation recipe is actually tuned on).
+  // Same bucket decomposition as the AUC: the corpus collapses to the
+  // (iq, n, n_pos) score-lattice histogram in ONE combinable groupBy;
+  // decile assignment is VALUE-based — a bucket's decile is that of its
+  // FIRST element under iq DESC, dec = (cum_before·10) div n + 1 — so
+  // score ties never straddle engines; everything after runs on the
+  // report-sized histogram (lattice-bounded global windows, audited in
+  // ExplainDump's allowlist). capture/lift are exact-integer ppm:
+  // lift_ppm = (10⁶·np·N) div (n_dec·P).
+  def textQualityLift(spark: SparkSession, d: String): DataFrame =
+    textQualityLiftFrom(Tables.documents(spark, d))
+
+  /** DataFrame-in core for [[textQualityLift]] (docs needs lang, text) —
+    * exposed so the randomized spec can pin the histogram decile cut
+    * against a direct sort-based brute force on constructed corpora
+    * (ties straddling decile edges, single-score corpora). */
+  def textQualityLiftFrom(docs: DataFrame): DataFrame = {
+    val q = scoredDocs(docs,
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val hist = q.groupBy("iq")
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("np"))
+    val wDesc = Window.orderBy(col("iq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = hist
+      .withColumn("cumb", coalesce(sum(col("c")).over(wDesc), lit(0L)))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("p", sum(col("np")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("decile", expr("(cumb * 10) div n + 1"))
+      .groupBy("decile")
+      .agg(sum(col("c")).as("n_docs"), sum(col("np")).as("n_pos"),
+        max(col("n")).as("n"), max(col("p")).as("p"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("capture_ppm",
+        when(col("p") > 0L, expr("(1000000 * cum_pos) div p")))
+      .withColumn("lift_ppm",
+        when(col("p") > 0L, expr("(1000000 * n_pos * n) div (n_docs * p)")))
+      .select("decile", "n_docs", "n_pos", "cum_pos", "capture_ppm", "lift_ppm")
+      .orderBy("decile")
+  }
+
+  val textQualityLiftSql: String =
+    s"""WITH m AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |s AS (SELECT pos, CAST(len(w) AS BIGINT) AS nw,
+       |  CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS stopn FROM m),
+       |q AS (SELECT pos, ($ScoreScale * stopn) // nw AS iq FROM s),
+       |h AS (SELECT iq, CAST(count(*) AS BIGINT) AS c, CAST(sum(pos) AS BIGINT) AS np
+       |      FROM q GROUP BY 1),
+       |k AS (SELECT iq, c, np,
+       |  coalesce(sum(c) OVER (ORDER BY iq DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+       |  sum(c) OVER () AS n, sum(np) OVER () AS p FROM h),
+       |d AS (SELECT CAST((cumb * 10) // n + 1 AS BIGINT) AS decile,
+       |  CAST(sum(c) AS BIGINT) AS n_docs, CAST(sum(np) AS BIGINT) AS n_pos,
+       |  CAST(max(n) AS BIGINT) AS n, CAST(max(p) AS BIGINT) AS p
+       | FROM k GROUP BY 1),
+       |e AS (SELECT decile, n_docs, n_pos,
+       |  CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+       |  n, p FROM d)
+       |SELECT decile, n_docs, n_pos, cum_pos,
+       | CASE WHEN p > 0 THEN CAST((1000000 * cum_pos) // p AS BIGINT) END AS capture_ppm,
+       | CASE WHEN p > 0 THEN CAST((1000000 * n_pos * n) // (n_docs * p) AS BIGINT) END AS lift_ppm
+       |FROM e ORDER BY decile""".stripMargin
+
+  // --- select_epochs ------------------------------------------------------
+  // Data-constrained epoch allocation (Muennighoff et al. 2023, "Scaling
+  // Data-Constrained Language Models": repeating data up to ~4 epochs is
+  // near-free): given a token budget of EpochBudgetX× the corpus and a
+  // UNIFORM per-source target share, each source's repeat factor is
+  // epochs = min(MaxEpochs, ceil(target/T_s)), its contribution
+  // min(target, T_s·epochs), and the residual deficit is what the recipe
+  // must re-source. All quantities are exact-BIGINT lattice arithmetic
+  // (ceil as (a+b-1) div b). Scale shape: per-source token totals are ONE
+  // map-side-combinable groupBy; the budget scalar and the ≤|sources|-row
+  // allocation math run on the report table — nothing downstream of the
+  // single corpus scan grows with corpus size.
+  private val EpochBudgetX = 2L
+  private val MaxEpochs = 4L
+
+  def selectEpochs(spark: SparkSession, d: String): DataFrame = {
+    val perSrc = Tables.documents(spark, d)
+      .select(col("source"), size(words).cast("long").as("nw"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("t"),
+      count(lit(1)).as("n_src"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("target", expr(s"($EpochBudgetX * t) div n_src"))
+      .withColumn("epochs", least(lit(MaxEpochs),
+        expr("(target + n_tokens - 1) div n_tokens")))
+      .withColumn("alloc_tokens", least(col("target"),
+        col("n_tokens") * col("epochs")))
+      .withColumn("deficit", col("target") - col("alloc_tokens"))
+      .select("source", "n_docs", "n_tokens", "target", "epochs",
+        "alloc_tokens", "deficit")
+      .orderBy("source")
+  }
+
+  val selectEpochsSql: String =
+    s"""WITH m AS (SELECT source,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nw
+       | FROM documents),
+       |ps AS (SELECT source, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens
+       |       FROM m GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS n_src FROM ps),
+       |a AS (SELECT source, n_docs, n_tokens,
+       |  ($EpochBudgetX * t) // n_src AS target,
+       |  least($MaxEpochs, ((($EpochBudgetX * t) // n_src) + n_tokens - 1) // n_tokens) AS epochs
+       | FROM ps CROSS JOIN t)
+       |SELECT source, n_docs, n_tokens, CAST(target AS BIGINT) AS target,
+       | CAST(epochs AS BIGINT) AS epochs,
+       | CAST(least(target, n_tokens * epochs) AS BIGINT) AS alloc_tokens,
+       | CAST(target - least(target, n_tokens * epochs) AS BIGINT) AS deficit
+       |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_lm" -> textBigramLm,
+    "text_quality_lift" -> textQualityLift,
+    "select_epochs" -> selectEpochs,
     "doc_ngram_novelty" -> docNgramNovelty,
     "text_gopher_rules" -> textGopherRules,
     "text_quality_ks" -> textQualityKs,
@@ -2222,6 +2402,9 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "text_bigram_lm" -> textBigramLmSql,
+    "text_quality_lift" -> textQualityLiftSql,
+    "select_epochs" -> selectEpochsSql,
     "doc_ngram_novelty" -> docNgramNoveltySql,
     "text_gopher_rules" -> textGopherRulesSql,
     "text_quality_ks" -> textQualityKsSql,

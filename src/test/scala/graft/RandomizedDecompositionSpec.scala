@@ -4,7 +4,7 @@ import scala.util.Random
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Sketches, TextAnalysis}
+import graft.operators.{Analytics, Graph, Sketches, TextAnalysis}
 import org.apache.spark.sql.functions.timestamp_seconds
 
 /** Randomized brute-force checks for the round-12 decompositions — the
@@ -281,6 +281,210 @@ class RandomizedDecompositionSpec extends SparkSpec {
         assert(r.getAs[Double]("inter_est") === expected, s"seed=$seed pair=($a,$b)")
         assert(r.getAs[Long]("n_exact") === exact.getOrElse((a, b), 0L), s"seed=$seed")
       }
+    }
+  }
+  test("randomized: attribution struct-max equals the direct latest-touch scan on 10 seeded streams") {
+    import spark.implicits._
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed + 100)
+      val types = Seq("view", "click", "purchase", "error")
+      // coarse second grid forces timestamp collisions → the tid tie-break
+      val ev = (0 until 40 + rnd.nextInt(160)).map { i =>
+        (i.toLong, 1L + rnd.nextInt(8),
+          types(rnd.nextInt(types.length)),
+          rnd.nextInt(30) * 3600L + rnd.nextInt(5) * 1800L,
+          rnd.nextInt(10000) / 100.0)
+      }
+      val df = ev.toDF("event_id", "user_id", "event_type", "sec", "value")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_seconds(col("sec")).as("ts"), col("value"))
+      val got = Analytics.qAttributionFrom(df).collect()
+        .map(r => r.getString(0) -> ((r.getAs[Long]("n_conv"), r.getAs[Double]("revenue"))))
+        .toMap
+      val touches = ev.filter(e => e._3 == "click" || e._3 == "view")
+      val expected = ev.filter(_._3 == "purchase").map { p =>
+        val cands = touches.filter(t => t._2 == p._2 && t._4 < p._4 && t._4 >= p._4 - 14400L)
+        val touch =
+          if (cands.isEmpty) "direct"
+          else cands.maxBy(t => (t._4, t._1))._3
+        (touch, math.round(p._5 * 100))
+      }.groupBy(_._1).view
+        .mapValues(g => (g.size.toLong, g.map(_._2).sum / 100.0)).toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("randomized: link-pred wedge decomposition equals the pairwise brute force on 10 seeded graphs") {
+    import spark.implicits._
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed + 200)
+      val n = 6 + rnd.nextInt(8)
+      val all = (for (a <- 0 until n; b <- a + 1 until n) yield (a.toLong, b.toLong))
+      val edges = rnd.shuffle(all.toVector).take(n + rnd.nextInt(2 * n))
+      // random orientation exercises the least/greatest canonicalization
+      val vp = edges.map { case (a, b) => if (rnd.nextBoolean()) (a, b) else (b, a) }
+      val got = Graph.graphLinkPredFrom(vp.toDF("da", "db")).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("cn"),
+          r.getAs[Long]("ra_x"), r.getAs[Long]("is_edge")))
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val deg = adj.view.mapValues(_.size.toLong).toMap
+      val expected = (for {
+        a <- 0L until n.toLong; b <- a + 1 until n.toLong
+        cns = adj.getOrElse(a, Set.empty[Long]) & adj.getOrElse(b, Set.empty[Long])
+        if cns.nonEmpty
+      } yield (a, b, cns.size.toLong, cns.toSeq.map(z => 1000000L / deg(z)).sum,
+        if (adj.getOrElse(a, Set.empty[Long]).contains(b)) 1L else 0L))
+        .sortBy { case (a, b, cn, ra, _) => (-ra, -cn, a, b) }
+        .take(20)
+      assert(got.toSeq === expected, s"seed=$seed")
+    }
+  }
+
+  test("randomized: bigram-LM count join equals the per-doc recount on 10 seeded corpora") {
+    import spark.implicits._
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed + 300)
+      val vocab = Seq("a", "b", "c", "d")
+      val docs = (0 until 10 + rnd.nextInt(30)).map { i =>
+        val len = 1 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val got = TextAnalysis.textBigramLmFrom(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("ppm_sum"), r.getAs[Long]("lm_ppm"))))
+        .toMap
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val c1 = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c2 = toks.flatMap { case (_, ws) => ws.zip(ws.drop(1)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = toks.flatMap { case (id, ws) =>
+        val bgs = ws.zip(ws.drop(1))
+        if (bgs.isEmpty) None
+        else {
+          val ppms = bgs.map(bg => 1000000L * c2(bg) / c1(bg._1))
+          Some(id -> ((bgs.size.toLong, ppms.sum, ppms.sum / bgs.size)))
+        }
+      }.toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("randomized: lift-table histogram deciles equal the sort-based derivation on 10 seeded corpora") {
+    import spark.implicits._
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed + 400)
+      val langs = Seq("en", "fr", "de")
+      val docs = (0 until 15 + rnd.nextInt(60)).map { i =>
+        val nTok = 1 + rnd.nextInt(10)
+        val k = rnd.nextInt(nTok + 1)
+        val text = (Seq.fill(k)("the") ++ Seq.fill(nTok - k)("x")).mkString(" ")
+        (i.toLong, langs(rnd.nextInt(langs.length)), text)
+      }
+      val got = TextAnalysis.textQualityLiftFrom(docs.toDF("doc_id", "lang", "text"))
+        .collect()
+        .map(r => r.getAs[Long]("decile") -> ((r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_pos"), r.getAs[Long]("cum_pos"),
+          if (r.isNullAt(4)) None else Some(r.getAs[Long]("capture_ppm")),
+          if (r.isNullAt(5)) None else Some(r.getAs[Long]("lift_ppm")))))
+        .toMap
+      val scored = docs.map { case (_, lang, t) =>
+        val w = t.split(" ")
+        val iq = 100000L * w.count(_ == "the") / w.length
+        (iq, if (lang == "en") 1L else 0L)
+      }
+      val nAll = scored.size.toLong
+      val pAll = scored.map(_._2).sum
+      // value-based decile: bucket's decile = that of its first element
+      // under iq DESC (= count of strictly-greater scores · 10 div n + 1)
+      val byIq = scored.groupBy(_._1)
+      val decOf = byIq.keys.map { iq =>
+        iq -> (scored.count(_._1 > iq).toLong * 10 / nAll + 1)
+      }.toMap
+      val perDec = byIq.toSeq.groupBy { case (iq, _) => decOf(iq) }.view
+        .mapValues { g =>
+          val rows = g.flatMap(_._2)
+          (rows.size.toLong, rows.map(_._2).sum)
+        }.toMap
+      val expected = perDec.toSeq.sortBy(_._1).foldLeft(
+        (0L, Map.empty[Long, (Long, Long, Long, Option[Long], Option[Long])])) {
+        case ((cum, acc), (dec, (nd, np))) =>
+          val c = cum + np
+          val cap = if (pAll > 0) Some(1000000L * c / pAll) else None
+          val lift = if (pAll > 0) Some(1000000L * np * nAll / (nd * pAll)) else None
+          (c, acc + (dec -> ((nd, np, c, cap, lift))))
+      }._2
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+  test("randomized: CUSUM closed form equals the sequential max-fold on 10 seeded series") {
+    import spark.implicits._
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed + 500)
+      val compounds = Seq("co", "ch4")
+      // step-change series: baseline then a shifted regime → real alarms
+      val rows = compounds.flatMap { c =>
+        val base = 100 + rnd.nextInt(50)
+        val shift = rnd.nextInt(80) - 40
+        (0 until 20 + rnd.nextInt(60)).map { i =>
+          val lvl = if (i > 30) base + shift else base
+          (compounds.indexOf(c) * 1000L + i, c, i * 60L,
+            (lvl * 100 + rnd.nextInt(400) - 200) / 100.0)
+        }
+      }
+      val df = rows.toDF("event_id", "compound", "sec", "value")
+        .select(col("event_id"), col("compound"),
+          timestamp_seconds(col("sec")).as("cts"), col("value"))
+      val got = graft.operators.Selection.dsCusumFrom(df).collect()
+        .map(r => (r.getString(0), r.getAs[Long]("event_id"), r.getString(2)) ->
+          ((r.getAs[Long]("s"), r.getAs[Long]("h")))).toMap
+      val expected = rows.groupBy(_._2).flatMap { case (c, g) =>
+        val ordered = g.sortBy(e => (e._3, e._1))
+        val vc = ordered.map(e => math.round(e._4 * 100))
+        val n = vc.size.toLong
+        val t = Math.floorDiv(vc.sum, n)
+        val madx = Math.floorDiv(vc.map(v => math.abs(v - t)).sum, n)
+        val k = Math.floorDiv(madx, 2)
+        val h = madx * 4
+        // the direct sequential recurrence the closed form must equal
+        val sh = vc.scanLeft(0L)((s, v) => math.max(0L, s + (v - t - k))).drop(1)
+        val sl = vc.scanLeft(0L)((s, v) => math.max(0L, s + (t - k - v))).drop(1)
+        ordered.zipWithIndex.flatMap { case (e, i) =>
+          Seq(("high", sh(i)), ("low", sl(i))).collect {
+            case (side, s) if s > h => (c, e._1, side) -> ((s, h))
+          }
+        }
+      }
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("randomized: gram-matrix explode equals the per-pair direct sum on 10 seeded corpora") {
+    import spark.implicits._
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed + 600)
+      val vecs = (0 until 3 + rnd.nextInt(40)).map { i =>
+        (i.toLong, Array.fill(64)((rnd.nextFloat() * 2 - 1)))
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+          lit(0).as("label"))
+      val q = vecs.map { case (_, v) =>
+        // HALF_UP away from zero — Spark round()'s contract, not
+        // Math.round's floor(x+0.5) (they differ on negative halves)
+        v.map(x => BigDecimal(x.toDouble * 32768)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+      val n = vecs.size.toLong
+      val got = graft.operators.Similarity.embedGramMatrixFrom(df).collect()
+        .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+          ((r.getAs[Long]("n_vecs"), r.getAs[Long]("sum_q"), r.getAs[Double]("m"))))
+        .toMap
+      val expected = (for (i <- 1 to 64; j <- i to 64) yield {
+        val sq = q.map(row => row(i - 1) * row(j - 1)).sum
+        (i.toLong, j.toLong) -> ((n, sq, sq.toDouble / (1073741824.0 * n.toDouble)))
+      }).toMap
+      assert(got === expected, s"seed=$seed")
     }
   }
 }
