@@ -25,6 +25,7 @@ object SparkEntry {
         "mm_phash_near" -> (Multimodal.mmPhashNear _),
         "mm_components" -> (Multimodal.mmComponents _),
         "mm_frames" -> (Multimodal.mmFrames _),
+        "mm_cdc_chunks" -> (Multimodal.mmCdcChunks _),
         "mm_shard_manifest" -> (Multimodal.mmShardManifest _)) ++ EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
         // the mapPartitions codec op runs a FAKE codec whose output is
         // SQL-expressible, so even the non-SQL operator gets a full oracle
         "mm_frames" -> Multimodal.mmFramesSql,
+        "mm_cdc_chunks" -> Multimodal.mmCdcChunksSql,
         "mm_shard_manifest" -> Multimodal.mmShardManifestSql) ++ EventStream.oracle
 }

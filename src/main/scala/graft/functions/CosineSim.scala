@@ -147,6 +147,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharCollision].getName, "char_collision"),
       (children: Seq[Expression]) => CharCollision(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("cdc_chunk_hashes"),
+      new ExpressionInfo(classOf[CdcChunkHashes].getName, "cdc_chunk_hashes"),
+      (children: Seq[Expression]) => CdcChunkHashes(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("dot_i64"),
       new ExpressionInfo(classOf[DotI64].getName, "dot_i64"),
       (children: Seq[Expression]) => DotI64(children.head, children(1))))

@@ -94,10 +94,50 @@ case class CharCollision(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native content-defined chunking — the ordered md5 hex digests of the
+  * chunks produced by cutting after every character position p (W ≤ p < n)
+  * whose trailing-W-character window hash clears the boundary test
+  * (first 16 md5 bits ≡ 0 mod 32 — expected chunk length 32, the
+  * LBFS/gear-CDC boundary rule that makes chunking SHIFT-RESISTANT:
+  * inserting one byte re-chunks only the window it touches, unlike
+  * mm_chunk_dedup's fixed 64-byte grid where one insertion shifts every
+  * later chunk).
+  *
+  * The composable formulation (explode `sequence(W, n−1)`, window =
+  * `substr(text, p−7, 8)`, cut iff `conv(substr(md5(w),1,4),16,10) % 32
+  * = 0`, then lead-window chunk reassembly) is semantically identical but
+  * materializes one row per CHARACTER of the corpus through the shuffle.
+  * The kernel does the per-position hashing in one buffer pass in the
+  * scan's project list: UTF-8-encode once with per-code-point byte
+  * offsets, md5 each window and each chunk as buffer slices. Positions
+  * are CODE POINTS (matching Spark `substring`/DuckDB `substr`
+  * character semantics, never UTF-16 units or bytes); hex digests are
+  * lowercase — identical to both engines' `md5()`. NULL input → NULL;
+  * empty string → the single md5("") chunk, exactly like the composable
+  * path's `coalesce` tail.
+  */
+case class CdcChunkHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "cdc_chunk_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextWindowKernel.cdcChunkHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextWindowKernel.cdcChunkHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkHashes =
+    copy(child = newChild)
+}
+
 object TextWindowKernel {
   private val WinnowK = 4
   private val WinnowW = 8
   private val SubstrW = 16
+  private val CdcW = 8
+  private val CdcMod = 32
 
   // tokenizer + digest helpers shared with MinHashKernel (ADVICE r10:
   // one implementation of the split(trim(text), "\\s+") contract)
@@ -191,6 +231,55 @@ object TextWindowKernel {
     val it = counts.values().iterator()
     while (it.hasNext) { val c = it.next()(0); coll += c * c }
     new GenericArrayData(Array[Any](n, counts.size().toLong, coll))
+  }
+
+  /** Ordered chunk md5 hex digests under the W=8 / mod-32 boundary rule
+    * (see [[CdcChunkHashes]]). */
+  def cdcChunkHashes(text: UTF8String): ArrayData = {
+    val s = text.toString
+    // per-code-point byte offsets into the UTF-8 encoding: code point i
+    // (0-based) spans bytes [byteOff(i), byteOff(i+1))
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var n = 0
+    var i = 0
+    while (i < s.length) { i += Character.charCount(s.codePointAt(i)); n += 1 }
+    val byteOff = new Array[Int](n + 1)
+    i = 0
+    var cp = 0
+    var boff = 0
+    while (i < s.length) {
+      byteOff(cp) = boff
+      val c = s.codePointAt(i)
+      boff += (if (c < 0x80) 1 else if (c < 0x800) 2
+               else if (c < 0x10000) 3 else 4)
+      i += Character.charCount(c)
+      cp += 1
+    }
+    byteOff(n) = boff
+    val md = TextKernelUtil.digests.get()
+    // 1-based chunk start positions: 1, then cut+1 for every boundary cut
+    // after position p ∈ [W, n−1] (never after the last character)
+    val starts = new java.util.ArrayList[Int]()
+    starts.add(1)
+    var p = CdcW
+    while (p <= n - 1) {
+      md.reset()
+      md.update(bytes, byteOff(p - CdcW), byteOff(p) - byteOff(p - CdcW))
+      val d = md.digest()
+      if ((((d(0) & 0xff) << 8 | (d(1) & 0xff)) % CdcMod) == 0) starts.add(p + 1)
+      p += 1
+    }
+    val out = new Array[AnyRef](starts.size())
+    var j = 0
+    while (j < starts.size()) {
+      val a = starts.get(j) - 1
+      val b = if (j + 1 < starts.size()) starts.get(j + 1) - 1 else n
+      md.reset()
+      md.update(bytes, byteOff(a), byteOff(b) - byteOff(a))
+      out(j) = UTF8String.fromString(TextKernelUtil.toHex(md.digest()))
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Distinct 16-byte md5 digests of 16-token windows, first-occurrence

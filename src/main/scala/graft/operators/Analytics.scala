@@ -2818,7 +2818,52 @@ object Analytics {
       |SELECT path, count(*) AS n_sessions FROM paths
       |GROUP BY 1 ORDER BY n_sessions DESC, path""".stripMargin
 
+  // --- q_twap -------------------------------------------------------------
+  // Time-weighted average value per user (the TWAP/step-function integral —
+  // what "average balance", "average position", and metering reports
+  // actually mean; the plain mean q_column_stats gives is sampling-biased
+  // the moment event spacing is uneven). Each event sets the user's level
+  // until their next event; the last level has no measured duration and is
+  // excluded from numerator AND denominator, so the statistic is a pure
+  // function of consecutive pairs. Exactness: cents × whole seconds keeps
+  // the weighted sum on the BIGINT lattice (order-free; ~2^53 headroom at
+  // 100 TB per-user scales), ONE final division of identical exact operands
+  // per user. Scale shape: a single per-user window (lead) — co-partitioned
+  // with every other per-user pass — then one combinable groupBy; no joins,
+  // no global state, output = per-user report rows.
+  def qTwap(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        cents(col("value")).as("vc"))
+      .withColumn("dur", lead(col("ts"), 1).over(w).cast("long") - col("ts").cast("long"))
+      .filter(col("dur").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_steps"),
+        sum(col("dur")).as("total_sec"),
+        sum(col("vc") * col("dur")).as("twap_num"))
+      .withColumn("twap",
+        col("twap_num").cast("double") / (col("total_sec") * 100L).cast("double"))
+      .orderBy("user_id")
+  }
+
+  val qTwapSql: String =
+    """WITH s AS (
+      | SELECT user_id, CAST(round(value*100) AS BIGINT) AS vc,
+      |  CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT)
+      |    - CAST(floor(epoch(ts)) AS BIGINT) AS dur
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, count(*) AS n_steps,
+      | CAST(sum(dur) AS BIGINT) AS total_sec,
+      | CAST(sum(vc * dur) AS BIGINT) AS twap_num,
+      | CAST(sum(vc * dur) AS BIGINT) / CAST(sum(dur) * 100 AS BIGINT) AS twap
+      |FROM s WHERE dur IS NOT NULL
+      |GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_twap" -> qTwap,
     "q_attribution" -> qAttribution,
     "q_session_paths" -> qSessionPaths,
     "q8_market_share" -> q8MarketShare,
@@ -2889,6 +2934,7 @@ object Analytics {
     "q18_large_orders" -> q18LargeOrders)
 
   val oracle: Map[String, String] = Map(
+    "q_twap" -> qTwapSql,
     "q_attribution" -> qAttributionSql,
     "q_session_paths" -> qSessionPathsSql,
     "q8_market_share" -> q8MarketShareSql,

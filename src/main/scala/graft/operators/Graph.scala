@@ -316,15 +316,128 @@ object Graph {
        | CAST(ra_x AS DOUBLE) / $RaScale.0 AS ra
        |FROM ne ORDER BY ra_x DESC, cn DESC, a, b LIMIT $LinkPredTopK""".stripMargin
 
+  // --- graph_kcore ----------------------------------------------------------
+  // Bounded onion/2-core peel (Seidman 1983's k-core by the standard
+  // peeling algorithm, round-bounded the way graph_pagerank's iteration
+  // count is): round r removes every still-alive node with fewer than 2
+  // alive neighbors, and `layer` records the removal round (0 = survived
+  // all R=4 rounds, i.e. the 2-core up to the round bound). In a dedup
+  // graph the peel separates tree-/star-shaped verifier spray (peeled in
+  // layer 1-2: hubs lose their leaves, then collapse) from clique-like
+  // true-duplicate mass (2-core: every near-clique survives peeling
+  // intact) — the structural complement of graph_triangles' local count.
+  // Exactness: pure integer degrees and set membership — no floats
+  // anywhere. The round bound is part of the operator's DEFINITION (layer
+  // semantics are exact for any graph; only the layer-0 label reads
+  // "2-core" exactly when the peel has converged, which near-clique dup
+  // graphs do in 1-2 rounds — asserted converged-by-round-4 in the spec's
+  // constructed worst cases, not assumed). Scale shape: per round ONE
+  // degree aggregate over the alive edge list + two anti-joins — all hash
+  // on doc_id, all duplicate-density-bounded; per-round localCheckpoint
+  // flattens the growing plan exactly like connectedComponentsFrom.
+  private val KcoreK = 2
+  private val KcoreRounds = 4
+
+  def graphKcore(spark: SparkSession, d: String): DataFrame =
+    graphKcoreFrom(Dedup.verifiedPairs(spark, d).select("da", "db"))
+
+  /** DataFrame-in core for [[graphKcore]] — exposed so the randomized spec
+    * can pin the per-round anti-join peel against a direct sequential peel
+    * on constructed graphs (paths, stars, cliques, dangling chains). */
+  def graphKcoreFrom(vp: DataFrame): DataFrame = {
+    val e0 = vp.select(least(col("da"), col("db")).as("a"),
+      greatest(col("da"), col("db")).as("b")).distinct().localCheckpoint()
+    val nodes0 = e0.select(col("a").as("doc_id"))
+      .union(e0.select(col("b").as("doc_id"))).distinct()
+    def degOf(alive: DataFrame, edges: DataFrame): DataFrame = {
+      val dg = edges.select(col("a").as("doc_id"))
+        .union(edges.select(col("b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      alive.join(dg, Seq("doc_id"), "left")
+        .withColumn("deg", coalesce(col("deg"), lit(0L)))
+    }
+    val spark = vp.sparkSession
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("layer",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("deg_final",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val (peeled, aliveN, edgesN) =
+      (1 to KcoreRounds).foldLeft((empty, nodes0, e0)) {
+        case ((acc, alive, edges), r) =>
+          val low = degOf(alive, edges).filter(col("deg") < KcoreK)
+            .localCheckpoint()
+          val acc2 = acc.union(low.select(col("doc_id"),
+            lit(r.toLong).as("layer"), col("deg").as("deg_final")))
+          val alive2 = alive.join(low.select("doc_id"), Seq("doc_id"),
+            "left_anti").localCheckpoint()
+          val edges2 = edges
+            .join(low.select(col("doc_id").as("a")), Seq("a"), "left_anti")
+            .join(low.select(col("doc_id").as("b")), Seq("b"), "left_anti")
+            .localCheckpoint()
+          (acc2, alive2, edges2)
+      }
+    val core = degOf(aliveN, edgesN)
+      .select(col("doc_id"), lit(0L).as("layer"), col("deg").as("deg_final"))
+    peeled.union(core).orderBy("layer", "doc_id")
+  }
+
+  val graphKcoreSql: String = {
+    // every round references the previous round's tables several times, so
+    // without MATERIALIZED DuckDB re-inlines the whole chain per reference
+    // — ~3^R evaluations of the LSH pipeline (observed as a file-handle
+    // explosion); materializing each round keeps the oracle linear in R,
+    // which is also exactly what the Spark side's localCheckpoint does
+    def round(prevA: String, prevE: String, r: Int): String =
+      s"""p$r AS MATERIALIZED (SELECT doc_id, deg FROM (
+         | SELECT $prevA.doc_id, CAST(coalesce(c.deg, 0) AS BIGINT) AS deg
+         | FROM $prevA LEFT JOIN (
+         |   SELECT doc_id, count(*) AS deg FROM (
+         |     SELECT a AS doc_id FROM $prevE UNION ALL SELECT b FROM $prevE) u
+         |   GROUP BY 1) c ON c.doc_id = $prevA.doc_id) d
+         | WHERE deg < $KcoreK),
+         |a$r AS MATERIALIZED (SELECT doc_id FROM $prevA
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM p$r)),
+         |e$r AS MATERIALIZED (SELECT a, b FROM $prevE
+         |        WHERE a NOT IN (SELECT doc_id FROM p$r)
+         |          AND b NOT IN (SELECT doc_id FROM p$r))""".stripMargin
+    Dedup.VerifiedPairsCte +
+      s""",
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(da, db) AS a, greatest(da, db) AS b FROM vp),
+         |a0 AS MATERIALIZED (SELECT a AS doc_id FROM e0 UNION SELECT b FROM e0),
+         |${round("a0", "e0", 1)},
+         |${round("a1", "e1", 2)},
+         |${round("a2", "e2", 3)},
+         |${round("a3", "e3", 4)},
+         |core AS (SELECT a4.doc_id, CAST(coalesce(c.deg, 0) AS BIGINT) AS deg
+         | FROM a4 LEFT JOIN (
+         |   SELECT doc_id, count(*) AS deg FROM (
+         |     SELECT a AS doc_id FROM e4 UNION ALL SELECT b FROM e4) u
+         |   GROUP BY 1) c ON c.doc_id = a4.doc_id)
+         |SELECT doc_id, CAST(layer AS BIGINT) AS layer, deg AS deg_final FROM (
+         | SELECT doc_id, 1 AS layer, deg FROM p1
+         | UNION ALL SELECT doc_id, 2, deg FROM p2
+         | UNION ALL SELECT doc_id, 3, deg FROM p3
+         | UNION ALL SELECT doc_id, 4, deg FROM p4
+         | UNION ALL SELECT doc_id, 0, deg FROM core) z
+         |ORDER BY layer, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "graph_link_pred" -> graphLinkPred,
+    "graph_kcore" -> graphKcore,
     "graph_cluster_density" -> graphClusterDensity)
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_link_pred" -> graphLinkPredSql,
+    "graph_kcore" -> graphKcoreSql,
     "graph_cluster_density" -> graphClusterDensitySql)
 }

@@ -376,6 +376,65 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) => codec.decode(id, bytes) })
   }
 
+  // --- mm_cdc_chunks --------------------------------------------------------
+  // Content-DEFINED chunk dedup (the LBFS/gear-CDC boundary rule every
+  // storage dedup system uses — Muthitacharoen et al. SOSP 2001):
+  // mm_chunk_dedup's fixed 64-byte grid loses every shared chunk after one
+  // inserted byte shifts the grid, while content-defined boundaries (cut
+  // where the trailing-8-char window hash ≡ 0 mod 32) re-align immediately
+  // — the shift-resistance that makes chunk-level dedup work on mutated
+  // payloads. Per source: docs, chars, chunks, distinct chunks, duplicated
+  // -chunk ppm and average chunk length — the capacity table that prices a
+  // CDC store for the corpus. NULL payloads are addressed as zero-byte
+  // blobs (mm_shard_manifest's rule): one md5("") chunk.
+  // Exactness: boundaries and chunk digests are md5-hex string facts — no
+  // floats anywhere; ppm/avg are integer divisions. Scale shape: the
+  // per-position window hashing runs in the native `cdc_chunk_hashes`
+  // kernel IN THE SCAN's project list (one buffer pass per doc — the
+  // composable per-character explode is the ORACLE's price, not ours);
+  // the only corpus-sized exchange is the distinct on chunk hashes —
+  // corpus bytes ÷ 32 narrow rows, the irreducible chunk-index shuffle —
+  // and the report is |sources| rows.
+  def mmCdcChunks(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"),
+        coalesce(col("text"), lit("")).as("t"))
+    val perSrcDocs = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("t")).cast("long")).as("n_chars"))
+    val perSrcChunks = docs
+      .select(col("source"), explode(expr("cdc_chunk_hashes(t)")).as("ch"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("ch")).as("n_distinct"))
+    perSrcDocs.join(perSrcChunks, Seq("source"))
+      .withColumn("dup_ppm", expr("(n_chunks - n_distinct) * 1000000 div n_chunks"))
+      .withColumn("avg_chunk_len", expr("n_chars div n_chunks"))
+      .orderBy("source")
+  }
+
+  val mmCdcChunksSql: String =
+    """WITH dn AS (SELECT doc_id, source, coalesce(text, '') AS t,
+      |  length(coalesce(text, '')) AS n FROM documents),
+      |cuts AS (SELECT doc_id, p
+      | FROM dn, UNNEST(generate_series(8, n - 1)) AS u(p)
+      | WHERE CAST('0x' || substr(md5(substr(t, CAST(p AS INT) - 7, 8)), 1, 4) AS INTEGER) % 32 = 0),
+      |starts AS (SELECT doc_id, 1 AS s FROM dn
+      |           UNION ALL SELECT doc_id, CAST(p + 1 AS INT) FROM cuts),
+      |bounds AS (SELECT doc_id, s,
+      |  lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt FROM starts),
+      |chunks AS (SELECT dn.source,
+      |  md5(substr(dn.t, b.s, coalesce(b.nxt, dn.n + 1) - b.s)) AS ch
+      | FROM bounds b JOIN dn ON dn.doc_id = b.doc_id),
+      |cs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct FROM chunks GROUP BY 1),
+      |ds AS (SELECT source, count(*) AS n_docs,
+      |  CAST(sum(length(t)) AS BIGINT) AS n_chars FROM dn GROUP BY 1)
+      |SELECT ds.source, n_docs, n_chars, n_chunks, n_distinct,
+      | (n_chunks - n_distinct) * 1000000 // n_chunks AS dup_ppm,
+      | n_chars // n_chunks AS avg_chunk_len
+      |FROM ds JOIN cs USING (source) ORDER BY source""".stripMargin
+
   // --- mm_shard_manifest ---------------------------------------------------
   // Content-addressed shard placement — the blob-store layout decision for
   // a multimodal corpus: shard = first byte of the payload's sha256 mod 16,

@@ -1903,7 +1903,95 @@ object Selection {
       |SELECT compound, event_id, side, s, h FROM u WHERE s > h
       |ORDER BY compound, event_id, side""".stripMargin
 
+  // --- ds_spc_rules --------------------------------------------------------
+  // Western Electric / Nelson run rules per compound (the pattern tests a
+  // control chart adds on top of the point tests ds_cusum/ds_rolling_z
+  // already run — SPC practice flags a process that drifts WITHOUT any
+  // single point leaving the band):
+  //   rule 1: a point beyond 3·madx of the center,
+  //   rule 2: 8 consecutive points strictly on the same side of the center,
+  //   rule 3: 6 consecutive strict moves in the same direction.
+  // Center and spread reuse ds_cusum's cents-lattice conventions
+  // (t = Σvc div n, madx = mean |dev|) so every comparison is exact BIGINT
+  // and the flags are engine-identical — sign() stays CASE-expressed
+  // integers, never a float. A rule-2/3 hit is counted at each point that
+  // COMPLETES a qualifying run (a 9-long run scores twice), the standard
+  // per-point alarm semantics. Scale shape: one per-compound aggregate
+  // joined back co-partitioned; the three rolling tests are ROWS-bounded
+  // windows (8/6 rows) sharing ONE (compound, cts, event_id) sort with
+  // zero unbounded state; output is the |compounds|-row report.
+  def dsSpcRules(spark: SparkSession, d: String): DataFrame =
+    dsSpcRulesFrom(keyed(spark, d).select("event_id", "compound", "cts", "value"))
+
+  /** DataFrame-in core for [[dsSpcRules]] (`kIn` needs event_id, compound,
+    * cts: timestamp, value) — exposed so the randomized spec can pin the
+    * windowed run tests against a direct sequential scan on constructed
+    * series (runs across the center, exact-8 vs longer runs, tie values). */
+  def dsSpcRulesFrom(kIn: DataFrame): DataFrame = {
+    val k0 = kIn.select(col("event_id"), col("compound"), col("cts"),
+      round(col("value") * 100).cast("long").as("vc"))
+    val stats = k0.groupBy("compound").agg(
+      count(lit(1)).as("n"), sum(col("vc")).as("sv"))
+      .withColumn("t", expr("sv div n"))
+    val dev = k0.join(stats.select("compound", "t", "n"), Seq("compound"))
+      .groupBy("compound").agg(max(col("t")).as("t"),
+        expr("sum(abs(vc - t)) div max(n)").as("madx"))
+    val ord = Window.partitionBy("compound").orderBy("cts", "event_id")
+    val w8 = ord.rowsBetween(-7, Window.currentRow)
+    val w6 = ord.rowsBetween(-5, Window.currentRow)
+    val p = k0.join(dev, Seq("compound"))
+      .withColumn("side",
+        when(col("vc") > col("t"), lit(1L))
+          .when(col("vc") < col("t"), lit(-1L)).otherwise(lit(0L)))
+      .withColumn("prev", lag(col("vc"), 1).over(ord))
+      .withColumn("mv",
+        when(col("prev").isNull, lit(0L))
+          .when(col("vc") > col("prev"), lit(1L))
+          .when(col("vc") < col("prev"), lit(-1L)).otherwise(lit(0L)))
+      .withColumn("i", row_number().over(ord))
+      .withColumn("s8", sum(col("side")).over(w8))
+      .withColumn("m6", sum(col("mv")).over(w6))
+    p.groupBy("compound").agg(
+        count(lit(1)).as("n_points"),
+        sum(when(abs(col("vc") - col("t")) > col("madx") * 3, 1L)
+          .otherwise(0L)).as("n_rule1"),
+        sum(when(col("i") >= 8 && abs(col("s8")) === 8, 1L)
+          .otherwise(0L)).as("n_rule2"),
+        sum(when(col("i") >= 7 && abs(col("m6")) === 6, 1L)
+          .otherwise(0L)).as("n_rule3"))
+      .orderBy("compound")
+  }
+
+  val dsSpcRulesSql: String = KeyedCte +
+    """,
+      |v AS (SELECT event_id, compound, cts, CAST(round(value*100) AS BIGINT) AS vc FROM k),
+      |st AS (SELECT compound, count(*) AS n, CAST(sum(vc) AS BIGINT) // count(*) AS t
+      |       FROM v GROUP BY 1),
+      |dv AS (SELECT v.compound, max(t) AS t,
+      |  CAST(sum(abs(vc - t)) AS BIGINT) // max(n) AS madx
+      | FROM v JOIN st ON v.compound = st.compound GROUP BY 1),
+      |p AS (SELECT v.compound, vc, t, madx,
+      |  CASE WHEN vc > t THEN 1 WHEN vc < t THEN -1 ELSE 0 END AS side,
+      |  lag(vc, 1) OVER o AS prev,
+      |  row_number() OVER o AS i
+      | FROM v JOIN dv ON v.compound = dv.compound
+      | WINDOW o AS (PARTITION BY v.compound ORDER BY cts, event_id)),
+      |q AS (SELECT compound, vc, t, madx, i,
+      |  sum(side) OVER (PARTITION BY compound ORDER BY i
+      |                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS s8,
+      |  sum(CASE WHEN prev IS NULL THEN 0
+      |           WHEN vc > prev THEN 1 WHEN vc < prev THEN -1 ELSE 0 END)
+      |    OVER (PARTITION BY compound ORDER BY i
+      |          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS m6
+      | FROM p)
+      |SELECT compound, count(*) AS n_points,
+      | CAST(sum(CASE WHEN abs(vc - t) > madx * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rule1,
+      | CAST(sum(CASE WHEN i >= 8 AND abs(s8) = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_rule2,
+      | CAST(sum(CASE WHEN i >= 7 AND abs(m6) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_rule3
+      |FROM q GROUP BY 1 ORDER BY compound""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_spc_rules" -> dsSpcRules,
     "ds_cusum" -> dsCusum,
     "pipeline_qc" -> pipelineQc,
     "ds_resolution" -> dsResolution,
@@ -1943,6 +2031,7 @@ object Selection {
     "ds_total_refresh" -> dsTotalRefresh)
 
   val oracle: Map[String, String] = Map(
+    "ds_spc_rules" -> dsSpcRulesSql,
     "ds_cusum" -> dsCusumSql,
     "pipeline_qc" -> pipelineQcSql,
     "ds_resolution" -> dsResolutionSql,

@@ -825,6 +825,78 @@ object Sketches {
       |LEFT JOIN usz u2 ON pr.t2 = u2.event_type
       |ORDER BY pr.t1, pr.t2""".stripMargin
 
+  // --- sketch_log_histogram -------------------------------------------------
+  // Log-bucketed quantile sketch with RELATIVE-error bounds (the DDSketch
+  // family, Masson et al. VLDB 2019) — the complement of sketch_quantile's
+  // fixed linear grid: a linear grid needs the value range up front and its
+  // error is ABSOLUTE (a 16-wide bin is useless at value 40 and wasteful at
+  // 40,000), while log buckets cover any magnitude with the same ±12.5%
+  // relative error. Bucket of cents c ≥ 1: e = floor(log2 c) computed as
+  // length(bin(c)) − 1 — an exact INTEGER in both engines, never a float
+  // log — refined by the top-two mantissa bits sub = c div 2^(e−2) − 4,
+  // i.e. boundaries at (4+s)·2^(e−2): γ = 2^(1/4)-style sub-bucketing with
+  // exact power-of-two edges. q(p) reports the first bucket's UPPER edge
+  // whose cumulative count reaches ceil(p·n) (sketch_quantile's rank rule)
+  // — an exact BIGINT on the cents lattice. Scale shape: the sketch is a
+  // map-side-combinable count over ≤ 4·64 buckets per flag — constant
+  // per-partition state, mergeable by addition; the cumulative window runs
+  // over the report-sized bucket table, never the corpus.
+  def sketchLogHistogram(spark: SparkSession, d: String): DataFrame = {
+    def rank(p: Int) = expr(s"(n * $p + 99) div 100")
+    val c = Tables.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .withColumn("e", (length(expr("bin(c)")) - 1).cast("long"))
+      .withColumn("sub",
+        when(col("e") >= 2, expr("c div shiftleft(CAST(1 AS BIGINT), CAST(e - 2 AS INT)) - 4"))
+          .otherwise(lit(0L)))
+    val buckets = c.groupBy("l_returnflag", "e", "sub")
+      .agg(count(lit(1)).as("cnt"))
+      // exact-integer bucket upper edge: (5+sub)·2^(e−2) for e ≥ 2, else 2^(e+1)
+      .withColumn("ub",
+        when(col("e") >= 2,
+          expr("(5 + sub) * shiftleft(CAST(1 AS BIGINT), CAST(e - 2 AS INT))"))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(e + 1 AS INT))")))
+    val n = buckets.groupBy("l_returnflag").agg(sum(col("cnt")).as("n"))
+    val wcum = Window.partitionBy("l_returnflag").orderBy("e", "sub")
+    buckets
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .join(n, Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_buckets"),
+        min(when(col("cum") >= rank(50), col("ub"))).as("p50_est_c"),
+        min(when(col("cum") >= rank(95), col("ub"))).as("p95_est_c"),
+        min(when(col("cum") >= rank(99), col("ub"))).as("p99_est_c"))
+      .join(n, Seq("l_returnflag"))
+      .select("l_returnflag", "n", "n_buckets", "p50_est_c", "p95_est_c", "p99_est_c")
+      .orderBy("l_returnflag")
+  }
+
+  val sketchLogHistogramSql: String =
+    """WITH v AS (SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT) AS c
+      | FROM lineitem),
+      |g AS (SELECT l_returnflag, c, CAST(length(bin(c)) - 1 AS BIGINT) AS e FROM v),
+      |s AS (SELECT l_returnflag, e,
+      |  CASE WHEN e >= 2 THEN c // (CAST(1 AS BIGINT) << CAST(e - 2 AS INT)) - 4
+      |       ELSE 0 END AS sub
+      | FROM g),
+      |b AS (SELECT l_returnflag, e, sub, count(*) AS cnt,
+      |  CASE WHEN e >= 2 THEN (5 + sub) * (CAST(1 AS BIGINT) << CAST(e - 2 AS INT))
+      |       ELSE (CAST(1 AS BIGINT) << CAST(e + 1 AS INT)) END AS ub
+      | FROM s GROUP BY 1, 2, 3),
+      |n AS (SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n FROM b GROUP BY 1),
+      |cum AS (SELECT l_returnflag, e, sub, cnt, ub,
+      |  CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY e, sub) AS BIGINT) AS cum
+      | FROM b),
+      |est AS (SELECT c.l_returnflag, count(*) AS n_buckets,
+      |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN ub END) AS p50_est_c,
+      |  min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN ub END) AS p95_est_c,
+      |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN ub END) AS p99_est_c
+      | FROM cum c JOIN n ON c.l_returnflag = n.l_returnflag GROUP BY 1)
+      |SELECT est.l_returnflag, n.n, n_buckets, p50_est_c, p95_est_c, p99_est_c
+      |FROM est JOIN n ON est.l_returnflag = n.l_returnflag
+      |ORDER BY est.l_returnflag""".stripMargin
+
   // --- sketch_ams ---------------------------------------------------------
   // AMS (Alon–Matias–Szegedy) "tug-of-war" sketch for the second frequency
   // moment F2 = Σ_k n_k² of user_id traffic per event_type — the one-pass
@@ -911,6 +983,7 @@ object Sketches {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_log_histogram" -> sketchLogHistogram,
     "sketch_ams" -> sketchAms,
     "sketch_theta" -> sketchTheta,
     "sketch_jaccard" -> sketchJaccard,
@@ -926,6 +999,7 @@ object Sketches {
     "sketch_bloom_join_calib" -> sketchBloomJoinCalib)
 
   val oracle: Map[String, String] = Map(
+    "sketch_log_histogram" -> sketchLogHistogramSql,
     "sketch_ams" -> sketchAmsSql,
     "sketch_theta" -> sketchThetaSql,
     "sketch_jaccard" -> sketchJaccardSql,

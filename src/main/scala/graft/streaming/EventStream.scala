@@ -305,6 +305,57 @@ object EventStream {
         col("r.event_id").as("event_id"),
         col("r.value").as("value"))
 
+  /** Per-(event_type, hour) OHLC candle — ONE transform for batch and
+    * stream (the "live candles" job every market-data/metering pipeline
+    * runs; q_ohlc is its batch-only sibling): open/close are struct
+    * min/max over the (ts, event_id) total order with the cents value
+    * CARRIED (event_id unique → the comparison never reaches it), high/low
+    * plain min/max on exact cents, all associative + commutative — so
+    * complete-mode streaming converges to exactly the batch answer
+    * regardless of micro-batch boundaries (latestState's mergeability
+    * argument), and an append-mode run behind a watermark emits each
+    * candle once, finalized. `window()` groups on both batch and
+    * streaming inputs; the aggregate is fully map-side-combinable.
+    */
+  def ohlcCandles(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), window(col("ts"), "1 hour").as("w"),
+        struct(col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("vc")).as("r"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy("event_type", "w")
+      .agg(min(col("r")).as("o"), max(col("r")).as("c"),
+        (max(col("vc")) / 100.0).as("high"), (min(col("vc")) / 100.0).as("low"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_s"),
+        (col("o.vc") / 100.0).as("open"), col("high"), col("low"),
+        (col("c.vc") / 100.0).as("close"), col("n"))
+
+  // --- stream_ohlc (batch-parity verification entry) ------------------------
+  def streamOhlc(spark: SparkSession, d: String): DataFrame =
+    ohlcCandles(Tables.events(spark, d)).orderBy("event_type", "hour_s")
+
+  // oracle mirrors qOhlcSql's row_number formulation (the window() group
+  // key lands on the same hour as date_trunc for aligned 1h windows)
+  val streamOhlcSql: String =
+    """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id,
+      |  CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |r AS (SELECT event_type, hour, vc,
+      |  row_number() OVER (PARTITION BY event_type, hour ORDER BY ts, event_id) AS rf,
+      |  row_number() OVER (PARTITION BY event_type, hour ORDER BY ts DESC, event_id DESC) AS rl
+      | FROM b),
+      |agg AS (SELECT event_type, hour, max(vc)/100.0 AS high, min(vc)/100.0 AS low,
+      |  count(*) AS n FROM b GROUP BY 1, 2),
+      |oc AS (SELECT event_type, hour,
+      |  min(CASE WHEN rf = 1 THEN vc END)/100.0 AS open,
+      |  min(CASE WHEN rl = 1 THEN vc END)/100.0 AS close
+      | FROM r GROUP BY 1, 2)
+      |SELECT agg.event_type, strftime(agg.hour, '%Y-%m-%d %H:%M') AS hour_s,
+      | open, high, low, close, n
+      |FROM agg JOIN oc ON agg.event_type = oc.event_type AND agg.hour = oc.hour
+      |ORDER BY 1, 2""".stripMargin
+
   // --- stream_latest (batch-parity verification entry) ---------------------
   def streamLatest(spark: SparkSession, d: String): DataFrame =
     latestState(Tables.events(spark, d)).orderBy("user_id")
@@ -410,11 +461,13 @@ object EventStream {
     "stream_sessions" -> streamSessions,
     "stream_debounce" -> streamDebounce,
     "stream_retry_dedup" -> streamRetryDedup,
+    "stream_ohlc" -> streamOhlc,
     "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
     "stream_debounce" -> streamDebounceSql,
     "stream_retry_dedup" -> streamRetryDedupSql,
+    "stream_ohlc" -> streamOhlcSql,
     "stream_hourly" -> streamHourlySql,
     "stream_dedup" -> streamDedupSql,
     "stream_latest" -> streamLatestSql,

@@ -310,6 +310,54 @@ class NativeKernelSpec extends SparkSpec {
     assert(native(9L).head === "héllo wörld ünïcode test".codePointCount(0, 24))
   }
 
+  test("cdc_chunk_hashes equals the per-position explode formulation on adversarial input") {
+    import spark.implicits._
+    // the shared fixture plus CDC-specific adversaries: strings long
+    // enough to actually cut (expected boundary rate 1/32 per position),
+    // an astral-plane code point (the kernel must index code points like
+    // substring, never UTF-16 units), and a repeated motif (identical
+    // chunks must hash identically)
+    val rnd = new scala.util.Random(7)
+    val long1 = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val extra = Seq(
+      (100L, long1),
+      (101L, long1 + "X" + long1), // shared content at shifted offsets
+      (102L, "préfix😀" + long1.take(120) + "😀suffix"),
+      (103L, ("ab" * 100)))
+      .toDF("doc_id", "text")
+    val all = docs.union(extra)
+    val native = all.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("cdc_chunk_hashes(text)").as("chs")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    // the composable formulation the kernel's Scaladoc names (and the
+    // oracle SQL mirrors): cut after p ∈ [8, n−1] iff the first 16 md5
+    // bits of the trailing-8-char window ≡ 0 mod 32
+    val composable = all.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .withColumn("cuts", expr(
+        """CASE WHEN n >= 9 THEN filter(sequence(8, n - 1),
+          |  p -> CAST(conv(substring(md5(substring(text, p - 7, 8)), 1, 4), 16, 10) AS INT) % 32 = 0)
+          |ELSE array() END""".stripMargin))
+      .withColumn("starts", expr("concat(array(1), transform(cuts, p -> p + 1))"))
+      .withColumn("chs", expr(
+        """transform(sequence(0, size(starts) - 1),
+          |  j -> md5(substring(text, starts[j],
+          |    (CASE WHEN j + 1 < size(starts) THEN starts[j + 1] ELSE n + 1 END) - starts[j])))""".stripMargin))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](r.fieldIndex("chs"))).toMap
+    assert(native.keySet === composable.keySet)
+    composable.foreach { case (id, s) => assert(native(id) === s, s"doc $id") }
+    // anchors: long strings actually cut; empty string = one md5("") chunk;
+    // NULL → NULL; the duplicated motif's repeated chunks dedup by hash
+    assert(native(100L).size > 1, "400-char string produced no cuts")
+    assert(native(0L) === Seq("d41d8cd98f00b204e9800998ecf8427e"))
+    assert(all.filter(col("doc_id") === 14L)
+      .select(expr("cdc_chunk_hashes(text)")).collect().head.isNullAt(0))
+    val rep = native(103L)
+    assert(rep.toSet.size < rep.size || rep.size == 1,
+      "periodic motif should repeat at least one chunk hash (or be a single chunk)")
+  }
+
   test("eq_count equals size(filter(zip_with)) incl. null-element and length-mismatch cases") {
     import spark.implicits._
     val rows = Seq[(Long, Seq[String], Seq[String])](

@@ -459,6 +459,106 @@ class RandomizedDecompositionSpec extends SparkSpec {
     }
   }
 
+  test("randomized: SPC run rules equal the direct sequential scan on 10 seeded series") {
+    import spark.implicits._
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed + 700)
+      val compounds = Seq("co2", "ch4", "o3")
+      val rows = compounds.flatMap { c =>
+        // piecewise level shifts + sustained strict ramps force real
+        // rule-2/3 runs; values live on the cents lattice so round() is
+        // exact
+        var lvl = 500L
+        var rampLeft = 0
+        (0 until 30 + rnd.nextInt(120)).map { i =>
+          if (rampLeft == 0 && rnd.nextInt(10) == 0) rampLeft = 8 + rnd.nextInt(5)
+          if (rampLeft == 0 && rnd.nextInt(12) == 0) lvl += (rnd.nextInt(7) - 3) * 400L
+          val cents =
+            if (rampLeft > 0) { rampLeft -= 1; lvl += 1 + rnd.nextInt(3); lvl }
+            else lvl + rnd.nextInt(9) - 4
+          (compounds.indexOf(c) * 1000L + i, c, i * 60L, cents / 100.0)
+        }
+      }
+      val df = rows.toDF("event_id", "compound", "sec", "value")
+        .select(col("event_id"), col("compound"),
+          timestamp_seconds(col("sec")).as("cts"), col("value"))
+      val got = graft.operators.Selection.dsSpcRulesFrom(df).collect()
+        .map(r => r.getString(0) -> ((r.getAs[Long]("n_points"),
+          r.getAs[Long]("n_rule1"), r.getAs[Long]("n_rule2"),
+          r.getAs[Long]("n_rule3")))).toMap
+      val expected = rows.groupBy(_._2).map { case (c, g) =>
+        val vc = g.sortBy(e => (e._3, e._1)).map(e => math.round(e._4 * 100))
+        val n = vc.size
+        val t = Math.floorDiv(vc.sum, n.toLong)
+        val madx = Math.floorDiv(vc.map(v => math.abs(v - t)).sum, n.toLong)
+        val sides = vc.map(v => if (v > t) 1L else if (v < t) -1L else 0L)
+        val mv = 0L +: vc.sliding(2).map { case Seq(a, b) =>
+          if (b > a) 1L else if (b < a) -1L else 0L }.toSeq
+        val r1 = vc.count(v => math.abs(v - t) > 3 * madx).toLong
+        val r2 = (7 until n).count(i =>
+          math.abs(sides.slice(i - 7, i + 1).sum) == 8).toLong
+        val r3 = (6 until n).count(i =>
+          math.abs(mv.slice(i - 5, i + 1).sum) == 6).toLong
+        c -> ((n.toLong, r1, r2, r3))
+      }
+      assert(got === expected, s"seed=$seed")
+      // the ramps must actually fire rule 3 somewhere across the board
+      assert(expected.values.map(_._4).sum > 0, s"seed=$seed produced no rule-3 runs")
+    }
+  }
+
+  test("randomized: bounded k-core peel equals the sequential peel on 10 seeded graphs") {
+    import spark.implicits._
+    def brute(edges: Set[(Long, Long)], rounds: Int):
+        Set[(Long, Long, Long)] = {
+      var alive = edges.flatMap(e => Seq(e._1, e._2))
+      var es = edges
+      var out = Set.empty[(Long, Long, Long)]
+      (1 to rounds).foreach { r =>
+        val deg = alive.map(v =>
+          v -> es.count(e => e._1 == v || e._2 == v).toLong).toMap
+        val low = alive.filter(v => deg(v) < 2)
+        out ++= low.map(v => (v, r.toLong, deg(v)))
+        alive --= low
+        es = es.filter(e => alive(e._1) && alive(e._2))
+      }
+      val deg = alive.map(v =>
+        v -> es.count(e => e._1 == v || e._2 == v).toLong).toMap
+      out ++ alive.map(v => (v, 0L, deg(v)))
+    }
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed + 800)
+      val n = 6 + rnd.nextInt(10)
+      val all = (for (a <- 0 until n; b <- a + 1 until n) yield (a.toLong, b.toLong))
+      val edges = rnd.shuffle(all.toVector).take(3 + rnd.nextInt(2 * n)).toSet
+      val vp = edges.toSeq.map { case (a, b) =>
+        if (rnd.nextBoolean()) (a, b) else (b, a) }
+      val got = graft.operators.Graph.graphKcoreFrom(vp.toDF("da", "db")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("layer"),
+          r.getAs[Long]("deg_final"))).toSet
+      assert(got === brute(edges, 4), s"seed=$seed")
+    }
+    // constructed worst cases: a 5-clique with a pendant (clique = layer-0
+    // core at degree 4, pendant peels in round 1, its anchor stays core),
+    // and a 10-path (peels 2 ends per round; after 4 rounds the middle 2
+    // are still alive at degree 1 — the round BOUND is the semantics)
+    val clique = (for (a <- 0L until 5L; b <- a + 1 until 5L) yield (a, b)).toSet
+    val cp = clique + ((0L, 99L))
+    val gotC = graft.operators.Graph.graphKcoreFrom(
+      cp.toSeq.toDF("da", "db")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("layer"),
+        r.getAs[Long]("deg_final"))).toSet
+    assert(gotC === brute(cp, 4))
+    assert(gotC.contains((99L, 1L, 1L)) && gotC.contains((1L, 0L, 4L)))
+    val path = (0L until 9L).map(i => (i, i + 1)).toSet
+    val gotP = graft.operators.Graph.graphKcoreFrom(
+      path.toSeq.toDF("da", "db")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("layer"),
+        r.getAs[Long]("deg_final"))).toSet
+    assert(gotP === brute(path, 4))
+    assert(gotP.contains((0L, 1L, 1L)) && gotP.contains((4L, 0L, 1L)))
+  }
+
   test("randomized: gram-matrix explode equals the per-pair direct sum on 10 seeded corpora") {
     import spark.implicits._
     (1 to 10).foreach { seed =>

@@ -138,6 +138,36 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("log histogram brackets the exact percentile within the 25% relative band") {
+    import org.apache.spark.sql.functions._
+    // exact discrete percentiles per flag (rank rule ceil(p·n), the same
+    // rule the sketch applies to its cumulative bucket counts), computed
+    // locally on the collected cents — lineitem at this SF is spec-sized
+    val cents = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("c")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getAs[Long]("c")).sorted).toMap
+    val rows = Sketches.sketchLogHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val vs = cents(flag)
+      assert(r.getAs[Long]("n") === vs.length.toLong)
+      Seq(50 -> "p50_est_c", 95 -> "p95_est_c", 99 -> "p99_est_c").foreach {
+        case (p, cn) =>
+          val est = r.getAs[Long](cn)
+          val exact = vs(((vs.length.toLong * p + 99) / 100).toInt - 1)
+          // the estimate is the containing bucket's UPPER edge: never
+          // below the exact value, never beyond its bucket's 25% relative
+          // width (lb ≥ 4·2^(e−2), width = 2^(e−2))
+          assert(est >= exact, s"$flag $cn: est $est < exact $exact")
+          assert(est.toDouble <= exact.toDouble * 1.25,
+            s"$flag $cn: est $est breaks the relative band vs $exact")
+      }
+    }
+  }
+
   test("union sketch registers equal the elementwise max of per-type registers") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf)

@@ -391,6 +391,29 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming OHLC candles equal the batch candles and q_ohlc (complete mode)") {
+    val dir = stageEventsDir()
+    val stream = EventStream.eventsStream(spark, dir)
+    // every candle aggregate is associative+commutative (struct min/max
+    // for open/close, plain min/max for high/low), so complete-mode
+    // output converges to the batch answer at any micro-batch split
+    val q = EventStream.ohlcCandles(stream)
+      .writeStream.format("memory").queryName("ohlc_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ohlc_stream")
+    val batch = EventStream.streamOhlc(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+    // and the window()-keyed transform lands on exactly q_ohlc's
+    // date_trunc grain — the batch sibling is the same report
+    val sibling = graft.operators.Analytics.qOhlc(spark, sf)
+    assert(batch.except(sibling).count() === 0)
+    assert(sibling.except(batch).count() === 0)
+  }
+
   test("complete-mode streaming top-k equals the batch leaderboard") {
     val dir = stageEventsDir()
     val stream = EventStream.eventsStream(spark, dir)
