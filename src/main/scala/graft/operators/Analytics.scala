@@ -2862,7 +2862,88 @@ object Analytics {
       |FROM s WHERE dur IS NOT NULL
       |GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // --- q_ab_test ------------------------------------------------------------
+  // Two-variant conversion A/B report with the exact 2×2 chi-square — the
+  // experimentation readout every product team runs. Assignment is
+  // DETERMINISTIC (doc_split's convention: a user's variant is an md5
+  // hash bucket, stable across runs/cluster sizes — what real experiment
+  // assignment needs, and what makes the statistic a pure function of the
+  // data); conversion = heavy purchaser (purchases exceed 20% of the
+  // user's events — an exact integer cross-product test; "≥1 purchase"
+  // saturates this corpus, leaving a degenerate margin and a NULL
+  // statistic). Counts and ppm rates are
+  // exact BIGINTs; the chi-square is ds_autocorr's fixed-double-tree
+  // convention — every input count is an exact double (< 2^53) and the
+  // parenthesization is identical in both engines, so the one statistic
+  // is bit-identical (at ≥ 2^26 users per cell the double products round,
+  // identically on both engines — determinism survives, exactness is the
+  // counts'). Scale shape: one per-user combinable aggregate (the
+  // standard user-grain shuffle), then a SINGLE global conditional-sum
+  // aggregate — constant state per partition, one row out, no joins.
+  def qAbTest(spark: SparkSession, d: String): DataFrame = {
+    val u = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        * 5 > count(lit(1)), 1L).otherwise(0L).as("cv"))
+      .withColumn("v",
+        conv(substring(md5(col("user_id").cast("string")), 1, 2), 16, 10)
+          .cast("long") % 2)
+    u.agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("v") === 0, col("cv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("v") === 1, col("cv")).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("conv_a * 1000000 div n_a").as("conv_a_ppm"),
+        expr("conv_b * 1000000 div n_b").as("conv_b_ppm"),
+        expr("conv_a * 1000000 div n_a - conv_b * 1000000 div n_b").as("lift_ppm"),
+        expr("""CASE WHEN n_a = 0 OR n_b = 0
+               |  OR conv_a + conv_b = 0 OR n_a + n_b - conv_a - conv_b = 0
+               | THEN NULL ELSE
+               |  (CAST(n_a + n_b AS DOUBLE)
+               |   * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+               |      - CAST(conv_b AS DOUBLE) * CAST(n_a - conv_a AS DOUBLE))
+               |   * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+               |      - CAST(conv_b AS DOUBLE) * CAST(n_a - conv_a AS DOUBLE)))
+               |  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               |     * CAST(conv_a + conv_b AS DOUBLE)
+               |     * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE))
+               |END""".stripMargin).as("chi2"))
+  }
+
+  val qAbTestSql: String =
+    """WITH u AS (SELECT user_id,
+      |  CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+      |       > count(*) THEN 1 ELSE 0 END AS cv
+      | FROM events GROUP BY 1),
+      |v AS (SELECT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS INTEGER) % 2 AS BIGINT) AS v, cv FROM u),
+      |t AS (SELECT
+      |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN v = 0 THEN cv ELSE 0 END) AS BIGINT) AS conv_a,
+      |  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |  CAST(sum(CASE WHEN v = 1 THEN cv ELSE 0 END) AS BIGINT) AS conv_b
+      | FROM v)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      | conv_a * 1000000 // n_a AS conv_a_ppm,
+      | conv_b * 1000000 // n_b AS conv_b_ppm,
+      | conv_a * 1000000 // n_a - conv_b * 1000000 // n_b AS lift_ppm,
+      | CASE WHEN n_a = 0 OR n_b = 0
+      |   OR conv_a + conv_b = 0 OR n_a + n_b - conv_a - conv_b = 0
+      |  THEN NULL ELSE
+      |   (CAST(n_a + n_b AS DOUBLE)
+      |    * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+      |       - CAST(conv_b AS DOUBLE) * CAST(n_a - conv_a AS DOUBLE))
+      |    * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+      |       - CAST(conv_b AS DOUBLE) * CAST(n_a - conv_a AS DOUBLE)))
+      |   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |      * CAST(conv_a + conv_b AS DOUBLE)
+      |      * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE))
+      | END AS chi2
+      |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_test" -> qAbTest,
     "q_twap" -> qTwap,
     "q_attribution" -> qAttribution,
     "q_session_paths" -> qSessionPaths,
@@ -2934,6 +3015,7 @@ object Analytics {
     "q18_large_orders" -> q18LargeOrders)
 
   val oracle: Map[String, String] = Map(
+    "q_ab_test" -> qAbTestSql,
     "q_twap" -> qTwapSql,
     "q_attribution" -> qAttributionSql,
     "q_session_paths" -> qSessionPathsSql,

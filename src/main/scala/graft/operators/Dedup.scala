@@ -297,6 +297,50 @@ object Dedup {
        |FROM cand JOIN sig x ON cand.da = x.doc_id JOIN sig y ON cand.db = y.doc_id
        |ORDER BY da, db""".stripMargin
 
+  // --- dedup_minhash_1bit ---------------------------------------------------
+  // b-bit minhash (Li & König, WWW 2010, b = 1): store only the LOWEST BIT
+  // of each permutation minimum — the 16-perm signature drops from 128
+  // bytes to 2, the memory cut that lets a 100 TB dedup keep its whole
+  // signature index resident — and estimate Jaccard from the bit-match
+  // fraction with the paper's correction Ĵ₁ = 2·(m/k) − 1 (for sets small
+  // against the hash universe, a match is J + (1−J)/2 by symmetry). This
+  // is the calibration table for that trade: per candidate pair, the
+  // 1-bit match count and estimate next to the full-signature estimate —
+  // same pairs, same memoized signatures (Ĵ₁ is unbiased, so it may go
+  // negative on true non-dups; left unclamped, that IS the estimator).
+  // Exactness: parities are exact integers off the hex minima; the two
+  // estimates are single divisions of exact operands. Scale shape: a pure
+  // projection over the memoized density-bounded candidate table — the
+  // 16-element zip_with runs per PAIR, never per corpus row; no new
+  // exchange at all.
+  def dedupMinhash1bit(spark: SparkSession, d: String): DataFrame =
+    lshShared(spark, d).cand
+      .select(col("da"), col("db"),
+        expr("size(filter(zip_with(sa, sb, (x, y) -> " +
+          "(conv(substring(x, 8, 1), 16, 10) % 2) = " +
+          "(conv(substring(y, 8, 1), 16, 10) % 2)), v -> v))")
+          .cast("long").as("m1"),
+        expr("eq_count(sa, sb)").as("m_full"))
+      .withColumn("est_1bit", (col("m1") * 2 - NumPerms) / lit(NumPerms.toDouble))
+      .withColumn("est_full", col("m_full") / lit(NumPerms.toDouble))
+      .orderBy("da", "db")
+
+  // DuckDB's parser rejects a lambda nested inside extra arithmetic
+  // parentheses ("syntax error at or near )") — the est columns therefore
+  // reference the m1/m_full SAME-SELECT aliases (lateral column alias),
+  // which DuckDB resolves and which also reads better
+  val dedupMinhash1bitSql: String = LshCte +
+    s"""
+       |SELECT da, db,
+       | CAST(len(list_filter(range(1, ${NumPerms + 1}), i ->
+       |   (CAST('0x' || substr(x.sig[CAST(i AS INT)], 8, 1) AS INTEGER) % 2)
+       |   = (CAST('0x' || substr(y.sig[CAST(i AS INT)], 8, 1) AS INTEGER) % 2))) AS BIGINT) AS m1,
+       | CAST(len(list_filter(range(1, ${NumPerms + 1}), i -> x.sig[CAST(i AS INT)] = y.sig[CAST(i AS INT)])) AS BIGINT) AS m_full,
+       | (m1 * 2 - $NumPerms) / $NumPerms.0 AS est_1bit,
+       | m_full / $NumPerms.0 AS est_full
+       |FROM cand JOIN sig x ON cand.da = x.doc_id JOIN sig y ON cand.db = y.doc_id
+       |ORDER BY da, db""".stripMargin
+
   // --- dedup_ngram_jaccard ------------------------------------------------
   // Exact Jaccard verification on the LSH candidates only: the intersection
   // is counted with a shingle-equijoin restricted to candidate pairs — no
@@ -1518,6 +1562,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_exact_norm" -> dedupExactNorm,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_1bit" -> dedupMinhash1bit,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_components" -> dedupComponents,
@@ -1547,6 +1592,7 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_exact_norm" -> dedupExactNormSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_minhash_1bit" -> dedupMinhash1bitSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_components" -> dedupComponentsSql,

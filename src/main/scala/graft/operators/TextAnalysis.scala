@@ -2175,6 +2175,53 @@ object TextAnalysis {
        | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- text_blocklist -------------------------------------------------------
+  // Token-blocklist screen (the lexicon stage every curation pipeline runs
+  // before any model-based filter — C4 dropped pages on the LDNOOBW word
+  // list; this is that mechanic on a fixed literal list): per source, docs
+  // with ≥1 blocklisted token, total hit tokens, and hit density — the
+  // report that decides whether a source needs page-level review. Distinct
+  // from text_pii's regex surface scan: membership of EXACT whitespace
+  // tokens against a literal IN-list, the shape that stays a codegen'd
+  // scan predicate at any list size (a regex alternation over thousands of
+  // terms would not). Exactness: pure integer counts + ppm divisions.
+  // Scale shape: one scan projection (filter over the token array) + ONE
+  // map-side-combinable groupBy on source; report = |sources| rows.
+  private val Blocklist = Seq("dup", "slow", "error", "drop")
+
+  def textBlocklist(spark: SparkSession, d: String): DataFrame = {
+    val inList = Blocklist.map(t => s"'$t'").mkString(", ")
+    Tables.documents(spark, d)
+      .select(col("source"),
+        size(words).cast("long").as("n_tokens"),
+        size(expr(s"filter(split(trim(text), '\\\\s+'), x -> x IN ($inList))"))
+          .cast("long").as("n_hits"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_blocked"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_hits")).as("n_hits"))
+      .withColumn("blocked_ppm", expr("n_blocked * 1000000 div n_docs"))
+      .withColumn("hit_ppm", expr("n_hits * 1000000 div n_tokens"))
+      .orderBy("source")
+  }
+
+  val textBlocklistSql: String = {
+    val inList = Blocklist.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT source,
+       |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |  len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      x -> x IN ($inList))) AS n_hits
+       | FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       | CAST(sum(n_hits) AS BIGINT) AS n_hits,
+       | CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS blocked_ppm,
+       | CAST(sum(n_hits) AS BIGINT) * 1000000 // CAST(sum(n_tokens) AS BIGINT) AS hit_ppm
+       |FROM t GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   // --- text_bigram_lm -----------------------------------------------------
   // Corpus-trained bigram-MLE fluency score per document — the exact-
   // integer core of the perplexity filter CCNet (Wenzek et al. 2020)
@@ -2353,6 +2400,7 @@ object TextAnalysis {
        |FROM a ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_blocklist" -> textBlocklist,
     "text_bigram_lm" -> textBigramLm,
     "text_quality_lift" -> textQualityLift,
     "select_epochs" -> selectEpochs,
@@ -2402,6 +2450,7 @@ object TextAnalysis {
     "text_top_terms" -> textTopTerms)
 
   val oracle: Map[String, String] = Map(
+    "text_blocklist" -> textBlocklistSql,
     "text_bigram_lm" -> textBigramLmSql,
     "text_quality_lift" -> textQualityLiftSql,
     "select_epochs" -> selectEpochsSql,

@@ -902,4 +902,35 @@ class AnalyticsSpec extends SparkSpec {
     // partition of viewing users
     assert(got.values.sum === depths.size.toLong)
   }
+
+  test("q_ab_test: counts reconcile with a direct per-user scan and chi2 matches the closed form") {
+    import org.apache.spark.sql.functions._
+    val r = Analytics.qAbTest(spark, sf).collect().head
+    val (na, ca, nb, cb) = (r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("conv_b"))
+    // direct per-user recomputation of the 2x2 table (heavy purchaser =
+    // purchases exceed 20% of the user's events)
+    val users = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(g => g.count(_.getString(1) == "purchase") * 5 > g.size).toMap
+    def variant(u: Long): Long = {
+      // first two md5 hex chars = first digest byte, unsigned
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      ((h(0) & 0xff) % 2).toLong
+    }
+    val a = users.keys.filter(variant(_) == 0)
+    val b = users.keys.filter(variant(_) == 1)
+    assert(na === a.size.toLong && nb === b.size.toLong)
+    assert(ca === a.count(users(_)).toLong && cb === b.count(users(_)).toLong)
+    assert(r.getAs[Long]("conv_a_ppm") === Math.floorDiv(ca * 1000000L, na))
+    assert(r.getAs[Long]("lift_ppm") ===
+      Math.floorDiv(ca * 1000000L, na) - Math.floorDiv(cb * 1000000L, nb))
+    // the fixed double tree, replayed with the identical parenthesization
+    val dd = ca.toDouble * (nb - cb).toDouble - cb.toDouble * (na - ca).toDouble
+    val want = ((na + nb).toDouble * dd * dd) /
+      (na.toDouble * nb.toDouble * (ca + cb).toDouble * (na + nb - ca - cb).toDouble)
+    assert(r.getAs[Double]("chi2") === want)
+  }
 }

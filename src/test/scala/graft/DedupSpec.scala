@@ -569,4 +569,17 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("chars_dup") === cd)
     }
   }
+
+  test("dedup_minhash_1bit: bit matches dominate full matches and estimates follow the closed forms") {
+    val rows = graft.operators.Dedup.dedupMinhash1bit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m1, mf) = (r.getAs[Long]("m1"), r.getAs[Long]("m_full"))
+      // a full 8-hex-char match implies a low-bit match, never the reverse
+      assert(m1 >= mf, s"pair (${r.get(0)}, ${r.get(1)}): m1 $m1 < m_full $mf")
+      assert(m1 >= 0L && m1 <= 16L && mf >= 0L && mf <= 16L)
+      assert(r.getAs[Double]("est_1bit") === (m1 * 2 - 16) / 16.0)
+      assert(r.getAs[Double]("est_full") === mf / 16.0)
+    }
+  }
 }
