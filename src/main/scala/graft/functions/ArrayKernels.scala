@@ -133,3 +133,68 @@ case class EqCount(left: Expression, right: Expression) extends BinaryExpression
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): EqCount =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native upper-triangle outer product over one `array<bigint>` column —
+  * the codegen'd replacement for the nested
+  * `flatten(transform(sequence(1, n), i -> transform(sequence(i, n), j ->
+  * struct(i, j, q[i]*q[j]))))` that builds the Gram-matrix contribution of
+  * one row (`embed_gram_matrix`): n(n+1)/2 products in row-major (i ≤ j)
+  * order as ONE flat long array. The composable form allocates 2080
+  * STRUCTS per row through interpreted lambdas (measured 2.0s exec at
+  * sf0.1); this is one fused loop writing a primitive array, and the
+  * (pos → i, j) mapping is attached AFTER aggregation by a report-sized
+  * literal join, so the whole per-row path stays in whole-stage codegen.
+  *
+  * Exactness: integer multiplication — identical products in either
+  * formulation; order is the row-major enumeration both formulations and
+  * the oracle's unnest share. Null contract: null array → null; a null
+  * ELEMENT nulls every product it touches in the composable form, so here
+  * the whole result is null (the quantization transform upstream never
+  * emits null elements — defensive only).
+  */
+case class OuterUpperI64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"outer_upper_i64 expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "outer_upper_i64"
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayKernelUtil.outerUpperI64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.ArrayKernelUtil.outerUpperI64($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): OuterUpperI64 =
+    copy(child = newChild)
+}
+
+object ArrayKernelUtil {
+  /** Flat row-major upper triangle q_i·q_j (1 ≤ i ≤ j ≤ n); null on any
+    * null element (see [[OuterUpperI64]]). */
+  def outerUpperI64(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var k = 0
+    while (k < n) { if (arr.isNullAt(k)) return null; k += 1 }
+    val q = arr.toLongArray()
+    val out = new Array[Long](n * (n + 1) / 2)
+    var p = 0
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n) { out(p) = q(i) * q(j); p += 1; j += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}

@@ -158,5 +158,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("eq_count"),
       new ExpressionInfo(classOf[EqCount].getName, "eq_count"),
       (children: Seq[Expression]) => EqCount(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("outer_upper_i64"),
+      new ExpressionInfo(classOf[OuterUpperI64].getName, "outer_upper_i64"),
+      (children: Seq[Expression]) => OuterUpperI64(children.head)))
   }
 }

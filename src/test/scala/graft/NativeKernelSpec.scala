@@ -358,6 +358,33 @@ class NativeKernelSpec extends SparkSpec {
       "periodic motif should repeat at least one chunk hash (or be a single chunk)")
   }
 
+  test("outer_upper_i64 equals the nested transform-over-sequence formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq[(Long, Seq[Long])](
+      (0L, Seq()),
+      (1L, Seq(5L)),
+      (2L, Seq(-3L, 7L)),
+      (3L, Seq(0L, -1L, 2L, 4L)),
+      (4L, Seq.fill(64)(rnd.nextLong() % 40000L)))
+      .toDF("id", "q")
+    val native = rows.select(col("id"), expr("outer_upper_i64(q)").as("o")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Long](1)).toMap
+    val composable = rows.filter(size(col("q")) > 0).select(col("id"), expr(
+      """flatten(transform(sequence(1, size(q)), i ->
+        |  transform(sequence(i, size(q)), j ->
+        |    element_at(q, i) * element_at(q, j))))""".stripMargin).as("o")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Long](1)).toMap
+    // sequence(1, 0) is DESCENDING [1, 0] in Spark, so the empty case is
+    // asserted directly instead of against the composable form
+    assert(native(0L) === Seq.empty[Long])
+    (1L to 4L).foreach(id => assert(native(id) === composable(id), s"id $id"))
+    assert(native(2L) === Seq(9L, -21L, 49L))
+    // null element → null result (the composable form nulls those products)
+    val withNull = Seq((9L, Seq[java.lang.Long](1L, null, 3L))).toDF("id", "q")
+    assert(withNull.select(expr("outer_upper_i64(q)")).collect().head.isNullAt(0))
+  }
+
   test("eq_count equals size(filter(zip_with)) incl. null-element and length-mismatch cases") {
     import spark.implicits._
     val rows = Seq[(Long, Seq[String], Seq[String])](
