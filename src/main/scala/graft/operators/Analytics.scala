@@ -2942,7 +2942,60 @@ object Analytics {
       | END AS chi2
       |FROM t""".stripMargin
 
+  // --- q_funnel_time ----------------------------------------------------------
+  // Time-to-convert distribution (q_funnel's companion readout: the funnel
+  // says HOW MANY convert, this says HOW FAST — the latency product teams
+  // actually tune against): per user, delay from first view to the first
+  // later purchase; report = converting-user count plus discrete p50/p90
+  // delays in whole minutes. Exactness: delays are exact integer seconds
+  // (floored epoch), minute-bucketed by integer division; percentiles use
+  // the rank rule ceil(p·n) over the minute histogram's cumulative counts
+  // — a raw bucket value, never an interpolation. Scale shape: two
+  // map-side-combinable per-user aggregates (min view ts, then min
+  // later-purchase ts — both hash on user_id, co-partitioned), then the
+  // corpus collapses to the delay-minute histogram in ONE combinable
+  // groupBy; the cumulative window runs over that report-sized table
+  // (bounded by the corpus time span in minutes), never the users.
+  def qFunnelTime(spark: SparkSession, d: String): DataFrame = {
+    def rank(p: Int) = expr(s"(n * $p + 99) div 100")
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("sec")).as("v0"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("sec") >= col("v0"))
+      .groupBy("user_id").agg(min(col("sec") - col("v0")).as("delay"))
+      .select(col("user_id"), expr("delay div 60").as("dm"))
+    val hist = conv.groupBy("dm").agg(count(lit(1)).as("c"))
+    val n = hist.agg(sum(col("c")).as("n"))
+    val wcum = Window.orderBy("dm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("c")).over(wcum))
+      .crossJoin(n)
+      .agg(max(col("n")).as("n_converted"),
+        min(when(col("cum") >= rank(50), col("dm"))).as("p50_min"),
+        min(when(col("cum") >= rank(90), col("dm"))).as("p90_min"))
+  }
+
+  val qFunnelTimeSql: String =
+    """WITH fv AS (SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS v0
+      | FROM events WHERE event_type = 'view' GROUP BY 1),
+      |cv AS (SELECT e.user_id,
+      |  min(CAST(floor(epoch(e.ts)) AS BIGINT) - fv.v0) // 60 AS dm
+      | FROM events e JOIN fv ON e.user_id = fv.user_id
+      | WHERE e.event_type = 'purchase' AND CAST(floor(epoch(e.ts)) AS BIGINT) >= fv.v0
+      | GROUP BY 1),
+      |h AS (SELECT dm, count(*) AS c FROM cv GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+      |cum AS (SELECT dm, CAST(sum(c) OVER (ORDER BY dm) AS BIGINT) AS cum FROM h)
+      |SELECT max(n.n) AS n_converted,
+      | min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN dm END) AS p50_min,
+      | min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN dm END) AS p90_min
+      |FROM cum, n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_time" -> qFunnelTime,
     "q_ab_test" -> qAbTest,
     "q_twap" -> qTwap,
     "q_attribution" -> qAttribution,
@@ -3015,6 +3068,7 @@ object Analytics {
     "q18_large_orders" -> q18LargeOrders)
 
   val oracle: Map[String, String] = Map(
+    "q_funnel_time" -> qFunnelTimeSql,
     "q_ab_test" -> qAbTestSql,
     "q_twap" -> qTwapSql,
     "q_attribution" -> qAttributionSql,

@@ -1253,6 +1253,47 @@ object Similarity {
        |SELECT dim, sum_q, CAST(sum_q AS DOUBLE) / norm AS v1
        |FROM s, n ORDER BY dim""".stripMargin
 
+  // --- embed_norm_profile -----------------------------------------------------
+  // Per-label vector-norm profile — the normalization audit run BEFORE
+  // choosing cosine vs dot scoring or pooling sources into one index
+  // (mixed-normalization corpora silently break dot-product ANN; FAISS
+  // docs tell you to check exactly this): per label, count, min/max/mean
+  // of the squared norm on the round(v·2²⁰) lattice (embed_dim_stats'
+  // quantization — a unit vector reads nsq ≈ 2⁴⁰), plus the lattice
+  // spread (max − min) that flags a label whose vectors were normalized
+  // differently. Exactness: Σ q² is an associative BIGINT sum per vector
+  // (≤ 64·2⁴⁰ ≈ 2⁴⁶), per-label aggregates are exact integers, mean is
+  // one truncating division. Scale shape: the per-vector nsq is a scan
+  // projection (one fold, no explode); ONE map-side-combinable groupBy on
+  // label; report = |labels| rows.
+  def embedNormProfile(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .select(col("label").cast("long").as("label"), expr(
+        s"""aggregate(transform(embedding,
+           |  x -> CAST(round(CAST(x AS DOUBLE) * ${1L << 20}) AS BIGINT)),
+           |  0L, (acc, q) -> acc + q * q)""".stripMargin).as("nsq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min(col("nsq")).as("nsq_min"),
+        max(col("nsq")).as("nsq_max"),
+        sum(col("nsq")).as("nsq_sum"))
+      .withColumn("nsq_mean", expr("nsq_sum div n"))
+      .withColumn("nsq_spread", col("nsq_max") - col("nsq_min"))
+      .orderBy("label")
+
+  val embedNormProfileSql: String =
+    s"""WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+       |  list_aggregate([CAST(round(CAST(x AS DOUBLE) * ${1L << 20}) AS BIGINT) ** 2
+       |                  FOR x IN embedding], 'sum') AS nsq
+       | FROM embeddings)
+       |SELECT label, count(*) AS n,
+       | CAST(min(nsq) AS BIGINT) AS nsq_min,
+       | CAST(max(nsq) AS BIGINT) AS nsq_max,
+       | CAST(sum(nsq) AS BIGINT) AS nsq_sum,
+       | CAST(sum(nsq) AS BIGINT) // count(*) AS nsq_mean,
+       | CAST(max(nsq) - min(nsq) AS BIGINT) AS nsq_spread
+       |FROM q GROUP BY 1 ORDER BY label""".stripMargin
+
   // --- embed_outliers -----------------------------------------------------
   // Embedding novelty screen: vectors whose best cosine against ALL 16
   // quantizer centroids is below τ=0.10 — "far from every cluster", the
@@ -1812,6 +1853,7 @@ object Similarity {
     "embed_class_purity" -> embedClassPurity,
     "embed_knn_label_acc" -> embedKnnLabelAcc,
     "embed_dim_stats" -> embedDimStats,
+    "embed_norm_profile" -> embedNormProfile,
     "embed_source_divergence" -> embedSourceDivergence,
     "select_cluster_balanced" -> selectClusterBalanced,
     "embed_drift" -> embedDrift,
@@ -1848,6 +1890,7 @@ object Similarity {
     "embed_source_divergence" -> embedSourceDivergenceSql,
     "select_cluster_balanced" -> selectClusterBalancedSql,
     "embed_dim_stats" -> embedDimStatsSql,
+    "embed_norm_profile" -> embedNormProfileSql,
     "embed_drift" -> embedDriftSql,
     "embed_outliers" -> embedOutliersSql,
     "embed_power_iter" -> embedPowerIterSql,

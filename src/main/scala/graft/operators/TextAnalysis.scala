@@ -2175,6 +2175,54 @@ object TextAnalysis {
        | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- text_dup_ngram_frac ----------------------------------------------------
+  // Duplicated-5-gram occupancy per document (the OTHER Gopher repetition
+  // rule — text_repetition measures how much the single TOP n-gram covers,
+  // this measures how much of the doc is ANY repeated n-gram: the
+  // loop/boilerplate signal that fires even when no single gram dominates):
+  // dup_occ = occurrences belonging to 5-grams appearing ≥ 2 times in the
+  // doc = n_occ − singletons, reported as exact ppm. Scale shape: the
+  // standard LM-counting job — explode 5-grams into ONE combinable
+  // (doc, gram) groupBy (hot grams split by AQE), then a per-doc
+  // combinable rollup; no joins, per-doc report out. Only docs with ≥ 5
+  // tokens have grams (shorter docs are excluded, matching the grams = 0
+  // degenerate case in both engines).
+  def textDupNgramFrac(spark: SparkSession, d: String): DataFrame =
+    textDupNgramFracFrom(Tables.documents(spark, d))
+
+  /** DataFrame-in core for [[textDupNgramFrac]] (`docs` needs doc_id,
+    * text) — exposed so the randomized spec can pin the two-level
+    * counting rollup against a per-doc sliding-window brute force on
+    * constructed looped/repeating corpora. */
+  def textDupNgramFracFrom(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_occ"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("dup_distinct"))
+      .withColumn("dup_ppm", expr("dup_occ * 1000000 div n_grams"))
+      .orderBy("doc_id")
+
+  val textDupNgramFracSql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      | FROM documents),
+      |g AS (SELECT doc_id,
+      |  unnest([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+      |          FOR i IN range(1, len(w)-3)]) AS g
+      | FROM w WHERE len(w) >= 5),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+      | CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_occ,
+      | CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_distinct,
+      | CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) * 1000000
+      |   // CAST(sum(c) AS BIGINT) AS dup_ppm
+      |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // --- text_blocklist -------------------------------------------------------
   // Token-blocklist screen (the lexicon stage every curation pipeline runs
   // before any model-based filter — C4 dropped pages on the LDNOOBW word
@@ -2401,6 +2449,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_blocklist" -> textBlocklist,
+    "text_dup_ngram_frac" -> textDupNgramFrac,
     "text_bigram_lm" -> textBigramLm,
     "text_quality_lift" -> textQualityLift,
     "select_epochs" -> selectEpochs,
@@ -2451,6 +2500,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "text_blocklist" -> textBlocklistSql,
+    "text_dup_ngram_frac" -> textDupNgramFracSql,
     "text_bigram_lm" -> textBigramLmSql,
     "text_quality_lift" -> textQualityLiftSql,
     "select_epochs" -> selectEpochsSql,

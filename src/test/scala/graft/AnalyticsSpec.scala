@@ -933,4 +933,26 @@ class AnalyticsSpec extends SparkSpec {
       (na.toDouble * nb.toDouble * (ca + cb).toDouble * (na + nb - ca - cb).toDouble)
     assert(r.getAs[Double]("chi2") === want)
   }
+
+  test("q_funnel_time equals a direct per-user delay recompute") {
+    import org.apache.spark.sql.functions._
+    val r = Analytics.qFunnelTime(spark, sf).collect().head
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val delays = byUser.values.flatMap { g =>
+      val views = g.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val v0 = views.min
+        val ps = g.filter(e => e._2 == "purchase" && e._3 >= v0).map(_._3)
+        if (ps.isEmpty) None else Some((ps.min - v0) / 60L)
+      }
+    }.toSeq.sorted
+    assert(r.getAs[Long]("n_converted") === delays.size.toLong)
+    def rank(p: Int) = ((delays.size.toLong * p + 99) / 100).toInt - 1
+    assert(r.getAs[Long]("p50_min") === delays(rank(50)))
+    assert(r.getAs[Long]("p90_min") === delays(rank(90)))
+  }
 }

@@ -587,4 +587,38 @@ class RandomizedDecompositionSpec extends SparkSpec {
       assert(got === expected, s"seed=$seed")
     }
   }
+
+  test("randomized: dup-5-gram counting equals the per-doc brute force on 10 seeded corpora") {
+    import spark.implicits._
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed + 900)
+      val vocab = Seq("a", "b", "c")
+      val docs = (0 until 10 + rnd.nextInt(40)).map { i =>
+        // tiny vocab + looped phrases force real 5-gram repeats
+        val len = rnd.nextInt(30)
+        val base = Seq.fill(len)(vocab(rnd.nextInt(vocab.length)))
+        val toks = if (rnd.nextBoolean() && len >= 6) base ++ base.take(6) else base
+        (i.toLong, toks.mkString(" "))
+      }
+      val got = graft.operators.TextAnalysis.textDupNgramFracFrom(
+        docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_grams"),
+          r.getAs[Long]("dup_occ"), r.getAs[Long]("dup_distinct"),
+          r.getAs[Long]("dup_ppm")))).toMap
+      val expected = docs.flatMap { case (id, text) =>
+        val w = text.trim.split("\\s+").toSeq.filter(_ => text.trim.nonEmpty)
+        if (w.size < 5) None
+        else {
+          val grams = w.sliding(5).map(_.mkString(" ")).toSeq
+          val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+          val n = grams.size.toLong
+          val dupOcc = counts.values.filter(_ >= 2).sum
+          val dupDistinct = counts.values.count(_ >= 2).toLong
+          Some(id -> ((n, dupOcc, dupDistinct, Math.floorDiv(dupOcc * 1000000L, n))))
+        }
+      }.toMap
+      assert(got === expected, s"seed=$seed")
+      assert(expected.values.exists(_._2 > 0), s"seed=$seed produced no dup grams")
+    }
+  }
 }
