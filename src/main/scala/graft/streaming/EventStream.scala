@@ -305,6 +305,99 @@ object EventStream {
         col("r.event_id").as("event_id"),
         col("r.value").as("value"))
 
+  // --- stream_cusum -----------------------------------------------------------
+  // Streaming two-sided CUSUM alerter — ds_cusum's MONITORING twin. The
+  // batch op derives target/slack/band from the corpus (a retrospective
+  // audit); a live detector runs with FIXED parameters set from a training
+  // period (Page's procedure as actually deployed), which is exactly what
+  // makes it streamable: the recurrence S = max(0, S + drift) is a pure
+  // per-key fold, so GroupState carries (sh, sl) across micro-batches with
+  // NO approximation — a bounded replay equals the batch closed form
+  // EXACTLY for event-time-ordered arrival, the debounce contract, and the
+  // cross-batch split spec proves the carried state is the same fold.
+  private[graft] val CusumT = 5000L // target (cents): the fleet-wide level
+  private[graft] val CusumK = 2000L // slack: drifts under k/point don't accumulate
+  private[graft] val CusumH = 20000L // decision band
+
+  /** The deterministic batch expression the oracle verifies — ds_cusum's
+    * prefix-sum/prefix-min closed form with the FIXED monitoring
+    * parameters, keyed by event_type. Alert rows: every point whose
+    * accumulated one-sided drift clears the band. */
+  def streamCusum(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val p = Tables.events(spark, d)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("ph", sum(col("vc") - CusumT - CusumK).over(w))
+      .withColumn("pl", sum(lit(CusumT - CusumK) - col("vc")).over(w))
+      .withColumn("sh", col("ph") - least(min(col("ph")).over(w), lit(0L)))
+      .withColumn("sl", col("pl") - least(min(col("pl")).over(w), lit(0L)))
+    p.select(col("event_type"), col("event_id"),
+        explode(array(
+          struct(lit("high").as("side"), col("sh").as("s")),
+          struct(lit("low").as("side"), col("sl").as("s")))).as("x"))
+      .select(col("event_type"), col("event_id"),
+        col("x.side").as("side"), col("x.s").as("s"))
+      .filter(col("s") > CusumH)
+      .orderBy("event_type", "event_id", "side")
+  }
+
+  val streamCusumSql: String =
+    s"""WITH v AS (SELECT event_type, event_id, ts,
+       |  CAST(round(value*100) AS BIGINT) AS vc FROM events),
+       |p AS (SELECT event_type, event_id, ts,
+       |  sum(vc - ${CusumT + CusumK}) OVER w AS ph,
+       |  sum(${CusumT - CusumK} - vc) OVER w AS pl
+       | FROM v WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |s AS (SELECT event_type, event_id,
+       |  ph - least(min(ph) OVER w2, 0) AS sh,
+       |  pl - least(min(pl) OVER w2, 0) AS sl
+       | FROM p WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |u AS (SELECT event_type, event_id, 'high' AS side, CAST(sh AS BIGINT) AS s FROM s
+       |      UNION ALL
+       |      SELECT event_type, event_id, 'low', CAST(sl AS BIGINT) FROM s)
+       |SELECT event_type, event_id, side, s FROM u WHERE s > $CusumH
+       |ORDER BY event_type, event_id, side""".stripMargin
+
+  case class CusumIn(event_type: String, event_id: Long, ts: Timestamp, vc: Long)
+  case class CusumState(sh: Long, sl: Long)
+  case class CusumAlert(event_type: String, event_id: Long, side: String, s: Long)
+
+  /** The stateful form: per-key (sh, sl) folded across micro-batches via
+    * `flatMapGroupsWithState`. Emits immediately on every band crossing
+    * (both sides can fire on one point, matching the batch explode);
+    * state is two longs per event_type — constant, no TTL needed for a
+    * bounded key universe (event types, not users). The per-batch group
+    * sort materializes the group (bounded-group convention: a production
+    * job relies on watermarked event-time ordering instead). */
+  def cusumStateful(spark: SparkSession, events: Dataset[CusumIn]): Dataset[CusumAlert] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (et: String, rows: Iterator[CusumIn], state: GroupState[CusumState]) =>
+          def micros(t: Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[CusumAlert]()
+          sorted.foreach { e =>
+            val sh = math.max(0L, st.sh + e.vc - CusumT - CusumK)
+            val sl = math.max(0L, st.sl + CusumT - CusumK - e.vc)
+            if (sh > CusumH) out += CusumAlert(et, e.event_id, "high", sh)
+            if (sl > CusumH) out += CusumAlert(et, e.event_id, "low", sl)
+            st = CusumState(sh, sl)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-(event_type, hour) OHLC candle — ONE transform for batch and
     * stream (the "live candles" job every market-data/metering pipeline
     * runs; q_ohlc is its batch-only sibling): open/close are struct
@@ -462,12 +555,14 @@ object EventStream {
     "stream_debounce" -> streamDebounce,
     "stream_retry_dedup" -> streamRetryDedup,
     "stream_ohlc" -> streamOhlc,
+    "stream_cusum" -> streamCusum,
     "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
     "stream_debounce" -> streamDebounceSql,
     "stream_retry_dedup" -> streamRetryDedupSql,
     "stream_ohlc" -> streamOhlcSql,
+    "stream_cusum" -> streamCusumSql,
     "stream_hourly" -> streamHourlySql,
     "stream_dedup" -> streamDedupSql,
     "stream_latest" -> streamLatestSql,

@@ -391,6 +391,64 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("stateful CUSUM alerts equal the batch closed form exactly (availableNow)") {
+    val dir = stageEventsDir()
+    import spark.implicits._
+    val stream = EventStream.eventsStream(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .as[EventStream.CusumIn]
+    val q = EventStream.cusumStateful(spark, stream)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // the fold and the prefix-sum/prefix-min closed form are the same
+    // recurrence, so parity is exact and two-sided — no carve-out
+    val streamed = spark.table("cusum_stream")
+    val batch = EventStream.streamCusum(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("CUSUM state carries the fold across batch boundaries") {
+    import spark.implicits._
+    val stager = new BatchStager
+    val dir = stager.dir
+    def write(rows: (Long, String, Double)*): Unit = {
+      rows.map { case (id, ts, v) => (id, 1L, "click", ts, v) }
+        .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_s").cast("timestamp").as("ts"), col("value"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      stager.sealBatch()
+    }
+    // band h=20000, per-point max drift = 10000-7000 = 3000: SEVEN
+    // max-value points are needed to cross, so splitting them 4 + 3
+    // across batches alarms on the 7th ONLY if (sh, sl) survived the
+    // batch boundary
+    val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
+    def ts(i: Int) = java.time.Instant.ofEpochSecond(t0 + i * 60L).toString.replace("T", " ").replace("Z", "")
+    write((1 to 4).map(i => (i.toLong, ts(i), 100.0)): _*)
+    write((5 to 7).map(i => (i.toLong, ts(i), 100.0)): _*)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .as[EventStream.CusumIn]
+    val q = EventStream.cusumStateful(spark, stream)
+      .writeStream.format("memory").queryName("cusum_carry_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val alerts = spark.table("cusum_carry_stream").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("side"), r.getAs[Long]("s")))
+    // sh after i max-value points = i*3000; crosses 20000 at the 7th
+    // (21000) — which sits in batch 2 and alarms only with carried state
+    assert(alerts.toSeq === Seq((7L, "high", 21000L)))
+  }
+
   test("streaming OHLC candles equal the batch candles and q_ohlc (complete mode)") {
     val dir = stageEventsDir()
     val stream = EventStream.eventsStream(spark, dir)
