@@ -2175,6 +2175,46 @@ object TextAnalysis {
        | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- text_langid_confusion ---------------------------------------------------
+  // Language-ID confusion matrix — the eval report every langid stage
+  // ships with (text_langid emits the per-doc verdicts; this is the
+  // (true, predicted) rollup a pipeline reads before trusting the
+  // classifier on a new crawl, using the ground-truth `lang` the corpus
+  // carries): per (lang, pred_lang) cell, count and row-share ppm
+  // (n·10⁶ div the true-language total — diagonal cells ARE per-language
+  // recall). Exactness: pure integer counts + ppm division. Scale shape:
+  // the per-doc argmax is text_langid's scan projection (no explode, no
+  // window); ONE combinable groupBy to the ≤ 25-cell matrix, the row
+  // totals derive from the matrix itself (report-sized window), never a
+  // second corpus pass.
+  def textLangidConfusion(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+    langidOf(Tables.documents(spark, d))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("n_lang", sum(col("n")).over(w))
+      .withColumn("share_ppm", expr("n * 1000000 div n_lang"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val textLangidConfusionSql: String =
+    """WITH tok AS (
+      | SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents
+      |), idx AS (
+      | SELECT doc_id, lang, CAST((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) % 5 AS BIGINT) AS idx FROM tok
+      |), counts AS (
+      | SELECT doc_id, lang, idx, count(*) AS cnt FROM idx GROUP BY 1, 2, 3
+      |), top AS (
+      | SELECT doc_id, lang, idx, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, idx) AS rn FROM counts
+      |), cell AS (
+      | SELECT lang, (['de','en','es','fr','zh'])[CAST(idx AS INT)+1] AS pred_lang,
+      |  count(*) AS n
+      | FROM top WHERE rn = 1 GROUP BY 1, 2
+      |)
+      |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+      | CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+      | CAST(n AS BIGINT) * 1000000 // CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+      |FROM cell ORDER BY lang, pred_lang""".stripMargin
+
   // --- text_dup_ngram_frac ----------------------------------------------------
   // Duplicated-5-gram occupancy per document (the OTHER Gopher repetition
   // rule — text_repetition measures how much the single TOP n-gram covers,
@@ -2450,6 +2490,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_blocklist" -> textBlocklist,
     "text_dup_ngram_frac" -> textDupNgramFrac,
+    "text_langid_confusion" -> textLangidConfusion,
     "text_bigram_lm" -> textBigramLm,
     "text_quality_lift" -> textQualityLift,
     "select_epochs" -> selectEpochs,
@@ -2501,6 +2542,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "text_blocklist" -> textBlocklistSql,
     "text_dup_ngram_frac" -> textDupNgramFracSql,
+    "text_langid_confusion" -> textLangidConfusionSql,
     "text_bigram_lm" -> textBigramLmSql,
     "text_quality_lift" -> textQualityLiftSql,
     "select_epochs" -> selectEpochsSql,
