@@ -1281,11 +1281,18 @@ object Similarity {
       .withColumn("nsq_spread", col("nsq_max") - col("nsq_min"))
       .orderBy("label")
 
+  // Oracle note: DuckDB's `**` returns DOUBLE, which would take sum(nsq)
+  // off the integer lattice once a label's total passes 2^53 — so the
+  // squared term is an explicit BIGINT self-product (bind q once via
+  // list_transform, then q*q stays BIGINT end to end).
   val embedNormProfileSql: String =
-    s"""WITH q AS (SELECT CAST(label AS BIGINT) AS label,
-       |  list_aggregate([CAST(round(CAST(x AS DOUBLE) * ${1L << 20}) AS BIGINT) ** 2
-       |                  FOR x IN embedding], 'sum') AS nsq
-       | FROM embeddings)
+    s"""WITH ql AS (SELECT CAST(label AS BIGINT) AS label,
+       |  list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * ${1L << 20}) AS BIGINT)) AS qs
+       | FROM embeddings),
+       |q AS (SELECT label,
+       |  list_aggregate(list_transform(qs, q -> q * q), 'sum') AS nsq
+       | FROM ql)
        |SELECT label, count(*) AS n,
        | CAST(min(nsq) AS BIGINT) AS nsq_min,
        | CAST(max(nsq) AS BIGINT) AS nsq_max,
@@ -1814,7 +1821,13 @@ object Similarity {
     // join, so the per-row path is entirely whole-stage codegen
     val spark = emb.sparkSession
     import spark.implicits._
-    val q = emb.select(expr(
+    // Fixed-width non-null contract, enforced rather than assumed: a NULL
+    // embedding must not count toward n_vecs, and a ragged array would
+    // silently misattribute positions in the pos→(i,j) row-major join —
+    // so both engines filter to exactly-Dim non-null rows up front.
+    val q = emb
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .select(expr(
       s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $GramQ) AS BIGINT))").as("q"))
     val agg = q
       .select(posexplode(expr("outer_upper_i64(q)")).as(Seq("pos", "p")))
@@ -1833,7 +1846,8 @@ object Similarity {
   val embedGramMatrixSql: String =
     s"""WITH e AS (SELECT list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * $GramQ) AS BIGINT)) AS q
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
        |p AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
        |  q[CAST(i AS INT)] * q[CAST(j AS INT)] AS p
        | FROM e, range(1, ${Dim + 1}) t1(i), range(1, ${Dim + 1}) t2(j)

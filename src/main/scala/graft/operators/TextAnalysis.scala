@@ -2279,7 +2279,11 @@ object TextAnalysis {
 
   def textBlocklist(spark: SparkSession, d: String): DataFrame = {
     val inList = Blocklist.map(t => s"'$t'").mkString(", ")
+    // NULL-text guard (the documentsJsonl hazard langidOf documents):
+    // size(split(NULL)) is -1 in Spark but NULL-skipped by DuckDB's sum —
+    // both engines drop null-text rows explicitly so the token sums agree.
     Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
       .select(col("source"),
         size(words).cast("long").as("n_tokens"),
         size(expr(s"filter(split(trim(text), '\\\\s+'), x -> x IN ($inList))"))
@@ -2300,7 +2304,7 @@ object TextAnalysis {
        |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
        |  len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
        |      x -> x IN ($inList))) AS n_hits
-       | FROM documents)
+       | FROM documents WHERE text IS NOT NULL)
        |SELECT source, count(*) AS n_docs,
        | CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
@@ -2452,7 +2456,10 @@ object TextAnalysis {
   private val MaxEpochs = 4L
 
   def selectEpochs(spark: SparkSession, d: String): DataFrame = {
+    // Same NULL-text guard as textBlocklist: Spark's size(split(NULL)) = -1
+    // would corrupt n_tokens while DuckDB sum() silently skips the NULL.
     val perSrc = Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
       .select(col("source"), size(words).cast("long").as("nw"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
@@ -2473,7 +2480,7 @@ object TextAnalysis {
   val selectEpochsSql: String =
     s"""WITH m AS (SELECT source,
        |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nw
-       | FROM documents),
+       | FROM documents WHERE text IS NOT NULL),
        |ps AS (SELECT source, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens
        |       FROM m GROUP BY 1),
        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS n_src FROM ps),
