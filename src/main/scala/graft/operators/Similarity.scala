@@ -386,7 +386,8 @@ object Similarity {
 
   // --- ann_ivf_layout -----------------------------------------------------
   // The PERSISTED-index ANN probe, oracle-covered end to end (r12 — the
-  // similarity-side twin of dedup_incremental_indexed): the cell layout is
+  // similarity-side twin of the persisted-index dedup_incremental probe):
+  // the cell layout is
   // written once per (session, corpus) via `Sinks.writeIvfCells`
   // (cid-partitioned directories) and every query's probe reads ONLY its
   // NProbe `cid=` directories — partition pruning does what the in-memory

@@ -118,8 +118,8 @@ object Sinks {
     * At 100 TB the index build is the one full-corpus pass; every daily
     * batch screen after it probes these tables with NO corpus-side
     * exchange (the bucketing satisfies both joins' distributions) and no
-    * corpus re-scan — the inline rebuild `dedup_incremental` benches is
-    * the cost this layout amortizes away.
+    * corpus re-scan — the build cost `dedup_index_build` prices is what
+    * this layout amortizes away.
     */
   def writeLshIndex(bands: DataFrame, sigs: DataFrame, tablePrefix: String,
       buckets: Int = 8): Unit = {
