@@ -395,7 +395,14 @@ object Similarity {
   // deployment shape. Probe planning is pure driver-side quantizer math
   // over the resident centroid array plus ONE NumQueries-row collect of
   // the query vectors; the result contract is identical to ann_ivf, so
-  // one oracle SQL serves both.
+  // one oracle SQL serves both. The whole batch is ONE job (r13, verdict
+  // #4 — the r12 form unioned a scan branch per query, a driver-side
+  // plan-size and job-launch ceiling at real batch sizes): the scan reads
+  // the UNION of probed `cid=` directories once via a literal partition
+  // predicate, a broadcast (qid, cid, qv) probe table fans each cell's
+  // rows out to exactly the queries that probed it, and one per-qid
+  // rank window cuts top-K — overlapping probes now read shared cells
+  // once instead of once per query.
   private val ivfLayoutPaths =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val ivfLayoutLock = new Object
@@ -419,21 +426,25 @@ object Similarity {
     val qvs = vectors(spark, d).filter(col("vec_id") < NumQueries)
       .orderBy("vec_id").collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
-    val perQuery = qvs.map { case (qid, qv) =>
-      val cids = cents.zipWithIndex
+    // driver-side probe plan: (qid, cid, qv) — NumQueries·NProbe rows of
+    // resident-state scale, broadcast as the fan-out dim of the one scan
+    val probePlan = qvs.flatMap { case (qid, qv) =>
+      cents.zipWithIndex
         .map { case (c, cid) => (cos(qv, c), cid) }
         .sortBy { case (s, cid) => (-s, cid) }
-        .take(NProbe).map(_._2.toLong)
-      spark.read.parquet(path)
-        .filter(col("cid").isin(cids: _*))
-        .withColumn("qv", array(qv.toSeq.map(lit): _*))
-        .withColumn("sim", cosExpr)
-        .orderBy(desc("sim"), asc("vec_id")).limit(K)
-        .select(lit(qid).as("qid"), col("vec_id"), col("sim"))
+        .take(NProbe)
+        .map { case (_, cid) => (qid, cid.toLong, qv.toSeq) }
     }
+    import spark.implicits._
+    val probes = probePlan.toSeq.toDF("qid", "cid", "qv")
+    val allCids = probePlan.map(_._2).distinct.sorted
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
-    perQuery.reduce(_ unionAll _)
+    spark.read.parquet(path)
+      .filter(col("cid").isin(allCids: _*)) // literal partition predicate
+      .join(broadcast(probes), Seq("cid"))
+      .withColumn("sim", cosExpr)
       .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
       .select("qid", "rank", "vec_id", "sim")
       .orderBy("qid", "rank")
   }

@@ -352,6 +352,51 @@ class SimilaritySpec extends SparkSpec {
       "probe read as many files as a full corpus scan — no pruning")
   }
 
+  test("ann_ivf_layout batches the whole query set into ONE pruned scan") {
+    import org.apache.spark.sql.functions._
+    // r13 shape: no per-query scan branches — one layout read pruned to
+    // the UNION of probed cid= dirs, fanned out by a broadcast probe table
+    val res = Similarity.annIvfLayout(spark, sf)
+    val got = res.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    val expect = Similarity.annIvf(spark, sf).orderBy("qid", "rank").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(got === expect)
+
+    // AQE materializes finished stages as QueryStageExec LEAVES, so a
+    // plain collect never sees the file scan — recurse through them
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        fileScans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    val scans = fileScans(res.queryExecution.executedPlan)
+    assert(scans.length === 1,
+      s"batched probe must be ONE scan of the layout, saw ${scans.length}")
+    val probedCids = (0L until 5L)
+      .flatMap(q => Similarity.probeCells(spark, sf, q)).distinct
+    val layoutDir = new java.io.File(
+      s"/tmp/graft-ivf-${graft.sources.Sinks.pathSlug(sf)}")
+    def parquetFilesIn(d: java.io.File): Long =
+      d.listFiles.count(_.getName.endsWith(".parquet")).toLong
+    val cellDirs = layoutDir.listFiles.filter(_.getName.startsWith("cid="))
+    val probedFiles = cellDirs
+      .filter(f => probedCids.contains(f.getName.stripPrefix("cid=").toLong))
+      .map(parquetFilesIn).sum
+    assert(scans.head.metrics("numFiles").value === probedFiles,
+      "scan must read exactly the union of probed cell directories")
+    assert(probedFiles < cellDirs.map(parquetFilesIn).sum,
+      "batched probe read the whole corpus — pruning lost")
+  }
+
   test("drift halves partition the cluster profile and cross_diff is exact") {
     val drift = graft.operators.Similarity.embedDrift(spark, sf).collect()
     val cluster = graft.operators.Similarity.embedCluster(spark, sf).collect()
