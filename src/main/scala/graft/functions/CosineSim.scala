@@ -162,5 +162,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("outer_upper_i64"),
       new ExpressionInfo(classOf[OuterUpperI64].getName, "outer_upper_i64"),
       (children: Seq[Expression]) => OuterUpperI64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+      (children: Seq[Expression]) => NearestCentroid(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (children: Seq[Expression]) => BpeTokenCount(children.head, children(1))))
   }
 }

@@ -129,20 +129,45 @@ object Similarity {
   /** One struct per centroid scoring `v`: (csim, -cid). Struct max order is
     * (csim DESC, then -cid DESC = cid ASC) — exactly the old window's
     * `orderBy(desc("csim"), asc("cid"))` tie-break, now as a projection. */
-  private def centroidStructs(cents: Seq[Array[Double]]): Seq[Column] =
+  private[graft] def centroidStructs(cents: Seq[Array[Double]]): Seq[Column] =
     cents.zipWithIndex.map { case (cv, cid) =>
       struct(
         call_function("cosine_sim", array(cv.toSeq.map(lit): _*), col("v")).as("csim"),
         lit(-cid).as("ncid"))
     }
 
-  /** Argmax-cosine centroid assignment as a single codegen'd `greatest`
-    * over the literal centroid structs — the pure-map replacement for the
-    * crossJoin + Window.partitionBy("vec_id") argmax. */
-  private def bestCentroid(cents: Seq[Array[Double]]): Column = {
+  /** [[bestCentroid]] as the greatest of per-centroid literal structs —
+    * ~k·dim literal nodes, the r7 formulation, kept ONLY as the parity
+    * reference the kernel is spec'd bit-identical against (the pq_encode
+    * convention). Not a production path: CentroidShapeProbe measured it
+    * FAILING Janino compilation at k=256 (any dim ≥ 64 — the constant
+    * pool/64KB method blowout), which under default configs silently
+    * interprets the hottest projection on the board (the
+    * embed_gram_matrix 17x-cliff failure mode); SCALING.md records the
+    * shape table. */
+  private[graft] def bestCentroidStructs(cents: Seq[Array[Double]]): Column = {
     val ss = centroidStructs(cents)
     if (ss.length == 1) ss.head else greatest(ss: _*)
   }
+
+  /** [[bestCentroid]] via the native `nearest_centroid` kernel: the whole
+    * quantizer is ONE folded literal and the argmax one fused k·dim loop —
+    * the expression tree is O(1) in quantizer size. Struct contract and
+    * tie-breaks bit-identical to the literal-structs form (NativeKernelSpec
+    * pins it; the whole IVF family's oracles re-verify through it). */
+  private[graft] def bestCentroidKernel(cents: Seq[Array[Double]]): Column =
+    call_function("nearest_centroid",
+      typedLit(cents.map(_.toSeq)), col("v"))
+
+  /** Argmax-cosine centroid assignment as a scan projection — a pure map,
+    * zero corpus shuffle, at any quantizer size (the crossJoin +
+    * Window.partitionBy("vec_id") argmax this family replaced shuffled the
+    * whole corpus once). r13: the kernel IS the path at every size — it
+    * measured no slower at the toy 16×64 shape and is the only formulation
+    * that compiles at production shape (k ≥ 256; CentroidShapeProbe),
+    * so there is no size dispatch to get wrong. */
+  private[graft] def bestCentroid(cents: Seq[Array[Double]]): Column =
+    bestCentroidKernel(cents)
 
   def annIvf(spark: SparkSession, d: String): DataFrame = {
     val e = vectors(spark, d)

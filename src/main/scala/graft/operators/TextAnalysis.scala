@@ -2053,6 +2053,96 @@ object TextAnalysis {
        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
        |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT $BpeTopK""".stripMargin
 
+  // --- text_bpe_encode ----------------------------------------------------
+  // APPLY the learned merge table (r13, verdict #6 — text_bpe_pairs
+  // trains one BPE count step, but every token-budget operator budgeted
+  // whitespace tokens; real budgets are tokenizer tokens): take the
+  // top-BpeTopK pair table, greedily merge each word's character pairs
+  // against it (leftmost-first, the deterministic single-level contract
+  // the bpe_token_count kernel documents), and report per source the BPE
+  // token mass next to the whitespace mass — the compression audit
+  // (chars/token, BPE-tokens/word on the ppm lattice) a tokenizer change
+  // is judged by. The merge table is a BpeTopK-row collect (trained
+  // resident state, the centroid/codebook contract) literal-injected into
+  // the kernel, so the encode is ONE codegen'd scan projection — work
+  // linear in corpus chars, the tokenizer floor — feeding one map-side-
+  // combinable |sources|-key groupBy; nothing corpus-proportional
+  // shuffles. Exactness: pure integer counts + ppm floor divisions.
+  def textBpeEncode(spark: SparkSession, d: String): DataFrame =
+    bpeCounted(spark, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("bpe_tokens")).as("bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("bpe_per_word_ppm", expr("bpe_tokens * 1000000 div ws_tokens"))
+      .withColumn("chars_per_bpe_ppm", expr("n_chars * 1000000 div bpe_tokens"))
+      .orderBy("source")
+
+  /** The trained merge table: text_bpe_pairs' top-K pairs in (cnt DESC,
+    * pair) order — a BpeTopK-row collect of ORACLE-VERIFIED output. */
+  private[graft] def bpeMerges(spark: SparkSession, d: String): Seq[String] =
+    textBpePairs(spark, d).collect().map(_.getString(0)).toSeq
+
+  /** Per-doc BPE vs whitespace token counts — the projection the report
+    * rolls up, exposed so the spec can drive [[tokenBudgetSelect]] on BPE
+    * counts (the budget a real pipeline allocates). */
+  private[graft] def bpeCounted(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(words).cast("long").as("ws_tokens"),
+        call_function("bpe_token_count", col("text"),
+          typedLit(bpeMerges(spark, d))).as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+
+  /** select_token_budget's selection run on BPE token counts: same bucket
+    * decomposition, nw = the kernel's per-doc BPE count — spec'd to be the
+    * exact maximal (iq desc, doc_id) prefix under the BPE budget. */
+  private[graft] def selectTokenBudgetBpe(spark: SparkSession, d: String, budget: Long): DataFrame = {
+    val iq = scoredDocs(Tables.documents(spark, d).filter(col("text").isNotNull),
+      col("doc_id")).select("doc_id", "iq")
+    tokenBudgetSelect(
+      bpeCounted(spark, d).select(col("doc_id"), col("bpe_tokens").as("nw"))
+        .join(iq, Seq("doc_id")),
+      budget)
+  }
+
+  val textBpeEncodeSql: String =
+    s"""WITH mw AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |            FROM documents WHERE text IS NOT NULL),
+       |mp AS (SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair
+       |       FROM mw WHERE len(w) >= 2),
+       |ml AS (SELECT list(pair) AS ml FROM (
+       |       SELECT pair, count(*) AS cnt FROM mp GROUP BY 1
+       |       ORDER BY cnt DESC, pair LIMIT $BpeTopK)),
+       |d AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS ws,
+       |        CAST(len(text) AS BIGINT) AS n_chars
+       |      FROM documents WHERE text IS NOT NULL),
+       |wpd AS (SELECT doc_id, source, n_chars, CAST(len(ws) AS BIGINT) AS nws,
+       |        unnest(ws) AS w FROM d),
+       |tok AS (SELECT doc_id, source, n_chars, nws,
+       |   -- greedy scan as a fold over character positions; the (cnt, skip)
+       |   -- state packs into ONE BIGINT acc = cnt*2 + skip (list_prepend
+       |   -- needs a homogeneous list, so no struct state)
+       |   list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, len(w) + 1)),
+       |      (acc, i) -> CASE
+       |        WHEN acc % 2 = 1 THEN acc - 1
+       |        WHEN i < len(w) AND list_contains(ml.ml, substr(w, i, 2))
+       |          THEN acc + 3
+       |        ELSE acc + 2 END) // 2 AS bt
+       | FROM wpd, ml),
+       |pd AS (SELECT doc_id, source, min(n_chars) AS n_chars, min(nws) AS ws_tokens,
+       |       CAST(sum(bt) AS BIGINT) AS bpe_tokens
+       |       FROM tok GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+       | CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       | CAST(sum(bpe_tokens) AS BIGINT) * 1000000 // CAST(sum(ws_tokens) AS BIGINT) AS bpe_per_word_ppm,
+       | CAST(sum(n_chars) AS BIGINT) * 1000000 // CAST(sum(bpe_tokens) AS BIGINT) AS chars_per_bpe_ppm
+       |FROM pd GROUP BY 1 ORDER BY source""".stripMargin
+
   // --- select_rebalance ---------------------------------------------------
   // Mixture rebalancing with rates derived from the DATA (unlike
   // doc_mixture's a-priori rates): given integer target weights per source
@@ -2510,6 +2600,7 @@ object TextAnalysis {
     "select_temperature" -> selectTemperature,
     "select_kfold" -> selectKfold,
     "text_bpe_pairs" -> textBpePairs,
+    "text_bpe_encode" -> textBpeEncode,
     "select_rebalance" -> selectRebalance,
     "text_zipf" -> textZipf,
     "text_winnow" -> textWinnow,
@@ -2562,6 +2653,7 @@ object TextAnalysis {
     "select_temperature" -> selectTemperatureSql,
     "select_kfold" -> selectKfoldSql,
     "text_bpe_pairs" -> textBpePairsSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
     "select_rebalance" -> selectRebalanceSql,
     "text_zipf" -> textZipfSql,
     "text_winnow" -> textWinnowSql,

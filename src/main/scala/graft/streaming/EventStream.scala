@@ -524,6 +524,33 @@ object EventStream {
       .select(col("a_id"), col("p_id"))
   }
 
+  // --- stream_interval_join (batch-parity verification entry) --------------
+  /** The 10th streaming oracle promotion (r13, verdict #5 — the last
+    * spec-only streaming shape with a deterministic batch twin): under
+    * AvailableNow replay an append-mode stream-stream join emits exactly
+    * the join predicate's matches once the watermark passes, so
+    * [[errorWindowJoin]]'s pair set is a pure function of the data — the
+    * same bounded-replay argument as stream_sessions/stream_debounce.
+    * This entry runs the ACTUAL operator (watermarks are no-ops in batch
+    * execution) so the oracle pins the bucket-equijoin + range-filter
+    * lowering itself, while StreamingSpec stages the real two-sided
+    * stream and checks set parity. Scale shape: anchors explode to their
+    * 2 covering 10-min buckets, probes carry 1 — ONE equijoin shuffle on
+    * bucket, never a time-range theta join; on a real stream the
+    * event-time range bounds the join state (watermark eviction). */
+  def streamIntervalJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    errorWindowJoin(ev, ev).orderBy("a_id", "p_id")
+  }
+
+  val streamIntervalJoinSql: String =
+    """WITH a AS (SELECT event_id AS a_id, epoch_us(ts) AS t0
+      |           FROM events WHERE event_type = 'error')
+      |SELECT a_id, e.event_id AS p_id
+      |FROM a JOIN events e
+      |  ON epoch_us(e.ts) >= t0 AND epoch_us(e.ts) < t0 + 600000000
+      |ORDER BY 1, 2""".stripMargin
+
   /** Complete-mode top-k leaderboard state: the top 10 users by event
     * count with a total (count desc, user_id) order — the live dashboard
     * tile every ops page keeps. The count aggregate is associative, so the
@@ -556,6 +583,7 @@ object EventStream {
     "stream_retry_dedup" -> streamRetryDedup,
     "stream_ohlc" -> streamOhlc,
     "stream_cusum" -> streamCusum,
+    "stream_interval_join" -> streamIntervalJoin,
     "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
@@ -567,5 +595,6 @@ object EventStream {
     "stream_dedup" -> streamDedupSql,
     "stream_latest" -> streamLatestSql,
     "stream_sessions" -> streamSessionsSql,
+    "stream_interval_join" -> streamIntervalJoinSql,
     "stream_topk" -> streamTopkSql)
 }

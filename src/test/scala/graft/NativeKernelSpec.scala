@@ -404,4 +404,84 @@ class NativeKernelSpec extends SparkSpec {
     assert(got === want)
     assert(got(0L) === 2L && got(2L) === 2L && got(3L) === 2L && got(5L) === 16L)
   }
+
+  test("bpe_token_count equals the packed-fold HOF formulation on adversarial input") {
+    // merges include an ascii pair, a pair that OVERLAPS it (leftmost-first
+    // greedy must win), and a unicode pair (code-point stepping)
+    val merges = Seq("ab", "bc", "hé" /* not present */, "hé", "wö")
+    val ml = typedLit(merges)
+    val native = docs.select(col("doc_id"),
+      call_function("bpe_token_count", col("text"), ml).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> Option(r.get(1))).toMap
+    // reference: explode words, fold over positions with acc = cnt*2+skip
+    // (exactly the DuckDB oracle's encoding), sum per doc
+    val ref = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN length(w) = 0 THEN 0L ELSE
+           |aggregate(sequence(1, length(w)), 0L, (acc, i) -> CASE
+           |  WHEN acc % 2 = 1 THEN acc - 1
+           |  WHEN i < length(w) AND array_contains(array(${merges.map(m => s"'$m'").mkString(",")}), substring(w, i, 2))
+           |    THEN acc + 3
+           |  ELSE acc + 2 END) div 2 END""".stripMargin).as("bt"))
+      .groupBy("doc_id").agg(sum("bt").as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> Option(r.get(1))).toMap
+    // null text yields null in both; every non-null doc agrees exactly
+    assert(native(14L).isEmpty)
+    docs.collect().map(_.getAs[Long]("doc_id")).filter(_ != 14L).foreach { id =>
+      assert(native(id) === ref(id), s"doc $id")
+    }
+    // spot values: "a b c a b c a b c" (doc 10) has no in-word pairs -> 9;
+    // "héllo wörld ünïcode test" (doc 9) merges hé and wö -> 4+4+7+4 = 19
+    assert(native(10L) === Some(9L))
+    assert(native(9L) === Some(19L))
+  }
+
+  test("nearest_centroid equals greatest-of-literal-structs incl. ties and malformed vectors") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // adversarial quantizer: duplicate centroids (rows 0 and 1) force
+    // csim ties that must break to the SMALLER cid in both formulations
+    val cents: Seq[Array[Double]] = Seq(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(-0.5, 0.5, 0.25, -0.125))
+    val vecs = Seq[(Long, Seq[java.lang.Double])](
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),      // exact tie between cid 0 and 1
+      (1L, Seq(0.0, 2.0, 0.0, 0.0)),
+      (2L, Seq(-1.0, 1.0, 0.5, -0.25)),
+      (3L, Seq(0.3, -0.7, 0.2, 0.9)),
+      (4L, Seq(1.0, 2.0, 3.0)),           // length mismatch -> (null, 0)
+      (5L, Seq[java.lang.Double](1.0, null, 0.0, 0.0))) // null element -> (null, 0)
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
+    def collectBoth(c: org.apache.spark.sql.Column) = vecs
+      .select(col("vec_id"), c.getField("csim").as("csim"),
+        c.getField("ncid").cast("long").as("ncid"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        Option(r.get(1)).map(_.asInstanceOf[Double]), r.getAs[Long]("ncid")))
+    val structs = collectBoth(Similarity.bestCentroidStructs(cents))
+    val kernel = collectBoth(Similarity.bestCentroidKernel(cents))
+    assert(kernel.toSeq === structs.toSeq)
+    // the tie broke to cid 0 (ncid 0), and malformed rows read (null, 0)
+    assert(kernel(0)._3 === 0L)
+    assert(kernel(4)._2.isEmpty && kernel(4)._3 === 0L)
+    assert(kernel(5)._2.isEmpty && kernel(5)._3 === 0L)
+
+    // real corpus: the full 16x64 assignment is struct-for-struct identical
+    // (bit-exact csim, same cid) between the two formulations
+    val cents16 = Similarity.seedCentroids(spark, sf)
+    val e = graft.sources.Tables.embeddings(spark, sf).select(
+      col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    def assignAll(c: org.apache.spark.sql.Column) = e
+      .select(col("vec_id"), c.getField("csim").as("csim"),
+        c.getField("ncid").cast("long").as("ncid"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("csim"), r.getAs[Long]("ncid")))
+    assert(assignAll(Similarity.bestCentroidKernel(cents16)).toSeq ===
+      assignAll(Similarity.bestCentroidStructs(cents16)).toSeq)
+  }
 }

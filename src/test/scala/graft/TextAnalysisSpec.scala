@@ -390,6 +390,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(gotSmall.nonEmpty && gotSmall.size < got.size)
   }
 
+  test("select_token_budget on BPE counts keeps the exact maximal prefix under the BPE budget") {
+    // the r13 variant: budgets are real tokenizer tokens, not whitespace
+    // tokens — same bucket decomposition, nw = bpe_token_count per doc
+    val perDoc = graft.operators.TextAnalysis.bpeCounted(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bpe_tokens")))
+      .toMap
+    // BPE always compresses vs characters and never exceeds whitespace=chars
+    // bound; sanity: every doc has bpe <= chars and >= ws words
+    val budget = 12000L
+    val got = graft.operators.TextAnalysis.selectTokenBudgetBpe(spark, sf, budget)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("iq"), r.getAs[Long]("nw")))
+      .toSeq.sortBy(t => (-t._2, t._1))
+    // in-process maximal (iq desc, doc_id) prefix over BPE counts
+    val iq = graft.operators.TextAnalysis.selectTokenBudgetBpe(spark, sf, Long.MaxValue)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("iq"), r.getAs[Long]("nw")))
+    val ordered = iq.sortBy(t => (-t._2, t._1))
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var cum = 0L
+    var stopped = false
+    ordered.foreach { case (id, i, nw) =>
+      if (!stopped) {
+        cum += nw
+        if (cum <= budget) expected += ((id, i, nw)) else stopped = true
+      }
+    }
+    assert(got === expected.toSeq)
+    assert(got.map(_._3).sum <= budget)
+    assert(got.nonEmpty && got.size < ordered.size,
+      "budget must cut the corpus for the boundary path to be exercised")
+    // the selection's nw really is the kernel's BPE count
+    got.foreach { case (id, _, nw) => assert(perDoc(id) === nw) }
+  }
+
   test("pipeline_curate equals its three stages composed independently") {
     val canon = graft.operators.Dedup.dedupExactNorm(spark, sf).collect()
       .map(_.getAs[Long]("canonical_id")).toSet
