@@ -1848,8 +1848,18 @@ object Similarity {
   /** DataFrame-in core for [[embedGramMatrix]] (`emb` needs an
     * `embedding: array<float>` column) — exposed so the randomized spec
     * can pin the explode/combine decomposition against a per-pair direct
-    * sum on constructed matrices. */
-  def embedGramMatrixFrom(emb: DataFrame): DataFrame = {
+    * sum on constructed matrices.
+    *
+    * `decimalSums` is the documented >8.6e9-row branch (r13, verdict #8):
+    * |q_i·q_j| ≤ 2^30 on the 2^15 lattice, so a signed-64 sum holds
+    * ~2^33 rows; past that it fails LOUDLY under Spark 4's ANSI default
+    * (ARITHMETIC_OVERFLOW — the boundary spec proves both the error and
+    * the fix), and per-(i,j) sums lift to DECIMAL(38,0), which holds
+    * ~10^19x more rows than any corpus. Same plan shape (the decimal
+    * cast rides the same combinable aggregate); only the sum_q column's
+    * type widens. The registry entry stays on the BIGINT branch — exact
+    * by construction at every tested SF. */
+  def embedGramMatrixFrom(emb: DataFrame, decimalSums: Boolean = false): DataFrame = {
     // products via the native outer_upper_i64 kernel (one fused loop into
     // a flat primitive array — the nested transform-over-sequence
     // formulation builds 2080 interpreted STRUCTS per row and measured
@@ -1866,10 +1876,12 @@ object Similarity {
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(expr(
       s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $GramQ) AS BIGINT))").as("q"))
+    val sumP =
+      if (decimalSums) sum(col("p").cast("decimal(38,0)")) else sum(col("p"))
     val agg = q
       .select(posexplode(expr("outer_upper_i64(q)")).as(Seq("pos", "p")))
       .groupBy("pos")
-      .agg(count(lit(1)).as("n_vecs"), sum(col("p")).as("sum_q"))
+      .agg(count(lit(1)).as("n_vecs"), sumP.as("sum_q"))
     val ij = (for (i <- 1 to Dim; j <- i to Dim) yield (i, j)).zipWithIndex
       .map { case ((i, j), pos) => (pos, i.toLong, j.toLong) }
       .toDF("pos", "i", "j")

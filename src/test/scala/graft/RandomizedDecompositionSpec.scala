@@ -588,6 +588,51 @@ class RandomizedDecompositionSpec extends SparkSpec {
     }
   }
 
+  test("gram-matrix DECIMAL branch is exact at the signed-64 boundary where BIGINT wraps") {
+    import spark.implicits._
+    // 9 vectors of all-2^15 components: q_i = 2^30, every pair product
+    // 2^60, so per-(i,j) sums are 9*2^60 ~ 1.04e19 > Long.MaxValue — past
+    // the documented ~8.6e9-row headroom (scaled into reach by maxing the
+    // lattice) where the BIGINT sum overflows
+    val big = (0 until 9).map(i =>
+      (i.toLong, Array.fill(64)(32768.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val exact = BigInt(9) * (BigInt(1) << 60)
+    assert(exact > BigInt(Long.MaxValue), "boundary construction must exceed signed-64")
+    val dec = graft.operators.Similarity.embedGramMatrixFrom(big, decimalSums = true)
+      .collect()
+    assert(dec.length === 64 * 65 / 2)
+    dec.foreach { r =>
+      assert(BigInt(r.getAs[java.math.BigDecimal]("sum_q").toBigInteger) === exact)
+      assert(r.getAs[Long]("n_vecs") === 9L)
+    }
+    // the BIGINT branch fails LOUDLY on the same input under Spark 4's
+    // ANSI default (the session's config): the boundary is an error, not
+    // silent corruption — and the decimal branch is the documented way past it
+    val thrown = intercept[Exception] {
+      graft.operators.Similarity.embedGramMatrixFrom(big).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(thrown).exists(t => t.isInstanceOf[ArithmeticException] ||
+        String.valueOf(t.getMessage).contains("ARITHMETIC_OVERFLOW")),
+      s"expected ARITHMETIC_OVERFLOW in cause chain, got ${thrown.getMessage.take(120)}")
+
+    // below the boundary the branches agree value-for-value
+    val rnd = new Random(4242)
+    val small = (0 until 20).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val a = graft.operators.Similarity.embedGramMatrixFrom(small).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> BigInt(r.getAs[Long]("sum_q"))).toMap
+    val b = graft.operators.Similarity.embedGramMatrixFrom(small, decimalSums = true).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+        BigInt(r.getAs[java.math.BigDecimal]("sum_q").toBigInteger)).toMap
+    assert(a === b)
+  }
+
   test("randomized: dup-5-gram counting equals the per-doc brute force on 10 seeded corpora") {
     import spark.implicits._
     (1 to 10).foreach { seed =>
