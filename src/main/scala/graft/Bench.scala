@@ -1,4 +1,6 @@
 package graft
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -205,7 +207,47 @@ object Bench {
       val qd = m.map { case (k, v) => "\"" + k + "\":" + r(v, 4) }.mkString("{", ",", "}")
       s"""{"pass":${i + 1},"clean":${passClean(i)},"total":${r(passTotals(i), 3)},"family_build_s":${r(familyBuilds(i), 3)},"load_1m_start":${r(passLoad(i)._1, 2)},"load_1m_end":${r(passLoad(i)._2, 2)},"ext_cpu_pct":${r(passExtCpu(i), 1)},"queries":$qd}"""
     }.mkString("[\n", ",\n", "\n]")
-    val detailJson = s"""{"query_mins":$minJson,\n"query_exec_mins":$execMinJson,\n"passes":$passesJson}"""
+    // Pinned DuckDB baseline (r12 verdict #7): the committed artifact
+    // tools/duckdb_baseline.py writes (min-of-N per oracle query, recorded
+    // in the same box window as a Spark bench run) rides along in BOTH
+    // bench artifacts, so weak-set adjudication compares against one
+    // pinned number instead of whatever the oracle box did that day.
+    // Only embedded when the baseline was measured on THIS sfDir.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_BASELINE",
+      "duckdb_baseline_sf0.1.json")
+    val baseline: Option[(Int, Map[String, Double])] =
+      try {
+        val p = java.nio.file.Paths.get(baselinePath)
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(p))
+          val bsf = Option(root.get("sf")).map(_.asText).getOrElse("")
+          def norm(s: String) = s.stripSuffix("/")
+          if (norm(bsf) != norm(sfDir)) None
+          else {
+            val pq = root.get("per_query")
+            val m = pq.fieldNames.asScala
+              .map(n => n -> pq.get(n).asDouble).toMap
+            Some((Option(root.get("passes")).map(_.asInt).getOrElse(0), m))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    // ratio over the SHARED entries only (the baseline can't time non-SQL
+    // entries and new queries may postdate the pin) — both sides are
+    // sums of per-query minima over the intersection
+    val baselineFields = baseline.map { case (bp, m) =>
+      val shared = results.keySet.intersect(m.keySet)
+      val sparkShared = shared.toSeq.map(results).sum
+      val duckShared = shared.toSeq.map(m).sum
+      val ratio = if (duckShared > 0) sparkShared / duckShared else -1.0
+      (s""","duckdb_total":${r(m.values.sum, 3)},"duckdb_passes":$bp,""" +
+        s""""shared_n":${shared.size},"spark_shared":${r(sparkShared, 3)},""" +
+        s""""duckdb_shared":${r(duckShared, 3)},"vs_duckdb":${r(ratio, 3)}""",
+        m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r(v, 4) }
+          .mkString(",\n\"duckdb_per_query\":{", ",", "}"))
+    }
+    val detailJson = s"""{"query_mins":$minJson,\n"query_exec_mins":$execMinJson${baselineFields.map(_._2).getOrElse("")},\n"passes":$passesJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson)
     catch { case _: Throwable => () } // diagnostics only — never fail the bench
     // The LAST stdout line is a SHORT fixed-field headline (~250 chars —
@@ -216,7 +258,7 @@ object Bench {
     // charged to the family, not to whichever family query runs first
     val sumOfExecMins = bestExec.filter { case (k, _) => succeeded(k) }.values.sum
     val fb = familyBuilds.map(r(_, 3)).mkString("[", ",", "]")
-    println(s"""{"metric":"sum_of_query_mins","value":${r(sumOfMins, 3)},"unit":"sec","exec_value":${r(sumOfExecMins, 3)},"family_build_s":$fb,"n_queries":${results.size},"best_pass_total":${r(total, 3)},"pass_totals":$pts,"pass_median":${r(median, 3)},"passes":$passes,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"sum_of_query_mins","value":${r(sumOfMins, 3)},"unit":"sec","exec_value":${r(sumOfExecMins, 3)},"family_build_s":$fb,"n_queries":${results.size},"best_pass_total":${r(total, 3)},"pass_totals":$pts,"pass_median":${r(median, 3)},"passes":$passes,"errors":$es${baselineFields.map(_._1).getOrElse("")},"sf":"$sfDir"}""")
     graft.operators.Dedup.releaseCaches()
     spark.stop()
   }
