@@ -12,6 +12,7 @@ bench_passes.json "query_mins" for the graft-vs-DuckDB ratio table in
 SCALING.md — both sides are min-over-passes, fully materialized.
 """
 import json
+import os
 import sys
 import time
 
@@ -30,7 +31,12 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # <t>.parquet may be a directory of part files (the sf1 bench
+        # corpus layout — tools/make_sf1.py) — glob it for DuckDB
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     best = {}
     errors = {}

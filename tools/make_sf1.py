@@ -83,11 +83,26 @@ def main():
             if t == "embeddings" and i > 0:
                 sel = sel.format(s=1 + (i - 1) % (dim - 1), dim=dim)
             parts.append(f"SELECT {sel} FROM '{src}/{t}.parquet'")
-        union = " UNION ALL ".join(parts)
-        con.execute(f"COPY ({union}) TO '{dst}/{t}.parquet' "
-                    f"(FORMAT PARQUET, ROW_GROUP_SIZE 122880)")
-        rows = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
-        print(f"  {t}: {rows} rows")
+        # ONE FILE PER COPY, under a directory named <t>.parquet: a
+        # single-file table serializes Spark scans — one row group is one
+        # task (r12's RowGroupProbe measured that floor at sf0.1, the
+        # first sf1 cut reproduced it at 10x: text ops grew ~25x on 10x
+        # data off a 1-RG documents file), and even multi-RG small files
+        # stay at 1-2 splits under the 4 MB openCostInBytes floor. A real
+        # 100 TB corpus is many files by construction — this is that
+        # layout at bench scale. Spark reads the directory natively;
+        # tools/duckdb_baseline.py globs it.
+        tdir = f"{dst}/{t}.parquet"
+        if os.path.isfile(tdir):
+            os.remove(tdir)
+        os.makedirs(tdir, exist_ok=True)
+        rg = {"documents": 2048, "embeddings": 1024, "events": 65536}
+        for i, sel in enumerate(parts):
+            con.execute(f"COPY ({sel}) TO '{tdir}/part-{i:03d}.parquet' "
+                        f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg.get(t, 122880)})")
+        rows = con.sql(
+            f"SELECT count(*) FROM '{tdir}/*.parquet'").fetchone()[0]
+        print(f"  {t}: {rows} rows in {len(parts)} files")
     print(f"SF1 CORPUS ({n}x {src}) -> {dst}")
 
 
