@@ -49,6 +49,32 @@ object Bench {
         (total, total - idle, self(13).toLong + self(14).toLong)
       } catch { case scala.util.control.NonFatal(_) => (-1L, -1L, -1L) }
     val passExtCpu = scala.collection.mutable.ArrayBuffer[Double]()
+    // Direct kernel-side contention evidence (closes r11's pinned-cores /
+    // cgroup ask — there is no cgroup CPU quota on this box, so the two
+    // signals that actually attribute a dirty pass are):
+    //  - steal_pct: hypervisor CPU steal (/proc/stat cpu field 8) as a
+    //    share of the pass's total jiffies — time the VCPUs were runnable
+    //    but the HOST ran someone else; no amount of in-guest core
+    //    pinning can remove it, which is why min-of-k (not pinning) is
+    //    the right estimator here;
+    //  - cpu_stall_ms: /proc/pressure/cpu "some total=" delta — microsecs
+    //    (reported as ms) at least one runnable task in THIS guest waited
+    //    for a CPU, the PSI view of oversubscription.
+    def stealSample(): Long =
+      try {
+        val f = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+          .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+        if (f.length > 7) f(7) else -1L
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    def psiSample(): Long =
+      try {
+        val some = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/pressure/cpu")).linesIterator
+          .find(_.startsWith("some")).getOrElse("")
+        some.split("total=").last.trim.toLong // microseconds
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    val passSteal = scala.collection.mutable.ArrayBuffer[Double]()
+    val passStall = scala.collection.mutable.ArrayBuffer[Long]()
     // Same builder as Verify/ExplainDump — benched plans = audited plans.
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -100,6 +126,8 @@ object Bench {
       spark.catalog.clearCache()
       val loadStart = loadavg()
       val cpuStart = cpuSample()
+      val stealStart = stealSample()
+      val psiStart = psiSample()
       val tb = System.nanoTime()
       // NonFatal only (ADVICE r9): an OutOfMemoryError/Interrupted must not
       // be swallowed. A failed warm records -1.0 (a value no real duration
@@ -160,6 +188,15 @@ object Bench {
       passDetail += detail
       passLoad += ((loadStart, loadavg()))
       val cpuEnd = cpuSample()
+      val stealEnd = stealSample()
+      passSteal += {
+        if (stealStart < 0 || stealEnd < 0 || cpuStart._1 < 0 ||
+          cpuEnd._1 <= cpuStart._1) -1.0
+        else 100.0 * (stealEnd - stealStart) / (cpuEnd._1 - cpuStart._1)
+      }
+      val psiEnd = psiSample()
+      passStall +=
+        (if (psiStart < 0 || psiEnd < 0) -1L else (psiEnd - psiStart) / 1000)
       passExtCpu += {
         if (cpuStart._1 < 0 || cpuEnd._1 < 0 || cpuEnd._1 == cpuStart._1) -1.0
         else {
@@ -205,7 +242,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r(v, 4) }.mkString("{", ",", "}")
     val passesJson = passDetail.zipWithIndex.map { case (m, i) =>
       val qd = m.map { case (k, v) => "\"" + k + "\":" + r(v, 4) }.mkString("{", ",", "}")
-      s"""{"pass":${i + 1},"clean":${passClean(i)},"total":${r(passTotals(i), 3)},"family_build_s":${r(familyBuilds(i), 3)},"load_1m_start":${r(passLoad(i)._1, 2)},"load_1m_end":${r(passLoad(i)._2, 2)},"ext_cpu_pct":${r(passExtCpu(i), 1)},"queries":$qd}"""
+      s"""{"pass":${i + 1},"clean":${passClean(i)},"total":${r(passTotals(i), 3)},"family_build_s":${r(familyBuilds(i), 3)},"load_1m_start":${r(passLoad(i)._1, 2)},"load_1m_end":${r(passLoad(i)._2, 2)},"ext_cpu_pct":${r(passExtCpu(i), 1)},"steal_pct":${r(passSteal(i), 2)},"cpu_stall_ms":${passStall(i)},"queries":$qd}"""
     }.mkString("[\n", ",\n", "\n]")
     // Pinned DuckDB baseline (r12 verdict #7): the committed artifact
     // tools/duckdb_baseline.py writes (min-of-N per oracle query, recorded

@@ -170,5 +170,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
       (children: Seq[Expression]) => BpeTokenCount(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("gate_stats"),
+      new ExpressionInfo(classOf[GateStats].getName, "gate_stats"),
+      (children: Seq[Expression]) => GateStats(children.head)))
   }
 }

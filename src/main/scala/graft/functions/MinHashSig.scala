@@ -163,6 +163,50 @@ case class TopTokenCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused per-document gate statistics — the nine integer text signals the
+  * curation stack shares (text_quality, text_quality_gate,
+  * text_gopher_rules, text_tokens, pipeline_curate, and the shared
+  * quality-score projection), computed in ONE tokenize pass plus ONE
+  * char-class pass. Layout (array<long>, fixed):
+  *
+  *   [0] nw      — whitespace token count (`split(trim(text), "\\s+")`)
+  *   [1] sumlen  — Σ token length (code points, = Spark `length`)
+  *   [2] stopn   — tokens ∈ {'the','a'}
+  *   [3] topn    — max single-token occurrence count ([[TopTokenCount]])
+  *   [4] dtok    — distinct token count
+  *   [5] alphan  — tokens containing an ASCII letter (`x rlike '[a-zA-Z]'`)
+  *   [6] symn    — non-overlapping `'#|\.\.\.'` matches on the raw text
+  *   [7] nsym    — chars of lower(text) matching `[^a-z0-9\s]`
+  *   [8] retok   — `[a-z]+|[0-9]+|[^a-z0-9\s]` matches on lower(text)
+  *
+  * Why a kernel: the composable formulations pay three interpreted
+  * higher-order functions (transform/aggregate/filter never enter
+  * whole-stage codegen) plus two regexp_extract_all calls that
+  * MATERIALIZE an array per match just to take its size — measured 6.1s
+  * for text_quality_gate at sf1 vs ~2s for kernel-free peers; each signal
+  * here is the exact integer the composable column produces
+  * (NativeKernelSpec pins all nine element-for-element, including the
+  * lone-empty-token blank document, surrogate pairs, and the '#'/'...'
+  * alternation edges). Pure function of one document — computes in the
+  * scan's project list at any corpus size.
+  */
+case class GateStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "gate_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.gateStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.MinHashKernel.gateStats($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GateStats =
+    copy(child = newChild)
+}
+
 /** Native 8-block perceptual-hash block sums over a payload's UTF-8 bytes
   * (see `Multimodal.mmPhash`) — per-row hex-digit mass per block, the pure
   * map the composable formulation pays 8 `aggregate(sequence(...))` calls
@@ -344,6 +388,69 @@ object MinHashKernel {
       i += 1
     }
     mx.toLong
+  }
+
+  /** Fused nine-signal gate statistics (see [[GateStats]] for the layout
+    * and the exact-parity contract of every element). */
+  def gateStats(text: UTF8String): ArrayData = {
+    val words = TextKernelUtil.splitWords(text)
+    var sumlen = 0L; var stopn = 0L; var alphan = 0L; var topn = 0L
+    val counts = new java.util.HashMap[String, Int](words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      sumlen += w.codePointCount(0, w.length)
+      if (w == "the" || w == "a") stopn += 1
+      var j = 0
+      var hasAlpha = false
+      while (!hasAlpha && j < w.length) {
+        val c = w.charAt(j)
+        hasAlpha = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        j += 1
+      }
+      if (hasAlpha) alphan += 1
+      val c = counts.merge(w, 1, (a, b) => a + b)
+      if (c > topn) topn = c
+      i += 1
+    }
+    // symn: leftmost non-overlapping '#|\.\.\.' matches on the RAW text —
+    // '#' and '...' start with different chars, so first-char dispatch is
+    // exactly the regex alternation's leftmost-match scan
+    val s = text.toString
+    var symn = 0L
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '#') { symn += 1; i += 1 }
+      else if (c == '.' && i + 2 < s.length &&
+        s.charAt(i + 1) == '.' && s.charAt(i + 2) == '.') { symn += 1; i += 3 }
+      else i += 1
+    }
+    // nsym / retok: one code-point scan of lower(text) — UTF8String's own
+    // toLowerCase, the exact string Spark's lower() hands the regex. Java
+    // regex \s is the ASCII set [ \t\n\x0B\f\r]; [a-z]/[0-9] are ASCII, so
+    // any other code point (incl. a surrogate pair, which the regex engine
+    // also steps as ONE code point) is a single symbol/token match.
+    val lo = text.toLowerCase.toString
+    var nsym = 0L; var retok = 0L
+    var prevClass = -1 // 0 letter-run, 1 digit-run, 2 whitespace, 3 symbol
+    i = 0
+    while (i < lo.length) {
+      val cp = lo.codePointAt(i)
+      val cls =
+        if (cp >= 'a' && cp <= 'z') 0
+        else if (cp >= '0' && cp <= '9') 1
+        else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+          cp == '\f' || cp == '\r') 2
+        else 3
+      if (cls == 3) { nsym += 1; retok += 1 }
+      else if (cls == 0 && prevClass != 0) retok += 1
+      else if (cls == 1 && prevClass != 1) retok += 1
+      prevClass = cls
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(Array(words.length.toLong, sumlen, stopn, topn,
+      counts.size.toLong, alphan, symn, nsym, retok))
   }
 
   /** 8-block hex-digit mass over the string's UTF-8 bytes (see

@@ -27,11 +27,11 @@ object TextAnalysis {
     * review: it had been copy-pasted four times). `extra` columns carry
     * through; output is (extra…, nw, iq). */
   private def scoredDocs(docs: DataFrame, extra: Column*): DataFrame =
-    docs.select(extra :+ words.as("w"): _*)
-      .withColumn("nw", size(col("w")).cast("long"))
-      .withColumn("stopn", size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long"))
+    docs.select(extra :+ expr("gate_stats(text)").as("gs"): _*)
+      .withColumn("nw", col("gs").getItem(0))
+      .withColumn("stopn", col("gs").getItem(2))
       .withColumn("iq", expr(s"($ScoreScale * stopn) div nw"))
-      .drop("w", "stopn")
+      .drop("gs", "stopn")
 
   // Shuffle/sample epoch seed — declared at the TOP of the object: the
   // oracle-SQL vals interpolate it, and Scala object vals initialize in
@@ -50,12 +50,15 @@ object TextAnalysis {
   // digit runs, single other symbols) — the two counts a token-budget
   // pipeline needs.
   def textTokens(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d).select(
-      col("doc_id"),
-      size(words).cast("long").as("ws_tokens"),
-      size(array_distinct(words)).cast("long").as("distinct_tokens"),
-      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
-        .cast("long").as("re_tokens"))
+    // all three counts from the fused gate_stats kernel (one scan-side
+    // pass; the split/array_distinct/regexp_extract_all formulation
+    // survives as the oracle + NativeKernelSpec's equality reference)
+    Tables.documents(spark, d)
+      .select(col("doc_id"), expr("gate_stats(text)").as("gs"))
+      .select(col("doc_id"),
+        col("gs").getItem(0).as("ws_tokens"),
+        col("gs").getItem(4).as("distinct_tokens"),
+        col("gs").getItem(8).as("re_tokens"))
       .orderBy("doc_id")
 
   val textTokensSql: String =
@@ -69,9 +72,11 @@ object TextAnalysis {
   // Length / stopword / word-length heuristics combined into a [0,1] score.
   // All divisions are single ops on exact integer operands → deterministic.
   def textQuality(spark: SparkSession, d: String): DataFrame = {
-    val nWords = size(words).cast("long")
-    val sumLen = expr("aggregate(transform(split(trim(text), '\\\\s+'), x -> length(x)), 0L, (acc, x) -> acc + x)")
-    val stopCnt = size(expr("filter(split(trim(text), '\\\\s+'), x -> x IN ('the', 'a'))")).cast("long")
+    // nw / Σlen / stopword-count from the fused gate_stats kernel (the
+    // interpreted-HOF formulation is the oracle + spec reference)
+    val nWords = element_at(expr("gate_stats(text)"), 1)
+    val sumLen = element_at(expr("gate_stats(text)"), 2)
+    val stopCnt = element_at(expr("gate_stats(text)"), 3)
     Tables.documents(spark, d).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_calc"),
@@ -429,15 +434,13 @@ object TextAnalysis {
     * integer boundary (nw = 49/50, Σlen = 3·nw and 10·nw, stopn = 1/2,
     * the 80% alphabetic edge, the 0.1 symbol-ratio edge). */
   def textGopherRulesFrom(docs: DataFrame): DataFrame = {
-    val nw = size(col("w")).cast("long")
-    val sumLen = expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)")
-    val stopn = size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long")
-    val alphan = size(expr("filter(w, x -> x rlike '[a-zA-Z]')")).cast("long")
-    val symn = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("long")
+    // all five rule inputs from the fused gate_stats kernel (the
+    // HOF/regexp formulations are the oracle + spec reference)
     docs
-      .select(col("doc_id"), col("text"), words.as("w"))
-      .select(col("doc_id"), nw.as("nw"), sumLen.as("sl"), stopn.as("stopn"),
-        alphan.as("alphan"), symn.as("symn"))
+      .select(col("doc_id"), expr("gate_stats(text)").as("gs"))
+      .select(col("doc_id"), col("gs").getItem(0).as("nw"),
+        col("gs").getItem(1).as("sl"), col("gs").getItem(2).as("stopn"),
+        col("gs").getItem(5).as("alphan"), col("gs").getItem(6).as("symn"))
       .select(col("doc_id"),
         col("nw").as("n_words"),
         (col("nw") >= 50L && col("nw") <= 100000L).cast("long").as("r_words"),
@@ -1165,20 +1168,21 @@ object TextAnalysis {
     // NULL array every flag column and `pass` would be NULL — a row that
     // matches neither pass=1 nor pass=0 downstream. The parquet corpus has
     // no NULL text, but documentsJsonl reads missing fields as NULL.
+    // all five signals from the fused gate_stats kernel in one scan-side
+    // pass (the composable HOF formulations survive as the oracle +
+    // NativeKernelSpec's element-for-element equality check) — the HOF
+    // form measured 6.1s at sf1 vs ~2s for kernel-free text peers
     val base = Tables.documents(spark, d)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("text"), words.as("w"))
-      .select(col("doc_id"),
-        size(col("w")).cast("long").as("nw"),
-        expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)").as("sumlen"),
-        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"),
-        // native hash-count kernel (one pass); the composable
-        // O(distinct·words) formulation survives as the oracle +
-        // NativeKernelSpec's equality check
-        expr("top_token_count(text)").as("topn"),
-        size(regexp_extract_all(lower(col("text")), lit("[^a-z0-9\\s]"), lit(0)))
-          .cast("long").as("nsym"),
+      .select(col("doc_id"), expr("gate_stats(text)").as("gs"),
         length(col("text")).cast("long").as("nchars"))
+      .select(col("doc_id"),
+        col("gs").getItem(0).as("nw"),
+        col("gs").getItem(1).as("sumlen"),
+        col("gs").getItem(2).as("stopn"),
+        col("gs").getItem(3).as("topn"),
+        col("gs").getItem(7).as("nsym"),
+        col("nchars"))
     val rMinWords = col("nw") >= 20
     val rWordLen = col("sumlen") >= col("nw") * 3 && col("sumlen") <= col("nw") * 10
     val rStopword = col("stopn") >= 1
@@ -1475,15 +1479,15 @@ object TextAnalysis {
     val gated = docs
       .select(col("doc_id"),
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"),
-        words.as("w"),
-        expr("top_token_count(text)").as("topn"),
-        size(regexp_extract_all(lower(col("text")), lit("[^a-z0-9\\s]"), lit(0)))
-          .cast("long").as("nsym"),
+        // all five gate signals from the fused gate_stats kernel — one
+        // scan-side pass next to the dedup hash (oracle + spec keep the
+        // composable formulations)
+        expr("gate_stats(text)").as("gs"),
         length(col("text")).cast("long").as("nchars"))
-      .select(col("doc_id"), col("h"), col("nsym"), col("nchars"), col("topn"),
-        size(col("w")).cast("long").as("nw"),
-        expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)").as("sumlen"),
-        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("stopn"))
+      .select(col("doc_id"), col("h"), col("nchars"),
+        col("gs").getItem(0).as("nw"), col("gs").getItem(1).as("sumlen"),
+        col("gs").getItem(2).as("stopn"), col("gs").getItem(3).as("topn"),
+        col("gs").getItem(7).as("nsym"))
       .withColumn("mn", min(col("doc_id")).over(wH))
       .filter(col("doc_id") === col("mn"))
       .filter(col("nw") >= 20 &&

@@ -484,4 +484,47 @@ class NativeKernelSpec extends SparkSpec {
     assert(assignAll(Similarity.bestCentroidKernel(cents16)).toSeq ===
       assignAll(Similarity.bestCentroidStructs(cents16)).toSeq)
   }
+
+  test("gate_stats equals all nine composable formulations on adversarial input") {
+    import spark.implicits._
+    // the shared adversarial corpus plus gate-specific edges: the '#|...'
+    // alternation (overlap '....', adjacency '#...#', terminal '...'),
+    // symbol/digit runs for the re-token classes, uppercase (lower() is
+    // applied for nsym/retok but NOT for stopn/alphan), and a surrogate
+    // pair (one regex code point, not two chars)
+    val gdocs = docs.union(Seq[(Long, String)](
+      (20L, "#"),
+      (21L, "...."),
+      (22L, "#...# ... .."),
+      (23L, "ends with dots..."),
+      (24L, "A 42 the THE a A9 9a ##"),
+      (25L, "emoji 😀 pair"),
+      (26L, "t4b--x7 , . ; 12ab34"),
+      (27L, "THE UPPER A")).toDF("doc_id", "text"))
+    val w = split(trim(col("text")), "\\s+")
+    val composable = gdocs.filter(col("text").isNotNull)
+      .select(col("doc_id"), w.as("w"), col("text"))
+      .select(col("doc_id"), array(
+        size(col("w")).cast("long"),
+        expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)"),
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long"),
+        expr("aggregate(transform(array_distinct(w), t -> size(filter(w, x -> x = t))), 0, (a, x) -> greatest(a, x))").cast("long"),
+        size(array_distinct(col("w"))).cast("long"),
+        size(expr("filter(w, x -> x rlike '[a-zA-Z]')")).cast("long"),
+        size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("long"),
+        size(regexp_extract_all(lower(col("text")), lit("[^a-z0-9\\s]"), lit(0))).cast("long"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")).as("gs"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val native = gdocs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("gate_stats(text)").as("gs"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(native.keySet === composable.keySet)
+    composable.foreach { case (id, c) => assert(native(id) === c, s"doc $id") }
+    // NULL text propagates NULL, matching the HOF chain
+    assert(gdocs.filter(col("text").isNull)
+      .select(expr("gate_stats(text)")).head.isNullAt(0))
+    // anchors: '....' = one leftmost '...' match; '#...#' = 3 matches
+    assert(native(21L)(6) === 1L)
+    assert(native(22L)(6) === 4L) // '#','...','#' in token 1 + terminal '...'
+  }
 }
