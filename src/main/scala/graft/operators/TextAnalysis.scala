@@ -909,7 +909,16 @@ object TextAnalysis {
     * never enter them). NULL text stays NULL on every output, exactly as
     * the unguarded expressions behaved.
     */
-  private val PiiCandidate = "[0-9@]"
+  // Strictly NECESSARY condition for any of the four patterns (so guarding
+  // on it cannot change a count): email requires '@'; each digit pattern
+  // requires two digits separated by at most one of [-. ] — ipv4 has
+  // "digit '.' digit" at every octet boundary, ssn/phone have "\d\d"
+  // inside \d{3}. The old "[0-9@]" guard let any lone digit trigger all
+  // four heavy Java-regex passes — at sf1 the replica corpus's "_3" token
+  // suffixes made that every document (text_pii 5.1s); two-digit
+  // proximity is what the patterns actually need, and a real corpus's
+  // isolated digits (years, counts) skip it too.
+  private val PiiCandidate = "@|[0-9][-. ]?[0-9]"
 
   /** DataFrame-in variant: `docs` needs (doc_id, text). */
   def textPiiFrom(docs: DataFrame): DataFrame = {
