@@ -36,6 +36,13 @@ case class BpeTokenCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    // Foldability is part of the signature, not just an execution-time
+    // require(): a non-literal merge table must fail ANALYSIS with a
+    // readable error, not blow an opaque executor exception when the lazy
+    // val first evaluates (r13 ADVICE).
+    case (StringType, ArrayType(StringType, _)) if !right.foldable =>
+      TypeCheckResult.TypeCheckFailure(
+        "bpe_token_count merge table must be a foldable literal (trained state is plan-injected)")
     case (StringType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"bpe_token_count expects (string, array<string> literal), got ($l, $r)")

@@ -174,5 +174,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("gate_stats"),
       new ExpressionInfo(classOf[GateStats].getName, "gate_stats"),
       (children: Seq[Expression]) => GateStats(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_dup_stats"),
+      new ExpressionInfo(classOf[GramDupStats].getName, "gram_dup_stats"),
+      (children: Seq[Expression]) => GramDupStats(children.head)))
   }
 }

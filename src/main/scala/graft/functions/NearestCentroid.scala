@@ -55,7 +55,12 @@ case class NearestCentroid(left: Expression, right: Expression)
       case ArrayType(DoubleType, _) => true
       case _ => false
     }
-    if (okL && okR) TypeCheckResult.TypeCheckSuccess
+    if (okL && okR && !left.foldable)
+      // surface misuse at analysis time, not as an opaque executor
+      // exception from the lazy-val require() (r13 ADVICE)
+      TypeCheckResult.TypeCheckFailure(
+        "nearest_centroid matrix must be a foldable literal (trained state is plan-injected)")
+    else if (okL && okR) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"nearest_centroid expects (array<array<double>> literal, array<double>), " +
         s"got (${left.dataType}, ${right.dataType})")

@@ -128,20 +128,83 @@ object Temporal {
   // For every 'error' event: activity stats over ALL events (any user) in
   // the 10 minutes starting at the error — a pure interval join, no
   // equality key. Value sums go through integer cents (exactness contract).
+  //
+  // PLAN (r13 verdict #3): every aggregate this query asks for is
+  // interval-DECOMPOSABLE into prefix ranks, so the blocked bucket join
+  // that emitted ~94M candidate pairs at sf1 (→ 48M true pairs shuffled
+  // through countDistinct's two-phase agg) never needs to exist:
+  //
+  //   n(a)     = cntT(t0+W) − cntT(t0)        cntT(x) = #{events: t < x}
+  //   sum(a)   = sumT(t0+W) − sumT(t0)        sumT(x) = Σ{vc: t < x}
+  //   users(a) = cntLO(t0)  − cntT(t0)        cntLO(x) = #{events: lo < x}
+  //
+  // where lo = max(t − W, prev_t) and prev_t is the SAME USER's previous
+  // event time ((t, event_id) order): an event is its user's FIRST event
+  // inside [t0, t0+W) iff t0 ∈ (lo, t] — so distinct users over any
+  // window is an exact difference of two prefix counts (each user's first
+  // in-window event is counted once, every later one has prev_t ≥ t0).
+  // Prefix ranks at the 2 query points per anchor are computed with the
+  // doc_shuffle range-bucket trick: union value rows and query points,
+  // ONE shuffle on (stream, bucket) + in-bucket running sums (queries
+  // sort before equal-valued events → strict '<'), plus a bucket-census
+  // offset table (time-range/W rows — metadata-sized) joined back. Total
+  // shuffled ≈ 2·|events| + 3·|anchors| narrow rows, linear at any scale,
+  // vs the pair set (≈ anchors × window-density) the join plan paid.
   def qRangeJoin(spark: SparkSession, d: String): DataFrame = {
     val e = ev(spark, d)
+    val uw = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    // stream 0 values: event times (count + cents-sum weights)
+    // stream 1 values: first-in-window lower bounds lo (count weight only)
+    val tVals = e.select(lit(0).as("strm"), col("t").as("x"), lit(0).as("isq"),
+      lit(1L).as("c"), round(col("value") * 100).cast("long").as("s"),
+      lit(null).cast("long").as("a_id"), lit(null).cast("string").as("pt"))
+    val loVals = e
+      .select(col("user_id"), col("t"), col("event_id"))
+      .withColumn("lo", greatest(col("t") - WindowUs,
+        coalesce(lag(col("t"), 1).over(uw), lit(Long.MinValue))))
+      .select(lit(1).as("strm"), col("lo").as("x"), lit(0).as("isq"),
+        lit(1L).as("c"), lit(null).cast("long").as("s"),
+        lit(null).cast("long").as("a_id"), lit(null).cast("string").as("pt"))
     val anchors = e.filter(col("event_type") === "error")
       .select(col("event_id").as("a_id"), col("t").as("t0"))
-      .withColumn("b", explode(array(expr(s"t0 div $WindowUs"), expr(s"t0 div $WindowUs") + 1)))
-    val probes = e.select(col("event_id"), col("user_id"), col("t"),
-      round(col("value") * 100).cast("long").as("vc"))
-      .withColumn("b", expr(s"t div $WindowUs"))
-    anchors.join(probes, Seq("b"))
-      .filter(col("t") >= col("t0") && col("t") < col("t0") + lit(WindowUs))
-      .groupBy(col("a_id").as("event_id"))
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("user_id")).as("users"),
-        (sum(col("vc")) / 100.0).as("sum_value"))
+    def q(strm: Int, x: org.apache.spark.sql.Column, pt: String) =
+      anchors.select(lit(strm).as("strm"), x.as("x"), lit(1).as("isq"),
+        lit(0L).as("c"), lit(null).cast("long").as("s"),
+        col("a_id"), lit(pt).as("pt"))
+    val rows = tVals.union(loVals)
+      .union(q(0, col("t0"), "s"))
+      .union(q(0, col("t0") + WindowUs, "e"))
+      .union(q(1, col("t0"), "s"))
+      .withColumn("b", expr(s"x div $WindowUs"))
+    // in-bucket exclusive ranks: queries (isq=1) sort BEFORE equal-valued
+    // events so running sums implement the strict '<' prefix
+    val bw = Window.partitionBy("strm", "b")
+      .orderBy(col("x"), col("isq").desc, col("a_id"), col("pt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = rows
+      .withColumn("rc", sum(col("c")).over(bw))
+      .withColumn("rs", coalesce(sum(col("s")).over(bw), lit(0L)))
+    // bucket census (every bucket either side touches appears: queries
+    // carry zero weight) → exclusive per-bucket offsets; range/W rows, so
+    // the window partitioned only by stream is metadata-sized by
+    // construction and the offsets side stays broadcast-able at any SF
+    val ow = Window.partitionBy("strm").orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rows.groupBy("strm", "b")
+      .agg(sum(col("c")).as("bc"), sum(col("s")).as("bs"))
+      .select(col("strm"), col("b"),
+        coalesce(sum(col("bc")).over(ow), lit(0L)).as("oc"),
+        coalesce(sum(col("bs")).over(ow), lit(0L)).as("os"))
+    val ranks = ranked.filter(col("isq") === 1)
+      .join(offsets, Seq("strm", "b"))
+      .select(col("a_id"), col("strm"), col("pt"),
+        (col("rc") + col("oc")).as("gc"), (col("rs") + col("os")).as("gs"))
+    def at(strm: Int, pt: String, c: org.apache.spark.sql.Column) =
+      max(when(col("strm") === strm && col("pt") === pt, c))
+    ranks.groupBy(col("a_id").as("event_id"))
+      .agg((at(0, "e", col("gc")) - at(0, "s", col("gc"))).as("n"),
+        (at(1, "s", col("gc")) - at(0, "s", col("gc"))).as("users"),
+        ((at(0, "e", col("gs")) - at(0, "s", col("gs"))) / 100.0).as("sum_value"))
       .orderBy("event_id")
   }
 

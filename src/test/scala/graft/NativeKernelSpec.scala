@@ -56,6 +56,48 @@ class NativeKernelSpec extends SparkSpec {
     assert(native(10L).length === native(10L).distinct.length)
   }
 
+  test("gram_dup_stats equals the explode+count formulation on adversarial input") {
+    // the kernel that carries text_dup_ngram_frac: (n_grams, dup_occ,
+    // dup_distinct) over consecutive 5-token windows, gram identity =
+    // concat_ws(' ', slice(w, i, 5)); docs under 5 tokens (and NULL) are
+    // NULL in the kernel and filtered in the reference
+    val native = docs.select(col("doc_id"), expr("gram_dup_stats(text)").as("gd"))
+      .filter(col("gd").isNotNull).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val composable = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_occ"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("dup_distinct"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Seq(r.getAs[Long]("n_grams"), r.getAs[Long]("dup_occ"), r.getAs[Long]("dup_distinct")))
+      .toMap
+    assert(native.keySet === composable.keySet)
+    composable.foreach { case (id, s) => assert(native(id) === s, s"doc $id") }
+    // doc 10 ("a b c a b c a b c", 9 tokens): 5 grams, "a b c a b" twice
+    // and "b c a b c" twice -> dup_occ 4, dup_distinct 2
+    assert(native(10L) === Seq(5L, 4L, 2L))
+    // doc 13 (w1..w0 mod 7, 40 tokens): every 5-gram repeats with period 7
+    assert(native(13L).head === 36L && native(13L)(1) === 36L)
+  }
+
+  test("text_quality's plan evaluates the gate_stats kernel exactly once") {
+    // the three signal columns read elements of ONE projected gs column;
+    // CollapseProject must not inline the (expensive, thrice-referenced)
+    // kernel back into three instances, and nothing may rely on runtime
+    // subexpression elimination to undo it (r13 ADVICE)
+    val plan = graft.operators.TextAnalysis
+      .textQuality(spark, sf).queryExecution.optimizedPlan.toString
+    val n = "gate_stats\\(".r.findAllIn(plan).length
+    assert(n === 1, s"expected one gate_stats instance in the plan, got $n:\n$plan")
+  }
+
   test("minhash_sig equals the explode+16-min formulation on adversarial input") {
     val native = docs.select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
       .filter(col("sig").isNotNull).collect()
@@ -470,6 +512,21 @@ class NativeKernelSpec extends SparkSpec {
     assert(kernel(0)._3 === 0L)
     assert(kernel(4)._2.isEmpty && kernel(4)._3 === 0L)
     assert(kernel(5)._2.isEmpty && kernel(5)._3 === 0L)
+
+    // DOCUMENTED divergence on a NULL vector (out of the embeddings-table
+    // contract, pinned here so it can't regress unnoticed — r13 ADVICE):
+    // the kernel is null-in/null-out (whole struct NULL), while the
+    // greatest-of-structs form manufactures (csim=null, ncid=0)
+    val nullVec = Seq(Tuple1[Seq[java.lang.Double]](null)).toDF("v")
+      .select(expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
+    def structOf(c: org.apache.spark.sql.Column) =
+      nullVec.select(c.as("s")).collect()(0)
+    val ks = structOf(Similarity.bestCentroidKernel(cents))
+    val ss = structOf(Similarity.bestCentroidStructs(cents))
+    assert(ks.isNullAt(0), "kernel: NULL v -> NULL struct")
+    val ssRow = ss.getStruct(0)
+    assert(ssRow.isNullAt(0) && ssRow.getInt(1) === 0,
+      "structs: NULL v -> (null, ncid=0)")
 
     // real corpus: the full 16x64 assignment is struct-for-struct identical
     // (bit-exact csim, same cid) between the two formulations
