@@ -175,6 +175,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GateStats].getName, "gate_stats"),
       (children: Seq[Expression]) => GateStats(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
+      (children: Seq[Expression]) => BpeTokens(children.head, children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("gram_dup_stats"),
       new ExpressionInfo(classOf[GramDupStats].getName, "gram_dup_stats"),
       (children: Seq[Expression]) => GramDupStats(children.head)))

@@ -447,37 +447,65 @@ class NativeKernelSpec extends SparkSpec {
     assert(got(0L) === 2L && got(2L) === 2L && got(3L) === 2L && got(5L) === 16L)
   }
 
-  test("bpe_token_count equals the packed-fold HOF formulation on adversarial input") {
-    // merges include an ascii pair, a pair that OVERLAPS it (leftmost-first
-    // greedy must win), and a unicode pair (code-point stepping)
-    val merges = Seq("ab", "bc", "hé" /* not present */, "hé", "wö")
+  test("bpe_token_count applies ordered merges iteratively, building multi-char tokens") {
+    import spark.implicits._
+    // ordered rules: a+b -> ab, then ab+c -> abc (a MULTI-CHARACTER left
+    // token — later rounds must see the tokens earlier rounds built), an
+    // overlap probe (a+a, leftmost-first non-overlapping), and a unicode
+    // pair (code-point stepping)
+    val merges = Seq("a b", "ab c", "a a", "h \u00e9")
     val ml = typedLit(merges)
-    val native = docs.select(col("doc_id"),
+    val extra = Seq[(Long, String)](
+      (100L, "abc abcc aaa xabcy"), // 1 + 2 + 2 + 3 = 8 tokens
+      (101L, "h\u00e9llo w\u00f6rld"),        // h\u00e9 l l o = 4; w \u00f6 r l d = 5
+      (102L, "aaaa ab")             // [aa, aa] = 2; [ab] = 1
+    ).toDF("doc_id", "text")
+    val gdocs = docs.union(extra)
+    val native = gdocs.select(col("doc_id"),
       call_function("bpe_token_count", col("text"), ml).as("n"))
       .collect().map(r => r.getAs[Long]("doc_id") -> Option(r.get(1))).toMap
-    // reference: explode words, fold over positions with acc = cnt*2+skip
-    // (exactly the DuckDB oracle's encoding), sum per doc
-    val ref = docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
-      .select(col("doc_id"), explode(col("ws")).as("w"))
-      .select(col("doc_id"), expr(
-        s"""CASE WHEN length(w) = 0 THEN 0L ELSE
-           |aggregate(sequence(1, length(w)), 0L, (acc, i) -> CASE
-           |  WHEN acc % 2 = 1 THEN acc - 1
-           |  WHEN i < length(w) AND array_contains(array(${merges.map(m => s"'$m'").mkString(",")}), substring(w, i, 2))
-           |    THEN acc + 3
-           |  ELSE acc + 2 END) div 2 END""".stripMargin).as("bt"))
-      .groupBy("doc_id").agg(sum("bt").as("n"))
-      .collect().map(r => r.getAs[Long]("doc_id") -> Option(r.get(1))).toMap
-    // null text yields null in both; every non-null doc agrees exactly
-    assert(native(14L).isEmpty)
-    docs.collect().map(_.getAs[Long]("doc_id")).filter(_ != 14L).foreach { id =>
-      assert(native(id) === ref(id), s"doc $id")
+    // independent in-test reference: iterated leftmost-first merge passes
+    def tok(w: String): Seq[String] = {
+      var toks: Seq[String] =
+        w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+      merges.foreach { m =>
+        val Array(l, r) = m.split(" ", 2)
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+            out += (toks(i) + toks(i + 1)); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.toSeq
+      }
+      toks
     }
-    // spot values: "a b c a b c a b c" (doc 10) has no in-word pairs -> 9;
-    // "héllo wörld ünïcode test" (doc 9) merges hé and wö -> 4+4+7+4 = 19
-    assert(native(10L) === Some(9L))
-    assert(native(9L) === Some(19L))
+    val wordsByDoc = gdocs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(native(14L).isEmpty) // null text -> null
+    wordsByDoc.foreach { case (id, ws) =>
+      val want = ws.map(w => tok(w).length.toLong).sum
+      assert(native(id) === Some(want), s"doc $id")
+    }
+    // bpe_tokens (the per-word training primitive) sums to the same count
+    val viaTokens = gdocs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(col("doc_id"),
+        size(call_function("bpe_tokens", col("w"), ml)).cast("long").as("n"))
+      .groupBy("doc_id").agg(sum("n").as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    viaTokens.foreach { case (id, n) => assert(native(id) === Some(n), s"doc $id") }
+    // spot values incl. the composed 3-char token and the overlap chain
+    assert(native(100L) === Some(8L))
+    assert(native(101L) === Some(9L))
+    assert(native(102L) === Some(3L))
+    assert(native(10L) === Some(9L)) // single-char words never merge
+    // token SEQUENCE spot check: "xabcy" -> [x, abc, y]
+    val seq = Seq(Tuple1("xabcy")).toDF("w")
+      .select(call_function("bpe_tokens", col("w"), ml)).collect()(0).getSeq[String](0)
+    assert(seq === Seq("x", "abc", "y"))
   }
 
   test("nearest_centroid equals greatest-of-literal-structs incl. ties and malformed vectors") {
