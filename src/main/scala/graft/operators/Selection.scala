@@ -35,6 +35,15 @@ import graft.sources.Tables
 object Selection {
 
   private val UtcOffsetSec = -2 * 3600L // config.js UTCCorrection = -2
+
+  /** Time-range buckets per compound for the decomposed sequential
+    * operators (ds_cusum, ds_spc_rules): per-series parallelism =
+    * |compounds| × SeriesBuckets, so a low-cardinality corpus (this one
+    * has 5 compounds; a 100 TB deployment with few sensors has the same
+    * shape) no longer serializes each compound into one task. The census
+    * tables these decompositions join back are |compounds| × SeriesBuckets
+    * rows — metadata-sized at any SF. */
+  private val SeriesBuckets = 256L
   private val ZoomLimitMs = 31L * 24 * 3600 * 1000 // config.js xZoomLimit
 
   private def ts(s: String) = lit(s).cast("timestamp")
@@ -1837,10 +1846,11 @@ object Selection {
   // Everything lives on the cents lattice: target t = Σvc div n, slack
   // k = meanabsdev div 2, band h = 4·meanabsdev — so prefix sums are
   // order-free BIGINTs and the flags are engine-exact. Scale shape: one
-  // per-compound aggregate joined back (hash, co-partitioned with the
-  // windows' compound partitioning), two prefix-sum/prefix-min window
-  // pairs sharing ONE sort, a 2-way side unpivot AFTER the windows, and
-  // only points past the band reach the output.
+  // per-compound aggregate joined back, then the prefix-sum/prefix-min
+  // pair decomposed over (compound, time-bucket) windows + a bucket
+  // census join (see dsCusumFrom) so per-series length no longer bounds
+  // parallelism; a 2-way side unpivot AFTER the windows, and only points
+  // past the band reach the output.
   def dsCusum(spark: SparkSession, d: String): DataFrame =
     dsCusumFrom(keyed(spark, d).select("event_id", "compound", "cts", "value"))
 
@@ -1849,24 +1859,68 @@ object Selection {
     * prefix-sum/prefix-min closed form against the direct sequential
     * fold S_i = max(0, S_{i−1} + d_i) on constructed series. */
   def dsCusumFrom(kIn: DataFrame): DataFrame = {
+    // RANGE-BUCKET DECOMPOSITION (r13 verdict #4): a per-compound window
+    // serializes each compound into ONE task — with |compounds| = 5 that
+    // is 1M rows per task at sf1 and 20 TB per task at 100 TB. The prefix
+    // sum and prefix min both decompose over time-range buckets: within
+    // each (compound, bucket) the windows run locally, a bucket census
+    // (|compounds|·SeriesBuckets rows — metadata-sized) carries exclusive
+    // per-bucket offsets (Σ of earlier buckets' sums) and the running min
+    // of earlier buckets' full prefixes, and the join back (AQE
+    // broadcasts the census) reassembles the exact global values:
+    //   ph(i)       = off(b) + lph(i)
+    //   min_{j≤i}ph = least(prevmin(b), off(b) + lmin(i))
+    // Parallelism is |compounds|·SeriesBuckets instead of |compounds|.
     val k0 = kIn
       .select(col("event_id"), col("compound"), col("cts"),
         round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("tu", unix_micros(col("cts")))
     val stats = k0.groupBy("compound").agg(
-      count(lit(1)).as("n"), sum(col("vc")).as("sv"))
+      count(lit(1)).as("n"), sum(col("vc")).as("sv"),
+      min(col("tu")).as("tmin"), max(col("tu")).as("tmax"))
       .withColumn("t", expr("sv div n"))
-    val dev = k0.join(stats.select("compound", "t", "n"), Seq("compound"))
+    val dev = k0.join(stats.select("compound", "t", "n", "tmin", "tmax"), Seq("compound"))
       .groupBy("compound").agg(max(col("t")).as("t"),
-        expr("sum(abs(vc - t)) div max(n)").as("madx"))
+        expr("sum(abs(vc - t)) div max(n)").as("madx"),
+        max(col("tmin")).as("tmin"), max(col("tmax")).as("tmax"))
       .withColumn("k", expr("madx div 2"))
       .withColumn("h", expr("madx * 4"))
-    val w = Window.partitionBy("compound").orderBy("cts", "event_id")
+    val rows = k0.join(dev, Seq("compound"))
+      .withColumn("b", expr(s"(tu - tmin) * $SeriesBuckets div (tmax - tmin + 1)"))
+      .withColumn("dh", col("vc") - col("t") - col("k"))
+      .withColumn("dl", col("t") - col("k") - col("vc"))
+    val lw = Window.partitionBy("compound", "b").orderBy("cts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val p = k0.join(dev, Seq("compound"))
-      .withColumn("ph", sum(col("vc") - col("t") - col("k")).over(w))
-      .withColumn("pl", sum(col("t") - col("k") - col("vc")).over(w))
-      .withColumn("sh", col("ph") - least(min(col("ph")).over(w), lit(0L)))
-      .withColumn("sl", col("pl") - least(min(col("pl")).over(w), lit(0L)))
+    // localCheckpoint: `local` feeds BOTH the census and the join-back —
+    // without it Spark recomputes the scan+joins+window subtree once per
+    // consumer (measured slower than the un-decomposed plan at sf1)
+    val local = rows
+      .withColumn("lph", sum(col("dh")).over(lw))
+      .withColumn("lpl", sum(col("dl")).over(lw))
+      .withColumn("lmh", min(col("lph")).over(lw))
+      .withColumn("lml", min(col("lpl")).over(lw))
+      // only what census + join-back read — the checkpoint write is the
+      // wall cost here, so no carrier columns ride along
+      .select("compound", "b", "event_id", "h", "dh", "dl",
+        "lph", "lpl", "lmh", "lml")
+      .localCheckpoint()
+    val cw = Window.partitionBy("compound").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val census = local.groupBy("compound", "b").agg(
+      sum(col("dh")).as("sdh"), sum(col("dl")).as("sdl"),
+      min(col("lph")).as("bmh"), min(col("lpl")).as("bml"))
+      .withColumn("offh", coalesce(sum(col("sdh")).over(cw), lit(0L)))
+      .withColumn("offl", coalesce(sum(col("sdl")).over(cw), lit(0L)))
+      .withColumn("pmh", min(col("offh") + col("bmh")).over(cw))
+      .withColumn("pml", min(col("offl") + col("bml")).over(cw))
+      .select("compound", "b", "offh", "offl", "pmh", "pml")
+    // least() skips NULLs, so a first bucket (pmh/pml NULL) reduces to its
+    // own local prefix min exactly
+    val p = local.join(census, Seq("compound", "b"))
+      .withColumn("sh", col("offh") + col("lph") -
+        least(least(col("pmh"), col("offh") + col("lmh")), lit(0L)))
+      .withColumn("sl", col("offl") + col("lpl") -
+        least(least(col("pml"), col("offl") + col("lml")), lit(0L)))
     p.select(col("compound"), col("event_id"), col("h"),
         explode(array(
           struct(lit("high").as("side"), col("sh").as("s")),
@@ -1928,30 +1982,73 @@ object Selection {
     * windowed run tests against a direct sequential scan on constructed
     * series (runs across the center, exact-8 vs longer runs, tie values). */
   def dsSpcRulesFrom(kIn: DataFrame): DataFrame = {
+    // RANGE-BUCKET DECOMPOSITION with boundary context (r13 verdict #4):
+    // unlike ds_cusum's unbounded prefixes, the run tests are ROWS-bounded
+    // (8/6/lag-1), so each row's flags depend on AT MOST its 7 global
+    // predecessors. Rows are split into (compound, time-bucket) groups; a
+    // bucket census assigns each bucket its first GLOBAL row index
+    // (start = 1 + Σ earlier bucket counts), every row learns its global
+    // index i = start + local_rank − 1, and each row is re-emitted as
+    // non-scoring CONTEXT into any bucket whose start lies in (i, i+7] —
+    // an equi-join of the 7 exploded candidate starts against the census,
+    // which is exact even when an intervening bucket holds fewer than 7
+    // rows (context then comes from further back). The run windows then
+    // evaluate locally per (compound, bucket) over context + own rows —
+    // identical values to the single per-compound sort, at
+    // |compounds| × SeriesBuckets parallelism.
     val k0 = kIn.select(col("event_id"), col("compound"), col("cts"),
       round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("tu", unix_micros(col("cts")))
     val stats = k0.groupBy("compound").agg(
-      count(lit(1)).as("n"), sum(col("vc")).as("sv"))
+      count(lit(1)).as("n"), sum(col("vc")).as("sv"),
+      min(col("tu")).as("tmin"), max(col("tu")).as("tmax"))
       .withColumn("t", expr("sv div n"))
-    val dev = k0.join(stats.select("compound", "t", "n"), Seq("compound"))
+    val dev = k0.join(stats.select("compound", "t", "n", "tmin", "tmax"), Seq("compound"))
       .groupBy("compound").agg(max(col("t")).as("t"),
-        expr("sum(abs(vc - t)) div max(n)").as("madx"))
-    val ord = Window.partitionBy("compound").orderBy("cts", "event_id")
-    val w8 = ord.rowsBetween(-7, Window.currentRow)
-    val w6 = ord.rowsBetween(-5, Window.currentRow)
-    val p = k0.join(dev, Seq("compound"))
+        expr("sum(abs(vc - t)) div max(n)").as("madx"),
+        max(col("tmin")).as("tmin"), max(col("tmax")).as("tmax"))
+    val rows = k0.join(dev, Seq("compound"))
+      .withColumn("b", expr(s"(tu - tmin) * $SeriesBuckets div (tmax - tmin + 1)"))
       .withColumn("side",
         when(col("vc") > col("t"), lit(1L))
           .when(col("vc") < col("t"), lit(-1L)).otherwise(lit(0L)))
+    val lw = Window.partitionBy("compound", "b").orderBy("cts", "event_id")
+    // localCheckpoint on the two shared stages (census + join-back, then
+    // scoring rows + exploded context candidates): without it each
+    // consumer recomputes the whole scan+join+window subtree (measured 2x
+    // slower than the un-decomposed plan at sf1)
+    val local = rows.withColumn("li", row_number().over(lw))
+      .select("compound", "b", "event_id", "vc", "t", "madx", "side", "li")
+      .localCheckpoint()
+    val cw = Window.partitionBy("compound").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val census = local.groupBy("compound", "b").agg(count(lit(1)).as("cb"))
+      .withColumn("start", coalesce(sum(col("cb")).over(cw), lit(0L)) + 1L)
+      .select("compound", "b", "start")
+    val own = local.join(census, Seq("compound", "b"))
+      .withColumn("i", col("start") + col("li") - 1L)
+      .select("compound", "b", "event_id", "vc", "t", "madx", "side", "i")
+      .localCheckpoint()
+    val baseCols = Seq("compound", "event_id", "vc", "t", "madx", "side", "i")
+    val ownK = own.select(baseCols.map(col) :+ col("b").as("gb") :+ lit(false).as("ctx"): _*)
+    val ctxK = own
+      .withColumn("tstart", explode(expr("sequence(i + 1, i + 7)")))
+      .join(census.select(col("compound"), col("start").as("tstart"), col("b").as("tb")),
+        Seq("compound", "tstart"))
+      .select(baseCols.map(col) :+ col("tb").as("gb") :+ lit(true).as("ctx"): _*)
+    val ord = Window.partitionBy("compound", "gb").orderBy("i")
+    val w8 = ord.rowsBetween(-7, Window.currentRow)
+    val w6 = ord.rowsBetween(-5, Window.currentRow)
+    val p = ownK.union(ctxK)
       .withColumn("prev", lag(col("vc"), 1).over(ord))
       .withColumn("mv",
         when(col("prev").isNull, lit(0L))
           .when(col("vc") > col("prev"), lit(1L))
           .when(col("vc") < col("prev"), lit(-1L)).otherwise(lit(0L)))
-      .withColumn("i", row_number().over(ord))
       .withColumn("s8", sum(col("side")).over(w8))
       .withColumn("m6", sum(col("mv")).over(w6))
-    p.groupBy("compound").agg(
+    p.filter(!col("ctx"))
+      .groupBy("compound").agg(
         count(lit(1)).as("n_points"),
         sum(when(abs(col("vc") - col("t")) > col("madx") * 3, 1L)
           .otherwise(0L)).as("n_rule1"),
