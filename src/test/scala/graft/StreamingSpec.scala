@@ -162,12 +162,53 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val q = EventStream.sessionize(spark, stream)
       .writeStream.format("memory").queryName("sessions_stream")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    // Known benign noise: after the last data batch commits, Spark 4.1.2
-    // logs an INTERNAL_ERROR (NPE in PythonSQLMetrics while planning the
-    // final empty cleanup batch — Spark-internal; this plan is pure Scala).
-    // All data batches are committed by then; the exact two-sided parity
-    // assertions below prove the emitted output is complete.
-    q.awaitTermination(120000)
+    // Termination is the tricky part (r13 verdict #8): ProcessingTime-
+    // Timeout state keeps an AvailableNow run scheduling empty wrap-up
+    // batches until the 30-minute timeouts fire (measured: 593 empty
+    // epochs and still going), so the query never self-terminates inside
+    // the test and ANY stop interrupts a batch mid-flight — the old
+    // awaitTermination(timeout) + implicit teardown left an INTERNAL_
+    // ERROR (Spark's PythonSQLMetrics NPE on a session-less plan copy) in
+    // the suite's tail where a real failure could hide. Instead: wait
+    // until a wrap-up batch reads ZERO rows (proof every staged file is
+    // committed — the parity assertions below are only meaningful then),
+    // stop the query DELIBERATELY, and scope the interrupt-abort noise of
+    // exactly that stop to OFF. A genuine correctness failure still fails
+    // this test loudly: it shows up as missing/extra rows in the exact
+    // two-sided set assertions, not in a log line.
+    val drainDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!q.recentProgress.exists(_.numInputRows == 0) &&
+      q.exception.isEmpty && System.nanoTime() < drainDeadline)
+      Thread.sleep(200)
+    assert(q.recentProgress.exists(_.numInputRows == 0),
+      s"stream never drained: ${q.exception.map(_.toString).getOrElse("timeout")}")
+    // the parent logger, not per-class names: the abort noise fans out
+    // over half a dozen emitters (MicroBatchExecution, WriteToDataSourceV2
+    // Exec, DataWritingSparkTask, TaskContextImpl, TorrentBroadcast, …)
+    // and the window is a few hundred ms around one deliberate stop();
+    // correctness in that window is gated by the known-NPE assert below
+    // and the exact two-sided parity asserts after it, not by log lines
+    val noisy = Seq("org.apache.spark")
+    noisy.foreach(l => org.apache.logging.log4j.core.config.Configurator
+      .setLevel(l, org.apache.logging.log4j.Level.OFF))
+    try {
+      try { q.stop(); q.awaitTermination(60000); () }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          // accept only the known Spark-internal teardown NPE; anything
+          // else is a real failure and rethrows
+          var t: Throwable = e
+          var knownNpe = false
+          while (t != null && !knownNpe) {
+            knownNpe = t.isInstanceOf[NullPointerException] &&
+              t.getStackTrace.exists(_.getClassName.contains("PythonSQLMetrics"))
+            t = t.getCause
+          }
+          if (!knownNpe)
+            fail(s"unexpected streaming failure (not the known teardown NPE): $e", e)
+      }
+    } finally noisy.foreach(l => org.apache.logging.log4j.core.config.Configurator
+      .setLevel(l, org.apache.logging.log4j.Level.WARN))
 
     // only CLOSED sessions are emitted — each user's trailing session is
     // still open in state when the bounded replay ends, so the expectation

@@ -26,7 +26,16 @@ echo "== pii positive-path parity (corpus is digit-free, oracle can't see it)"
 python3 tools/check_pii_parity.py
 
 echo "== plan audit (CartesianProduct / broadcast / pushdown gates)"
+# Staleness gate (r13 verdict #2: EXPLAINS.md shipped one round stale —
+# three new entries and two kernel replans had no committed plan record):
+# capture the section list AND the per-section plan-shape summary lines
+# (broadcast/shuffle counts) of the CURRENT EXPLAINS.md, regenerate, and
+# fail if they drift — i.e. fail until the regenerated dump is the one
+# being committed, exactly like the testdata fingerprint.
+grep -E '^## |^- (broadcast joins|shuffles|shuffle joins)' EXPLAINS.md > "$OUT/explains_pre.txt" || true
 sbt -batch "runMain graft.tools.ExplainDump $SF"
+grep -E '^## |^- (broadcast joins|shuffles|shuffle joins)' EXPLAINS.md | diff "$OUT/explains_pre.txt" - \
+  || { echo "EXPLAINS.md was stale (plan-shape drift) — commit the regenerated dump and re-run"; exit 1; }
 
 echo "== broadcast audit: forced broadcast() call sites vs audited allowlist"
 # Every sql.functions.broadcast() hint pins a build side REGARDLESS of its
