@@ -139,6 +139,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowStats].getName, "winnow_stats"),
       (children: Seq[Expression]) => WinnowStats(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("window_md5_idx"),
+      new ExpressionInfo(classOf[WindowMd5Idx].getName, "window_md5_idx"),
+      (children: Seq[Expression]) => WindowMd5Idx(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("window_md5_set"),
       new ExpressionInfo(classOf[WindowMd5Set].getName, "window_md5_set"),
       (children: Seq[Expression]) => WindowMd5Set(children.head)))
@@ -182,5 +186,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("gram_dup_stats"),
       new ExpressionInfo(classOf[GramDupStats].getName, "gram_dup_stats"),
       (children: Seq[Expression]) => GramDupStats(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("term_counts"),
+      new ExpressionInfo(classOf[TermCounts].getName, "term_counts"),
+      (children: Seq[Expression]) => TermCounts(children.head)))
   }
 }

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native 16-permutation MinHash signature over a document string — the
@@ -237,6 +238,39 @@ case class GramDupStats(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): GramDupStats =
+    copy(child = newChild)
+}
+
+/** Native per-doc term-frequency table: `term_counts(text)` →
+  * `array<struct<t: string, c: bigint>>`, one entry per DISTINCT
+  * whitespace token with its in-doc count (first-occurrence order —
+  * consumers explode and re-aggregate/re-sort, so order carries no
+  * semantics). Why a kernel (r14, the sf1 weak set): text_top_terms and
+  * text_keywords built per-doc tf with explode → groupBy(doc_id, t) —
+  * a full corpus-token shuffle (~7.6M rows at sf1) to group by a key that
+  * starts with doc_id, the same shape gram_dup_stats already eliminated
+  * for text_dup_ngram_frac. With tf computed in the scan projection, the
+  * exploded rows are ALREADY one-per-(doc, term): the df aggregate
+  * map-side-combines to vocabulary-size partials and the only remaining
+  * corpus-row exchange is the per-doc top-k window. The explode+groupBy
+  * formulation survives as the DuckDB oracle and the spec reference.
+  */
+case class TermCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "term_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.termCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.MinHashKernel.termCounts($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
     copy(child = newChild)
 }
 
@@ -523,6 +557,28 @@ object MinHashKernel {
       if (c >= 2) { dupOcc += c; dupDist += 1 }
     }
     new GenericArrayData(Array((n - 4).toLong, dupOcc, dupDist))
+  }
+
+  /** Per-doc (term, count) table in first-occurrence order (see
+    * [[TermCounts]]): one tokenize pass + one hash count. */
+  def termCounts(text: UTF8String): ArrayData = {
+    val ws = TextKernelUtil.splitWords(text)
+    val counts = new java.util.LinkedHashMap[String, Long](ws.length * 2)
+    var i = 0
+    while (i < ws.length) {
+      counts.merge(ws(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** 8-block hex-digit mass over the string's UTF-8 bytes (see

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native winnowing statistics (Schleimer–Wilkerson–Aiken, k=4 w=8) over a
@@ -129,6 +129,39 @@ case class CdcChunkHashes(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextWindowKernel.cdcChunkHashes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): CdcChunkHashes =
+    copy(child = newChild)
+}
+
+/** All SubstrW-token window digests WITH their 1-based positions:
+  * `window_md5_idx(text)` → `array<struct<idx: bigint, g: binary>>` —
+  * the per-position stream dedup_substring_apply matches against the
+  * duplicated-window dim. The composable `transform(sequence(...), i ->
+  * struct(i, unhex(md5(concat_ws(' ', slice(w, i, W))))))` is an
+  * interpreted lambda chain that re-concats every window (O(n·W)
+  * allocation, outside whole-stage codegen — measured 3.0s at sf1);
+  * the kernel md5s buffer slices of ONE rejoined byte buffer, exactly
+  * like [[WindowMd5Set]] but keeping positions and duplicates. NULL for
+  * docs under SubstrW tokens (the `size(w) >= W` gate).
+  */
+case class WindowMd5Idx(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("idx", LongType, nullable = false),
+    StructField("g", BinaryType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "window_md5_idx"
+
+  override def nullSafeEval(input: Any): Any =
+    TextWindowKernel.windowMd5Idx(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextWindowKernel.windowMd5Idx($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WindowMd5Idx =
     copy(child = newChild)
 }
 
@@ -285,6 +318,23 @@ object TextWindowKernel {
   /** Distinct 16-byte md5 digests of 16-token windows, first-occurrence
     * order; null when the document has fewer than 16 tokens (see
     * [[WindowMd5Set]]). */
+  /** Every window digest with its 1-based position (see [[WindowMd5Idx]]). */
+  def windowMd5Idx(text: UTF8String): ArrayData = {
+    val words = splitWords(text)
+    if (words.length < SubstrW) return null
+    val (buf, starts) = joinBuffer(words)
+    val md = digests.get()
+    val out = new Array[Any](words.length - SubstrW + 1)
+    var i = 0
+    while (i <= words.length - SubstrW) {
+      md.reset()
+      md.update(buf, starts(i), starts(i + SubstrW) - 1 - starts(i))
+      out(i) = new GenericInternalRow(Array[Any]((i + 1).toLong, md.digest()))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def windowMd5Set(text: UTF8String): ArrayData = {
     val words = splitWords(text)
     if (words.length < SubstrW) return null

@@ -895,10 +895,14 @@ object Dedup {
     * (doc_id, text). */
   def dedupSubstringApplyFrom(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-    val gi = toks.filter(size(col("w")) >= SubstrW)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w) - ${SubstrW - 1}), i -> " +
-          s"struct(CAST(i AS BIGINT) AS idx, unhex(md5(concat_ws(' ', slice(w, i, $SubstrW)))) AS g))")).as("x"))
+    // per-position window digests from the window_md5_idx kernel (r14:
+    // the transform/struct/md5 lambda chain re-concat'd every window
+    // interpreted — 3.0s at sf1; the kernel md5s buffer slices of one
+    // rejoined buffer in codegen. The HOF formulation is the oracle.)
+    val gi = docs
+      .select(col("doc_id"), expr("window_md5_idx(text)").as("xs"))
+      .filter(col("xs").isNotNull)
+      .select(col("doc_id"), explode(col("xs")).as("x"))
       .select(col("doc_id"), col("x.idx").as("idx"), col("x.g").as("g"))
     // dup-hash dim off the kernel's per-doc DISTINCT sets: cross-doc
     // frequency + min owner, > 1 docs only — density-bounded

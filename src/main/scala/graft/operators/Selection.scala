@@ -842,26 +842,47 @@ object Selection {
     * `k` needs (`idCol`, compound, value) where `idCol` is any column that
     * totally orders ties deterministically.
     *
-    * Shape (r10 replan): ONE hash exchange on compound and everything else
-    * is a window chain inside that partitioning — rank by value → med via
-    * `max(CASE rn = (n+1) div 2)` over the partition → dev → rank by dev →
-    * mad the same way → filter. The r9 plan derived each median in its own
-    * windowed subquery and broadcast-joined it back, which (because the dev
-    * branch is referenced twice) re-computed the med subtree and scanned
-    * `k` four times with four sorts; this plan scans once, sorts twice
-    * (value order, then dev order — the two medians order by different
-    * keys, so two sorts is the floor), and joins never.
+    * Shape (r14 replan, the sf1 weak set): both medians are order
+    * statistics, so they come from the per-compound VALUE HISTOGRAM — the
+    * median is the smallest value whose cumulative count reaches
+    * (n+1) div 2, and the deviation median is the same statistic over the
+    * |v − med| histogram derived from the value histogram (counts merge,
+    * the corpus is never re-ranked). The corpus pays one
+    * map-side-combinable groupBy (per-partition partials capped by the
+    * value lattice — measurement data is lattice-bounded, the
+    * ds_histogram argument) plus one final scan that attaches (med, mad)
+    * and filters; the r10 window-chain plan row_number'd every corpus row
+    * inside |compounds| partitions, twice. For a pathological caller
+    * whose values are all-distinct the histogram degenerates to corpus
+    * size and this matches the old plan's cost; it never exceeds it.
     */
   def outlierMadFrom(k: DataFrame, idCol: String): DataFrame = {
+    // report-sized after the corpus agg; checkpointed because the med
+    // derivation and the dev histogram both consume it
+    val hist = k.groupBy("compound", "value").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val wAll = Window.partitionBy("compound")
-    val wVal = Window.partitionBy("compound").orderBy(col("value"), col(idCol))
-    val wDev = Window.partitionBy("compound").orderBy(col("dev"), col(idCol))
-    k.withColumn("rn", row_number().over(wVal).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("med", max(when(col("rn") === expr("(n + 1) div 2"), col("value"))).over(wAll))
+    val cw = Window.partitionBy("compound").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val medT = hist
+      .withColumn("cum", sum(col("cnt")).over(cw))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy("compound")
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("value"))).as("med"))
+    val devHist = hist.join(medT, Seq("compound"))
+      .select(col("compound"), col("med"),
+        abs(col("value") - col("med")).as("dev"), col("cnt"))
+      .groupBy("compound", "med", "dev").agg(sum(col("cnt")).as("cnt"))
+    val dw = Window.partitionBy("compound").orderBy("dev")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val madT = devHist
+      .withColumn("cum", sum(col("cnt")).over(dw))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy("compound")
+      .agg(max(col("med")).as("med"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("dev"))).as("mad"))
+    k.join(madT, Seq("compound"))
       .withColumn("dev", abs(col("value") - col("med")))
-      .withColumn("rn2", row_number().over(wDev).cast("long"))
-      .withColumn("mad", max(when(col("rn2") === expr("(n + 1) div 2"), col("dev"))).over(wAll))
       .filter(col("dev") > lit(3.0) * col("mad"))
       .select(idCol, "compound", "value", "med", "mad")
   }
@@ -1580,26 +1601,42 @@ object Selection {
   // (AQE-broadcast), clamps in the map, and collapses in one combinable
   // groupBy over exact cents. n_low/n_high count strict exceedances.
   def dsWinsorize(spark: SparkSession, d: String): DataFrame = {
-    val base = keyed(spark, d)
-      .select(col("compound"), col("event_id"), round(col("value") * 100).cast("long").as("vc"))
-    val w = Window.partitionBy("compound").orderBy("vc", "event_id")
+    // VALUE-HISTOGRAM decomposition (r14, the sf1 weak set): the 5/95
+    // cuts are order statistics — the value at rank ceil(q·n) equals the
+    // smallest value whose cumulative count reaches that rank — and every
+    // reported aggregate (clip counts, winsorized mean) is a function of
+    // the per-compound value histogram. (compound, vc) is LATTICE-bounded
+    // (integer cents of a physically bounded measurement — the same bound
+    // ds_histogram leans on; 17.8k distinct cents at sf1), so the corpus
+    // pass is ONE map-side-combinable groupBy whose per-partition
+    // partials are capped by the lattice, and all rank/clip work happens
+    // on the report-sized histogram. The old plan row_number'd every
+    // corpus row inside |compounds| window partitions — the per-series
+    // serialization ds_cusum's fix removed, eliminated here instead of
+    // decomposed because the aggregates never needed row identity at all.
+    val hist = keyed(spark, d)
+      .select(col("compound"), round(col("value") * 100).cast("long").as("vc"))
+      .groupBy("compound", "vc").agg(count(lit(1)).as("cnt"))
+    val cw = Window.partitionBy("compound").orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("compound")
-    val cuts = base
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
+    // report-sized after the corpus agg; checkpointed because cuts + the
+    // final rollup both consume it
+    val h = hist
+      .withColumn("cum", sum(col("cnt")).over(cw))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .localCheckpoint()
+    val cuts = h.groupBy("compound")
+      .agg(min(when(col("cum") >= ceil(lit(0.05) * col("n")).cast("long"), col("vc"))).as("p5c"),
+        min(when(col("cum") >= ceil(lit(0.95) * col("n")).cast("long"), col("vc"))).as("p95c"))
+    h.join(cuts, Seq("compound"))
       .groupBy("compound")
-      .agg(max(when(col("rn") === ceil(lit(0.05) * col("n")).cast("long"), col("vc"))).as("p5c"),
-        max(when(col("rn") === ceil(lit(0.95) * col("n")).cast("long"), col("vc"))).as("p95c"))
-      .withColumnRenamed("compound", "cc")
-    base.join(cuts, col("compound") === col("cc"))
-      .select(col("compound"), col("p5c"), col("p95c"), col("vc"),
-        greatest(col("p5c"), least(col("p95c"), col("vc"))).as("wc"))
-      .groupBy("compound")
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("cnt")).as("n"),
         (max(col("p5c")) / 100.0).as("p5"), (max(col("p95c")) / 100.0).as("p95"),
-        sum(when(col("vc") < col("p5c"), 1L).otherwise(0L)).as("n_low"),
-        sum(when(col("vc") > col("p95c"), 1L).otherwise(0L)).as("n_high"),
-        (sum(col("wc")).cast("double") / count(lit(1)).cast("double") / 100.0).as("wins_mean"))
+        sum(when(col("vc") < col("p5c"), col("cnt")).otherwise(0L)).as("n_low"),
+        sum(when(col("vc") > col("p95c"), col("cnt")).otherwise(0L)).as("n_high"),
+        (sum(col("cnt") * greatest(col("p5c"), least(col("p95c"), col("vc")))).cast("double") /
+          sum(col("cnt")).cast("double") / 100.0).as("wins_mean"))
       .orderBy("compound")
   }
 

@@ -590,15 +590,14 @@ object TextAnalysis {
   // high-df/low-score ones, and AQE splits those reducers); N is one scalar
   // broadcast; the final top-k is a per-doc window over that doc's terms.
   def textTopTerms(spark: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(spark, d)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
-    // tf feeds both sides of the join below; no persist needed — both sides
-    // shuffle tf by term, and the identical aggregate subtree means Catalyst
-    // reuses one exchange (a persist here would leak a corpus-sized cache
-    // entry to the caller).
-    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    // tf is already one row per (doc, term), so df = plain count per term —
-    // no second explode pass over the corpus, no countDistinct
+    // per-doc tf from the term_counts kernel in the scan projection: the
+    // exploded rows are ALREADY one per (doc, term), so the old
+    // explode → groupBy(doc_id, t) corpus-token shuffle disappears and df
+    // map-side-combines straight to vocabulary-size partials (r14; the
+    // explode+groupBy formulation is the oracle + spec reference)
+    val tf = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(expr("term_counts(text)")).as("e"))
+      .select(col("doc_id"), col("e.t").as("t"), col("e.c").as("tf"))
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, d).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
@@ -1848,9 +1847,10 @@ object TextAnalysis {
   private val KeywordsK = 3
 
   def textKeywords(spark: SparkSession, d: String): DataFrame = {
+    // scan-side per-doc tf via the term_counts kernel — see textTopTerms
     val tf = Tables.documents(spark, d).filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), explode(expr("term_counts(text)")).as("e"))
+      .select(col("doc_id"), col("e.t").as("t"), col("e.c").as("tf"))
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("score"), asc("t"))
@@ -2557,12 +2557,27 @@ object TextAnalysis {
     * against a direct per-doc recount on constructed corpora (repeated
     * bigrams, single-token docs, cross-doc count sharing). */
   def textBigramLmFrom(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), posexplode(words).as(Seq("pos", "w")))
-    val wd = Window.partitionBy("doc_id").orderBy("pos")
-    val bg = tok
-      .withColumn("wp", lag(col("w"), 1).over(wd))
-      .filter(col("wp").isNotNull)
-    val c1 = tok.groupBy(col("w").as("wp")).agg(count(lit(1)).as("c1"))
+    // Bigrams are adjacent-token pairs of ONE document, so they form in
+    // the scan projection (r14, the sf1 weak set): the old plan
+    // posexplode'd the corpus and ran a per-doc lag WINDOW — a full
+    // corpus shuffle+sort just to pair neighbors — and that subtree fed
+    // three consumers, so it executed three times. Here bg is a
+    // shuffle-free scan branch (cheap to evaluate per consumer), the
+    // unigram table comes off the term_counts kernel, and both count
+    // tables land on vocabulary-bounded keys via map-side combine; the
+    // only corpus-row exchange left is the per-doc rollup, which
+    // map-side-combines to one partial per document.
+    val bg = docs.select(col("doc_id"), words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> " +
+          "struct(element_at(ws, i) AS wp, element_at(ws, i + 1) AS w))")).as("b"))
+      .select(col("doc_id"), col("b.wp").as("wp"), col("b.w").as("w"))
+    // bg's two consumers re-evaluate the HOF branch, but it is
+    // shuffle-free and a localCheckpoint of the 7.5M-row pair stream
+    // measured SLOWER than the re-evaluation — recompute wins here
+    val c1 = docs.select(explode(expr("term_counts(text)")).as("e"))
+      .groupBy(col("e.t").as("wp")).agg(sum(col("e.c")).as("c1"))
     val c2 = bg.groupBy("wp", "w").agg(count(lit(1)).as("c2"))
     bg.join(c2, Seq("wp", "w")).join(c1, Seq("wp"))
       .select(col("doc_id"), expr("(1000000 * c2) div c1").as("ppm"))

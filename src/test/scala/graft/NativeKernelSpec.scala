@@ -87,6 +87,30 @@ class NativeKernelSpec extends SparkSpec {
     assert(native(13L).head === 36L && native(13L)(1) === 36L)
   }
 
+  test("term_counts equals explode+groupBy term frequencies on adversarial input") {
+    val native = docs.select(col("doc_id"), explode(expr("term_counts(text)")).as("e"))
+      .select(col("doc_id"), col("e.t").as("t"), col("e.c").as("c"))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.map(r => r.getAs[String]("t") -> r.getAs[Long]("c")).toMap }
+    val composable = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.map(r => r.getAs[String]("t") -> r.getAs[Long]("c")).toMap }
+    // identical doc membership (NULL text drops in both) and identical
+    // (term -> count) tables, incl. the empty token of all-whitespace docs
+    assert(native.keySet === composable.keySet)
+    composable.foreach { case (id, m) => assert(native(id) === m, s"doc $id") }
+    // doc 10: three distinct terms, each three times; doc 1 (" "): the
+    // single empty token
+    assert(native(10L) === Map("a" -> 3L, "b" -> 3L, "c" -> 3L))
+    assert(native(1L) === Map("" -> 1L))
+  }
+
   test("text_quality's plan evaluates the gate_stats kernel exactly once") {
     // the three signal columns read elements of ONE projected gs column;
     // CollapseProject must not inline the (expensive, thrice-referenced)
@@ -255,6 +279,38 @@ class NativeKernelSpec extends SparkSpec {
     assert(native.keySet === Set(13L))
     // identical digests in identical (first-occurrence) order
     composable.foreach { case (id, s) => assert(native(id) === s, s"doc $id") }
+  }
+
+  test("window_md5_idx equals the indexed transform(unhex(md5)) formulation on adversarial input") {
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    val native = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("window_md5_idx(text)").as("xs"))
+      .filter(col("xs").isNotNull)
+      .select(col("doc_id"), explode(col("xs")).as("x"))
+      .select(col("doc_id"), col("x.idx").as("idx"), col("x.g").as("g"))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.map(r => r.getAs[Long]("idx") -> hex(r.getAs[Array[Byte]]("g"))).sortBy(_._1) }
+    val composable = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 16)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 15), i -> " +
+          "struct(CAST(i AS BIGINT) AS idx, unhex(md5(concat_ws(' ', slice(w, i, 16)))) AS g))")).as("x"))
+      .select(col("doc_id"), col("x.idx").as("idx"), col("x.g").as("g"))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.map(r => r.getAs[Long]("idx") -> hex(r.getAs[Array[Byte]]("g"))).sortBy(_._1) }
+    // identical doc membership (<16 tokens → NULL/filtered) and identical
+    // per-position digests INCLUDING duplicate windows (doc 13 repeats
+    // its 7-token cycle, so windows repeat with period 7 — the set kernel
+    // collapses them, this one must not)
+    assert(native.keySet === composable.keySet)
+    assert(native.keySet === Set(13L))
+    composable.foreach { case (id, s) => assert(native(id) === s, s"doc $id") }
+    assert(native(13L).length === 25) // 40 tokens -> 25 positions, dups kept
   }
 
   test("shingle_set tokenization matches split(trim) on 300 random whitespace-adversarial strings") {
