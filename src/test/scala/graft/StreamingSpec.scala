@@ -207,23 +207,27 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
           if (!knownNpe)
             fail(s"unexpected streaming failure (not the known teardown NPE): $e", e)
       }
+      // only CLOSED sessions are emitted — each user's trailing session is
+      // still open in state when the bounded replay ends, so the
+      // expectation is exactly the stream_sessions oracle entry (batch
+      // sessionizer minus every user's last session). The assertions run
+      // INSIDE the silenced window: the interrupted batch's task-abort
+      // lines log asynchronously from executor threads, so restoring the
+      // level right after stop() raced them (observed in the full-suite
+      // run); by the time these jobs have executed, the stopped query's
+      // threads have long settled.
+      val streamed = spark.table("sessions_stream")
+        .select(col("user_id"), col("n_events"),
+          date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("start_s"))
+      val batchClosed = EventStream.streamSessions(spark, sf)
+        .select(col("user_id"), col("n_events"), col("start_s"))
+      assert(streamed.count() > 0)
+      assert(streamed.except(batchClosed).count() === 0,
+        "stream emitted a session batch did not close")
+      assert(batchClosed.except(streamed).count() === 0,
+        "batch closed a session the stream never emitted")
     } finally noisy.foreach(l => org.apache.logging.log4j.core.config.Configurator
       .setLevel(l, org.apache.logging.log4j.Level.WARN))
-
-    // only CLOSED sessions are emitted — each user's trailing session is
-    // still open in state when the bounded replay ends, so the expectation
-    // is exactly the stream_sessions oracle entry (batch sessionizer minus
-    // every user's last session)
-    val streamed = spark.table("sessions_stream")
-      .select(col("user_id"), col("n_events"),
-        date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("start_s"))
-    val batchClosed = EventStream.streamSessions(spark, sf)
-      .select(col("user_id"), col("n_events"), col("start_s"))
-    assert(streamed.count() > 0)
-    assert(streamed.except(batchClosed).count() === 0,
-      "stream emitted a session batch did not close")
-    assert(batchClosed.except(streamed).count() === 0,
-      "batch closed a session the stream never emitted")
   }
 
   test("stateful debounce via flatMapGroupsWithState equals the batch window dedup exactly") {
