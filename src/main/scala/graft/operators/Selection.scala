@@ -516,17 +516,36 @@ object Selection {
   // Scale: two window passes over a per-compound log that is bounded by
   // analyst interaction counts — partitioned by compound, no joins over
   // the raw data.
-  def dsZoomHistory(spark: SparkSession, d: String): DataFrame = {
+
+  /** The compound's first `lim` rows by (ms, event_id) WITHOUT a
+    * corpus-sized per-compound rank window (r14 verdict #2's flagged
+    * class): every global top-`lim` row is necessarily within the
+    * top-`lim` of its own (compound, time-bucket), so a bucket-local rank
+    * prunes the corpus to ≤ lim × SeriesBuckets candidates per compound
+    * and only the candidates pay the per-compound sort. Returns the input
+    * columns plus the global rank `i` (1-based long), rows with i ≤ lim. */
+  private def firstActions(k: DataFrame, lim: Int): DataFrame = {
+    val stats = k.groupBy("compound").agg(
+      min(col("ms")).as("tmin"), max(col("ms")).as("tmax"))
+    val rows = k.join(stats, Seq("compound"))
+      .withColumn("b", expr(s"(ms - tmin) * $SeriesBuckets div (tmax - tmin + 1)"))
+      .drop("tmin", "tmax")
+    val lwb = Window.partitionBy("compound", "b").orderBy("ms", "event_id")
     val wi = Window.partitionBy("compound").orderBy("ms", "event_id")
+    rows.withColumn("lb", row_number().over(lwb)).filter(col("lb") <= lim)
+      .withColumn("i", row_number().over(wi).cast("long"))
+      .filter(col("i") <= lim)
+      .drop("lb", "b")
+  }
+
+  def dsZoomHistory(spark: SparkSession, d: String): DataFrame = {
     val wRun = Window.partitionBy("compound").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wSuf = Window.partitionBy("compound").orderBy("i")
       .rowsBetween(1, Window.unboundedFollowing)
     val wLast = Window.partitionBy("compound").orderBy(desc("i"))
-    val a = keyed(spark, d)
-      .select("compound", "event_id", "value", "ms")
-      .withColumn("i", row_number().over(wi).cast("long"))
-      .filter(col("i") <= 12)
+    val a = firstActions(
+      keyed(spark, d).select("compound", "event_id", "value", "ms"), 12)
     val isPop = col("i") % 5 === 0
     val act = a.select(col("compound"), col("i"),
       when(isPop, -1).otherwise(1).as("step"),
@@ -610,7 +629,6 @@ object Selection {
     * the spec can fold it through an independent stack implementation). */
   def zoomReplayLog(spark: SparkSession, d: String): DataFrame = {
     val day = 86400000L
-    val wi = Window.partitionBy("compound").orderBy("ms", "event_id")
     val k = keyed(spark, d)
     // reference fallback = processAxis over the displayed data: x extent
     // raw, y extent rounded out to yAxisRound = 50 (index.js:277-317)
@@ -620,9 +638,7 @@ object Selection {
       (ceil(max(col("value")) / 50) * 50).cast("double").as("ext_y1"))
     val wAll = Window.partitionBy("compound").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val log = k.select("compound", "event_id", "value", "ms")
-      .withColumn("i", row_number().over(wi).cast("long"))
-      .filter(col("i") <= 12)
+    val log = firstActions(k.select("compound", "event_id", "value", "ms"), 12)
       .withColumn("x0f", first(col("ms")).over(wAll))
     val b = floor(col("i") / lit(4)).cast("long")
     log.join(broadcast(ext), Seq("compound"))
@@ -750,15 +766,12 @@ object Selection {
     val base = keyed(spark, d)
     // The action ordinal is PLANE-INDEPENDENT — every plane replays the
     // same (ms, event_id)-ordered action stream — so rank once per
-    // compound on the BASE stream and cut to the 12 surviving actions
-    // BEFORE the 8-way plane explode: the corpus-sized window sees each
-    // event once instead of |lattice| times, and the explode runs over
+    // compound on the BASE stream (bucket-pruned, see firstActions) and
+    // cut to the 12 surviving actions BEFORE the 8-way plane explode: the
+    // corpus never pays a per-compound sort, and the explode runs over
     // ≤12 rows per compound (r11 verdict #1; the oracle keeps the
     // per-plane rank, provably equal).
-    val wi = Window.partitionBy("compound").orderBy("ms", "event_id")
-    val top = base
-      .withColumn("i", row_number().over(wi).cast("long"))
-      .filter(col("i") <= 12)
+    val top = firstActions(base, 12)
     val a = top.select(col("compound"), col("i"),
       explode(array(lattice.map(p =>
         struct(lit(p.name).as("plane"), p.x.cast("long").as("x"),
@@ -903,6 +916,56 @@ object Selection {
       |FROM dev JOIN mad ON dev.compound = mad.compound
       |WHERE dev > 3.0 * mad ORDER BY event_id""".stripMargin
 
+  // --- bucketLag1 ----------------------------------------------------------
+  /** Global per-compound lag-1 decomposed over (compound, time-bucket)
+    * groups (r14 verdict #1 — kill the per-compound window class), so a
+    * few-sensor corpus no longer serializes each sensor's full series into
+    * one task. `rows` must already carry a bucket id `b` that is
+    * non-decreasing along the `ordCols` total order (any floor of the
+    * ordering's leading time column qualifies).
+    *
+    * Scheme: CENSUS HANDOFF — bucket-local lag covers every row except
+    * each bucket's first; those take their predecessor from a bucket
+    * census (≤ |compounds| × SeriesBuckets rows, metadata-sized) that
+    * carries each NON-EMPTY bucket's last row one census position forward
+    * with a lag over the census. Correct across sparse regions by
+    * construction: the census only holds non-empty buckets, so the lag
+    * lands on the previous non-empty one. (Two rejected designs: a
+    * context-DUPLICATION variant that re-emits every row into bucket b+1
+    * ships context into EMPTY buckets and orphans everything after a hole
+    * — caught by the sf0.001 oracle; patching it with dense census ids
+    * costs a corpus-side join and measured slower than this at sf1.)
+    * The bucketed stream feeds both the census and the windowed main
+    * stream, so it is localCheckpoint'd — eager execution + pinned blocks
+    * until releaseCaches/session end, the dsCusumFrom storage contract;
+    * callers' scaladoc carries the warning. Returns the input columns
+    * plus `li` (bucket-local rank) and `prev_<c>` per lag column, NULL on
+    * each compound's global first row — exactly
+    * lag(c) OVER (PARTITION BY compound ORDER BY ordCols).
+    * Parallelism: |compounds| × SeriesBuckets local sorts + one
+    * AQE-broadcast census join. */
+  private def bucketLag1(rows: DataFrame, ordCols: Seq[String],
+      lagCols: Seq[String]): DataFrame = {
+    val base = rows.localCheckpoint()
+    val ord = ordCols.map(col)
+    val lw = Window.partitionBy("compound", "b").orderBy(ord: _*)
+    val local = lagCols.foldLeft(base.withColumn("li", row_number().over(lw))) {
+      (df, c) => df.withColumn(s"prev_${c}_l", lag(col(c), 1).over(lw))
+    }
+    val census = base.groupBy("compound", "b")
+      .agg(max_by(struct(lagCols.map(col): _*), struct(ord: _*)).as("last_row"))
+    val cw = Window.partitionBy("compound").orderBy("b")
+    val hand = census
+      .withColumn("hand", lag(col("last_row"), 1).over(cw))
+      .select(col("compound") +: col("b") +:
+        lagCols.map(c => col(s"hand.$c").as(s"prev_${c}_h")): _*)
+    val joined = local.join(hand, Seq("compound", "b"))
+    lagCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"prev_$c",
+        when(col("li") === 1, col(s"prev_${c}_h")).otherwise(col(s"prev_${c}_l")))
+    }.drop(lagCols.map(c => s"prev_${c}_l") ++ lagCols.map(c => s"prev_${c}_h"): _*)
+  }
+
   // --- ds_gaps ------------------------------------------------------------
   // Coverage-gap detection — the other automated QC report a time-series
   // operator owes its users: per compound, consecutive-sample gaps larger
@@ -911,8 +974,10 @@ object Selection {
   // would go silent at 100× the sampling rate), and it reduces to a pure
   // INTEGER cross-multiplication — gap·(n−1) > 4·(span) on epoch seconds —
   // so no division ever happens and both engines agree exactly.
-  // Scale: one windowed lag pass partitioned by compound + a broadcast of
-  // the |compounds|-sized spacing table.
+  // Scale: the consecutive-pair lag is the bucketLag1 decomposition
+  // (|compounds| × SeriesBuckets local sorts, census handoff); the
+  // |compounds|-sized spacing table doubles as the bucket-bound source and
+  // joins hint-free (AQE broadcasts it).
   def dsGaps(spark: SparkSession, d: String): DataFrame =
     gapsFrom(keyed(spark, d).select("event_id", "compound", "cts"), "event_id")
       .orderBy("compound", "gap_end_id")
@@ -920,17 +985,17 @@ object Selection {
   /** DataFrame-in variant for library callers (and the [[GraftQC]] facade):
     * `k` needs (`idCol`, compound, cts: timestamp). */
   def gapsFrom(kIn: DataFrame, idCol: String): DataFrame = {
-    val w = Window.partitionBy("compound").orderBy(col("cts"), col(idCol))
     val k = kIn.withColumn("sec", unix_timestamp(col("cts")))
     val spans = k.groupBy("compound").agg(
-      (max(col("sec")) - min(col("sec"))).as("span"), count(lit(1)).as("n"))
-    k.withColumn("prev_sec", lag(col("sec"), 1).over(w))
-      .withColumn("prev_id", lag(col(idCol), 1).over(w))
+      (max(col("sec")) - min(col("sec"))).as("span"), count(lit(1)).as("n"),
+      min(col("sec")).as("tmin"))
+    val rows = k.join(spans, Seq("compound"))
+      .withColumn("b", expr(s"(sec - tmin) * $SeriesBuckets div (span + 1)"))
+    bucketLag1(rows, Seq("cts", idCol), Seq("sec", idCol))
       .filter(col("prev_sec").isNotNull)
-      .join(broadcast(spans), Seq("compound"))
       .withColumn("gap_sec", col("sec") - col("prev_sec"))
       .filter(col("gap_sec") * (col("n") - 1) > lit(4L) * col("span"))
-      .select(col("compound"), col("prev_id").as("gap_start_id"),
+      .select(col("compound"), col(s"prev_$idCol").as("gap_start_id"),
         col(idCol).as("gap_end_id"), col("gap_sec"))
   }
 
@@ -951,9 +1016,9 @@ object Selection {
   // Gap repair — the ACTION on what ds_gaps detects: for every flagged
   // coverage gap (same relative-threshold rule: gap·(n−1) > 4·span), emit
   // one synthetic sample at the integer midpoint time, linearly
-  // interpolated between the bracketing real samples. Same one-window
-  // shape as ds_gaps (lag over the compound partition, report-sized span
-  // join — hint-free, AQE broadcasts the |compounds|-row side); the
+  // interpolated between the bracketing real samples. Same bucketLag1
+  // shape as ds_gaps (bucket-local lag + census handoff, report-sized
+  // span join — hint-free, AQE broadcasts the |compounds|-row side); the
   // arithmetic is exact integers (cents, epoch seconds, positive midpoint
   // halving) up to ONE fixed double tree both engines evaluate
   // identically: prev + (next−prev)·frac, frac = one division of exact
@@ -969,18 +1034,17 @@ object Selection {
       .select(col(idCol), col("compound"), col("cts"),
         round(col("value") * 100).cast("long").as("vc"))
       .withColumn("sec", unix_timestamp(col("cts")))
-    val w = Window.partitionBy("compound").orderBy(col("cts"), col(idCol))
     val spans = k.groupBy("compound").agg(
-      (max(col("sec")) - min(col("sec"))).as("span"), count(lit(1)).as("n"))
-    k.withColumn("prev_sec", lag(col("sec"), 1).over(w))
-      .withColumn("prev_id", lag(col(idCol), 1).over(w))
-      .withColumn("prev_vc", lag(col("vc"), 1).over(w))
+      (max(col("sec")) - min(col("sec"))).as("span"), count(lit(1)).as("n"),
+      min(col("sec")).as("tmin"))
+    val rows = k.join(spans, Seq("compound"))
+      .withColumn("b", expr(s"(sec - tmin) * $SeriesBuckets div (span + 1)"))
+    bucketLag1(rows, Seq("cts", idCol), Seq("sec", idCol, "vc"))
       .filter(col("prev_sec").isNotNull)
-      .join(spans, Seq("compound"))
       .withColumn("gap_sec", col("sec") - col("prev_sec"))
       .filter(col("gap_sec") * (col("n") - 1) > lit(4L) * col("span"))
       .withColumn("mid_sec", expr("(prev_sec + sec) div 2"))
-      .select(col("compound"), col("prev_id").as("gap_start_id"),
+      .select(col("compound"), col(s"prev_$idCol").as("gap_start_id"),
         col(idCol).as("gap_end_id"), col("mid_sec"),
         ((col("prev_vc").cast("double") + (col("vc") - col("prev_vc")).cast("double")
           * ((col("mid_sec") - col("prev_sec")).cast("double")
@@ -1023,8 +1087,15 @@ object Selection {
   // flag comparison dev² > 9·var avoids sqrt in the predicate; the
   // reported sd is one correctly-rounded sqrt of identical operands
   // (clamped at 0 against cancellation).
-  // Scale: one windowed pass partitioned by compound — 16 lags share one
-  // frame/sort, no joins, report-sized output.
+  // Scale (r14 verdict #1): the ROWS-16 trailing window is the
+  // dsSpcRulesFrom boundary-context decomposition — rows split into
+  // (compound, time-bucket) groups, a census assigns global indices, and
+  // each row within 15 of its bucket's END (li > cb − 15; rows deeper
+  // inside a bucket can never precede a later bucket's start by ≤ 15)
+  // re-emits as non-scoring context into any bucket whose start lies in
+  // (i, i+15] — so the candidate-start explode is census-sized, not 15×
+  // corpus. The 16-lag chain then evaluates per (compound, bucket) over
+  // context + own rows, value-identical to the single per-compound sort.
   private val RollW = 16
 
   def dsRollingZ(spark: SparkSession, d: String): DataFrame =
@@ -1032,18 +1103,44 @@ object Selection {
       .orderBy("compound", "event_id")
 
   /** DataFrame-in variant for library callers (and the [[GraftQC]] facade):
-    * `k` needs (`idCol`, compound, value, cts: timestamp). */
+    * `k` needs (`idCol`, compound, value, cts: timestamp). Eagerly
+    * executes + pins a localCheckpoint of the indexed stream (the
+    * dsCusumFrom storage contract). */
   def rollingZFrom(k: DataFrame, idCol: String): DataFrame = {
-    val w = Window.partitionBy("compound").orderBy(col("cts"), col(idCol))
-    val withLags = (1 until RollW).foldLeft(
-      k.withColumn("rn", row_number().over(w).cast("long"))) { (df, i) =>
-      df.withColumn(s"l$i", lag(col("value"), i).over(w))
+    val k0 = k.withColumn("tu", unix_micros(col("cts")))
+    val stats = k0.groupBy("compound").agg(
+      min(col("tu")).as("tmin"), max(col("tu")).as("tmax"))
+    val rows = k0.join(stats, Seq("compound"))
+      .withColumn("b", expr(s"(tu - tmin) * $SeriesBuckets div (tmax - tmin + 1)"))
+      .drop("tmin", "tmax", "tu")
+    val lw = Window.partitionBy("compound", "b").orderBy(col("cts"), col(idCol))
+    // localCheckpoint: `local` feeds the census AND the join-back
+    val local = rows
+      .withColumn("li", row_number().over(lw).cast("long"))
+      .localCheckpoint()
+    val cw = Window.partitionBy("compound").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val census = local.groupBy("compound", "b").agg(count(lit(1)).as("cb"))
+      .withColumn("start", coalesce(sum(col("cb")).over(cw), lit(0L)) + 1L)
+      .select("compound", "b", "start", "cb")
+    val own = local.join(census, Seq("compound", "b"))
+      .withColumn("i", col("start") + col("li") - 1L)
+    val baseCols = Seq(col("compound"), col(idCol), col("value"), col("cts"), col("i"))
+    val ownK = own.select(baseCols :+ col("b").as("gb") :+ lit(false).as("ctx"): _*)
+    val ctxK = own.filter(col("li") > col("cb") - (RollW - 1))
+      .withColumn("tstart", explode(expr(s"sequence(i + 1, i + ${RollW - 1})")))
+      .join(census.select(col("compound"), col("start").as("tstart"), col("b").as("tb")),
+        Seq("compound", "tstart"))
+      .select(baseCols :+ col("tb").as("gb") :+ lit(true).as("ctx"): _*)
+    val ord = Window.partitionBy("compound", "gb").orderBy("i")
+    val withLags = (1 until RollW).foldLeft(ownK.union(ctxK)) { (df, j) =>
+      df.withColumn(s"l$j", lag(col("value"), j).over(ord))
     }
     val nD = RollW.toDouble
-    val s = (1 until RollW).foldLeft(col("value"))((acc, i) => acc + col(s"l$i"))
+    val s = (1 until RollW).foldLeft(col("value"))((acc, j) => acc + col(s"l$j"))
     val ss = (1 until RollW).foldLeft(col("value") * col("value"))(
-      (acc, i) => acc + col(s"l$i") * col(s"l$i"))
-    withLags.filter(col("rn") >= RollW)
+      (acc, j) => acc + col(s"l$j") * col(s"l$j"))
+    withLags.filter(!col("ctx") && col("i") >= RollW)
       .withColumn("s", s).withColumn("ss", ss)
       .withColumn("mean", col("s") / nD)
       .withColumn("dev", col("value") - col("mean"))
@@ -1089,8 +1186,16 @@ object Selection {
   // i·(n−i); per-row score doubles come from ONE division of identical
   // exact operands in both engines, and the argmax breaks ties by
   // earliest split. Reported means: one division each, identical order.
-  // Scale: two windowed passes partitioned by compound, report-sized
-  // output (one row per compound) — the q_percentiles shape.
+  // Scale (r14 verdict #1): the row index and prefix sum decompose over
+  // (compound, time-bucket) windows exactly as dsCusumFrom —
+  // i = ioff(b) + li, S_i = soff(b) + ls — with the census offsets
+  // (|compounds| × SeriesBuckets rows) joined back AQE-broadcast. The
+  // argmax never re-sorts the corpus: a map-side-combinable
+  // max_by(payload, (score, −i)) takes each bucket's best split, and the
+  // global pick windows over the census-sized survivors. The windowed
+  // stream feeds both the census and the join-back, so it is
+  // localCheckpoint'd (eager execution + pinned blocks until
+  // releaseCaches/session end — the dsCusumFrom storage contract).
   def dsChangepoint(spark: SparkSession, d: String): DataFrame =
     changepointFrom(keyed(spark, d).select("event_id", "compound", "value", "cts"), "event_id")
       .orderBy("compound")
@@ -1099,20 +1204,43 @@ object Selection {
     * `k` needs (`idCol`, compound, value, cts: timestamp); the boundary id
     * column is named `boundary_<idCol>`. */
   def changepointFrom(kIn: DataFrame, idCol: String): DataFrame = {
-    val w = Window.partitionBy("compound").orderBy(col("cts"), col(idCol))
-    val wAll = Window.partitionBy("compound")
-    val k = kIn
+    val k0 = kIn
       .select(col("compound"), col(idCol), col("cts"),
         round(col("value") * 100).cast("long").as("vc"))
-      .withColumn("i", row_number().over(w).cast("long"))
-      .withColumn("s", sum(col("vc")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("sn", sum(col("vc")).over(wAll))
-    val scored = k.filter(col("i") < col("n"))
+      .withColumn("tu", unix_micros(col("cts")))
+    val stats = k0.groupBy("compound").agg(
+      count(lit(1)).as("n"), sum(col("vc")).as("sn"),
+      min(col("tu")).as("tmin"), max(col("tu")).as("tmax"))
+    val rows = k0.join(stats, Seq("compound"))
+      .withColumn("b", expr(s"(tu - tmin) * $SeriesBuckets div (tmax - tmin + 1)"))
+      .drop("tmin", "tmax", "tu")
+    val lw = Window.partitionBy("compound", "b").orderBy(col("cts"), col(idCol))
+    val local = rows
+      .withColumn("li", row_number().over(lw).cast("long"))
+      .withColumn("ls", sum(col("vc"))
+        .over(lw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    val cw = Window.partitionBy("compound").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val census = local.groupBy("compound", "b").agg(
+      count(lit(1)).as("cb"), sum(col("vc")).as("sb"))
+      .withColumn("ioff", coalesce(sum(col("cb")).over(cw), lit(0L)))
+      .withColumn("soff", coalesce(sum(col("sb")).over(cw), lit(0L)))
+      .select("compound", "b", "ioff", "soff")
+    val scored = local.join(census, Seq("compound", "b"))
+      .withColumn("i", col("ioff") + col("li"))
+      .withColumn("s", col("soff") + col("ls"))
+      .filter(col("i") < col("n"))
       .withColumn("num", abs(col("s") * (col("n") - col("i")) - (col("sn") - col("s")) * col("i")))
       .withColumn("score", col("num").cast("double") / (col("i") * (col("n") - col("i"))).cast("double"))
+    // bucket-best via max_by on the (score, −i) order — max score, then
+    // earliest split — then one window over ≤ SeriesBuckets survivors
+    val best = scored.groupBy("compound", "b").agg(max_by(
+      struct(col(idCol), col("cts"), col("i"), col("s"), col("n"), col("sn"), col("score")),
+      struct(col("score"), (-col("i")).as("ni"))).as("w"))
+      .select(col("compound"), col("w.*"))
     val wPick = Window.partitionBy("compound").orderBy(desc("score"), col("i"))
-    scored.withColumn("rk", row_number().over(wPick))
+    best.withColumn("rk", row_number().over(wPick))
       .filter(col("rk") === 1)
       .select(col("compound"), col("i").as("split_i"),
         col(idCol).as(s"boundary_$idCol"),
@@ -1157,8 +1285,13 @@ object Selection {
   // is written as the identical IEEE sequence in both engines over exact
   // integer second differences; a sample landing on a mark makes the
   // numerator exactly 0 → v0 exactly, no special case.
-  // Scale: two window shuffles on compound; grid size is span/6h per
-  // compound — output-bounded, not input-bounded.
+  // Scale (r14 verdict #1): both directional passes decompose over
+  // (compound, time-bucket) groups — the running `last` carries run
+  // bucket-locally, each bucket's carry-OUT (its last sample seen, per
+  // direction) lands in a census, and a census-level running `last`
+  // (ignoreNulls, so sample-less buckets are skipped exactly) hands each
+  // bucket its carry-IN, coalesced under the local value. Grid size is
+  // span/6h per compound — output-bounded, not input-bounded.
   private val ResampleStepSec = 6L * 3600
 
   def dsResample(spark: SparkSession, d: String): DataFrame =
@@ -1174,8 +1307,9 @@ object Selection {
     val s = ResampleStepSec
     val samples = kIn
       .groupBy("compound", "sec").agg(expr("max_by(value, tie)").as("v"))
-    val grid = samples.groupBy("compound")
+    val spans = samples.groupBy("compound")
       .agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+    val grid = spans
       // a span too short to contain an aligned mark makes the first mark
       // exceed mx — Spark's sequence() THROWS on start > stop (DuckDB's
       // range() is just empty), so such compounds must be filtered first
@@ -1185,7 +1319,14 @@ object Selection {
     val unioned = samples.select(col("compound"), col("sec"), lit(0).as("kind"), col("v"))
       .unionByName(grid.select(col("compound"), col("sec"), lit(1).as("kind"),
         lit(null).cast("double").as("v")))
-    val wAsc = Window.partitionBy("compound").orderBy(col("sec").asc, col("kind").asc)
+    // bucket by sec (grid marks lie inside the sample span, so the sample
+    // mn/mx bound the union); b depends on sec alone, so same-second
+    // sample/mark pairs stay in one bucket and both sort orders remain
+    // bucket-decomposable
+    val rows = unioned.join(spans.select("compound", "mn", "mx"), Seq("compound"))
+      .withColumn("b", expr(s"(sec - mn) * $SeriesBuckets div (mx - mn + 1)"))
+      .drop("mn", "mx")
+    val wAsc = Window.partitionBy("compound", "b").orderBy(col("sec").asc, col("kind").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // at an equal second the DESC scan must see the grid mark BEFORE the
     // sample (kind desc), so "next" is strictly after the mark — otherwise
@@ -1195,13 +1336,42 @@ object Selection {
     // but is O(n²) — Spark's UnboundedFollowing frame re-scans the
     // partition tail for EVERY row (133s vs 1.1s at sf0.1, measured). The
     // second sort + running `last` is the linear formulation.
-    val wDesc = Window.partitionBy("compound").orderBy(col("sec").desc, col("kind").desc)
+    val wDesc = Window.partitionBy("compound", "b").orderBy(col("sec").desc, col("kind").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
-      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wAsc))
-      .withColumn("ps", last(when(col("kind") === 0, col("sec")), ignoreNulls = true).over(wAsc))
-      .withColumn("nv", last(col("v"), ignoreNulls = true).over(wDesc))
-      .withColumn("ns", last(when(col("kind") === 0, col("sec")), ignoreNulls = true).over(wDesc))
+    // localCheckpoint: `local` feeds the carry census AND the join-back
+    // (eager execution + pinned blocks — the dsCusumFrom storage contract)
+    val local = rows
+      .withColumn("lpv", last(col("v"), ignoreNulls = true).over(wAsc))
+      .withColumn("lps", last(when(col("kind") === 0, col("sec")), ignoreNulls = true).over(wAsc))
+      .withColumn("lnv", last(col("v"), ignoreNulls = true).over(wDesc))
+      .withColumn("lns", last(when(col("kind") === 0, col("sec")), ignoreNulls = true).over(wDesc))
+      .localCheckpoint()
+    // carry-outs: the asc running state at the bucket's last row in asc
+    // order, and the desc running state at its last row in desc order
+    // (= min (sec, kind)); nulled to a NULL STRUCT when the bucket holds
+    // no sample so the census-level running `last` skips it whole
+    val carries = local.groupBy("compound", "b").agg(
+      max_by(struct(col("lpv"), col("lps")),
+        struct(col("sec"), col("kind"))).as("ac"),
+      max_by(struct(col("lnv"), col("lns")),
+        struct(-col("sec"), -col("kind"))).as("dc"))
+      .withColumn("acN", when(col("ac.lps").isNotNull, col("ac")))
+      .withColumn("dcN", when(col("dc.lns").isNotNull, col("dc")))
+    val cwPrev = Window.partitionBy("compound").orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cwNext = Window.partitionBy("compound").orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = carries
+      .withColumn("ai", last(col("acN"), ignoreNulls = true).over(cwPrev))
+      .withColumn("di", last(col("dcN"), ignoreNulls = true).over(cwNext))
+      .select(col("compound"), col("b"),
+        col("ai.lpv").as("cpv"), col("ai.lps").as("cps"),
+        col("di.lnv").as("cnv"), col("di.lns").as("cns"))
+    local.join(carryIn, Seq("compound", "b"))
+      .withColumn("pv", coalesce(col("lpv"), col("cpv")))
+      .withColumn("ps", coalesce(col("lps"), col("cps")))
+      .withColumn("nv", coalesce(col("lnv"), col("cnv")))
+      .withColumn("ns", coalesce(col("lns"), col("cns")))
       .filter(col("kind") === 1 && col("ps").isNotNull && col("ns").isNotNull)
       .select(col("compound"),
         date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd HH:mm").as("grid_s"),
@@ -1426,14 +1596,21 @@ object Selection {
   // op sees the same operands in the same order. Integer headroom: |cents|
   // ≤ 5.7e4 here, so Σv² < n·3.3e9 — the per-compound sums stay under 2^63
   // up to ~2.8e9 rows per compound; beyond that, quantize coarser.
-  // Scale: the window is the linear term (one partition-local sort per
-  // compound hash partition); the aggregate shuffles |compounds| rows.
+  // Scale: the consecutive pairs come from the bucketLag1 decomposition
+  // (|compounds| × SeriesBuckets local sorts — never one task per
+  // compound), and the six sums are order-free integers, so the final
+  // groupBy combines map-side and shuffles |compounds| rows.
   def dsAutocorr(spark: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("compound").orderBy("ms", "event_id")
-    keyed(spark, d)
+    val k = keyed(spark, d)
       .select(col("compound"), col("ms"), col("event_id"),
         round(col("value") * 100).cast("long").as("vc"))
-      .withColumn("pv", lag(col("vc"), 1).over(w))
+    val spans = k.groupBy("compound").agg(
+      min(col("ms")).as("tmin"), max(col("ms")).as("tmax"))
+    val rows = k.join(spans, Seq("compound"))
+      .withColumn("b", expr(s"(ms - tmin) * $SeriesBuckets div (tmax - tmin + 1)"))
+      .drop("tmin", "tmax")
+    bucketLag1(rows, Seq("ms", "event_id"), Seq("vc"))
+      .withColumn("pv", col("prev_vc"))
       .filter(col("pv").isNotNull)
       .groupBy("compound")
       .agg(count(lit(1)).as("n"), sum(col("pv")).as("sx"), sum(col("vc")).as("sy"),
@@ -1668,8 +1845,18 @@ object Selection {
   // slopes — the value at rank ⌈n/2⌉ under the (slope, pair-index) total
   // order, a data value both engines pick identically (the q_percentiles
   // contract; no interpolation to drift). Robust: a sensor spike corrupts
-  // 2 of n slopes, not the mean. One lag window + one rank window, both
-  // partitioned by compound; output lands on |compounds| rows.
+  // 2 of n slopes, not the mean.
+  // Scale (r14 verdict #1): the consecutive pairs come from bucketLag1
+  // (never one task per compound), and the median is a two-level RADIX
+  // SELECTION instead of a per-compound corpus rank window: slopes are
+  // range-bucketed, a census (|compounds| × SeriesBuckets rows) locates
+  // the bucket holding rank ⌈n/2⌉, the selected ~n/256 slice re-buckets
+  // once more, and only the final ~n/65536 slice pays a per-compound
+  // sort. The oracle's pair-index tiebreak needs no reproduction — the
+  // VALUE at a rank is invariant to how equal slopes are ordered. The
+  // slope stream feeds three consumers (stats + both levels), so it is
+  // localCheckpoint'd (eager execution + pinned blocks until
+  // releaseCaches/session end — the dsCusumFrom storage contract).
   def dsTrend(spark: SparkSession, d: String): DataFrame =
     dsTrendFrom(keyed(spark, d))
 
@@ -1677,21 +1864,53 @@ object Selection {
     * exposed so the robustness property (a spike corrupts the mean slope
     * but not the median) is pinned on a constructed series. */
   def dsTrendFrom(k: DataFrame): DataFrame = {
-    val w = Window.partitionBy("compound").orderBy("ms", "event_id")
-    val slopes = k
-      .select(col("compound"), col("ms"), col("event_id"), col("value"))
-      .withColumn("pms", lag(col("ms"), 1).over(w))
-      .withColumn("pv", lag(col("value"), 1).over(w))
-      .withColumn("pidx", row_number().over(w).cast("long"))
-      .filter(col("pms").isNotNull && col("ms") > col("pms"))
-      .select(col("compound"), col("pidx"),
-        ((col("value") - col("pv")) / (col("ms") - col("pms")).cast("double")
+    val k0 = k.select(col("compound"), col("ms"), col("event_id"), col("value"))
+    val spans = k0.groupBy("compound").agg(
+      min(col("ms")).as("tmin"), max(col("ms")).as("tmax"))
+    val rows = k0.join(spans, Seq("compound"))
+      .withColumn("b", expr(s"(ms - tmin) * $SeriesBuckets div (tmax - tmin + 1)"))
+      .drop("tmin", "tmax")
+    val slopes = bucketLag1(rows, Seq("ms", "event_id"), Seq("ms", "value"))
+      .filter(col("prev_ms").isNotNull && col("ms") > col("prev_ms"))
+      .select(col("compound"),
+        ((col("value") - col("prev_value")) / (col("ms") - col("prev_ms")).cast("double")
           * lit(1000.0)).as("slope"))
-    val wr = Window.partitionBy("compound").orderBy("slope", "pidx")
-    slopes
-      .withColumn("rn", row_number().over(wr).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("compound")))
-      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .localCheckpoint()
+    // level 1: range-bucket the slope space, census locates the median's
+    // bucket and its within-bucket residual rank rr
+    val cw = Window.partitionBy("compound").orderBy("sb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sstats = slopes.groupBy("compound").agg(
+      count(lit(1)).as("n"), min(col("slope")).as("mn"), max(col("slope")).as("mx"))
+      .withColumn("r", expr("(n + 1) div 2"))
+    def bucketed(sl: DataFrame, st: DataFrame): DataFrame =
+      sl.join(st, Seq("compound"))
+        .withColumn("sb", when(col("mx") > col("mn"),
+          least(floor((col("slope") - col("mn")) / (col("mx") - col("mn"))
+            * SeriesBuckets).cast("long"), lit(SeriesBuckets - 1))).otherwise(lit(0L)))
+    def pick(sl: DataFrame, rankCol: String, outCol: String): DataFrame = {
+      val census = sl.groupBy("compound", "sb")
+        .agg(count(lit(1)).as("cb"), max(col(rankCol)).as("rk"))
+        .withColumn("cum0", coalesce(sum(col("cb")).over(cw), lit(0L)))
+      val target = census
+        .filter(col("cum0") < col("rk") && col("cum0") + col("cb") >= col("rk"))
+        .select(col("compound"), col("sb"), (col("rk") - col("cum0")).as(outCol))
+      sl.drop(rankCol).join(target, Seq("compound", "sb"))
+    }
+    val l1 = bucketed(slopes, sstats.select("compound", "mn", "mx", "r", "n"))
+    val sel1 = pick(l1, "r", "rr")
+    // level 2: re-bucket the selected slice by its own range (membership,
+    // not bounds, defines the slice — re-deriving mn/mx is exact); a slice
+    // of all-equal slopes degenerates to one bucket, where the final sort
+    // is trivially over equal values
+    val s2 = sel1.groupBy("compound").agg(
+      min(col("slope")).as("mn"), max(col("slope")).as("mx"))
+    val l2 = bucketed(sel1.select("compound", "slope", "rr", "n"), s2)
+    val sel2 = pick(l2, "rr", "rr2")
+    sel2
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("compound").orderBy("slope")).cast("long"))
+      .filter(col("rn") === col("rr2"))
       .select(col("compound"), col("n").as("n_slopes"), col("slope").as("med_slope"))
       .orderBy("compound")
   }
@@ -1717,27 +1936,99 @@ object Selection {
   // cents) within a compound — a real measurement repeating exactly is the
   // classic frozen-transducer signature, invisible to range and outlier
   // checks because the stuck value is usually in-range. Run construction
-  // is the gaps-and-islands shape (change flag → running sum) inside one
-  // compound-partitioned window pass; runs collapse map-side; only runs of
-  // ≥ 2 samples survive. Output is duplicate-density-sized. The `From`
-  // variant exists so the spec can prove detection on a synthetic stuck
-  // feed (the shipped corpus has near-zero exact repeats, as real noisy
-  // data should).
+  // is gaps-and-islands DECOMPOSED over (compound, time-bucket) groups
+  // (r14 verdict #1): the change flag comes from the bucketLag1 context-
+  // duplication idiom, runs collapse into bucket-local SEGMENTS with one
+  // combinable groupBy, and only each bucket's boundary segments (its
+  // lrun=0 head, which by construction CONTINUES the previous bucket's
+  // run, and its last segment, which may continue forward) enter a
+  // census-sized chain-merge window (≤ 2 × SeriesBuckets rows per
+  // compound); interior segments are already maximal runs and pass
+  // through untouched. No global run id is ever materialized, so there
+  // is no corpus checkpoint and no per-compound corpus window — a
+  // sensor stuck across the whole corpus just collapses every bucket to
+  // one head segment and the chain window merges 256 metadata rows.
+  // Only runs of ≥ 2 samples survive. Output is duplicate-density-sized.
+  // The `From` variant exists so the spec can prove detection on a
+  // synthetic stuck feed (the shipped corpus has near-zero exact repeats,
+  // as real noisy data should).
   private val FlatlineMin = 2
 
   def dsFlatlineFrom(k: DataFrame): DataFrame = {
-    val w = Window.partitionBy("compound").orderBy("ms", "event_id")
-    val prev = lag(col("vc"), 1).over(w)
-    k.select(col("compound"), col("ms"), col("event_id"),
-        round(col("value") * 100).cast("long").as("vc"))
+    val k0 = k.select(col("compound"), col("ms"), col("event_id"),
+      round(col("value") * 100).cast("long").as("vc"))
+    val spans = k0.groupBy("compound").agg(
+      min(col("ms")).as("tmin"), max(col("ms")).as("tmax"))
+    val rows = k0.join(spans, Seq("compound"))
+      .withColumn("b", expr(s"(ms - tmin) * $SeriesBuckets div (tmax - tmin + 1)"))
+      .drop("tmin", "tmax")
+    // NO context handoff is needed here, unlike the bucketLag1 family: a
+    // run is "consecutive EQUAL values", so whether a bucket's first
+    // segment continues the previous bucket's last one is decidable at
+    // the chain level by comparing the two segments' values — globally
+    // consecutive rows with equal values ARE one run, by definition. The
+    // bucket-local change flag just treats each bucket's first row as a
+    // local run start.
+    val lw = Window.partitionBy("compound", "b").orderBy("ms", "event_id")
+    val prev = lag(col("vc"), 1).over(lw)
+    val st = rows
       .withColumn("chg", when(prev.isNull || prev =!= col("vc"), 1L).otherwise(0L))
-      .withColumn("run_id",
-        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("compound"), col("run_id"))
-      .agg(count(lit(1)).as("n_samples"), (max(col("vc")) / 100.0).as("value"),
-        min(col("ms")).as("start_ms"))
+      .withColumn("firstRow", prev.isNull)
+      .withColumn("lrun", sum(col("chg"))
+        .over(lw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nvc", lead(col("vc"), 1).over(lw))
+      .withColumn("lastRow", lead(col("ms"), 1).over(lw).isNull)
+      // only rows that can belong to a reported run survive the window:
+      // repeat-adjacent rows (every member of a ≥2 run equals a
+      // neighbor; chg = 0 IS backward equality) plus each bucket's first
+      // and last rows, kept conservatively so every bucket contributes
+      // its head and tail segments to the chain stream and cross-bucket
+      // continuations are never orphaned. On realistic noisy data this
+      // collapses the segment groupBy from corpus-sized to
+      // duplicate-density-sized (the un-filtered variant re-shuffled all
+      // ~n mostly-singleton segments and measured 1.7s vs 1.0 at sf1); a
+      // fully-stuck adversarial feed keeps everything and still runs at
+      // bucket parallelism.
+      .filter(col("chg") === 0L || col("nvc") === col("vc") ||
+        col("firstRow") || col("lastRow"))
+    // bucket-local segments: rows sharing (compound, b, lrun) all hold
+    // the SAME vc (a chg=1 row starts a segment; chg=0 rows equal their
+    // predecessor), so max(vc) is the run value; the segments holding the
+    // bucket's first/last rows are its head/tail
+    val marked = st.groupBy("compound", "b", "lrun").agg(
+      count(lit(1)).as("n_samples"), max(col("vc")).as("rv"),
+      min(col("ms")).as("start_ms"),
+      max(when(col("firstRow"), 1L).otherwise(0L)).as("hasFirst"),
+      max(when(col("lastRow"), 1L).otherwise(0L)).as("hasLast"))
+      .withColumn("isHead", col("hasFirst") === 1L)
+      .withColumn("isTail", col("hasLast") === 1L)
+      // duplicate-density-sized (the corpus never reaches this point un-
+      // collapsed); checkpointed because interior and chains both consume
+      // it — without this the Union recomputes the whole scan→window
+      // subtree per branch (eager-execution/storage contract as dsCusumFrom)
+      .localCheckpoint()
+    val interior = marked.filter(!col("isHead") && !col("isTail"))
+      .select("compound", "n_samples", "rv", "start_ms")
+    // chain merge over boundary segments only (≤ 2 per non-empty bucket):
+    // in the (b, lrun) stream a head's immediate predecessor is always
+    // the previous non-empty bucket's tail, and those two segments are
+    // one run exactly when their values are equal — their member rows
+    // are globally consecutive
+    val bw = Window.partitionBy("compound").orderBy("b", "lrun")
+    val chains = marked.filter(col("isHead") || col("isTail"))
+      .withColumn("merge",
+        col("isHead") && lag(col("rv"), 1).over(bw) === col("rv") &&
+          lag(col("isTail"), 1).over(bw))
+      .withColumn("chain", sum(when(col("merge"), 0L).otherwise(1L))
+        .over(bw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("compound", "chain")
+      .agg(sum(col("n_samples")).as("n_samples"), max(col("rv")).as("rv"),
+        min(col("start_ms")).as("start_ms"))
+      .select("compound", "n_samples", "rv", "start_ms")
+    interior.unionByName(chains)
       .filter(col("n_samples") >= FlatlineMin)
-      .select(col("compound"), col("start_ms"), col("n_samples"), col("value"))
+      .select(col("compound"), col("start_ms"), col("n_samples"),
+        (col("rv") / 100.0).as("value"))
       .orderBy("compound", "start_ms")
   }
 
@@ -2061,14 +2352,16 @@ object Selection {
       .rowsBetween(Window.unboundedPreceding, -1)
     val census = local.groupBy("compound", "b").agg(count(lit(1)).as("cb"))
       .withColumn("start", coalesce(sum(col("cb")).over(cw), lit(0L)) + 1L)
-      .select("compound", "b", "start")
+      .select("compound", "b", "start", "cb")
     val own = local.join(census, Seq("compound", "b"))
       .withColumn("i", col("start") + col("li") - 1L)
-      .select("compound", "b", "event_id", "vc", "t", "madx", "side", "i")
+      .select("compound", "b", "cb", "li", "event_id", "vc", "t", "madx", "side", "i")
       .localCheckpoint()
     val baseCols = Seq("compound", "event_id", "vc", "t", "madx", "side", "i")
     val ownK = own.select(baseCols.map(col) :+ col("b").as("gb") :+ lit(false).as("ctx"): _*)
-    val ctxK = own
+    // only a row within 7 of its bucket's END can precede a later
+    // bucket's start by ≤ 7 — the explode is census-sized, not 7× corpus
+    val ctxK = own.filter(col("li") > col("cb") - 7)
       .withColumn("tstart", explode(expr("sequence(i + 1, i + 7)")))
       .join(census.select(col("compound"), col("start").as("tstart"), col("b").as("tb")),
         Seq("compound", "tstart"))
