@@ -190,5 +190,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("term_counts"),
       new ExpressionInfo(classOf[TermCounts].getName, "term_counts"),
       (children: Seq[Expression]) => TermCounts(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bigram_counts"),
+      new ExpressionInfo(classOf[BigramCounts].getName, "bigram_counts"),
+      (children: Seq[Expression]) => BigramCounts(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dsir_bucket_counts"),
+      new ExpressionInfo(classOf[DsirBucketCounts].getName, "dsir_bucket_counts"),
+      (children: Seq[Expression]) => DsirBucketCounts(children.head, children(1))))
   }
 }

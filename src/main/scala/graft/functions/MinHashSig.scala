@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native 16-permutation MinHash signature over a document string — the
@@ -272,6 +273,86 @@ case class TermCounts(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): TermCounts =
     copy(child = newChild)
+}
+
+/** Native per-doc BIGRAM-frequency table: `bigram_counts(text)` →
+  * `array<struct<wp: string, w: string, c: bigint>>`, one entry per
+  * DISTINCT adjacent-token pair with its in-doc count (first-occurrence
+  * order — order carries no semantics). Empty array for docs with < 2
+  * tokens, NULL for NULL text. Why a kernel (r14 verdict #5, the last
+  * sf1 text entry > 2.5x): text_bigram_lm shipped every bigram OCCURRENCE
+  * (7.5M rows at sf1) into the count shuffle and the score join, and the
+  * HOF pair branch re-evaluated per consumer. With per-doc pair counts in
+  * the scan projection the exploded rows are one-per-(doc, distinct pair)
+  * — the corpus count table map-side-combines from those partials and the
+  * score join carries the per-doc multiplicity as a weight column instead
+  * of repeated rows. Same shape as [[TermCounts]], which eliminated this
+  * for the unigram side.
+  */
+case class BigramCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("wp", StringType, nullable = false),
+    StructField("w", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bigram_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.bigramCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.MinHashKernel.bigramCounts($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BigramCounts =
+    copy(child = newChild)
+}
+
+/** Native per-doc DSIR feature vector: `dsir_bucket_counts(text, n)` →
+  * `array<bigint>` of length n where slot b counts the doc's tokens whose
+  * md5 FIRST BYTE mod n is b — exactly the hashed-unigram bucket rule
+  * select_dsir's composable formulation spells as
+  * (hexdigit1·16 + hexdigit2) % n (the first two hex chars ARE the first
+  * digest byte). Why a kernel (r14 verdict #9): the explode → per-(doc,
+  * lang, bucket) groupBy materialized every token occurrence into the
+  * aggregate and shipped ~n rows per doc through an exchange; with the
+  * vector formed in the scan projection the global bucket table is ONE
+  * fully combinable 2n-sum aggregate and the per-doc weight is a
+  * dot_i64 against the literal-injected score vector — nothing leaves
+  * the scan but one row per doc. `n` must be a foldable literal (plan
+  * state, enforced at analysis time — the bpe_token_count contract).
+  * NULL for NULL text; an all-whitespace doc counts its single empty
+  * token, matching the \s+ split contract.
+  */
+case class DsirBucketCounts(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, IntegerType) if !right.foldable =>
+      TypeCheckResult.TypeCheckFailure(
+        "dsir_bucket_counts bucket count must be a foldable literal")
+    case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"dsir_bucket_counts expects (string, int literal), got ($l, $r)")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "dsir_bucket_counts"
+
+  @transient private lazy val nBuckets: Int =
+    right.eval(null).asInstanceOf[Int]
+
+  override def nullSafeEval(text: Any, nIgnored: Any): Any =
+    MinHashKernel.dsirBucketCounts(text.asInstanceOf[UTF8String], nBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.MinHashKernel.dsirBucketCounts($t, $nBuckets);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DsirBucketCounts =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native 8-block perceptual-hash block sums over a payload's UTF-8 bytes
@@ -579,6 +660,52 @@ object MinHashKernel {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Per-doc (prev-token, token, count) table in first-occurrence order
+    * (see [[BigramCounts]]): one tokenize pass + one hash count. The map
+    * key joins the pair with ' ' — tokens come from a \s+ split so they
+    * contain no whitespace, making the single space an unambiguous
+    * separator to split back on. */
+  def bigramCounts(text: UTF8String): ArrayData = {
+    val ws = TextKernelUtil.splitWords(text)
+    if (ws.length < 2) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[String, Long](ws.length * 2)
+    var i = 0
+    while (i + 1 < ws.length) {
+      counts.merge(ws(i) + " " + ws(i + 1), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey
+      val sp = k.indexOf(' ')
+      out(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(k.substring(0, sp)),
+        UTF8String.fromString(k.substring(sp + 1)),
+        e.getValue))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-doc DSIR bucket-count vector (see [[DsirBucketCounts]]): one
+    * tokenize pass; bucket = (first md5 digest byte) % n. */
+  def dsirBucketCounts(text: UTF8String, n: Int): ArrayData = {
+    val ws = TextKernelUtil.splitWords(text)
+    val counts = new Array[Long](n)
+    val md = TextKernelUtil.digests.get()
+    var i = 0
+    while (i < ws.length) {
+      md.reset()
+      val d = md.digest(ws(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      counts((d(0) & 0xff) % n) += 1L
+      i += 1
+    }
+    new GenericArrayData(counts)
   }
 
   /** 8-block hex-digit mass over the string's UTF-8 bytes (see

@@ -361,15 +361,26 @@ object Analytics {
   // Exact *discrete* percentiles (value at rank ceil(p·n)) rather than
   // interpolated ones: the output is a raw data value, so Spark and any
   // oracle agree exactly — no float interpolation to diverge on.
+  // VALUE-HISTOGRAM decomposition (r15, the bounded-window audit): the
+  // value at rank ceil(p·n) under (value, event_id) order is invariant to
+  // tie order, so it is the smallest value whose cumulative histogram
+  // count reaches the rank (the ds_outlier_mad precedent). The corpus
+  // pays ONE map-side-combinable groupBy (partials capped by the value
+  // lattice); the rank windows run over the report-sized histogram —
+  // the old plan row_number'd every event inside |event_types| window
+  // partitions, one task per type at any scale.
   def qPercentiles(spark: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val hist = Tables.events(spark, d)
+      .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+    val cw = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("event_type")
-    val ranked = Tables.events(spark, d)
-      .select("event_type", "event_id", "value")
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
-    def pick(p: Double) = max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("value")))
-    ranked.groupBy("event_type")
+    def pick(p: Double) =
+      min(when(col("cum") >= ceil(lit(p) * col("n")).cast("long"), col("value")))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(cw))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy("event_type")
       .agg(max(col("n")).as("n"),
         pick(0.25).as("p25"), pick(0.5).as("p50"),
         pick(0.75).as("p75"), pick(0.9).as("p90"))
@@ -980,21 +991,44 @@ object Analytics {
   // per-type time order; ordering (t, delta, event_id) closes intervals
   // BEFORE opening coincident ones (half-open [ts, ts+10m) semantics)
   // and is a total order, so the running sum is deterministic.
-  // Scale shape: the ±1 stream is a pure flat map (2 rows per event);
-  // ONE windowed pass partitioned by type; the report is |types| rows.
+  // Scale shape (r15, the bounded-window audit): the ±1 stream is a pure
+  // flat map (2 rows per event); the running sum DECOMPOSES over
+  // (event_type, time-bucket) groups — bucket-local running sums, a
+  // bucket census (|types| × SweepBuckets rows) of per-bucket delta sums
+  // whose exclusive prefix hands each bucket its carry-in, and
+  // max_concurrent = max over buckets of (carry-in + local max). The old
+  // plan's single per-type window serialized each type's full mark
+  // stream into one task. Bucketing on the mark time keeps equal-time
+  // rows together, so the (t, delta, event_id) total order never splits
+  // across buckets. All integer; the census windows are aggregate-fed.
   private val ConcWindowSec = 600L
+  private val SweepBuckets = 256L
 
   def qConcurrency(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(spark, d).select(col("event_type"), col("ts"), col("event_id"))
-    val marks = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"), col("event_id"))
+    val marks = ev.select(col("event_type"), unix_micros(col("ts")).as("tu"),
+        lit(1L).as("delta"), col("event_id"))
       .unionAll(ev.select(col("event_type"),
-        (col("ts") + expr(s"INTERVAL $ConcWindowSec SECOND")).as("t"),
+        (unix_micros(col("ts")) + ConcWindowSec * 1000000L).as("tu"),
         lit(-1L).as("delta"), col("event_id")))
-    val w = Window.partitionBy("event_type").orderBy(col("t"), col("delta"), col("event_id"))
+    val spans = marks.groupBy("event_type").agg(
+      min(col("tu")).as("tmin"), max(col("tu")).as("tmax"))
+    val rows = marks.join(spans, Seq("event_type"))
+      .withColumn("b", expr(s"(tu - tmin) * $SweepBuckets div (tmax - tmin + 1)"))
+      .drop("tmin", "tmax")
+    val lw = Window.partitionBy("event_type", "b")
+      .orderBy(col("tu"), col("delta"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    marks.withColumn("open", sum(col("delta")).over(w))
+    val census = rows.withColumn("ls", sum(col("delta")).over(lw))
+      .groupBy("event_type", "b")
+      .agg(max(col("ls")).as("lmax"), sum(col("delta")).as("sb"),
+        count(lit(1)).as("cnt"))
+    val ow = Window.partitionBy("event_type").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    census.withColumn("off", coalesce(sum(col("sb")).over(ow), lit(0L)))
       .groupBy("event_type")
-      .agg(max(col("open")).as("max_concurrent"), (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      .agg(max(col("off") + col("lmax")).as("max_concurrent"),
+        (sum(col("cnt")) / 2).cast("long").as("n_intervals"))
       .orderBy("event_type")
   }
 
@@ -1443,26 +1477,47 @@ object Analytics {
   // Interval-union coverage: treating each event as a 10-minute interval,
   // the total wall-clock each type was "active" — the utilization number
   // behind SLA and on-call dashboards, and the classic merge-overlapping-
-  // intervals problem done as one sweep instead of a self-join. Per type:
-  // a running max of interval ends (one window over the (t, event_id)
-  // total order) marks rows that START a new disjoint segment; a running
-  // sum of those marks numbers the segments; per-segment min/max collapse
-  // to lengths. All integer epoch-millis — exact. Scale shape: two windows
-  // + one groupBy, all partitioned by event_type; no interval self-join
-  // (which would be O(n·overlap) rows).
+  // intervals problem done as one sweep instead of a self-join.
+  // LAG-1 reduction (r15, the bounded-window audit): because every
+  // interval has the SAME length L, the running max of interval ends over
+  // the (t, event_id) order is simply lag(t) + L — so the whole sweep
+  // collapses to consecutive-pair arithmetic: covered = Σ min(gap, L) + L
+  // per type (a within-segment gap ≤ L contributes itself, a
+  // segment-opening gap > L contributes the finished segment's trailing
+  // L), and n_segments = 1 + #(gaps > L). The lag decomposes over
+  // (event_type, time-bucket) groups with a census handoff (each bucket's
+  // first row takes its predecessor from the previous non-empty bucket's
+  // max(t) — the bucketLag1 idiom), so no per-type corpus window remains;
+  // everything after is one combinable groupBy. All integer epoch-millis,
+  // one final division.
+  // Storage contract: construction is EAGER — the bucketed stream feeds
+  // the census AND the lag window, so it is localCheckpoint'd (pinned
+  // blocks until releaseCaches/session end).
   def qIntervalCoverage(spark: SparkSession, d: String): DataFrame = {
+    val L = ConcWindowSec * 1000L
     val ev = Tables.events(spark, d)
       .select(col("event_type"), unix_millis(col("ts")).as("t"), col("event_id"))
-      .withColumn("e", col("t") + lit(ConcWindowSec * 1000))
-    val ord = Window.partitionBy("event_type").orderBy("t", "event_id")
-    val segs = ev
-      .withColumn("pe", max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("ns", when(col("pe").isNull || col("t") > col("pe"), 1L).otherwise(0L))
-      .withColumn("seg", sum(col("ns")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("event_type"), col("seg"))
-      .agg((max(col("e")) - min(col("t"))).as("len"))
-    segs.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_segments"), (sum(col("len")) / 1000.0).as("covered_sec"))
+    val spans = ev.groupBy("event_type").agg(
+      min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+    val rows = ev.join(spans, Seq("event_type"))
+      .withColumn("b", expr(s"(t - tmin) * $SweepBuckets div (tmax - tmin + 1)"))
+      .drop("tmin", "tmax")
+      .localCheckpoint()
+    val lw = Window.partitionBy("event_type", "b").orderBy("t", "event_id")
+    val census = rows.groupBy("event_type", "b").agg(max(col("t")).as("lt"))
+    val hand = census
+      .withColumn("cpt", lag(col("lt"), 1).over(
+        Window.partitionBy("event_type").orderBy("b")))
+      .select("event_type", "b", "cpt")
+    rows
+      .withColumn("pt", lag(col("t"), 1).over(lw))
+      .join(hand, Seq("event_type", "b"))
+      .withColumn("prev", coalesce(col("pt"), col("cpt")))
+      .withColumn("gap", col("t") - col("prev"))
+      .groupBy(col("event_type"))
+      .agg((lit(1L) + sum(when(col("gap") > L, 1L).otherwise(0L))).as("n_segments"),
+        ((sum(when(col("prev").isNotNull, least(col("gap"), lit(L))).otherwise(0L))
+          + L) / 1000.0).as("covered_sec"))
       .orderBy("event_type")
   }
 

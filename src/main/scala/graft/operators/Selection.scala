@@ -868,6 +868,12 @@ object Selection {
     * inside |compounds| partitions, twice. For a pathological caller
     * whose values are all-distinct the histogram degenerates to corpus
     * size and this matches the old plan's cost; it never exceeds it.
+    *
+    * Storage contract (r14 advice): CONSTRUCTION IS EAGER — the value
+    * histogram is localCheckpoint'd (it feeds both the median derivation
+    * and the deviation histogram), which runs Spark jobs at call time and
+    * pins the checkpoint blocks until `releaseCaches()`/session end.
+    * Callers building plans lazily should call this at execution time.
     */
   def outlierMadFrom(k: DataFrame, idCol: String): DataFrame = {
     // report-sized after the corpus agg; checkpointed because the med
@@ -1777,6 +1783,9 @@ object Selection {
   // pass 2 re-scans, joins the |compounds|-row cut table back
   // (AQE-broadcast), clamps in the map, and collapses in one combinable
   // groupBy over exact cents. n_low/n_high count strict exceedances.
+  // Storage contract (r14 advice): construction is EAGER — the value
+  // histogram is localCheckpoint'd (two consumers), which runs Spark jobs
+  // at call time and pins the blocks until releaseCaches()/session end.
   def dsWinsorize(spark: SparkSession, d: String): DataFrame = {
     // VALUE-HISTOGRAM decomposition (r14, the sf1 weak set): the 5/95
     // cuts are order statistics — the value at rank ceil(q·n) equals the
@@ -2185,7 +2194,12 @@ object Selection {
   /** DataFrame-in core for [[dsCusum]] (`kIn` needs event_id, compound,
     * cts: timestamp, value) — exposed so the randomized spec can pin the
     * prefix-sum/prefix-min closed form against the direct sequential
-    * fold S_i = max(0, S_{i−1} + d_i) on constructed series. */
+    * fold S_i = max(0, S_{i−1} + d_i) on constructed series.
+    *
+    * Storage contract (r14 advice): CONSTRUCTION IS EAGER — the bucketed
+    * stream is localCheckpoint'd (it feeds the census and the windowed
+    * main stream), which runs Spark jobs at call time and pins the
+    * checkpoint blocks until `releaseCaches()`/session end. */
   def dsCusumFrom(kIn: DataFrame): DataFrame = {
     // RANGE-BUCKET DECOMPOSITION (r13 verdict #4): a per-compound window
     // serializes each compound into ONE task — with |compounds| = 5 that
@@ -2308,7 +2322,12 @@ object Selection {
   /** DataFrame-in core for [[dsSpcRules]] (`kIn` needs event_id, compound,
     * cts: timestamp, value) — exposed so the randomized spec can pin the
     * windowed run tests against a direct sequential scan on constructed
-    * series (runs across the center, exact-8 vs longer runs, tie values). */
+    * series (runs across the center, exact-8 vs longer runs, tie values).
+    *
+    * Storage contract (r14 advice): CONSTRUCTION IS EAGER — the bucketed
+    * stream is localCheckpoint'd (it feeds the census and the windowed
+    * main stream), which runs Spark jobs at call time and pins the
+    * checkpoint blocks until `releaseCaches()`/session end. */
   def dsSpcRulesFrom(kIn: DataFrame): DataFrame = {
     // RANGE-BUCKET DECOMPOSITION with boundary context (r13 verdict #4):
     // unlike ds_cusum's unbounded prefixes, the run tests are ROWS-bounded

@@ -610,24 +610,29 @@ object Sketches {
 
   // --- sketch_quantile_calib ----------------------------------------------
   // Companion AUDIT entry: the discrete exact percentiles (q_percentiles'
-  // rank rule, row_number over a per-type sort) joined against the sketch
-  // estimates, giving the sketch's error directly. The per-type corpus
-  // sort is the designed cost of computing truth — run on a sample/slice
-  // in production, never on the hot path (same stance as dedup_recall's
-  // truth join).
+  // rank rule) joined against the sketch estimates, giving the sketch's
+  // error directly. The exact side uses the VALUE-HISTOGRAM decomposition
+  // (r15, the bounded-window audit — the ds_outlier_mad precedent): the
+  // value at rank r is the smallest value whose cumulative histogram
+  // count reaches r, so the corpus pays one map-side-combinable groupBy
+  // (lattice-capped partials) and the rank scan runs over the
+  // report-sized histogram — the old plan row_number'd every event inside
+  // |event_types| window partitions, one task per type at any scale.
   def sketchQuantileCalib(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(spark, d).select(col("event_type"), col("event_id"), col("value"))
     def rank(p: Int) = expr(s"(n * $p + 99) div 100")
     val est = quantileEst(ev.select("event_type", "value"))
-    val wrank = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val cw = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val exact = ev
-      .withColumn("rn", row_number().over(wrank).cast("long"))
+      .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cw))
       .join(est.select("event_type", "n"), Seq("event_type"))
       .groupBy("event_type")
       .agg(
-        min(when(col("rn") === rank(50), col("value"))).as("p50_exact"),
-        min(when(col("rn") === rank(90), col("value"))).as("p90_exact"),
-        min(when(col("rn") === rank(99), col("value"))).as("p99_exact"))
+        min(when(col("cum") >= rank(50), col("value"))).as("p50_exact"),
+        min(when(col("cum") >= rank(90), col("value"))).as("p90_exact"),
+        min(when(col("cum") >= rank(99), col("value"))).as("p99_exact"))
     est.join(exact, Seq("event_type"))
       .select("event_type", "n", "p50_est", "p50_exact", "p90_est", "p90_exact",
         "p99_est", "p99_exact")

@@ -158,7 +158,14 @@ object Temporal {
     val tVals = e.select(lit(0).as("strm"), col("t").as("x"), lit(0).as("isq"),
       lit(1L).as("c"), round(col("value") * 100).cast("long").as("s"),
       lit(null).cast("long").as("a_id"), lit(null).cast("string").as("pt"))
+    // NULL user_ids contribute NOTHING to count(DISTINCT user_id) in the
+    // oracle, but lag over partitionBy(user_id) would group all NULLs into
+    // one phantom user and count it once — so they are excluded from the
+    // distinct-user stream entirely (r14 advice: the corpus has no NULL
+    // user_ids today, but the decomposition must stay equivalent if one
+    // ever appears)
     val loVals = e
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), col("t"), col("event_id"))
       .withColumn("lo", greatest(col("t") - WindowUs,
         coalesce(lag(col("t"), 1).over(uw), lit(Long.MinValue))))

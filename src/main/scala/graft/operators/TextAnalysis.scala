@@ -384,12 +384,19 @@ object TextAnalysis {
   // dedup_substring budget — never a pair join); every document is
   // reported, shingle-free docs with n_shingles = 0 and NULL novelty
   // (one division of exact BIGINTs otherwise).
+  // Key width (r14 verdict #6): both shuffles are keyed by the shingle,
+  // and nothing downstream reads its text — only counts and the owner
+  // doc_id survive — so the key collapses to the 16-byte unhex(md5)
+  // digest in the scan projection (the dedup_substring precedent) instead
+  // of shipping ~20-char gram strings through two exchanges. Collision
+  // risk is the same documented 128-bit negligible-by-construction bound.
   def docNgramNovelty(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val sh = docs
       .select(col("doc_id"), expr("shingle_set(text)").as("ss"))
       .filter(col("ss").isNotNull)
-      .select(col("doc_id"), explode(col("ss")).as("s"))
+      .select(col("doc_id"), explode(col("ss")).as("sraw"))
+      .select(col("doc_id"), unhex(md5(col("sraw"))).as("s"))
     val own = sh.groupBy(col("s")).agg(min(col("doc_id")).as("owner"))
     val per = sh.join(own, Seq("s"))
       .groupBy(col("doc_id"))
@@ -494,29 +501,39 @@ object TextAnalysis {
   // estimator with the ratio held on the integer lattice so the weight is
   // an exact BIGINT — order-free under any partitioning, hash-verifiable,
   // and monotone in the same direction (docs whose tokens concentrate in
-  // target-heavy buckets score high). Shape: per-(doc,bucket) counts are
-  // ONE map-side-combinable groupBy; the global bucket table is DsirBuckets
-  // rows aggregated FROM those counts (never a second corpus pass) and
-  // joins back by broadcast; the per-doc weight is one combinable sum.
-  // Nothing in the plan grows with corpus size except the linear scans.
+  // target-heavy buckets score high). Shape (r14 verdict #9): the per-doc
+  // bucket-count VECTOR forms in the scan projection via the
+  // dsir_bucket_counts kernel — the r14 plan exploded every token
+  // occurrence into a per-(doc, lang, bucket) groupBy and shipped ~64
+  // rows per doc through an exchange. The global bucket table is now ONE
+  // fully map-side-combinable 2·DsirBuckets-sum aggregate (a single
+  // reduce row — the scalar contract bounds the collect), the score
+  // vector is literal-injected, and the per-doc weight/token count are
+  // dot_i64 / aggregate() folds in a second scan — zero corpus-row
+  // exchanges anywhere. Nothing grows with corpus size but the scans.
+  // Storage contract: construction is EAGER — the one-row global
+  // aggregate runs at call time (trained-state injection, the
+  // centroid/codebook precedent).
   def selectDsir(spark: SparkSession, d: String): DataFrame = {
-    val bucket = expr(
-      s"""CAST(((locate(substring(md5(t), 1, 1), '0123456789abcdef') - 1) * 16 +
-         |  locate(substring(md5(t), 2, 1), '0123456789abcdef') - 1) % $DsirBuckets AS BIGINT)""".stripMargin)
-    val per = Tables.documents(spark, d)
-      .select(col("doc_id"), col("lang"), explode(words).as("t"))
-      .select(col("doc_id"), col("lang"), bucket.as("b"))
-      .groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("c"))
-    val glob = per.groupBy(col("b"))
-      .agg(sum(col("c")).as("raw_c"),
-        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tgt_c"))
-      .select(col("b"),
-        expr(s"($DsirScale * (tgt_c + 1)) div (raw_c + 1)").as("s"))
-    // glob is ≤ DsirBuckets rows by construction — broadcast is safe at any SF
-    per.join(broadcast(glob), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("s")).as("weight"))
+    def vectorized(src: DataFrame) = src
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        expr(s"dsir_bucket_counts(text, $DsirBuckets)").as("v"))
+    val per = vectorized(Tables.documents(spark, d))
+    val sums = (0 until DsirBuckets.toInt).flatMap { i =>
+      Seq(sum(element_at(col("v"), i + 1)).as(s"raw_$i"),
+        sum(when(col("lang") === "en", element_at(col("v"), i + 1))
+          .otherwise(0L)).as(s"tgt_$i"))
+    }
+    val row = per.agg(sums.head, sums.tail: _*).collect()(0)
+    val s = (0 until DsirBuckets.toInt).map { i =>
+      val raw = Option(row.getAs[java.lang.Long](s"raw_$i")).map(_.toLong).getOrElse(0L)
+      val tgt = Option(row.getAs[java.lang.Long](s"tgt_$i")).map(_.toLong).getOrElse(0L)
+      (DsirScale * (tgt + 1L)) / (raw + 1L)
+    }
+    per.select(col("doc_id"),
+        expr("aggregate(v, 0L, (a, x) -> a + x)").as("n_tokens"),
+        expr(s"dot_i64(v, array(${s.mkString("L, ")}L))").as("weight"))
       .select(col("doc_id"), col("n_tokens"), col("weight"),
         expr("weight div n_tokens").as("w_per_tok"))
       .orderBy("doc_id")
@@ -1039,16 +1056,38 @@ object TextAnalysis {
   // its bin, its offset inside the bin, and whether it straddles a bin
   // boundary. Assignment is a pure function of (source, doc_id order,
   // token counts) — reproducible across engines and reruns.
-  // Scale: ONE shuffle, the window partitioned by source (packing is
-  // per-shard by construction, so no global sort; a skewed source is
-  // bounded by that source's corpus share). Integer div/mod only.
+  // Scale (r15, the bounded-window audit): the per-source running token
+  // sum DECOMPOSES over (source, doc_id-range bucket) groups — the
+  // dsCusumFrom census idiom: bucket-local prefix sums, a bucket census
+  // (|sources| × DocBuckets rows) whose exclusive prefix hands each
+  // bucket its token carry-in, start_off = carry + local prefix − own
+  // tokens. The old plan's per-source window serialized each source's
+  // full doc stream into one task. Integer div/mod only.
+  // Storage contract: construction is EAGER — the bucketed windowed
+  // stream feeds census AND join-back, so it is localCheckpoint'd
+  // (pinned blocks until releaseCaches/session end).
   private val PackBudget = 256
+  private val DocBuckets = 256L
 
   def docPack(spark: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    Tables.documents(spark, d)
+    val base = Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), size(words).cast("long").as("n_tokens"))
-      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val spans = base.groupBy("source").agg(
+      min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+    val lw = Window.partitionBy("source", "b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.join(spans, Seq("source"))
+      .withColumn("b", expr(s"(doc_id - dmin) * $DocBuckets div (dmax - dmin + 1)"))
+      .drop("dmin", "dmax")
+      .withColumn("lsum", sum(col("n_tokens")).over(lw))
+      .localCheckpoint()
+    val cw = Window.partitionBy("source").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val census = local.groupBy("source", "b").agg(sum(col("n_tokens")).as("sb"))
+      .withColumn("off", coalesce(sum(col("sb")).over(cw), lit(0L)))
+      .select("source", "b", "off")
+    local.join(census, Seq("source", "b"))
+      .withColumn("start_off", col("off") + col("lsum") - col("n_tokens"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"start_off div $PackBudget").as("bin_id"),
         (col("start_off") % PackBudget).as("bin_offset"),
@@ -1727,18 +1766,36 @@ object TextAnalysis {
   // side of mixture curation: doc_mixture decides how much of each source,
   // interleaving decides how the mix is laid out so a sequential trainer
   // never sees a long single-source run (loss spikes at source
-  // boundaries). Scale shape: ONE window partitioned by source (strata
-  // parallelism, like select_stratified) + a cross join against the
-  // |sources|-row count dim; the global ordinal is then ARITHMETIC —
+  // boundaries). Scale shape: the per-source rank DECOMPOSES over
+  // (source, shuffle-key-prefix bucket) groups (r15, the bounded-window
+  // audit) — the md5 key's first byte gives 256 buckets that are
+  // non-decreasing along the (sk, doc_id) order, so bucket-local
+  // row_numbers plus a census of bucket counts (exclusive prefix = rank
+  // offset) reassemble the exact per-source rank with no per-source
+  // corpus window; then a cross join against the |sources|-row count dim
+  // makes the global ordinal ARITHMETIC —
   //   ord(r, s) = Σ_{s'} min(c_{s'}, r−1) + |{s' ≤ s : c_{s'} ≥ r}|
   // — an exact-integer sum over |sources| broadcast rows per doc, so no
   // global sort or single-partition window anywhere at any corpus size.
+  // Storage contract: construction is EAGER — the bucketed ranked stream
+  // feeds census AND join-back, so it is localCheckpoint'd (pinned
+  // blocks until releaseCaches/session end).
   def docInterleave(spark: SparkSession, d: String): DataFrame = {
     val m = Tables.documents(spark, d)
       .select(col("doc_id"), col("source"),
         md5(concat(lit(ShuffleSeed), lit("|"), col("doc_id").cast("string"))).as("sk"))
-    val wSrc = Window.partitionBy("source").orderBy("sk", "doc_id")
-    val ranked = m.withColumn("r", row_number().over(wSrc).cast("long"))
+    val lw = Window.partitionBy("source", "b").orderBy("sk", "doc_id")
+    val local = m
+      .withColumn("b", expr("conv(substring(sk, 1, 2), 16, 10)").cast("long"))
+      .withColumn("li", row_number().over(lw).cast("long"))
+      .localCheckpoint()
+    val cw = Window.partitionBy("source").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val census = local.groupBy("source", "b").agg(count(lit(1)).as("cb"))
+      .withColumn("off", coalesce(sum(col("cb")).over(cw), lit(0L)))
+      .select("source", "b", "off")
+    val ranked = local.join(census, Seq("source", "b"))
+      .withColumn("r", col("off") + col("li"))
     val counts = m.groupBy(col("source").as("s2")).agg(count(lit(1)).as("c2"))
     ranked.crossJoin(counts)
       .groupBy("doc_id", "source", "r")
@@ -1769,17 +1826,24 @@ object TextAnalysis {
   // the per-stratum curation step a mixture recipe runs BEFORE doc_mixture
   // samples across strata (a global top-K would let one high-quality
   // source crowd out every other stratum).
-  // Scale shape: one window partitioned by SOURCE — strata are the unit of
-  // parallelism, no global sort anywhere; rank ≤ K prunes to K·|sources|
-  // rows. At 100 TB a skewed stratum bounds the reducer, the standard
-  // refinement (pre-prune with a per-partition top-K before the shuffle)
-  // composes on top without changing the result.
+  // Scale shape (r15, the bounded-window audit): a bucket-local top-K
+  // prune runs first — every global top-K row of a source is necessarily
+  // within the top-K of its own (source, doc_id-hash bucket) for ANY
+  // partition into buckets, so the corpus pays only |sources| × DocBuckets
+  // LOCAL sorts and at most K × DocBuckets candidates per source reach
+  // the final per-source rank window (the firstActions idiom; audited in
+  // ExplainDump's BoundedWindowAllowed). A skewed stratum bounds a
+  // bucket-local sort, never a whole-source task.
   private val StratK = 20
 
   def selectStratified(spark: SparkSession, d: String): DataFrame = {
     val m = scoredDocs(Tables.documents(spark, d), col("doc_id"), col("source"))
+    val lw = Window.partitionBy("source", "b").orderBy(desc("iq"), col("doc_id"))
     val w = Window.partitionBy("source").orderBy(desc("iq"), col("doc_id"))
-    m.withColumn("rank", row_number().over(w).cast("long"))
+    m.withColumn("b", pmod(col("doc_id"), lit(DocBuckets)))
+      .withColumn("lr", row_number().over(lw))
+      .filter(col("lr") <= StratK)
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= StratK)
       .select("source", "rank", "doc_id", "iq", "nw")
       .orderBy("source", "rank")
@@ -2091,10 +2155,12 @@ object TextAnalysis {
   // feeding one map-side-combinable |sources|-key groupBy; nothing
   // corpus-proportional shuffles. The oracle re-derives the training
   // rounds as generated SQL: each round picks its top pair and applies it
-  // with a packed-BIGINT merge-position mask (sound for words ≤ 62
-  // tokens; the corpus max word is 10 chars, and any real tokenizer
-  // pre-splits at far shorter bounds). Exactness: pure integer counts +
-  // ppm floor divisions, byte-order pair tie-breaks in both engines.
+  // with the run-parity kept/prevkept window formulation (a position is
+  // merged iff its distance to the last non-matching position is odd,
+  // then positions consumed by a merge drop via lag(kept) — the standard
+  // leftmost-first greedy pass, with no bound on word length). Exactness:
+  // pure integer counts + ppm floor divisions, byte-order pair
+  // tie-breaks in both engines.
   def textBpeEncode(spark: SparkSession, d: String): DataFrame =
     bpeCounted(spark, d)
       .groupBy("source")
@@ -2138,6 +2204,14 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(BpeTrainVocab)
       .collect()
+    // the generated oracle trains UNCAPPED; if the corpus vocabulary ever
+    // reaches the cap the two engines would silently learn different merge
+    // lists (and sf1-scale runs have no oracle compare to catch it) — fail
+    // loudly instead (r14 advice)
+    require(wf.length < BpeTrainVocab,
+      s"BPE training vocabulary hit the BpeTrainVocab=$BpeTrainVocab cap — " +
+        "the capped merge list may diverge from an uncapped trainer; raise " +
+        "the cap or re-derive the oracle with the same cap")
     val toks = wf.map(r => graft.functions.BpeKernel.charTokens(r.getString(0)))
     val cnts = wf.map(_.getAs[Long]("cnt"))
     def byteLt(a: String, b: String): Boolean =
@@ -2557,32 +2631,26 @@ object TextAnalysis {
     * against a direct per-doc recount on constructed corpora (repeated
     * bigrams, single-token docs, cross-doc count sharing). */
   def textBigramLmFrom(docs: DataFrame): DataFrame = {
-    // Bigrams are adjacent-token pairs of ONE document, so they form in
-    // the scan projection (r14, the sf1 weak set): the old plan
-    // posexplode'd the corpus and ran a per-doc lag WINDOW — a full
-    // corpus shuffle+sort just to pair neighbors — and that subtree fed
-    // three consumers, so it executed three times. Here bg is a
-    // shuffle-free scan branch (cheap to evaluate per consumer), the
-    // unigram table comes off the term_counts kernel, and both count
-    // tables land on vocabulary-bounded keys via map-side combine; the
-    // only corpus-row exchange left is the per-doc rollup, which
-    // map-side-combines to one partial per document.
-    val bg = docs.select(col("doc_id"), words.as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> " +
-          "struct(element_at(ws, i) AS wp, element_at(ws, i + 1) AS w))")).as("b"))
-      .select(col("doc_id"), col("b.wp").as("wp"), col("b.w").as("w"))
-    // bg's two consumers re-evaluate the HOF branch, but it is
-    // shuffle-free and a localCheckpoint of the 7.5M-row pair stream
-    // measured SLOWER than the re-evaluation — recompute wins here
+    // Per-doc bigram COUNTS form in the scan projection via the
+    // bigram_counts kernel (r14 verdict #5): the exploded stream is one
+    // row per (doc, DISTINCT pair) — not one per occurrence — so the
+    // corpus bigram-count table map-side-combines from pre-counted
+    // partials and the score join ships the per-doc multiplicity as the
+    // weight column `c` instead of repeated rows (the r14 plan paid the
+    // 7.5M-occurrence pair stream through the c2 shuffle AND the score
+    // join, twice — the HOF branch re-evaluated per consumer). The
+    // occurrence-level rollup is recovered exactly by weighting: per-doc
+    // n_bigrams = Σc and ppm_sum = Σ c·ppm, integer-exact since ppm is a
+    // function of the (wp, w) key alone.
+    val bc = docs.select(col("doc_id"), explode(expr("bigram_counts(text)")).as("b"))
+      .select(col("doc_id"), col("b.wp").as("wp"), col("b.w").as("w"), col("b.c").as("c"))
     val c1 = docs.select(explode(expr("term_counts(text)")).as("e"))
       .groupBy(col("e.t").as("wp")).agg(sum(col("e.c")).as("c1"))
-    val c2 = bg.groupBy("wp", "w").agg(count(lit(1)).as("c2"))
-    bg.join(c2, Seq("wp", "w")).join(c1, Seq("wp"))
-      .select(col("doc_id"), expr("(1000000 * c2) div c1").as("ppm"))
+    val c2 = bc.groupBy("wp", "w").agg(sum(col("c")).as("c2"))
+    bc.join(c2, Seq("wp", "w")).join(c1, Seq("wp"))
+      .select(col("doc_id"), col("c"), expr("(1000000 * c2) div c1").as("ppm"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("ppm_sum"))
+      .agg(sum(col("c")).as("n_bigrams"), sum(col("ppm") * col("c")).as("ppm_sum"))
       .withColumn("lm_ppm", expr("ppm_sum div n_bigrams"))
       .orderBy("doc_id")
   }

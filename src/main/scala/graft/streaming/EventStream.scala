@@ -318,23 +318,62 @@ object EventStream {
   private[graft] val CusumT = 5000L // target (cents): the fleet-wide level
   private[graft] val CusumK = 2000L // slack: drifts under k/point don't accumulate
   private[graft] val CusumH = 20000L // decision band
+  private val CusumBuckets = 256L // time-range buckets of the batch decomposition
 
   /** The deterministic batch expression the oracle verifies — ds_cusum's
     * prefix-sum/prefix-min closed form with the FIXED monitoring
     * parameters, keyed by event_type. Alert rows: every point whose
     * accumulated one-sided drift clears the band. */
   def streamCusum(spark: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("ts", "event_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val p = Tables.events(spark, d)
+    // RANGE-BUCKET DECOMPOSITION (r15, the bounded-window audit — the
+    // dsCusumFrom idiom keyed by event_type): the prefix sum and prefix
+    // min decompose over (event_type, time-bucket) groups; a bucket
+    // census (|types| × CusumBuckets rows) carries exclusive offsets and
+    // the running min of earlier buckets' full prefixes, and the
+    // join-back reassembles ph(i) = off(b) + lph(i) and
+    // min_{j≤i} ph = least(prevmin(b), off(b) + lmin(i)) exactly.
+    // Fixed monitoring parameters mean no stats join — just the span.
+    // Storage contract: construction is EAGER — the windowed stream
+    // feeds census AND join-back, so it is localCheckpoint'd (pinned
+    // blocks until releaseCaches/session end).
+    val W = org.apache.spark.sql.expressions.Window
+    val k0 = Tables.events(spark, d)
       .select(col("event_type"), col("event_id"), col("ts"),
         round(col("value") * 100).cast("long").as("vc"))
-      .withColumn("ph", sum(col("vc") - CusumT - CusumK).over(w))
-      .withColumn("pl", sum(lit(CusumT - CusumK) - col("vc")).over(w))
-      .withColumn("sh", col("ph") - least(min(col("ph")).over(w), lit(0L)))
-      .withColumn("sl", col("pl") - least(min(col("pl")).over(w), lit(0L)))
+      .withColumn("tu", unix_micros(col("ts")))
+    val spans = k0.groupBy("event_type").agg(
+      min(col("tu")).as("tmin"), max(col("tu")).as("tmax"))
+    val rows = k0.join(spans, Seq("event_type"))
+      .withColumn("b", expr(s"(tu - tmin) * $CusumBuckets div (tmax - tmin + 1)"))
+      .withColumn("dh", col("vc") - CusumT - CusumK)
+      .withColumn("dl", lit(CusumT - CusumK) - col("vc"))
+    val lw = W.partitionBy("event_type", "b").orderBy("ts", "event_id")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val local = rows
+      .withColumn("lph", sum(col("dh")).over(lw))
+      .withColumn("lpl", sum(col("dl")).over(lw))
+      .withColumn("lmh", min(col("lph")).over(lw))
+      .withColumn("lml", min(col("lpl")).over(lw))
+      .select("event_type", "b", "event_id", "dh", "dl",
+        "lph", "lpl", "lmh", "lml")
+      .localCheckpoint()
+    val cw = W.partitionBy("event_type").orderBy("b")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val census = local.groupBy("event_type", "b").agg(
+      sum(col("dh")).as("sdh"), sum(col("dl")).as("sdl"),
+      min(col("lph")).as("bmh"), min(col("lpl")).as("bml"))
+      .withColumn("offh", coalesce(sum(col("sdh")).over(cw), lit(0L)))
+      .withColumn("offl", coalesce(sum(col("sdl")).over(cw), lit(0L)))
+      .withColumn("pmh", min(col("offh") + col("bmh")).over(cw))
+      .withColumn("pml", min(col("offl") + col("bml")).over(cw))
+      .select("event_type", "b", "offh", "offl", "pmh", "pml")
+    // least() skips NULLs: a first bucket (pmh/pml NULL) reduces to its
+    // own local prefix min exactly
+    val p = local.join(census, Seq("event_type", "b"))
+      .withColumn("sh", col("offh") + col("lph") -
+        least(least(col("pmh"), col("offh") + col("lmh")), lit(0L)))
+      .withColumn("sl", col("offl") + col("lpl") -
+        least(least(col("pml"), col("offl") + col("lml")), lit(0L)))
     p.select(col("event_type"), col("event_id"),
         explode(array(
           struct(lit("high").as("side"), col("sh").as("s")),

@@ -43,6 +43,50 @@ object ExplainDump {
     "q_funnel_time"        // percentile cum over the delay-minute histogram
   )
 
+  // Bounded-cardinality window gate (r14 verdict #2). The defect class
+  // that recurred eight times before r14/r15 killed it: a Window whose
+  // partition keys are ONLY bounded-cardinality domain columns (compound:
+  // 5 values, event_type: ~6, strm: 2, source: ~4) serializes each key's
+  // ENTIRE input into one task — fine on a report-sized intermediate,
+  // a 20-TB-per-task scale-killer on the corpus. Structural test: such a
+  // window is presumed report-sized iff an Aggregate sits somewhere below
+  // it in the same subtree (census/histogram/per-key-stats streams are all
+  // groupBy outputs); a bounded-keys window fed straight from a scan has
+  // corpus-sized partitions and fails the gate. Queries where the bounded
+  // window is legitimately NOT aggregate-fed but still bounded by
+  // construction are audited here, with the boundedness argument:
+  private val BoundedCardCols = Set("compound", "event_type", "strm", "source")
+  private val BoundedWindowAllowed: Map[String, String] = Map(
+    "ds_zoom_history" -> ("windows run after the firstActions bucket-local " +
+      "prune (lb <= 12 filter) — ≤ 12×256 candidate rows per compound, " +
+      "then ≤ 12 action rows per compound"),
+    "ds_zoom_replay" -> "same firstActions prune; the stack fold sees ≤ 12 rows/compound",
+    "ds_zoom_planes" -> "plane lattice rows — |compounds| × plane-pairs, config-sized",
+    "ds_outlier_mad" -> ("cum/total windows run over the VALUE HISTOGRAM " +
+      "(lattice-bounded groupBy output) — the Aggregate below is hidden " +
+      "behind its localCheckpoint boundary, so the structural test can't see it"),
+    "ds_flatline" -> ("the chain-merge window runs over the checkpointed " +
+      "boundary-segment census — ≤ 2 segments per non-empty (compound, " +
+      "bucket), duplicate-density-sized; Aggregate hidden behind the checkpoint"),
+    "select_stratified" -> ("final per-source rank runs after the bucket-local " +
+      "top-K prune (lr <= K filter) — ≤ K × DocBuckets candidate rows per source")
+  )
+
+  private def boundedOnlyCorpusWindows(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    plan.collect {
+      case w: LWindow if w.partitionSpec.nonEmpty &&
+        w.partitionSpec.forall {
+          case a: AttributeReference => BoundedCardCols(a.name)
+          case _ => false
+        } &&
+        w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+        w.partitionSpec.map(_.sql).mkString(", ")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.local(8)
@@ -51,7 +95,9 @@ object ExplainDump {
     sb.append("Audit gates: no `CartesianProduct` anywhere; `BroadcastHashJoin`/\n")
     sb.append("`BroadcastNestedLoopJoin` present where the design promises a broadcast;\n")
     sb.append("`PushedFilters` non-empty where a filter must reach the parquet scan;\n")
-    sb.append("no partition-less Window outside the audited report-sized allowlist.\n\n")
+    sb.append("no partition-less Window outside the audited report-sized allowlist;\n")
+    sb.append("no corpus-fed Window partitioned only by bounded-cardinality columns\n")
+    sb.append("(compound/event_type/strm/source) outside the audited allowlist.\n\n")
     var bad = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val qe = fn(spark, sfDir).queryExecution
@@ -70,6 +116,13 @@ object ExplainDump {
       }
       if (globalWindows.nonEmpty && !GlobalWindowAllowed(name))
         bad ::= s"$name: partition-less Window outside the audited allowlist"
+      // Bounded-keys gate: a window partitioned ONLY by bounded-cardinality
+      // columns with no Aggregate below it runs corpus-sized partitions.
+      val boundedWins = boundedOnlyCorpusWindows(qe.optimizedPlan)
+      if (boundedWins.nonEmpty && !BoundedWindowAllowed.contains(name))
+        bad ::= s"$name: corpus-fed Window partitioned only by bounded-cardinality " +
+          s"columns (${boundedWins.mkString("; ")}) — decompose over (key, time-bucket) " +
+          "or audit it into BoundedWindowAllowed"
       sb.append(s"## $name\n\n")
       sb.append(s"- broadcast joins: ${"BroadcastHashJoin".r.findAllIn(plan).size}\n")
       sb.append(s"- shuffles (Exchange): ${"Exchange ".r.findAllIn(plan).size}\n")

@@ -23,7 +23,21 @@ import graft.GraftSession
   *
   * All other tables are symlinked from the source dir.
   *
-  * Run: sbt "runMain graft.tools.ReplicateCorpus <n> [srcDir] [dstDir]"
+  * Mode `events` (r14 verdict #3 — the job-floor crossover curves):
+  * replicates `events`/`orders`/`lineitem` instead — event_id and the
+  * orderkey shift by copy × IdOffset (orders and lineitem shift
+  * TOGETHER, so every order keeps its lines), user_id shifts too (the
+  * user population scales with the workload, as a real scale-up would);
+  * part/supp/cust keys stay, so dimension joins fan out N× like a real
+  * N× business. documents/embeddings are symlinked.
+  *
+  * Mode `skew` (r14 verdict #4 — the user_id hot-key probe): same row
+  * count as the source, but ~30% of events are deterministically
+  * reassigned to ONE hot user (event_id % 10 < 3 → user −1), the
+  * adversarial shape SCALING.md's "AQE splits hot keys" claim must
+  * survive. Everything else symlinked.
+  *
+  * Run: sbt "runMain graft.tools.ReplicateCorpus <n> [srcDir] [dstDir] [mode]"
   */
 object ReplicateCorpus {
   private val AllTables = Seq("region", "nation", "customer", "supplier",
@@ -34,10 +48,55 @@ object ReplicateCorpus {
     val n = args.headOption.map(_.toInt).getOrElse(10)
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val dst = if (args.length > 2) args(2) else s"/tmp/graft-x$n"
+    val mode = if (args.length > 3) args(3) else "docs"
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(16)
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(dst))
+
+    def linkRest(built: Set[String]): Unit =
+      AllTables.filterNot(built).foreach { t =>
+        val link = Paths.get(dst, s"$t.parquet")
+        Files.deleteIfExists(link)
+        Files.createSymbolicLink(link, Paths.get(src, s"$t.parquet"))
+      }
+
+    if (mode == "events") {
+      // events ts may arrive as TIMESTAMP(NANOS) (GraftSession sets
+      // nanosAsLong, so it reads as a nanos LONG and round-trips as one —
+      // Tables.events converts either form); replicate column-preserving
+      def replicated(t: String, shifted: Set[String]): Unit = {
+        val df = spark.read.parquet(s"$src/$t.parquet")
+        (0 until n).map { i =>
+          if (i == 0) df
+          else df.select(df.columns.map { c =>
+            if (shifted(c)) (col(c) + lit(i * IdOffset)).as(c) else col(c)
+          }.toIndexedSeq: _*)
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+      replicated("events", Set("event_id", "user_id"))
+      replicated("orders", Set("o_orderkey"))
+      replicated("lineitem", Set("l_orderkey"))
+      linkRest(Set("events", "orders", "lineitem"))
+      println(s"REPLICATED(events) x$n -> $dst")
+      spark.stop()
+      return
+    }
+
+    if (mode == "skew") {
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      ev.select(ev.columns.map { c =>
+        if (c == "user_id")
+          when(col("event_id") % 10 < 3, lit(-1L)).otherwise(col("user_id")).as(c)
+        else col(c)
+      }.toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      linkRest(Set("events"))
+      println(s"SKEWED(events, 30% -> user -1) -> $dst")
+      spark.stop()
+      return
+    }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val copiesD = (0 until n).map { i =>

@@ -111,6 +111,38 @@ class NativeKernelSpec extends SparkSpec {
     assert(native(1L) === Map("" -> 1L))
   }
 
+  test("bigram_counts equals the transform-pair explode+groupBy on adversarial input") {
+    val native = docs.select(col("doc_id"), explode(expr("bigram_counts(text)")).as("b"))
+      .select(col("doc_id"), col("b.wp").as("wp"), col("b.w").as("w"), col("b.c").as("c"))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getAs[String]("wp"), r.getAs[String]("w")) ->
+          r.getAs[Long]("c")).toMap }
+    val composable = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> " +
+          "struct(element_at(ws, i) AS wp, element_at(ws, i + 1) AS w))")).as("b"))
+      .groupBy(col("doc_id"), col("b.wp").as("wp"), col("b.w").as("w"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getAs[String]("wp"), r.getAs[String]("w")) ->
+          r.getAs[Long]("c")).toMap }
+    // identical doc membership: NULL text is NULL in the kernel (explode
+    // drops it) and filtered in the reference; < 2 tokens -> empty array
+    // in the kernel (explode drops) and size filter in the reference
+    assert(native.keySet === composable.keySet)
+    composable.foreach { case (id, m) => assert(native(id) === m, s"doc $id") }
+    // doc 10 ("a b c a b c a b c"): pair (a,b) x3, (b,c) x3, (c,a) x2
+    assert(native(10L) === Map(("a", "b") -> 3L, ("b", "c") -> 3L, ("c", "a") -> 2L))
+    // doc 1 (" "): single empty token -> no bigrams -> absent entirely
+    assert(!native.contains(1L))
+  }
+
   test("text_quality's plan evaluates the gate_stats kernel exactly once") {
     // the three signal columns read elements of ONE projected gs column;
     // CollapseProject must not inline the (expensive, thrice-referenced)

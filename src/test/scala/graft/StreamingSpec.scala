@@ -189,6 +189,12 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // correctness in that window is gated by the known-NPE assert below
     // and the exact two-sided parity asserts after it, not by log lines
     val noisy = Seq("org.apache.spark")
+    // capture each logger's EFFECTIVE level before silencing so the
+    // finally block restores what the suite actually configured (r14
+    // advice: an unconditional WARN could differ from the configured
+    // level and keep hiding unrelated Spark warnings after this test)
+    val priorLevels = noisy.map(l =>
+      l -> org.apache.logging.log4j.LogManager.getLogger(l).getLevel)
     noisy.foreach(l => org.apache.logging.log4j.core.config.Configurator
       .setLevel(l, org.apache.logging.log4j.Level.OFF))
     try {
@@ -226,8 +232,8 @@ class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         "stream emitted a session batch did not close")
       assert(batchClosed.except(streamed).count() === 0,
         "batch closed a session the stream never emitted")
-    } finally noisy.foreach(l => org.apache.logging.log4j.core.config.Configurator
-      .setLevel(l, org.apache.logging.log4j.Level.WARN))
+    } finally priorLevels.foreach { case (l, lvl) =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(l, lvl) }
   }
 
   test("stateful debounce via flatMapGroupsWithState equals the batch window dedup exactly") {

@@ -25,6 +25,15 @@ python3 tools/check_oracle.py "$SF" "$OUT"
 echo "== pii positive-path parity (corpus is digit-free, oracle can't see it)"
 python3 tools/check_pii_parity.py
 
+# sf1 mode: the five DuckDB-DNF queries (recursive-CTE graph family +
+# pipeline_dedup) have NO oracle compare above sf0.1 — their sf1 standing
+# rests on Sf1DnfCheck's exact invariants, so it must run on every sf1 gate
+# (r14 verdict #8), not as a manual runMain.
+if [[ "$SF" == *sf1* ]]; then
+  echo "== sf1 DNF invariants (DuckDB cannot finish these at sf1)"
+  sbt -batch "runMain graft.tools.Sf1DnfCheck $SF"
+fi
+
 echo "== plan audit (CartesianProduct / broadcast / pushdown gates)"
 # Staleness gate (r13 verdict #2: EXPLAINS.md shipped one round stale —
 # three new entries and two kernel replans had no committed plan record):
