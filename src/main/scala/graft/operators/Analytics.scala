@@ -165,17 +165,84 @@ object Analytics {
   // --- q_window_running ---------------------------------------------------
   // Running sums in exact cents: the frame is explicit ROWS (not the RANGE
   // default) and the order key (ts, event_id) is unique, so the prefix sums
-  // are reproducible anywhere.
-  def qWindowRunning(spark: SparkSession, d: String): DataFrame = {
+  // are reproducible anywhere. Partitioned by user_id — an UNBOUNDED key
+  // domain, so parallelism scales with users and the plain window is the
+  // right default plan. The r15 skew probe measured the degenerate case
+  // (one user = 30% of events): 1.75x at sf1-skew because AQE skew
+  // handling covers joins, not WindowExec. The census-decomposed hybrid
+  // below ([[qWindowRunningSkewSafe]]) fixes that case and is
+  // value-identical (spec-pinned), but costs ~1.5x on well-distributed
+  // data (detection pass + census join-back) — measured and REJECTED as
+  // the default (the r12 pipeline_qc replan precedent); deployments with
+  // known-degenerate key distributions opt in.
+  def qWindowRunning(spark: SparkSession, d: String): DataFrame =
+    qWindowRunningFrom(Tables.events(spark, d))
+
+  /** DataFrame-in core for [[qWindowRunning]] (events needs user_id,
+    * event_id, ts, value). */
+  def qWindowRunningFrom(events: DataFrame): DataFrame = {
     val vc = cents(col("value"))
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, d)
+    events
       .select(col("user_id"), col("event_id"), col("ts"), vc.as("value_c"))
       .select(col("user_id"), col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         sum(col("value_c")).over(wRun).as("run_sum_c"),
         (col("value_c") - lag(col("value_c"), 1).over(w)).as("delta_c"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Hot-key-safe variant of [[qWindowRunningFrom]] (r15 skew probe):
+    * users at or above [[HeavyKeyRows]] rows take the dsCusumFrom census
+    * decomposition over (user, absolute-hour bucket) groups — prefix sum
+    * = census offset + bucket-local prefix, lag-1 = local lag with a
+    * census handoff of each bucket's last value — while light users
+    * collapse to bucket 0, where off = 0 / pv = NULL reduce the formulas
+    * to the plain window exactly. ONE window pass for everyone; heavy-key
+    * detection is a column-pruned single-column count. Value-identical to
+    * the plain window by the prefix-sum decomposition law (spec-pinned on
+    * a constructed hot-key corpus). Costs a detection aggregate + a
+    * census join-back over the plain plan — the price of bounding the
+    * largest window partition by one key-hour instead of one key. The
+    * bucketed stream takes a LAZY localCheckpoint (census + join-back
+    * both consume it; blocks pin on first action until
+    * releaseCaches/session end), so plan construction stays job-free. */
+  private val HeavyKeyRows = 32768L
+
+  def qWindowRunningSkewSafe(events: DataFrame): DataFrame = {
+    val vc = cents(col("value"))
+    val ev = events
+      .select(col("user_id"), col("event_id"), col("ts"), vc.as("value_c"),
+        unix_micros(col("ts")).as("tu"))
+    val heavy = ev.select("user_id").groupBy("user_id")
+      .agg(count(lit(1)).as("hn"))
+      .filter(col("hn") >= HeavyKeyRows)
+      .select(col("user_id"), lit(1).as("isHeavy"))
+    val lw = Window.partitionBy("user_id", "b").orderBy("ts", "event_id")
+    val local = ev.join(heavy, Seq("user_id"), "left")
+      .withColumn("b", when(col("isHeavy").isNotNull,
+        expr("tu div 3600000000")).otherwise(lit(0L)))
+      .withColumn("ls", sum(col("value_c")).over(
+        lw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lprev", lag(col("value_c"), 1).over(lw))
+      .select("user_id", "b", "event_id", "ts", "value_c", "tu", "ls", "lprev")
+      .localCheckpoint(false)
+    val cw = Window.partitionBy("user_id").orderBy("b")
+    val census = local.groupBy("user_id", "b").agg(
+        sum(col("value_c")).as("sb"),
+        max(struct(col("tu"), col("event_id"), col("value_c"))).as("lastr"))
+      .withColumn("off", coalesce(sum(col("sb")).over(
+        cw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pv", lag(col("lastr.value_c"), 1).over(cw))
+      .select("user_id", "b", "off", "pv")
+    local.join(census, Seq("user_id", "b"))
+      .withColumn("run_sum_c", col("off") + col("ls"))
+      // global first row: lprev and pv both NULL -> delta NULL, the lag law
+      .withColumn("delta_c", col("value_c") - coalesce(col("lprev"), col("pv")))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("run_sum_c"), col("delta_c"))
       .orderBy("user_id", "event_id")
   }
 
@@ -410,16 +477,67 @@ object Analytics {
   // include all of them), so the result is deterministic even with
   // timestamp ties; sums are exact cents. One shuffle on user_id; within a
   // partition the frame is a sliding two-pointer over the sorted rows.
-  def qSlidingWindow(spark: SparkSession, d: String): DataFrame = {
+  // The r15 skew probe measured 2.8x at sf1-skew (one user = 30% of
+  // events; AQE skew handling covers joins, not WindowExec) — the
+  // context-duplication hybrid below ([[qSlidingWindowSkewSafe]]) fixes
+  // the degenerate case and is spec-pinned value-identical, but like
+  // qWindowRunningSkewSafe it costs a detection pass plus duplicated
+  // hot rows on well-distributed data and is OPT-IN, not the default.
+  def qSlidingWindow(spark: SparkSession, d: String): DataFrame =
+    qSlidingWindowFrom(Tables.events(spark, d))
+
+  /** DataFrame-in core for [[qSlidingWindow]] (events needs user_id,
+    * event_id, ts, value). */
+  def qSlidingWindowFrom(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("t"))
       .rangeBetween(-3600000000L, 0L)
-    Tables.events(spark, d)
+    events
       .select(col("user_id"), col("event_id"), col("ts"),
         unix_micros(col("ts")).as("t"), cents(col("value")).as("vc"))
       .select(col("user_id"), col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         sum(col("vc")).over(w).as("trail_1h_c"),
         count(lit(1)).over(w).as("trail_1h_n"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Hot-key-safe variant of [[qSlidingWindowFrom]] (r15 skew probe):
+    * because the frame is EXACTLY one hour, a row's window spans at most
+    * its own absolute-hour bucket and the previous one — so heavy users'
+    * rows are windowed per (user, hour bucket) with each row RE-EMITTED
+    * once as non-scoring context into the NEXT hour bucket (the
+    * ds_rolling_z context-duplication idiom on the time axis). Light
+    * users collapse to bucket 0, where the group IS the plain per-user
+    * window. The largest window partition is bounded by one key-HOUR of
+    * data (plus the previous hour's context) instead of one key; the
+    * price is the detection count plus one duplicate of each heavy row.
+    * Value-identical by window containment (spec-pinned). */
+  def qSlidingWindowSkewSafe(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("t"), cents(col("value")).as("vc"))
+    val heavy = ev.select("user_id").groupBy("user_id")
+      .agg(count(lit(1)).as("hn"))
+      .filter(col("hn") >= HeavyKeyRows)
+      .select(col("user_id"), lit(1).as("isHeavy"))
+    val flagged = ev.join(heavy, Seq("user_id"), "left")
+    val own = flagged
+      .withColumn("gb", when(col("isHeavy").isNotNull,
+        expr("t div 3600000000")).otherwise(lit(0L)))
+      .withColumn("ctx", lit(false))
+    val ctx = flagged.filter(col("isHeavy").isNotNull)
+      .withColumn("gb", expr("t div 3600000000") + 1L)
+      .withColumn("ctx", lit(true))
+    val w = Window.partitionBy("user_id", "gb").orderBy(col("t"))
+      .rangeBetween(-3600000000L, 0L)
+    own.unionByName(ctx)
+      .select(col("user_id"), col("event_id"), col("ts"), col("ctx"),
+        sum(col("vc")).over(w).as("trail_1h_c"),
+        count(lit(1)).over(w).as("trail_1h_n"))
+      .filter(!col("ctx"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("trail_1h_c"), col("trail_1h_n"))
       .orderBy("user_id", "event_id")
   }
 
@@ -1890,9 +2008,12 @@ object Analytics {
   // s_nationkey collapses to one nation), Q7 keeps BOTH nation dimensions
   // and reports the asymmetric pair matrix. Scale shape: lineitem (the
   // 100 TB fact) joins orders on its own key — the one genuinely large
-  // shuffle, on the natural key AQE can split on skew; supplier/customer
-  // are SF-proportional dims planned from observed size (no hints — AQE
-  // broadcasts while they fit); the cross-nation filter
+  // shuffle, PINNED shuffle_hash (r15 crossover probe, the q9 finding:
+  // orders' 2-column projection slips under the 64 MB broadcast estimate
+  // at sf10 and the driver then builds a 15M-row broadcast relation
+  // single-threaded — and at 100 TB orders can never be broadcast);
+  // supplier/customer are SF-proportional dims planned from observed
+  // size (no hints — AQE broadcasts while they fit); the cross-nation filter
   // (c_nationkey != s_nationkey) runs on the integer KEYS at the customer
   // join, before any name lookup, so excluded rows never reach the final
   // joins. The two 25-row nation NAME lookups join AFTER the aggregation
@@ -1914,7 +2035,7 @@ object Analytics {
       year(col("l_shipdate")).cast("long").as("l_year"),
       (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("vol"))
     l.join(s, l("l_suppkey") === s("s_suppkey"))
-      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") =!= s("s_nationkey"))
       .groupBy("s_nationkey", "c_nationkey", "l_year")
       .agg(sum(col("vol")).as("volc"))
@@ -2513,7 +2634,14 @@ object Analytics {
   // associative at any partitioning and ONE division renders dollars.
   // Scale shape: the name-filtered part dim (carrying rpc) and supplier are
   // AQE-planned from observed size; lineitem⋈orders is the one large
-  // shuffle; nation names attach to the ≤25·|years| report post-agg.
+  // shuffle — PINNED shuffle_hash (r15, the sf10 crossover probe): orders
+  // is corpus-proportional, but its 2-column projection compresses under
+  // the 64 MB broadcast estimate at sf10 and AQE then builds a 15M-row
+  // broadcast relation single-threaded on the driver (~7s of the 9.8s
+  // total; the ratio vs DuckDB GREW 5.2x→9.9x sf1→sf10). The hint keeps
+  // the build per-partition and parallel — the only plan that survives
+  // 100 TB, where orders cannot be broadcast at any threshold. Nation
+  // names attach to the ≤25·|years| report post-agg.
   private val Q9Token = "red"
 
   def q9ProductProfit(spark: SparkSession, d: String): DataFrame = {
@@ -2528,7 +2656,7 @@ object Analytics {
       round(col("l_quantity")).cast("long").as("qtyl"))
     l.join(p, l("l_partkey") === p("p_partkey"))
       .join(s, l("l_suppkey") === s("s_suppkey"))
-      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("s_nationkey"), col("o_year"))
       .agg(sum(col("rev_c4") - col("rpc") * col("qtyl") * lit(100L)).as("profit_c4"))
       .join(Tables.nation(spark, d).select("n_nationkey", "n_name"),

@@ -376,39 +376,39 @@ object TextAnalysis {
   // FIRST occurrence is this document — the marginal-information curve a
   // curation pipeline reads to decide when a crawl source has gone stale
   // (novelty decaying to 0 means later documents only repeat earlier
-  // shingles). Shape: the native shingle_set kernel dedupes shingles
-  // INSIDE each document's row in the scan's project list, so the exploded
-  // (doc_id, shingle) stream is already per-doc distinct; ownership is ONE
-  // map-side-combinable min per shingle; the novelty count joins owners
-  // back on the shingle key (two gram-keyed shuffles total, the
-  // dedup_substring budget — never a pair join); every document is
-  // reported, shingle-free docs with n_shingles = 0 and NULL novelty
-  // (one division of exact BIGINTs otherwise).
-  // Key width (r14 verdict #6): both shuffles are keyed by the shingle,
-  // and nothing downstream reads its text — only counts and the owner
-  // doc_id survive — so the key collapses to the 16-byte unhex(md5)
-  // digest in the scan projection (the dedup_substring precedent) instead
-  // of shipping ~20-char gram strings through two exchanges. Collision
-  // risk is the same documented 128-bit negligible-by-construction bound.
+  // shingles). Shape (r15 replan of the r14 #6 key-width fix, which
+  // measured a wash — the md5 projection cost what the narrower keys
+  // saved): the join-back was never needed. Every distinct shingle has
+  // exactly ONE owner (min doc_id), so a doc's novel count is simply the
+  // number of owner rows naming it — groupBy(shingle).min(doc_id) then
+  // groupBy(owner).count(), both map-side combinable — and its total
+  // distinct-shingle count is size(shingle_set(text)), computed in the
+  // scan with no exchange at all. ONE gram-keyed shuffle total (half the
+  // dedup_substring budget) and only a doc-keyed left join of two
+  // one-row-per-doc sides remains; the 16-byte unhex(md5)
+  // gram key keeps that one exchange narrow (collision bound: the
+  // documented 128-bit negligible-by-construction argument — only
+  // counts survive, never gram text). Every document is reported,
+  // shingle-free docs with n_shingles = 0 and NULL novelty (one
+  // division of exact BIGINTs otherwise).
   def docNgramNovelty(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val sh = docs
+    val novel = docs
       .select(col("doc_id"), expr("shingle_set(text)").as("ss"))
       .filter(col("ss").isNotNull)
       .select(col("doc_id"), explode(col("ss")).as("sraw"))
       .select(col("doc_id"), unhex(md5(col("sraw"))).as("s"))
-    val own = sh.groupBy(col("s")).agg(min(col("doc_id")).as("owner"))
-    val per = sh.join(own, Seq("s"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .groupBy(col("s")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    docs
       .select(col("doc_id"),
-        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(expr("size(shingle_set(text))"), lit(0)).cast("long").as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        when(coalesce(col("n_shingles"), lit(0L)) > 0L,
-          col("n_novel").cast("double") / col("n_shingles").cast("double"))
-          .as("novelty"))
+        when(col("n_shingles") > 0L,
+          coalesce(col("n_novel"), lit(0L)).cast("double")
+            / col("n_shingles").cast("double")).as("novelty"))
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators.Analytics
+import graft.sources.Tables
+
+/** Times the plain vs heavy-key-safe window variants on a corpus — the
+  * r15 skew probe (SCALING.md): run on a ReplicateCorpus `skew` build
+  * (30% of events on one user) and on the unskewed source to read both
+  * sides of the trade the opt-in variants price.
+  *
+  * Run: sbt "runMain graft.tools.SkewProbe <dir> [passes]"
+  */
+object SkewProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft-skew")
+    val passes = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "window_running_plain" -> (() => Analytics.qWindowRunningFrom(Tables.events(spark, dir))),
+      "window_running_skewsafe" -> (() => Analytics.qWindowRunningSkewSafe(Tables.events(spark, dir))),
+      "sliding_window_plain" -> (() => Analytics.qSlidingWindowFrom(Tables.events(spark, dir))),
+      "sliding_window_skewsafe" -> (() => Analytics.qSlidingWindowSkewSafe(Tables.events(spark, dir))))
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (_ <- 1 to passes; (name, build) <- variants) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      build().queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+    }
+    best.foreach { case (n, t) => println(f"SKEWPROBE $n%-26s $dir%-22s ${t}%.3fs") }
+    spark.stop()
+  }
+}

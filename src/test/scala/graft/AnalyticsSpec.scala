@@ -17,6 +17,53 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("skew-safe window running equals the plain window on a hot-key corpus") {
+    // one user owns 80% of a corpus that crosses the HeavyKeyRows=32768
+    // detection threshold; timestamps interleave hot/cold users and
+    // repeat exactly (tie order decided by event_id), spanning multiple
+    // absolute-hour buckets so the census handoff actually fires
+    import spark.implicits._
+    val n = 50000
+    val rows = (0 until n).map { i =>
+      val user = if (i % 5 == 0) i.toLong % 7 + 100L else -1L
+      val t = new java.sql.Timestamp(1700000000000L + (i / 4).toLong * 3600L * 1000L / 2)
+      (user, i.toLong, t, (i % 997).toDouble / 100.0)
+    }.toDF("user_id", "event_id", "ts", "value")
+    val plain = Analytics.qWindowRunningFrom(rows).collect()
+    val hybrid = Analytics.qWindowRunningSkewSafe(rows).collect()
+    assert(plain.length === n && hybrid.length === n)
+    plain.zip(hybrid).foreach { case (p, h) =>
+      assert(p.getAs[Long]("event_id") === h.getAs[Long]("event_id"))
+      assert(p.getAs[Long]("run_sum_c") === h.getAs[Long]("run_sum_c"),
+        s"run_sum at event ${p.getAs[Long]("event_id")}")
+      assert(p.getAs[java.lang.Long]("delta_c") === h.getAs[java.lang.Long]("delta_c"),
+        s"delta at event ${p.getAs[Long]("event_id")}")
+    }
+  }
+
+  test("skew-safe sliding window equals the plain window on a hot-key corpus") {
+    // hot user crosses the detection threshold; timestamps repeat (RANGE
+    // peers) and straddle absolute-hour boundaries so the context
+    // re-emission actually carries cross-bucket windows
+    import spark.implicits._
+    val n = 50000
+    val rows = (0 until n).map { i =>
+      val user = if (i % 5 == 0) i.toLong % 7 + 100L else -1L
+      val t = new java.sql.Timestamp(1700000000000L + (i / 3).toLong * 977L * 1000L)
+      (user, i.toLong, t, (i % 997).toDouble / 100.0)
+    }.toDF("user_id", "event_id", "ts", "value")
+    val plain = Analytics.qSlidingWindowFrom(rows).collect()
+    val hybrid = Analytics.qSlidingWindowSkewSafe(rows).collect()
+    assert(plain.length === n && hybrid.length === n)
+    plain.zip(hybrid).foreach { case (p, h) =>
+      assert(p.getAs[Long]("event_id") === h.getAs[Long]("event_id"))
+      assert(p.getAs[Long]("trail_1h_c") === h.getAs[Long]("trail_1h_c"),
+        s"trail sum at event ${p.getAs[Long]("event_id")}")
+      assert(p.getAs[Long]("trail_1h_n") === h.getAs[Long]("trail_1h_n"),
+        s"trail count at event ${p.getAs[Long]("event_id")}")
+    }
+  }
+
   test("q3 returns at most 10 rows in descending revenue order") {
     val revs = Analytics.q3TopkRevenue(spark, sf).collect().map(_.getAs[Double]("revenue"))
     assert(revs.length <= 10 && revs.nonEmpty)
