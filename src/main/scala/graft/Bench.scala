@@ -124,6 +124,14 @@ object Bench {
       // real deployment).
       graft.operators.Dedup.releaseCaches()
       spark.catalog.clearCache()
+      // r15: the census-decomposed operators localCheckpoint their
+      // bucketed streams, and checkpoint blocks pin until session end —
+      // across 5 passes that accumulated past the storage pool
+      // (measured: untouched queries' MINS rose ~0.3-3s from eviction/GC
+      // drag; q_promo_share 0.76→3.67 with an unchanged 0.66s standalone
+      // plan). Dropping every persistent RDD at the pass boundary bounds
+      // the pinned set to one pass; Dedup's memo re-warms right below.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val loadStart = loadavg()
       val cpuStart = cpuSample()
       val stealStart = stealSample()
