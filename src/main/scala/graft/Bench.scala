@@ -146,10 +146,26 @@ object Bench {
         try { graft.operators.Dedup.warmFamilyCaches(spark, sfDir); true }
         catch { case scala.util.control.NonFatal(_) => false }
       familyBuilds += (if (warmOk) (System.nanoTime() - tb) / 1e9 else -1.0)
+      // r15: blocks pinned AFTER the warm are per-query checkpoint streams
+      // (the census decompositions), not shared state — warmFamilyCaches
+      // has already built every memo meant to survive the pass. Snapshot
+      // the surviving ids so each query's new blocks release right after
+      // it runs; without this the within-pass accumulation (~20 sf-sized
+      // streams) degraded later queries' minima through eviction/GC.
+      val warmIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
       var passTotal = 0.0
       var clean = true
       val detail = scala.collection.mutable.LinkedHashMap[String, Double]()
       SparkEntry.queries.foreach { case (name, fn) =>
+        // NO per-query System.gc() (r15, tried and measured): a heavy
+        // neighbor can bill its major-GC debt to whoever runs next in
+        // hash order (q_promo_share read 2.7-5.0s straight after
+        // stream_interval_join in two runs vs 0.66-0.88s isolated), but
+        // forcing a full GC before every query recovered those ~2-3s
+        // while costing ~15-20s of warmth across the other 257 entries
+        // (sf1 aggregate 177.8->199.6). QueryTime keeps the gc() — it
+        // measures ISOLATED minima; the bench measures the workload as a
+        // workload, GC debt included.
         val t0 = System.nanoTime()
         try {
           // Execute the AUDITED plan (queryExecution.toRdd = the exact
@@ -189,6 +205,9 @@ object Bench {
             // the whole round's bench
             errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
               .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
+        }
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!warmIds.contains(id)) rdd.unpersist(false)
         }
       }
       passTotals += passTotal

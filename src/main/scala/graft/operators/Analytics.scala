@@ -1608,9 +1608,9 @@ object Analytics {
   // max(t) — the bucketLag1 idiom), so no per-type corpus window remains;
   // everything after is one combinable groupBy. All integer epoch-millis,
   // one final division.
-  // Storage contract: construction is EAGER — the bucketed stream feeds
-  // the census AND the lag window, so it is localCheckpoint'd (pinned
-  // blocks until releaseCaches/session end).
+  // Storage contract (r15): the bucketed stream takes a lazy
+  // localCheckpoint (census + lag window both consume it); blocks pin on
+  // first action until releaseCaches/session end.
   def qIntervalCoverage(spark: SparkSession, d: String): DataFrame = {
     val L = ConcWindowSec * 1000L
     val ev = Tables.events(spark, d)
@@ -1620,7 +1620,7 @@ object Analytics {
     val rows = ev.join(spans, Seq("event_type"))
       .withColumn("b", expr(s"(t - tmin) * $SweepBuckets div (tmax - tmin + 1)"))
       .drop("tmin", "tmax")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val lw = Window.partitionBy("event_type", "b").orderBy("t", "event_id")
     val census = rows.groupBy("event_type", "b").agg(max(col("t")).as("lt"))
     val hand = census

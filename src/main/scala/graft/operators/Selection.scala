@@ -869,17 +869,17 @@ object Selection {
     * whose values are all-distinct the histogram degenerates to corpus
     * size and this matches the old plan's cost; it never exceeds it.
     *
-    * Storage contract (r14 advice): CONSTRUCTION IS EAGER — the value
-    * histogram is localCheckpoint'd (it feeds both the median derivation
-    * and the deviation histogram), which runs Spark jobs at call time and
-    * pins the checkpoint blocks until `releaseCaches()`/session end.
-    * Callers building plans lazily should call this at execution time.
+    * Storage contract (r15): the value histogram takes a LAZY
+    * localCheckpoint (median derivation + deviation histogram both
+    * consume it); blocks materialize inside the first action and stay
+    * pinned until `releaseCaches()`/session end — plan construction
+    * itself runs no jobs.
     */
   def outlierMadFrom(k: DataFrame, idCol: String): DataFrame = {
     // report-sized after the corpus agg; checkpointed because the med
     // derivation and the dev histogram both consume it
     val hist = k.groupBy("compound", "value").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val wAll = Window.partitionBy("compound")
     val cw = Window.partitionBy("compound").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -942,9 +942,9 @@ object Selection {
     * — caught by the sf0.001 oracle; patching it with dense census ids
     * costs a corpus-side join and measured slower than this at sf1.)
     * The bucketed stream feeds both the census and the windowed main
-    * stream, so it is localCheckpoint'd — eager execution + pinned blocks
-    * until releaseCaches/session end, the dsCusumFrom storage contract;
-    * callers' scaladoc carries the warning. Returns the input columns
+    * stream, so it takes a LAZY localCheckpoint — blocks materialize
+    * inside the first action and stay pinned until releaseCaches/session
+    * end, the dsCusumFrom storage contract. Returns the input columns
     * plus `li` (bucket-local rank) and `prev_<c>` per lag column, NULL on
     * each compound's global first row — exactly
     * lag(c) OVER (PARTITION BY compound ORDER BY ordCols).
@@ -952,7 +952,7 @@ object Selection {
     * AQE-broadcast census join. */
   private def bucketLag1(rows: DataFrame, ordCols: Seq[String],
       lagCols: Seq[String]): DataFrame = {
-    val base = rows.localCheckpoint()
+    val base = rows.localCheckpoint(false)
     val ord = ordCols.map(col)
     val lw = Window.partitionBy("compound", "b").orderBy(ord: _*)
     val local = lagCols.foldLeft(base.withColumn("li", row_number().over(lw))) {
@@ -1109,9 +1109,9 @@ object Selection {
       .orderBy("compound", "event_id")
 
   /** DataFrame-in variant for library callers (and the [[GraftQC]] facade):
-    * `k` needs (`idCol`, compound, value, cts: timestamp). Eagerly
-    * executes + pins a localCheckpoint of the indexed stream (the
-    * dsCusumFrom storage contract). */
+    * `k` needs (`idCol`, compound, value, cts: timestamp). The indexed
+    * stream takes a lazy localCheckpoint (the dsCusumFrom storage
+    * contract: blocks pin on first action until releaseCaches). */
   def rollingZFrom(k: DataFrame, idCol: String): DataFrame = {
     val k0 = k.withColumn("tu", unix_micros(col("cts")))
     val stats = k0.groupBy("compound").agg(
@@ -1123,7 +1123,7 @@ object Selection {
     // localCheckpoint: `local` feeds the census AND the join-back
     val local = rows
       .withColumn("li", row_number().over(lw).cast("long"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cw = Window.partitionBy("compound").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val census = local.groupBy("compound", "b").agg(count(lit(1)).as("cb"))
@@ -1200,7 +1200,7 @@ object Selection {
   // max_by(payload, (score, −i)) takes each bucket's best split, and the
   // global pick windows over the census-sized survivors. The windowed
   // stream feeds both the census and the join-back, so it is
-  // localCheckpoint'd (eager execution + pinned blocks until
+  // lazily localCheckpoint'd (blocks pin on first action until
   // releaseCaches/session end — the dsCusumFrom storage contract).
   def dsChangepoint(spark: SparkSession, d: String): DataFrame =
     changepointFrom(keyed(spark, d).select("event_id", "compound", "value", "cts"), "event_id")
@@ -1225,7 +1225,7 @@ object Selection {
       .withColumn("li", row_number().over(lw).cast("long"))
       .withColumn("ls", sum(col("vc"))
         .over(lw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cw = Window.partitionBy("compound").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val census = local.groupBy("compound", "b").agg(
@@ -1345,13 +1345,13 @@ object Selection {
     val wDesc = Window.partitionBy("compound", "b").orderBy(col("sec").desc, col("kind").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // localCheckpoint: `local` feeds the carry census AND the join-back
-    // (eager execution + pinned blocks — the dsCusumFrom storage contract)
+    // (lazy; blocks pin on first action — the dsCusumFrom storage contract)
     val local = rows
       .withColumn("lpv", last(col("v"), ignoreNulls = true).over(wAsc))
       .withColumn("lps", last(when(col("kind") === 0, col("sec")), ignoreNulls = true).over(wAsc))
       .withColumn("lnv", last(col("v"), ignoreNulls = true).over(wDesc))
       .withColumn("lns", last(when(col("kind") === 0, col("sec")), ignoreNulls = true).over(wDesc))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // carry-outs: the asc running state at the bucket's last row in asc
     // order, and the desc running state at its last row in desc order
     // (= min (sec, kind)); nulled to a NULL STRUCT when the bucket holds
@@ -1783,9 +1783,9 @@ object Selection {
   // pass 2 re-scans, joins the |compounds|-row cut table back
   // (AQE-broadcast), clamps in the map, and collapses in one combinable
   // groupBy over exact cents. n_low/n_high count strict exceedances.
-  // Storage contract (r14 advice): construction is EAGER — the value
-  // histogram is localCheckpoint'd (two consumers), which runs Spark jobs
-  // at call time and pins the blocks until releaseCaches()/session end.
+  // Storage contract (r15): the value histogram takes a lazy
+  // localCheckpoint (two consumers); blocks pin on first action until
+  // releaseCaches()/session end.
   def dsWinsorize(spark: SparkSession, d: String): DataFrame = {
     // VALUE-HISTOGRAM decomposition (r14, the sf1 weak set): the 5/95
     // cuts are order statistics — the value at rank ceil(q·n) equals the
@@ -1811,7 +1811,7 @@ object Selection {
     val h = hist
       .withColumn("cum", sum(col("cnt")).over(cw))
       .withColumn("n", sum(col("cnt")).over(wAll))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cuts = h.groupBy("compound")
       .agg(min(when(col("cum") >= ceil(lit(0.05) * col("n")).cast("long"), col("vc"))).as("p5c"),
         min(when(col("cum") >= ceil(lit(0.95) * col("n")).cast("long"), col("vc"))).as("p95c"))
@@ -1864,7 +1864,7 @@ object Selection {
   // sort. The oracle's pair-index tiebreak needs no reproduction — the
   // VALUE at a rank is invariant to how equal slopes are ordered. The
   // slope stream feeds three consumers (stats + both levels), so it is
-  // localCheckpoint'd (eager execution + pinned blocks until
+  // lazily localCheckpoint'd (blocks pin on first action until
   // releaseCaches/session end — the dsCusumFrom storage contract).
   def dsTrend(spark: SparkSession, d: String): DataFrame =
     dsTrendFrom(keyed(spark, d))
@@ -1884,7 +1884,7 @@ object Selection {
       .select(col("compound"),
         ((col("value") - col("prev_value")) / (col("ms") - col("prev_ms")).cast("double")
           * lit(1000.0)).as("slope"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // level 1: range-bucket the slope space, census locates the median's
     // bucket and its within-bucket residual rank rr
     val cw = Window.partitionBy("compound").orderBy("sb")
@@ -2014,8 +2014,8 @@ object Selection {
       // duplicate-density-sized (the corpus never reaches this point un-
       // collapsed); checkpointed because interior and chains both consume
       // it — without this the Union recomputes the whole scan→window
-      // subtree per branch (eager-execution/storage contract as dsCusumFrom)
-      .localCheckpoint()
+      // subtree per branch (lazy checkpoint; storage contract as dsCusumFrom)
+      .localCheckpoint(false)
     val interior = marked.filter(!col("isHead") && !col("isTail"))
       .select("compound", "n_samples", "rv", "start_ms")
     // chain merge over boundary segments only (≤ 2 per non-empty bucket):
@@ -2196,10 +2196,10 @@ object Selection {
     * prefix-sum/prefix-min closed form against the direct sequential
     * fold S_i = max(0, S_{i−1} + d_i) on constructed series.
     *
-    * Storage contract (r14 advice): CONSTRUCTION IS EAGER — the bucketed
-    * stream is localCheckpoint'd (it feeds the census and the windowed
-    * main stream), which runs Spark jobs at call time and pins the
-    * checkpoint blocks until `releaseCaches()`/session end. */
+    * Storage contract (r15): the bucketed stream takes a lazy
+    * localCheckpoint (census + windowed main stream both consume it);
+    * blocks pin on first action until `releaseCaches()`/session end —
+    * construction runs no jobs. */
   def dsCusumFrom(kIn: DataFrame): DataFrame = {
     // RANGE-BUCKET DECOMPOSITION (r13 verdict #4): a per-compound window
     // serializes each compound into ONE task — with |compounds| = 5 that
@@ -2245,7 +2245,7 @@ object Selection {
       // wall cost here, so no carrier columns ride along
       .select("compound", "b", "event_id", "h", "dh", "dl",
         "lph", "lpl", "lmh", "lml")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cw = Window.partitionBy("compound").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val census = local.groupBy("compound", "b").agg(
@@ -2324,10 +2324,10 @@ object Selection {
     * windowed run tests against a direct sequential scan on constructed
     * series (runs across the center, exact-8 vs longer runs, tie values).
     *
-    * Storage contract (r14 advice): CONSTRUCTION IS EAGER — the bucketed
-    * stream is localCheckpoint'd (it feeds the census and the windowed
-    * main stream), which runs Spark jobs at call time and pins the
-    * checkpoint blocks until `releaseCaches()`/session end. */
+    * Storage contract (r15): the bucketed stream takes a lazy
+    * localCheckpoint (census + windowed main stream both consume it);
+    * blocks pin on first action until `releaseCaches()`/session end —
+    * construction runs no jobs. */
   def dsSpcRulesFrom(kIn: DataFrame): DataFrame = {
     // RANGE-BUCKET DECOMPOSITION with boundary context (r13 verdict #4):
     // unlike ds_cusum's unbounded prefixes, the run tests are ROWS-bounded
@@ -2366,7 +2366,7 @@ object Selection {
     // slower than the un-decomposed plan at sf1)
     val local = rows.withColumn("li", row_number().over(lw))
       .select("compound", "b", "event_id", "vc", "t", "madx", "side", "li")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cw = Window.partitionBy("compound").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val census = local.groupBy("compound", "b").agg(count(lit(1)).as("cb"))
@@ -2375,7 +2375,7 @@ object Selection {
     val own = local.join(census, Seq("compound", "b"))
       .withColumn("i", col("start") + col("li") - 1L)
       .select("compound", "b", "cb", "li", "event_id", "vc", "t", "madx", "side", "i")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val baseCols = Seq("compound", "event_id", "vc", "t", "madx", "side", "i")
     val ownK = own.select(baseCols.map(col) :+ col("b").as("gb") :+ lit(false).as("ctx"): _*)
     // only a row within 7 of its bucket's END can precede a later

@@ -511,9 +511,9 @@ object TextAnalysis {
   // vector is literal-injected, and the per-doc weight/token count are
   // dot_i64 / aggregate() folds in a second scan — zero corpus-row
   // exchanges anywhere. Nothing grows with corpus size but the scans.
-  // Storage contract: construction is EAGER — the one-row global
-  // aggregate runs at call time (trained-state injection, the
-  // centroid/codebook precedent).
+  // Storage contract: construction is EAGER for the one-row global
+  // aggregate (trained-state injection must collect at call time — the
+  // centroid/codebook precedent); nothing is checkpointed.
   def selectDsir(spark: SparkSession, d: String): DataFrame = {
     def vectorized(src: DataFrame) = src
       .filter(col("text").isNotNull)
@@ -1063,9 +1063,9 @@ object TextAnalysis {
   // bucket its token carry-in, start_off = carry + local prefix − own
   // tokens. The old plan's per-source window serialized each source's
   // full doc stream into one task. Integer div/mod only.
-  // Storage contract: construction is EAGER — the bucketed windowed
-  // stream feeds census AND join-back, so it is localCheckpoint'd
-  // (pinned blocks until releaseCaches/session end).
+  // Storage contract (r15): the bucketed windowed stream takes a lazy
+  // localCheckpoint (census + join-back both consume it); blocks pin on
+  // first action until releaseCaches/session end.
   private val PackBudget = 256
   private val DocBuckets = 256L
 
@@ -1080,7 +1080,7 @@ object TextAnalysis {
       .withColumn("b", expr(s"(doc_id - dmin) * $DocBuckets div (dmax - dmin + 1)"))
       .drop("dmin", "dmax")
       .withColumn("lsum", sum(col("n_tokens")).over(lw))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cw = Window.partitionBy("source").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val census = local.groupBy("source", "b").agg(sum(col("n_tokens")).as("sb"))
@@ -1777,9 +1777,9 @@ object TextAnalysis {
   //   ord(r, s) = Σ_{s'} min(c_{s'}, r−1) + |{s' ≤ s : c_{s'} ≥ r}|
   // — an exact-integer sum over |sources| broadcast rows per doc, so no
   // global sort or single-partition window anywhere at any corpus size.
-  // Storage contract: construction is EAGER — the bucketed ranked stream
-  // feeds census AND join-back, so it is localCheckpoint'd (pinned
-  // blocks until releaseCaches/session end).
+  // Storage contract (r15): the bucketed ranked stream takes a lazy
+  // localCheckpoint (census + join-back both consume it); blocks pin on
+  // first action until releaseCaches/session end.
   def docInterleave(spark: SparkSession, d: String): DataFrame = {
     val m = Tables.documents(spark, d)
       .select(col("doc_id"), col("source"),
@@ -1788,7 +1788,7 @@ object TextAnalysis {
     val local = m
       .withColumn("b", expr("conv(substring(sk, 1, 2), 16, 10)").cast("long"))
       .withColumn("li", row_number().over(lw).cast("long"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cw = Window.partitionBy("source").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val census = local.groupBy("source", "b").agg(count(lit(1)).as("cb"))

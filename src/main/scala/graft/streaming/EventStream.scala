@@ -333,9 +333,9 @@ object EventStream {
     // join-back reassembles ph(i) = off(b) + lph(i) and
     // min_{j≤i} ph = least(prevmin(b), off(b) + lmin(i)) exactly.
     // Fixed monitoring parameters mean no stats join — just the span.
-    // Storage contract: construction is EAGER — the windowed stream
-    // feeds census AND join-back, so it is localCheckpoint'd (pinned
-    // blocks until releaseCaches/session end).
+    // Storage contract (r15): the windowed stream takes a lazy
+    // localCheckpoint (census + join-back both consume it); blocks pin
+    // on first action until releaseCaches/session end.
     val W = org.apache.spark.sql.expressions.Window
     val k0 = Tables.events(spark, d)
       .select(col("event_type"), col("event_id"), col("ts"),
@@ -356,7 +356,7 @@ object EventStream {
       .withColumn("lml", min(col("lpl")).over(lw))
       .select("event_type", "b", "event_id", "dh", "dl",
         "lph", "lpl", "lmh", "lml")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cw = W.partitionBy("event_type").orderBy("b")
       .rowsBetween(W.unboundedPreceding, -1)
     val census = local.groupBy("event_type", "b").agg(

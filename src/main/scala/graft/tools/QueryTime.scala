@@ -26,6 +26,11 @@ object QueryTime {
       catch { case scala.util.control.NonFatal(_) => () }
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
+        // isolate queries from each other's heap garbage: a heavy
+        // neighbor otherwise bills its major-GC debt to whoever runs
+        // next (r15: q_promo_share read 4.98s straight after
+        // stream_interval_join vs 0.66s isolated, with 120 GB free)
+        System.gc()
         val t0 = System.nanoTime()
         val qe = fn(spark, sfDir).queryExecution
         qe.executedPlan
