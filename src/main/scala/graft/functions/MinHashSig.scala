@@ -332,7 +332,16 @@ case class DsirBucketCounts(left: Expression, right: Expression)
     case (StringType, IntegerType) if !right.foldable =>
       TypeCheckResult.TypeCheckFailure(
         "dsir_bucket_counts bucket count must be a foldable literal")
-    case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (StringType, IntegerType) =>
+      // eval the foldable literal HERE (r15 advice): a null, zero, or
+      // negative count otherwise passes analysis and surfaces as a
+      // per-task `% 0` ArithmeticException / negative-array-size inside
+      // every executor instead of one clean analysis-time error
+      right.eval(null) match {
+        case n: java.lang.Integer if n > 0 => TypeCheckResult.TypeCheckSuccess
+        case bad => TypeCheckResult.TypeCheckFailure(
+          s"dsir_bucket_counts bucket count must be a positive int literal, got $bad")
+      }
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"dsir_bucket_counts expects (string, int literal), got ($l, $r)")
   }

@@ -167,16 +167,38 @@ object Analytics {
   // default) and the order key (ts, event_id) is unique, so the prefix sums
   // are reproducible anywhere. Partitioned by user_id — an UNBOUNDED key
   // domain, so parallelism scales with users and the plain window is the
-  // right default plan. The r15 skew probe measured the degenerate case
-  // (one user = 30% of events): 1.75x at sf1-skew because AQE skew
-  // handling covers joins, not WindowExec. The census-decomposed hybrid
-  // below ([[qWindowRunningSkewSafe]]) fixes that case and is
-  // value-identical (spec-pinned), but costs ~1.5x on well-distributed
-  // data (detection pass + census join-back) — measured and REJECTED as
-  // the default (the r12 pipeline_qc replan precedent); deployments with
-  // known-degenerate key distributions opt in.
+  // right default plan on a well-distributed corpus. The r15 skew probe
+  // measured the degenerate case (one user = 30% of events): 1.75x at
+  // sf1-skew because AQE skew handling covers joins, not WindowExec; the
+  // census-decomposed hybrid below ([[qWindowRunningSkewSafe]]) fixes it,
+  // value-identical (spec-pinned), at ~1.5x on well-distributed data.
+  // r16 (r15 verdict #7): the choice is now AUTO-DETECTED — ONE
+  // column-pruned count-per-key aggregate with a limit-1 probe decides
+  // (the same heavy-key fact the hybrid's own detection pass computes),
+  // so an unskewed corpus pays only the detection count and a degenerate
+  // one never serializes a hot key into a single window task. Opt out via
+  // spark.graft.window.autoSkewSafe=false (the r15 opt-in behavior).
   def qWindowRunning(spark: SparkSession, d: String): DataFrame =
-    qWindowRunningFrom(Tables.events(spark, d))
+    qWindowRunningAuto(spark, Tables.events(spark, d))
+
+  /** Auto-dispatching entry (r15 verdict #7): heavy key present and
+    * auto-dispatch on → the skew-safe decomposition; otherwise the plain
+    * window. Exposed DataFrame-in so the dispatch itself is spec-pinned. */
+  def qWindowRunningAuto(spark: SparkSession, events: DataFrame): DataFrame =
+    if (autoSkewSafe(spark) && hasHeavyKey(events)) qWindowRunningSkewSafe(events)
+    else qWindowRunningFrom(events)
+
+  /** Default-on auto-dispatch switch for the heavy-key window variants. */
+  private def autoSkewSafe(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.window.autoSkewSafe", "true").toBoolean
+
+  /** Any key at/above [[HeavyKeyRows]]? One map-side-combinable count over
+    * the pruned key column, probed with limit 1 — the detection cost the
+    * auto dispatch pays on every corpus (measured ≈ a count(*) by key). */
+  private def hasHeavyKey(events: DataFrame): Boolean =
+    !events.select("user_id").groupBy("user_id")
+      .agg(count(lit(1)).as("hn")).filter(col("hn") >= HeavyKeyRows)
+      .isEmpty
 
   /** DataFrame-in core for [[qWindowRunning]] (events needs user_id,
     * event_id, ts, value). */
@@ -215,31 +237,46 @@ object Analytics {
     val ev = events
       .select(col("user_id"), col("event_id"), col("ts"), vc.as("value_c"),
         unix_micros(col("ts")).as("tu"))
-    val heavy = ev.select("user_id").groupBy("user_id")
+    val heavy = ev.select(col("user_id").as("hu")).groupBy("hu")
       .agg(count(lit(1)).as("hn"))
       .filter(col("hn") >= HeavyKeyRows)
-      .select(col("user_id"), lit(1).as("isHeavy"))
+      .select(col("hu"), lit(1).as("isHeavy"))
     val lw = Window.partitionBy("user_id", "b").orderBy("ts", "event_id")
-    val local = ev.join(heavy, Seq("user_id"), "left")
+    // both joins are NULL-SAFE on user_id (r15 advice): the plain window
+    // treats NULL user_id as one partition, so the decomposition must
+    // carry those rows through detection AND the census join-back —
+    // a plain equi-join would silently drop every NULL-user row
+    val local = ev.join(heavy, col("user_id") <=> col("hu"), "left").drop("hu")
       .withColumn("b", when(col("isHeavy").isNotNull,
         expr("tu div 3600000000")).otherwise(lit(0L)))
       .withColumn("ls", sum(col("value_c")).over(
         lw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("lprev", lag(col("value_c"), 1).over(lw))
-      .select("user_id", "b", "event_id", "ts", "value_c", "tu", "ls", "lprev")
+      .withColumn("rn", row_number().over(lw))
+      .select("user_id", "b", "event_id", "ts", "value_c", "tu", "ls",
+        "lprev", "rn")
       .localCheckpoint(false)
     val cw = Window.partitionBy("user_id").orderBy("b")
     val census = local.groupBy("user_id", "b").agg(
         sum(col("value_c")).as("sb"),
         max(struct(col("tu"), col("event_id"), col("value_c"))).as("lastr"))
-      .withColumn("off", coalesce(sum(col("sb")).over(
-        cw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // off stays NULL when no preceding bucket holds a non-null value —
+      // the sum law is "NULL iff zero non-null values in frame", so the
+      // combine below must distinguish empty-prefix from zero-mass prefix
+      .withColumn("off", sum(col("sb")).over(
+        cw.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("pv", lag(col("lastr.value_c"), 1).over(cw))
-      .select("user_id", "b", "off", "pv")
-    local.join(census, Seq("user_id", "b"))
-      .withColumn("run_sum_c", col("off") + col("ls"))
-      // global first row: lprev and pv both NULL -> delta NULL, the lag law
-      .withColumn("delta_c", col("value_c") - coalesce(col("lprev"), col("pv")))
+      .select(col("user_id").as("cu"), col("b").as("cb"), col("off"),
+        col("pv"))
+    local.join(census, col("user_id") <=> col("cu") && col("b") === col("cb"))
+      .withColumn("run_sum_c",
+        when(col("off").isNull && col("ls").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("off"), lit(0L)) + coalesce(col("ls"), lit(0L))))
+      // bucket-first rows are detected STRUCTURALLY (rn == 1), not by
+      // lprev's nullness — a previous row whose value_c is NULL must give
+      // delta NULL exactly like the plain lag, not fall through to pv
+      .withColumn("delta_c", when(col("rn") === 1, col("value_c") - col("pv"))
+        .otherwise(col("value_c") - col("lprev")))
       .select(col("user_id"), col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         col("run_sum_c"), col("delta_c"))
@@ -480,11 +517,18 @@ object Analytics {
   // The r15 skew probe measured 2.8x at sf1-skew (one user = 30% of
   // events; AQE skew handling covers joins, not WindowExec) — the
   // context-duplication hybrid below ([[qSlidingWindowSkewSafe]]) fixes
-  // the degenerate case and is spec-pinned value-identical, but like
-  // qWindowRunningSkewSafe it costs a detection pass plus duplicated
-  // hot rows on well-distributed data and is OPT-IN, not the default.
+  // the degenerate case and is spec-pinned value-identical, at the price
+  // of a detection pass plus duplicated hot rows. r16: AUTO-DETECTED like
+  // [[qWindowRunning]] — the column-pruned heavy-key probe picks the
+  // branch; spark.graft.window.autoSkewSafe=false restores the plain
+  // window unconditionally.
   def qSlidingWindow(spark: SparkSession, d: String): DataFrame =
-    qSlidingWindowFrom(Tables.events(spark, d))
+    qSlidingWindowAuto(spark, Tables.events(spark, d))
+
+  /** Auto-dispatching entry — see [[qWindowRunningAuto]]. */
+  def qSlidingWindowAuto(spark: SparkSession, events: DataFrame): DataFrame =
+    if (autoSkewSafe(spark) && hasHeavyKey(events)) qSlidingWindowSkewSafe(events)
+    else qSlidingWindowFrom(events)
 
   /** DataFrame-in core for [[qSlidingWindow]] (events needs user_id,
     * event_id, ts, value). */

@@ -1559,8 +1559,17 @@ object Dedup {
   // like with like. The candidate probe reads the MEMOIZED pair table
   // (density-bounded); banding is exact integer math ((inter·10) div
   // union); recall = one same-operand division.
+  /** Ceiling on the truth equijoin's pair mass Σ df·(df−1)/2 over the
+    * in-band per-shingle document frequencies (r15 verdict #5): the
+    * (sampleMod, sampleRem) band bounds the slice as a FRACTION of the
+    * corpus, and a fraction of 100 TB is not a bound — the join's true
+    * cost is the pair mass, which one combinable aggregate over the
+    * slice's shingles knows before any pair materializes. */
+  val RecallPairBudget = 50000000L
+
   def dedupRecall(spark: SparkSession, d: String,
-      sampleMod: Long, sampleRem: Long): DataFrame = {
+      sampleMod: Long, sampleRem: Long,
+      pairBudget: Long = RecallPairBudget): DataFrame = {
     require(sampleMod >= 2 && sampleRem >= 0 && sampleRem < sampleMod,
       s"dedup_recall is an audit-slice job: need 2 <= sampleMod (got $sampleMod), " +
         "0 <= sampleRem < sampleMod — the unbounded truth join must never see a full corpus")
@@ -1570,7 +1579,20 @@ object Dedup {
     val sh = shingles(Tables.documents(spark, d)
       .filter(col("doc_id") % sampleMod === sampleRem))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val tr = sh.as("a").join(sh.as("b"),
+    // DENSITY GUARD, enforced IN THE PLAN (builders stay lazy — the r15
+    // eager-side-effect contract): the 1-row pair-mass aggregate rides a
+    // broadcast into the join's probe side, so no joined task can start
+    // before the mass is known, and an over-budget band raises before a
+    // single pair materializes instead of running the explosion.
+    val guard = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)).as("pair_mass"))
+    val shg = sh.crossJoin(broadcast(guard))
+      .withColumn("_g", assert_true(col("pair_mass") <= pairBudget,
+        concat(lit("dedup_recall truth join over budget: pair mass "),
+          col("pair_mass"), lit(s" > $pairBudget — narrow the audit band " +
+            "(raise sampleMod) or raise pairBudget deliberately"))))
+      .filter(col("_g").isNull).drop("pair_mass", "_g")
+    val tr = shg.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))

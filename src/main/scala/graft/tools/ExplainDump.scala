@@ -69,20 +69,38 @@ object ExplainDump {
       "boundary-segment census — ≤ 2 segments per non-empty (compound, " +
       "bucket), duplicate-density-sized; Aggregate hidden behind the checkpoint"),
     "select_stratified" -> ("final per-source rank runs after the bucket-local " +
-      "top-K prune (lr <= K filter) — ≤ K × DocBuckets candidate rows per source")
+      "top-K prune (lr <= K filter) — ≤ K × DocBuckets candidate rows per source"),
+    "ds_trend" -> ("the final per-compound sort runs over the TWO-LEVEL " +
+      "radix-selected slice (~n/65536 rows per compound — the level-2 " +
+      "bucket that holds the median rank); the bounding joins read the " +
+      "checkpointed slope stream, so the census Aggregates sit behind a " +
+      "LogicalRDD boundary the structural test cannot see")
   )
 
   private def boundedOnlyCorpusWindows(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    // "Aggregate-fed implies report-sized" holds only on the window
+    // input's row-producing path (r15 advice): the old collectFirst was
+    // an EXISTS over the whole subtree, so an Aggregate on the FAR side
+    // of a join (corpus scan ⋈ aggregate-derived census — the common
+    // decomposed shape here) exempted a corpus-fed window. Now EVERY
+    // branch of every multi-child node (Join, Union) must itself be
+    // aggregate-fed: a join of two report-sized tables stays report-
+    // sized, while corpus ⋈ census fails on the scan branch and must be
+    // decomposed or audited into BoundedWindowAllowed.
+    def aggFed(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case other if other.children.isEmpty => false
+      case other => other.children.forall(aggFed)
+    }
     plan.collect {
       case w: LWindow if w.partitionSpec.nonEmpty &&
         w.partitionSpec.forall {
           case a: AttributeReference => BoundedCardCols(a.name)
           case _ => false
-        } &&
-        w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+        } && !aggFed(w.child) =>
         w.partitionSpec.map(_.sql).mkString(", ")
     }
   }

@@ -31,6 +31,12 @@ object SkewProbe {
       build().queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      // checkpoint blocks are persistent RDDs, not catalog cache (r15
+      // advice): without this the skew-safe variants' lazy checkpoints
+      // accumulate across passes and the later timings (the very
+      // comparison this probe exists to make) run under storage pressure
+      // the earlier ones don't — same fix Bench applies at pass bounds
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     best.foreach { case (n, t) => println(f"SKEWPROBE $n%-26s $dir%-22s ${t}%.3fs") }
     spark.stop()

@@ -21,20 +21,27 @@ class AnalyticsSpec extends SparkSpec {
     // one user owns 80% of a corpus that crosses the HeavyKeyRows=32768
     // detection threshold; timestamps interleave hot/cold users and
     // repeat exactly (tie order decided by event_id), spanning multiple
-    // absolute-hour buckets so the census handoff actually fires
+    // absolute-hour buckets so the census handoff actually fires.
+    // NULL user_id rows (every 13th) pin the null-safe join path — the
+    // plain window keeps them as one partition; NULL values (every 11th)
+    // pin the lag law: a NULL predecessor gives delta NULL even mid-bucket
     import spark.implicits._
     val n = 50000
     val rows = (0 until n).map { i =>
-      val user = if (i % 5 == 0) i.toLong % 7 + 100L else -1L
+      val user: java.lang.Long =
+        if (i % 13 == 0) null
+        else if (i % 5 == 0) i.toLong % 7 + 100L else -1L
       val t = new java.sql.Timestamp(1700000000000L + (i / 4).toLong * 3600L * 1000L / 2)
-      (user, i.toLong, t, (i % 997).toDouble / 100.0)
+      val v: java.lang.Double =
+        if (i % 11 == 0) null else (i % 997).toDouble / 100.0
+      (user, i.toLong, t, v)
     }.toDF("user_id", "event_id", "ts", "value")
     val plain = Analytics.qWindowRunningFrom(rows).collect()
     val hybrid = Analytics.qWindowRunningSkewSafe(rows).collect()
     assert(plain.length === n && hybrid.length === n)
     plain.zip(hybrid).foreach { case (p, h) =>
       assert(p.getAs[Long]("event_id") === h.getAs[Long]("event_id"))
-      assert(p.getAs[Long]("run_sum_c") === h.getAs[Long]("run_sum_c"),
+      assert(p.getAs[java.lang.Long]("run_sum_c") === h.getAs[java.lang.Long]("run_sum_c"),
         s"run_sum at event ${p.getAs[Long]("event_id")}")
       assert(p.getAs[java.lang.Long]("delta_c") === h.getAs[java.lang.Long]("delta_c"),
         s"delta at event ${p.getAs[Long]("event_id")}")
@@ -48,20 +55,48 @@ class AnalyticsSpec extends SparkSpec {
     import spark.implicits._
     val n = 50000
     val rows = (0 until n).map { i =>
-      val user = if (i % 5 == 0) i.toLong % 7 + 100L else -1L
+      val user: java.lang.Long =
+        if (i % 13 == 0) null
+        else if (i % 5 == 0) i.toLong % 7 + 100L else -1L
       val t = new java.sql.Timestamp(1700000000000L + (i / 3).toLong * 977L * 1000L)
-      (user, i.toLong, t, (i % 997).toDouble / 100.0)
+      val v: java.lang.Double =
+        if (i % 11 == 0) null else (i % 997).toDouble / 100.0
+      (user, i.toLong, t, v)
     }.toDF("user_id", "event_id", "ts", "value")
     val plain = Analytics.qSlidingWindowFrom(rows).collect()
     val hybrid = Analytics.qSlidingWindowSkewSafe(rows).collect()
     assert(plain.length === n && hybrid.length === n)
     plain.zip(hybrid).foreach { case (p, h) =>
       assert(p.getAs[Long]("event_id") === h.getAs[Long]("event_id"))
-      assert(p.getAs[Long]("trail_1h_c") === h.getAs[Long]("trail_1h_c"),
+      assert(p.getAs[java.lang.Long]("trail_1h_c") === h.getAs[java.lang.Long]("trail_1h_c"),
         s"trail sum at event ${p.getAs[Long]("event_id")}")
       assert(p.getAs[Long]("trail_1h_n") === h.getAs[Long]("trail_1h_n"),
         s"trail count at event ${p.getAs[Long]("event_id")}")
     }
+  }
+
+  test("window auto-dispatch picks the skew-safe branch on a hot key and honors the opt-out") {
+    import spark.implicits._
+    def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+    val hot = (0 until 40000).map { i =>
+      (-1L, i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), 1.0)
+    }.toDF("user_id", "event_id", "ts", "value")
+    val cool = (0 until 100).map { i =>
+      (i.toLong % 7, i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), 1.0)
+    }.toDF("user_id", "event_id", "ts", "value")
+    // hot corpus → the census decomposition (joins present); cool → plain
+    assert(hasJoin(Analytics.qWindowRunningAuto(spark, hot)))
+    assert(!hasJoin(Analytics.qWindowRunningAuto(spark, cool)))
+    assert(hasJoin(Analytics.qSlidingWindowAuto(spark, hot)))
+    assert(!hasJoin(Analytics.qSlidingWindowAuto(spark, cool)))
+    // opt-out restores the plain window even on the degenerate corpus
+    spark.conf.set("spark.graft.window.autoSkewSafe", "false")
+    try assert(!hasJoin(Analytics.qWindowRunningAuto(spark, hot)) &&
+      !hasJoin(Analytics.qSlidingWindowAuto(spark, hot)))
+    finally spark.conf.unset("spark.graft.window.autoSkewSafe")
   }
 
   test("q3 returns at most 10 rows in descending revenue order") {

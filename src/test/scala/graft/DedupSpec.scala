@@ -439,6 +439,15 @@ class DedupSpec extends SparkSpec {
     // the audit contract is enforced in the signature, not the Scaladoc
     intercept[IllegalArgumentException] { Dedup.dedupRecall(spark, sf, 1L, 0L) }
     intercept[IllegalArgumentException] { Dedup.dedupLshTune(spark, sf, 1L, 0L) }
+    // the density guard raises BEFORE the truth equijoin materializes a
+    // pair: any positive pair mass exceeds a budget of 0, and the raise
+    // carries the mass so the caller can size the band
+    val ex = intercept[Throwable] {
+      Dedup.dedupRecall(spark, sf, mod, rem, pairBudget = 0L).collect()
+    }
+    val chain = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("over budget"), chain.take(500))
   }
 
   test("pipeline_dedup reconciles with the standalone family members") {
