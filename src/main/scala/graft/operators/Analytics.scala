@@ -117,8 +117,14 @@ object Analytics {
         col("o_orderdate") < ts("1998-01-01 00:00:00"))
       .select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    // orders is PINNED shuffle_hash (r16 sf10 triage, the q9/q7 class):
+    // the date-filtered 2-column projection slips under AQE's broadcast
+    // estimate as SF grows and builds a corpus-proportional relation
+    // single-threaded on the driver — it cannot broadcast at 100 TB.
+    // customer/supplier stay size-planned (SF-growing dims, AQE
+    // broadcasts from observed size with a shuffle fallback).
     l.join(s, l("l_suppkey") === s("s_suppkey"))
-      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -1167,24 +1173,38 @@ object Analytics {
   private val SweepBuckets = 256L
 
   def qConcurrency(spark: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(spark, d).select(col("event_type"), col("ts"), col("event_id"))
-    val marks = ev.select(col("event_type"), unix_micros(col("ts")).as("tu"),
-        lit(1L).as("delta"), col("event_id"))
-      .unionAll(ev.select(col("event_type"),
-        (unix_micros(col("ts")) + ConcWindowSec * 1000000L).as("tu"),
-        lit(-1L).as("delta"), col("event_id")))
-    val spans = marks.groupBy("event_type").agg(
+    // r16 (sf10 triage): COLLAPSE marks to one row per (type, µs) BEFORE
+    // the windowed sweep. Sound because the (t, delta, event_id) total
+    // order closes intervals before opening coincident ones: within one
+    // timestamp the running value only dips (closes) then climbs to the
+    // group end, so no intermediate value exceeds a group-end prefix sum
+    // and max over group ends IS the fine-grained max. The collapse is a
+    // map-side-combinable aggregate, so duplicate timestamps (10
+    // events/µs at sf10 replica density; any real burst) never reach the
+    // sort — the windowed stream is |distinct (type, µs)|-sized, the
+    // fine mark count rides along as `cnt` for n_intervals. The ±1 marks
+    // come from ONE scan via a 2-array explode (the old unionAll paid
+    // the events scan twice). sf10: 26.7 → ~8s standalone.
+    val marks = Tables.events(spark, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("t0"))
+      .select(col("event_type"), explode(array(
+        struct(col("t0").as("tu"), lit(1L).as("delta")),
+        struct((col("t0") + ConcWindowSec * 1000000L).as("tu"),
+          lit(-1L).as("delta")))).as("m"))
+      .select(col("event_type"), col("m.tu"), col("m.delta"))
+    val g = marks.groupBy("event_type", "tu")
+      .agg(sum(col("delta")).as("net"), count(lit(1)).as("cnt"))
+    val spans = g.groupBy("event_type").agg(
       min(col("tu")).as("tmin"), max(col("tu")).as("tmax"))
-    val rows = marks.join(spans, Seq("event_type"))
+    val rows = g.join(spans, Seq("event_type"))
       .withColumn("b", expr(s"(tu - tmin) * $SweepBuckets div (tmax - tmin + 1)"))
       .drop("tmin", "tmax")
-    val lw = Window.partitionBy("event_type", "b")
-      .orderBy(col("tu"), col("delta"), col("event_id"))
+    val lw = Window.partitionBy("event_type", "b").orderBy(col("tu"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val census = rows.withColumn("ls", sum(col("delta")).over(lw))
+    val census = rows.withColumn("ls", sum(col("net")).over(lw))
       .groupBy("event_type", "b")
-      .agg(max(col("ls")).as("lmax"), sum(col("delta")).as("sb"),
-        count(lit(1)).as("cnt"))
+      .agg(max(col("ls")).as("lmax"), sum(col("net")).as("sb"),
+        sum(col("cnt")).as("cnt"))
     val ow = Window.partitionBy("event_type").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
     census.withColumn("off", coalesce(sum(col("sb")).over(ow), lit(0L)))
@@ -1747,15 +1767,20 @@ object Analytics {
   // (order, supplier, max_ship) map-side first, so each order contributes
   // |suppliers-on-order| rows, and the per-order stats join back against
   // the same partitioning (one exchange reused). Semantics count each
-  // (supplier, order) pair once — both engines deduplicate.
+  // (supplier, order) pair once — both engines deduplicate. The orders
+  // side is PINNED shuffle_hash (r16, the q9/q7 class): its 2-column
+  // projection slips under AQE's broadcast estimate as SF grows, and a
+  // corpus-proportional side must never broadcast — it cannot at 100 TB,
+  // and the driver-side single-threaded relation build is the term that
+  // made q9 superlinear in the r15 sf10 probe.
   private val WaitLagDays = 90
 
   def qMultiExists(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderdate"))
     val perOs = Tables.lineitem(spark, d)
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("l_shipdate")).as("max_ship"))
-      .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
+      .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         (col("max_ship") > col("o_orderdate") + expr(s"INTERVAL $WaitLagDays DAY")).cast("long"))
     // The qualifying orders have EXACTLY ONE late supplier (n_late = 1), so
@@ -2154,25 +2179,57 @@ object Analytics {
   // --- q_dau_mau ------------------------------------------------------------
   // DAU / MAU stickiness — the product-analytics engagement ratio. The
   // classic formulation (per-day COUNT DISTINCT over a trailing 30-day
-  // window) re-scans 30 days of raw events per output day; here the corpus
-  // collapses ONCE to the distinct user-day table (map-side combinable),
-  // and the rolling-window membership inverts: each user-day CONTRIBUTES
-  // to the 30 window-end days it falls inside (a 30× explode of the
-  // second-tier user-day table, deduped per (user, window-end) by another
-  // combinable distinct — never a re-scan of raw events, never a
-  // distinct-over-window). dau/mau are exact BIGINTs; stickiness is one
-  // final division. Days beyond the corpus max get MAU contributions but
-  // no DAU row — the inner join prunes them to the observed day grid.
-  def qDauMau(spark: SparkSession, d: String): DataFrame = {
-    val ud = Tables.events(spark, d)
+  // window) re-scans 30 days of raw events per output day. r15 shipped an
+  // inverted-contribution form (each user-day explodes to the 30
+  // window-end days it falls inside, deduped per (user, window-end)) —
+  // correct, but its 30×-user-day distinct was the query's whole cost and
+  // the term that grew in the sf1→sf10 crossover. r16 (r15 verdict #3):
+  // EXACT INTERVAL-UNION SWEEP, zero explode. Per user, active days merge
+  // into coverage intervals (a gap > 29 days starts a new one; merged
+  // intervals are provably disjoint, so no user double-counts); each
+  // interval emits +1 at its start day and −1 the day after it ends; MAU
+  // on any day is the running sum of those deltas. The sweep stream is
+  // DAY-GRID-sized (corpus span + 30), so the one partition-less window
+  // is a report over time, not data — audited in GlobalWindowAllowed.
+  // Shuffle budget: |user-day| rows once for the per-user merge window
+  // (unbounded user key domain — parallel), interval rows for the delta
+  // aggregate, vs the old 30×|user-day| distinct exchange. dau/mau are
+  // exact BIGINTs; stickiness is one final division. Probe rows (observed
+  // DAU days) ride the sweep with net=0 and a tie-ordered tag so each
+  // day's deltas apply before its probe reads the running sum.
+  def qDauMau(spark: SparkSession, d: String): DataFrame =
+    qDauMauFrom(Tables.events(spark, d))
+
+  /** DataFrame-in core for [[qDauMau]] (events needs user_id, ts) —
+    * exposed so the interval-union sweep is spec-pinned against the
+    * direct 30-day-explode formulation on constructed activity patterns
+    * (gaps of exactly 29/30 days, overlapping users, single-day users). */
+  def qDauMauFrom(events: DataFrame): DataFrame = {
+    val ud = events
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-    val mau = ud
-      .select(col("user_id"),
-        explode(sequence(col("day"), date_add(col("day"), 29))).as("mday"))
-      .distinct()
-      .groupBy("mday").agg(count(lit(1)).as("mau"))
-    dau.join(mau, col("day") === col("mday"))
+    val uw = Window.partitionBy("user_id").orderBy("day")
+    val iv = ud
+      .withColumn("pd", lag(col("day"), 1).over(uw))
+      .withColumn("ns", when(col("pd").isNull ||
+        col("day") > date_add(col("pd"), 29), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("ns")).over(
+        uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).as("s"), date_add(max(col("day")), 29).as("e"))
+    val deltas = iv.select(col("s").as("day"), lit(1L).as("net"))
+      .unionByName(iv.select(date_add(col("e"), 1).as("day"), lit(-1L).as("net")))
+      .groupBy("day").agg(sum(col("net")).as("net"))
+    val sweep = deltas
+      .select(col("day"), col("net"), lit(0).as("tag"),
+        lit(null).cast("long").as("dau"))
+      .unionByName(dau.select(col("day"), lit(0L).as("net"),
+        lit(1).as("tag"), col("dau")))
+    val gw = Window.orderBy("day", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sweep
+      .withColumn("mau", sum(col("net")).over(gw))
+      .filter(col("tag") === 1)
       .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
         col("dau"), col("mau"),
         (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))

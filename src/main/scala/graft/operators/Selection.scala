@@ -530,9 +530,26 @@ object Selection {
     val rows = k.join(stats, Seq("compound"))
       .withColumn("b", expr(s"(ms - tmin) * $SeriesBuckets div (tmax - tmin + 1)"))
       .drop("tmin", "tmax")
+    // BUCKET-CENSUS PRUNE BEFORE ANY SORT (r16 sf10 triage): the old
+    // shape ran the bucket-local row_number over the ENTIRE stream —
+    // a full corpus shuffle+sort to keep 12 rows per compound (9.5-10.5s
+    // at sf10, and a 100 TB sort for a 60-row report). A bucket can hold
+    // one of the first `lim` rows only if the count of all EARLIER
+    // buckets is < lim, so the count census (map-side combinable,
+    // |compounds|·SeriesBuckets rows through the exchange) names the
+    // surviving buckets — usually just each compound's first — and the
+    // corpus meets only a broadcast semi-join filter at the scan; the
+    // row_number windows then sort ~n/SeriesBuckets survivors, not n.
+    val cw = Window.partitionBy("compound").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keep = rows.groupBy("compound", "b").agg(count(lit(1)).as("cb"))
+      .withColumn("cum0", coalesce(sum(col("cb")).over(cw), lit(0L)))
+      .filter(col("cum0") < lim)
+      .select("compound", "b")
+    val pruned = rows.join(broadcast(keep), Seq("compound", "b"))
     val lwb = Window.partitionBy("compound", "b").orderBy("ms", "event_id")
     val wi = Window.partitionBy("compound").orderBy("ms", "event_id")
-    rows.withColumn("lb", row_number().over(lwb)).filter(col("lb") <= lim)
+    pruned.withColumn("lb", row_number().over(lwb)).filter(col("lb") <= lim)
       .withColumn("i", row_number().over(wi).cast("long"))
       .filter(col("i") <= lim)
       .drop("lb", "b")

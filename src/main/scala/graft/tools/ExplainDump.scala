@@ -40,7 +40,8 @@ object ExplainDump {
     "text_quality_auc",    // AUC prefix over the score-lattice bucket table
     "select_pareto",       // skyline suffix-max over the score-lattice buckets
     "text_quality_lift",   // decile cuts over the score-lattice bucket table
-    "q_funnel_time"        // percentile cum over the delay-minute histogram
+    "q_funnel_time",       // percentile cum over the delay-minute histogram
+    "q_dau_mau"            // interval-delta sweep over the day grid — calendar-sized
   )
 
   // Bounded-cardinality window gate (r14 verdict #2). The defect class

@@ -99,6 +99,39 @@ class AnalyticsSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.window.autoSkewSafe")
   }
 
+  test("dau/mau interval sweep equals the direct 30-day-explode formulation") {
+    // activity patterns chosen to hit every merge boundary: gaps of
+    // exactly 29 days (same interval), exactly 30 (new interval), dense
+    // runs, single-day users, and users whose intervals overlap others'
+    import spark.implicits._
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val days = Seq(
+      1L -> Seq(0, 5, 29, 59, 60, 90),   // 29-gap merges, 30-gap splits
+      2L -> Seq(0),                       // single day
+      3L -> Seq(10, 40, 70, 100),        // chain of exact-30 gaps
+      4L -> (0 until 120 by 3),          // dense
+      5L -> Seq(100, 130, 160))
+    val rows = days.flatMap { case (u, ds) => ds.map { dd =>
+      (u, java.sql.Timestamp.valueOf(base.plusDays(dd.toLong).atTime(12, 0)))
+    } }.toDF("user_id", "ts")
+    val got = Analytics.qDauMauFrom(rows).collect()
+    val ud = rows.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val want = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      .join(ud.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 29))).as("mday"))
+        .distinct().groupBy("mday").agg(count(lit(1)).as("mau")),
+        col("day") === col("mday"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("dau"), col("mau"))
+      .orderBy("day_s").collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getAs[String]("day_s") === w.getAs[String]("day_s"))
+      assert(g.getAs[Long]("dau") === w.getAs[Long]("dau"), g.getAs[String]("day_s"))
+      assert(g.getAs[Long]("mau") === w.getAs[Long]("mau"), g.getAs[String]("day_s"))
+    }
+  }
+
   test("q3 returns at most 10 rows in descending revenue order") {
     val revs = Analytics.q3TopkRevenue(spark, sf).collect().map(_.getAs[Double]("revenue"))
     assert(revs.length <= 10 && revs.nonEmpty)
