@@ -123,6 +123,7 @@ object Bench {
       // signature pipeline to every stage of what is one pipeline in any
       // real deployment).
       graft.operators.Dedup.releaseCaches()
+      graft.operators.Selection.releaseCaches()
       spark.catalog.clearCache()
       // r15: the census-decomposed operators localCheckpoint their
       // bucketed streams, and checkpoint blocks pin until session end —
@@ -143,7 +144,14 @@ object Bench {
       // can't skew the per-pass family-build attribution — the family
       // queries rebuild lazily and report their own errors.
       val warmOk =
-        try { graft.operators.Dedup.warmFamilyCaches(spark, sfDir); true }
+        try {
+          graft.operators.Dedup.warmFamilyCaches(spark, sfDir)
+          // r16: the ds_cusum/ds_spc_rules shared center/spread lattice —
+          // same attribution contract as the dedup memo (a pipeline cost
+          // shared by the pair, warmed outside any one query's timer)
+          graft.operators.Selection.warmQcCaches(spark, sfDir)
+          true
+        }
         catch { case scala.util.control.NonFatal(_) => false }
       familyBuilds += (if (warmOk) (System.nanoTime() - tb) / 1e9 else -1.0)
       // r15: blocks pinned AFTER the warm are per-query checkpoint streams

@@ -21,9 +21,12 @@ object QueryTime {
     val best = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     for (_ <- 1 to passes) {
       graft.operators.Dedup.releaseCaches()
+      graft.operators.Selection.releaseCaches()
       spark.catalog.clearCache()
-      try graft.operators.Dedup.warmFamilyCaches(spark, sfDir)
-      catch { case scala.util.control.NonFatal(_) => () }
+      try {
+        graft.operators.Dedup.warmFamilyCaches(spark, sfDir)
+        graft.operators.Selection.warmQcCaches(spark, sfDir)
+      } catch { case scala.util.control.NonFatal(_) => () }
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         // isolate queries from each other's heap garbage: a heavy
