@@ -973,7 +973,13 @@ object Selection {
     * AQE-broadcast census join. */
   private def bucketLag1(rows: DataFrame, ordCols: Seq[String],
       lagCols: Seq[String]): DataFrame = {
-    val base = rows.localCheckpoint(false)
+    // explicit-N bucket repartition (r16, the latticeOf finding): the
+    // checkpoint inherits this partitioning, so the bucket-local window
+    // below runs at the decomposition's parallelism instead of whatever
+    // AQE coalesced the well-compressed exchange down to
+    val base = rows.repartition(rows.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions").toInt, col("compound"), col("b"))
+      .localCheckpoint(false)
     val ord = ordCols.map(col)
     val lw = Window.partitionBy("compound", "b").orderBy(ord: _*)
     val local = lagCols.foldLeft(base.withColumn("li", row_number().over(lw))) {

@@ -347,6 +347,12 @@ object EventStream {
       .withColumn("b", expr(s"(tu - tmin) * $CusumBuckets div (tmax - tmin + 1)"))
       .withColumn("dh", col("vc") - CusumT - CusumK)
       .withColumn("dl", lit(CusumT - CusumK) - col("vc"))
+      // explicit-N bucket repartition (r16, the Selection.latticeOf
+      // finding): AQE coalesces the well-compressed integer exchange
+      // toward one partition and the decomposed window runs serial —
+      // a user repartition with an explicit count is never coalesced
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("event_type"), col("b"))
     val lw = W.partitionBy("event_type", "b").orderBy("ts", "event_id")
       .rowsBetween(W.unboundedPreceding, W.currentRow)
     val local = rows

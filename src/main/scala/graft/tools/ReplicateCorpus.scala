@@ -25,7 +25,7 @@ import graft.GraftSession
   *
   * Mode `events` (r14 verdict #3 — the job-floor crossover curves):
   * replicates `events`/`orders`/`lineitem` instead — event_id and the
-  * orderkey shift by copy × IdOffset (orders and lineitem shift
+  * orderkey shift by copy × offset (orders and lineitem shift
   * TOGETHER, so every order keeps its lines), user_id shifts too (the
   * user population scales with the workload, as a real scale-up would);
   * part/supp/cust keys stay, so dimension joins fan out N× like a real
@@ -42,7 +42,24 @@ import graft.GraftSession
 object ReplicateCorpus {
   private val AllTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
-  private val IdOffset = 10000000L
+
+  /** Copy offset = next power of 10 above every shifted key in the SOURCE
+    * corpus (r16): the old fixed 10,000,000 collided when replicas were
+    * STACKED — /tmp/graft-sf1 ids already span +9·10M from make_sf1.py,
+    * so a 10× build on top of it mapped copy i of sf1-copy j onto copy
+    * i+j, leaving /tmp/graft-sf10 with 15M orders rows over 2.85M
+    * DISTINCT o_orderkey (5.3× duplicate keys; joins fanned out ~28× and
+    * every sf3/sf10 probe measured that explosion, not the data). */
+  private def offsetFor(spark: org.apache.spark.sql.SparkSession,
+      src: String, keyed: Map[String, Seq[String]]): Long = {
+    val mx = keyed.flatMap { case (t, cols) =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      cols.map(c => df.agg(max(col(c))).head.getLong(0))
+    }.max
+    var off = 10000000L
+    while (off <= mx) off *= 10
+    off
+  }
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
@@ -62,6 +79,11 @@ object ReplicateCorpus {
       }
 
     if (mode == "events") {
+      val off = offsetFor(spark, src, Map(
+        "events" -> Seq("event_id", "user_id"),
+        "orders" -> Seq("o_orderkey"),
+        "lineitem" -> Seq("l_orderkey")))
+      println(s"REPLICATE offset $off")
       // events ts may arrive as TIMESTAMP(NANOS) (GraftSession sets
       // nanosAsLong, so it reads as a nanos LONG and round-trips as one —
       // Tables.events converts either form); replicate column-preserving
@@ -70,7 +92,7 @@ object ReplicateCorpus {
         (0 until n).map { i =>
           if (i == 0) df
           else df.select(df.columns.map { c =>
-            if (shifted(c)) (col(c) + lit(i * IdOffset)).as(c) else col(c)
+            if (shifted(c)) (col(c) + lit(i * off)).as(c) else col(c)
           }.toIndexedSeq: _*)
         }.reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -98,12 +120,22 @@ object ReplicateCorpus {
       return
     }
 
+    val docOff = offsetFor(spark, src, Map(
+      "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id")))
+    println(s"REPLICATE offset $docOff")
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val copiesD = (0 until n).map { i =>
       if (i == 0) docs
       else docs.select(
-        (col("doc_id") + lit(i * IdOffset)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"),
+        (col("doc_id") + lit(i * docOff)).as("doc_id"),
+        // "~" separator, NOT make_sf1.py's "_" (r16: stacking two
+        // suffix replications with the same separator collides —
+        // base-corpus token "w" suffixed "_4" at level 1 equals
+        // level-1 token "w_4" kept by level 2's copy 0, which
+        // manufactured ~45k phantom exact-dups on a 10× /tmp/graft-sf1
+        // build and broke the no-cross-copy-dup replica contract the
+        // dedup/graph probes measure against)
+        regexp_replace(col("text"), "(\\S+)", "$1~" + i).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     copiesD.reduce(_ unionByName _)
@@ -122,7 +154,7 @@ object ReplicateCorpus {
         val shifted =
           concat(slice(col("embedding"), s + 1, dim - s),
             slice(col("embedding"), 1, s))
-        emb.select((col("vec_id") + lit(i * IdOffset)).as("vec_id"),
+        emb.select((col("vec_id") + lit(i * docOff)).as("vec_id"),
           shifted.as("embedding"), col("label"))
       }
     }

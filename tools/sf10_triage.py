@@ -45,8 +45,10 @@ def main():
         # flat. Prefix-classify; unknown prefixes default to scaled
         # (conservative: a flat entry misclassified as scaled only
         # loosens its bound, and the flat families have clear prefixes).
+        # sketch_* reads events/orders (scaled), NOT the doc corpus — the
+        # first cut of this script misclassified the family as flat
         flat = name.startswith(("text_", "doc_", "dedup_", "embed_",
-                                "ann_", "mm_", "select_", "sketch_",
+                                "ann_", "mm_", "select_",
                                 "graph_", "pipeline_dedup", "lang_"))
         bound = FLAT_TOL if flat else 10.0 * SCALED_TOL
         if ratio > bound:
