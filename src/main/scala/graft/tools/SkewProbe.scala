@@ -22,8 +22,12 @@ object SkewProbe {
     val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "window_running_plain" -> (() => Analytics.qWindowRunningFrom(Tables.events(spark, dir))),
       "window_running_skewsafe" -> (() => Analytics.qWindowRunningSkewSafe(Tables.events(spark, dir))),
+      // the r16 default path: detection count + branch pick (r15 verdict
+      // #7's "unskewed corpus pays ≈0" evidence reads plain vs auto here)
+      "window_running_auto" -> (() => Analytics.qWindowRunningAuto(spark, Tables.events(spark, dir))),
       "sliding_window_plain" -> (() => Analytics.qSlidingWindowFrom(Tables.events(spark, dir))),
-      "sliding_window_skewsafe" -> (() => Analytics.qSlidingWindowSkewSafe(Tables.events(spark, dir))))
+      "sliding_window_skewsafe" -> (() => Analytics.qSlidingWindowSkewSafe(Tables.events(spark, dir))),
+      "sliding_window_auto" -> (() => Analytics.qSlidingWindowAuto(spark, Tables.events(spark, dir))))
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 1 to passes; (name, build) <- variants) {
       spark.catalog.clearCache()
