@@ -2403,12 +2403,18 @@ object Analytics {
   // division of identical exact operands per output row. Output is
   // |months| rows — the groupBy is fully map-side-combinable.
   def qPromoShare(spark: SparkSession, d: String): DataFrame = {
+    // group on INTEGER (year, month) and format only the |months| output
+    // rows (r16 sf10 triage): date_format is a per-row string build —
+    // 60M timestamp→string formats at sf10 were a visible slice of the
+    // 4.4s exec for a report whose grain is ~84 months; year()/month()
+    // are integer field extractions that stay in codegen
     val l = Tables.lineitem(spark, d)
-      .select(col("l_partkey"), date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+      .select(col("l_partkey"),
+        year(col("l_shipdate")).as("sy"), month(col("l_shipdate")).as("sm"),
         (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
     val p = Tables.part(spark, d).select(col("p_partkey"), col("p_type"))
     l.join(p, col("l_partkey") === col("p_partkey"))
-      .groupBy("ship_month")
+      .groupBy("sy", "sm")
       .agg(
         sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0L))).as("pr"),
         sum(col("rev")).as("tr"))
@@ -2418,7 +2424,7 @@ object Analytics {
       // first thing to wrap at extreme scale while an oracle summing in
       // wider integers would error instead. Double-space division keeps
       // both engines on the identical IEEE operand sequence.
-      .select(col("ship_month"),
+      .select(format_string("%04d-%02d", col("sy"), col("sm")).as("ship_month"),
         (col("pr") / 10000.0).as("promo_revenue"),
         (col("tr") / 10000.0).as("total_revenue"),
         ((col("pr") / 10000.0) / (col("tr") / 10000.0) * lit(100.0)).as("promo_share_pct"))
