@@ -184,12 +184,16 @@ object Analytics {
   // so an unskewed corpus pays only the detection count and a degenerate
   // one never serializes a hot key into a single window task. Opt out via
   // spark.graft.window.autoSkewSafe=false (the r15 opt-in behavior).
-  def qWindowRunning(spark: SparkSession, d: String): DataFrame =
-    qWindowRunningAuto(spark, Tables.events(spark, d))
+  def qWindowRunning(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    if (autoSkewSafe(spark) && hasHeavyKeyMemo(spark, d)) qWindowRunningSkewSafe(ev)
+    else qWindowRunningFrom(ev)
+  }
 
   /** Auto-dispatching entry (r15 verdict #7): heavy key present and
     * auto-dispatch on → the skew-safe decomposition; otherwise the plain
-    * window. Exposed DataFrame-in so the dispatch itself is spec-pinned. */
+    * window. Exposed DataFrame-in so the dispatch itself is spec-pinned
+    * (un-memoized — the named entries go through [[hasHeavyKeyMemo]]). */
   def qWindowRunningAuto(spark: SparkSession, events: DataFrame): DataFrame =
     if (autoSkewSafe(spark) && hasHeavyKey(events)) qWindowRunningSkewSafe(events)
     else qWindowRunningFrom(events)
@@ -205,6 +209,20 @@ object Analytics {
     !events.select("user_id").groupBy("user_id")
       .agg(count(lit(1)).as("hn")).filter(col("hn") >= HeavyKeyRows)
       .isEmpty
+
+  /** Per-(session, dir) memo of the heavy-key verdict (r16 verdict #6 +
+    * advice): the detection aggregate is a FACT about the corpus, not
+    * cache storage — re-counting it at every windowed entry's
+    * construction was a flat tax on every run (and made plan-only
+    * consumers execute corpus jobs). Session-lifetime by design: a
+    * corpus that changes under a live session's directory re-probes on
+    * the next session (the same staleness contract every file-based
+    * memo here carries). */
+  private val heavyKeyCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+
+  private def hasHeavyKeyMemo(spark: SparkSession, d: String): Boolean =
+    heavyKeyCache.getOrElseUpdate((spark, d), hasHeavyKey(Tables.events(spark, d)))
 
   /** DataFrame-in core for [[qWindowRunning]] (events needs user_id,
     * event_id, ts, value). */
@@ -528,8 +546,11 @@ object Analytics {
   // [[qWindowRunning]] — the column-pruned heavy-key probe picks the
   // branch; spark.graft.window.autoSkewSafe=false restores the plain
   // window unconditionally.
-  def qSlidingWindow(spark: SparkSession, d: String): DataFrame =
-    qSlidingWindowAuto(spark, Tables.events(spark, d))
+  def qSlidingWindow(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    if (autoSkewSafe(spark) && hasHeavyKeyMemo(spark, d)) qSlidingWindowSkewSafe(ev)
+    else qSlidingWindowFrom(ev)
+  }
 
   /** Auto-dispatching entry — see [[qWindowRunningAuto]]. */
   def qSlidingWindowAuto(spark: SparkSession, events: DataFrame): DataFrame =
@@ -566,11 +587,17 @@ object Analytics {
     val ev = events
       .select(col("user_id"), col("event_id"), col("ts"),
         unix_micros(col("ts")).as("t"), cents(col("value")).as("vc"))
-    val heavy = ev.select("user_id").groupBy("user_id")
+    // NULL-SAFE join (r16 advice): the plain window treats NULL user_id as
+    // one partition, so a heavy NULL key must also be flagged and
+    // hour-bucketed — a plain equi-join silently leaves every NULL-user
+    // row in bucket 0 as one unbounded window partition (values stay
+    // right; the skew protection doesn't). Same contract as
+    // qWindowRunningSkewSafe's joins.
+    val heavy = ev.select(col("user_id").as("hu")).groupBy("hu")
       .agg(count(lit(1)).as("hn"))
       .filter(col("hn") >= HeavyKeyRows)
-      .select(col("user_id"), lit(1).as("isHeavy"))
-    val flagged = ev.join(heavy, Seq("user_id"), "left")
+      .select(col("hu"), lit(1).as("isHeavy"))
+    val flagged = ev.join(heavy, col("user_id") <=> col("hu"), "left").drop("hu")
     val own = flagged
       .withColumn("gb", when(col("isHeavy").isNotNull,
         expr("t div 3600000000")).otherwise(lit(0L)))

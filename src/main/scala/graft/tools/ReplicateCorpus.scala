@@ -54,11 +54,32 @@ object ReplicateCorpus {
       src: String, keyed: Map[String, Seq[String]]): Long = {
     val mx = keyed.flatMap { case (t, cols) =>
       val df = spark.read.parquet(s"$src/$t.parquet")
-      cols.map(c => df.agg(max(col(c))).head.getLong(0))
+      // cast → long handles INT key columns; an EMPTY table yields a NULL
+      // max — fail with the actual problem instead of an NPE (r16 advice)
+      cols.map { c =>
+        val r = df.agg(max(col(c).cast("long"))).head
+        if (r.isNullAt(0))
+          sys.error(s"ReplicateCorpus: $src/$t.parquet is empty ($c has no max) — nothing to replicate")
+        r.getLong(0)
+      }
     }.max
     var off = 10000000L
     while (off <= mx) off *= 10
     off
+  }
+
+  /** Token-suffix separator for THIS replication level (r16 advice): a
+    * fixed '~' de-conflicts exactly one stacking level — re-replicating a
+    * '~'-suffixed corpus maps base token "w" of copy 4 and level-1 token
+    * "w~4" of copy 0 onto the same "w~4", recreating the phantom-duplicate
+    * collision commit 632f8c1 fixed. Pick the first candidate absent from
+    * the source text; refuse when all are taken. */
+  private def sepFor(docs: org.apache.spark.sql.DataFrame): String = {
+    val candidates = Seq("~", "^", "=", "@")
+    candidates.find(s => docs.filter(col("text").contains(s)).isEmpty)
+      .getOrElse(sys.error("ReplicateCorpus: every candidate separator " +
+        candidates.mkString("(", " ", ")") + " already appears in the source " +
+        "documents — refusing to stack another suffix level"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -124,18 +145,16 @@ object ReplicateCorpus {
       "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id")))
     println(s"REPLICATE offset $docOff")
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    // separator derived per level (see sepFor) — the r16 build used a
+    // fixed "~" (distinct from make_sf1.py's "_"), which collides as soon
+    // as this tool's own output is replicated again
+    val sep = sepFor(docs)
+    println(s"REPLICATE token separator '$sep'")
     val copiesD = (0 until n).map { i =>
       if (i == 0) docs
       else docs.select(
         (col("doc_id") + lit(i * docOff)).as("doc_id"),
-        // "~" separator, NOT make_sf1.py's "_" (r16: stacking two
-        // suffix replications with the same separator collides —
-        // base-corpus token "w" suffixed "_4" at level 1 equals
-        // level-1 token "w_4" kept by level 2's copy 0, which
-        // manufactured ~45k phantom exact-dups on a 10× /tmp/graft-sf1
-        // build and broke the no-cross-copy-dup replica contract the
-        // dedup/graph probes measure against)
-        regexp_replace(col("text"), "(\\S+)", "$1~" + i).as("text"),
+        regexp_replace(col("text"), "(\\S+)", "$1" + sep + i).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     copiesD.reduce(_ unionByName _)
