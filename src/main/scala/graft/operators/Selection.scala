@@ -978,19 +978,23 @@ object Selection {
     * AQE-broadcast census join. */
   private def bucketLag1(rows: DataFrame, ordCols: Seq[String],
       lagCols: Seq[String]): DataFrame = {
-    // explicit-N bucket repartition (r16, the latticeOf finding): the
-    // checkpoint inherits this partitioning, so the bucket-local window
-    // below runs at the decomposition's parallelism instead of whatever
-    // AQE coalesced the well-compressed exchange down to
-    val base = rows.repartition(rows.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions").toInt, col("compound"), col("b"))
-      .localCheckpoint(false)
     val ord = ordCols.map(col)
     val lw = Window.partitionBy("compound", "b").orderBy(ord: _*)
-    val local = lagCols.foldLeft(base.withColumn("li", row_number().over(lw))) {
+    // Window BEFORE the checkpoint (r17; was checkpoint-then-window): a
+    // checkpoint's LogicalRDD does not advertise the repartition's hash
+    // partitioning, so the window's ENSURE_REQUIREMENTS re-shuffled the
+    // whole corpus a second time (StageTime at sf10: two 189 MB exchanges
+    // back to back). Checkpointing the WINDOWED stream keeps the corpus
+    // exchange count at one; the census and the join-back both read the
+    // checkpoint. The explicit-N repartition (r16, the latticeOf finding)
+    // still pins the decomposition's parallelism against AQE coalescing.
+    val local = lagCols.foldLeft(
+      rows.repartition(rows.sparkSession.conf.get(
+          "spark.sql.shuffle.partitions").toInt, col("compound"), col("b"))
+        .withColumn("li", row_number().over(lw))) {
       (df, c) => df.withColumn(s"prev_${c}_l", lag(col(c), 1).over(lw))
-    }
-    val census = base.groupBy("compound", "b")
+    }.localCheckpoint(false)
+    val census = local.groupBy("compound", "b")
       .agg(max_by(struct(lagCols.map(col): _*), struct(ord: _*)).as("last_row"))
     val cw = Window.partitionBy("compound").orderBy("b")
     val hand = census
@@ -1931,6 +1935,10 @@ object Selection {
     val rows = k0.join(broadcast(spans), Seq("compound"))
       .withColumn("b", expr(s"(ms - tmin) * $SeriesBuckets div (tmax - tmin + 1)"))
       .drop("tmin", "tmax")
+    // slopes checkpoint: three consumers (sstats, level-1 census, level-1
+    // join-back) — dropping it re-derived the slope per consumer from the
+    // bucketLag1 checkpoint and measured WORSE at sf10 (6.4 vs 4.7s,
+    // r17 probe), so the third materialization round stays
     val slopes = bucketLag1(rows, Seq("ms", "event_id"), Seq("ms", "value"))
       .filter(col("prev_ms").isNotNull && col("ms") > col("prev_ms"))
       .select(col("compound"),
@@ -1956,10 +1964,20 @@ object Selection {
       val target = census
         .filter(col("cum0") < col("rk") && col("cum0") + col("cb") >= col("rk"))
         .select(col("compound"), col("sb"), (col("rk") - col("cum0")).as(outCol))
-      sl.drop(rankCol).join(target, Seq("compound", "sb"))
+      // broadcast: target holds EXACTLY the one bucket per compound that
+      // contains the rank — |compounds| rows. The plain equijoin shuffled
+      // the whole slope stream on (compound, sb) to meet it (r17 StageTime:
+      // a 189 MB exchange + its read were 2 of ds_trend's 3 corpus-sized
+      // stages at sf10); the broadcast keeps the slice filter in the
+      // checkpoint's own partitioning — zero corpus exchange.
+      sl.drop(rankCol).join(broadcast(target), Seq("compound", "sb"))
     }
     val l1 = bucketed(slopes, sstats.select("compound", "mn", "mx", "r", "n"))
-    val sel1 = pick(l1, "r", "rr")
+    // the level-1 slice is ~n/256 rows but has FOUR consumers below (s2,
+    // l2's join, level-2's census and join-back) and each recompute is a
+    // full pass over the slope checkpoint (r17 StageTime) — lazy
+    // localCheckpoint, the dsCusumFrom storage contract
+    val sel1 = pick(l1, "r", "rr").localCheckpoint(false)
     // level 2: re-bucket the selected slice by its own range (membership,
     // not bounds, defines the slice — re-deriving mn/mx is exact); a slice
     // of all-equal slopes degenerates to one bucket, where the final sort
