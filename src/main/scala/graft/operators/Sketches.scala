@@ -300,13 +300,19 @@ object Sketches {
     // membership test as one scan-side boolean: foldable literal array +
     // K (word >> bit) & 1 probes. SQL text because the Scala shiftleft
     // wrapper only takes a constant shift; the SQL function takes a column.
+    // r17 (the sf10 look, r16 verdict #7): the K probes each recomputed
+    // md5(key) — 4 md5 evaluations per distinct orderkey were the bulk of
+    // a 103 core-second stage at sf10 (15M keys). ONE named md5 column
+    // now feeds all K substrings; the oracle's posSql derives all probes
+    // from one md5() too, so the grading contract is unchanged.
     val bm = words.map(w => s"${w}L").mkString("array(", ",", ")")
     val member = (0 until BloomK).map { j =>
-      val pos = s"CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), ${3 * j + 1}, 3), 16, 10) AS INT)"
+      val pos = s"CAST(conv(substr(h, ${3 * j + 1}, 3), 16, 10) AS INT)"
       s"((element_at($bm, CAST($pos DIV 64 + 1 AS INT)) & shiftleft(1L, $pos % 64)) != 0L)"
     }.mkString("(", " AND ", ")")
     val lk = Tables.lineitem(spark, d).groupBy("l_orderkey").agg(count(lit(1)).as("nl"))
-    (build, lk.withColumn("p", expr(member)))
+      .withColumn("h", md5(col("l_orderkey").cast("string")))
+    (build, lk.withColumn("p", expr(member)).drop("h"))
   }
 
   def sketchBloomJoin(spark: SparkSession, d: String): DataFrame = {
