@@ -54,16 +54,35 @@ def main():
     # re-running those 3x tripled an already hour-long baseline run for
     # no estimator benefit). Fast queries keep the full min-of-N.
     budget = float(os.environ.get("DUCKDB_BASELINE_BUDGET_S", "60"))
+    # Per-query hard timeout (r17, the sf10 baseline): unlike the budget —
+    # which only skips REPEAT passes — this interrupts a first run that
+    # would otherwise hold the baseline hostage (the 16 GB spill cap DNFs
+    # memory-shaped blowups, but a CPU-bound oracle at sf10 can run for
+    # an hour without spilling). Interrupted queries land in "dnf" with a
+    # timeout mark — an explicit per-query record, not a silent omission.
+    timeout_s = float(os.environ.get("DUCKDB_BASELINE_TIMEOUT_S", "0"))
     best = {}
     errors = {}
     for name, sql in sorted(oracle.items()):
         for _ in range(passes):
+            timer = None
+            if timeout_s > 0:
+                import threading
+                timer = threading.Timer(timeout_s, con.interrupt)
+                timer.start()
             t0 = time.monotonic()
             try:
                 con.sql(sql).df()
             except Exception as e:
-                errors[name] = str(e)[:200]
+                dt = time.monotonic() - t0
+                msg = str(e)[:200]
+                if timeout_s > 0 and dt >= timeout_s:
+                    msg = f"timeout after {dt:.1f}s (limit {timeout_s:.0f}s): " + msg
+                errors[name] = msg
                 break
+            finally:
+                if timer is not None:
+                    timer.cancel()
             dt = time.monotonic() - t0
             if name not in best or dt < best[name]:
                 best[name] = dt
