@@ -1662,12 +1662,14 @@ object Selection {
   // compound), and the six sums are order-free integers, so the final
   // groupBy combines map-side and shuffles |compounds| rows.
   def dsAutocorr(spark: SparkSession, d: String): DataFrame = {
-    val k = keyed(spark, d)
+    // keyedQc + broadcast(spans): the shared-memo contract and its
+    // bounded-stats pin (see the memo scaladoc and outlierMadFrom)
+    val k = keyedQc(spark, d)
       .select(col("compound"), col("ms"), col("event_id"),
         round(col("value") * 100).cast("long").as("vc"))
     val spans = k.groupBy("compound").agg(
       min(col("ms")).as("tmin"), max(col("ms")).as("tmax"))
-    val rows = k.join(spans, Seq("compound"))
+    val rows = k.join(broadcast(spans), Seq("compound"))
       .withColumn("b", expr(s"(ms - tmin) * $SeriesBuckets div (tmax - tmin + 1)"))
       .drop("tmin", "tmax")
     bucketLag1(rows, Seq("ms", "event_id"), Seq("vc"))

@@ -110,15 +110,28 @@ object Sketches {
   // The point estimate for a key is min over rows of its counter, always an
   // OVERestimate (collisions only add) — the spec asserts est ≥ exact for
   // every key and the oracle reproduces the counters exactly (pure integer
-  // math, seeded md5 row hashes, no float anywhere).
+  // math, md5-carved row hashes, no float anywhere).
   // The exact per-key count rides along for calibration, as in sketch_hll.
   private val CmsDepth = 4
   private val CmsWidth = 64
 
-  // row hashes: idx_i(k) = first 60 bits of md5(i || ':' || k) mod width
+  // row hashes: idx_i(k) = hex chars [8i+1, 8i+8] of md5(k) mod width —
+  // depth independent 32-bit positions CARVED FROM ONE md5 (the
+  // sketch_bloom trick). r17: the old seeded form md5(i||':'||k) computed
+  // depth md5s per row — 40M md5s at sf10 were 57 of the entry's 68
+  // core-seconds; the carve computes one (subexpression elimination
+  // shares it across the array elements, unconditional projection), and
+  // 4×32 disjoint bits of one md5 are as pairwise-independent as 4
+  // seeded md5s for CMS purposes.
+  // index i from an already-computed md5 hex column (ONE md5 per row; the
+  // carve alone doesn't help if the md5 sits inside the explode's array
+  // constructor — generators re-evaluate it per element, so the hash is
+  // materialized as its own projected column first)
+  private def cmsIdxFromHash(i: Int, h: org.apache.spark.sql.Column) =
+    conv(substring(h, 8 * i + 1, 8), 16, 10).cast("long") % CmsWidth
+
   private def cmsRowIdx(i: Int, key: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % CmsWidth
+    cmsIdxFromHash(i, md5(key.cast("string")))
 
   /** CMS counter table (r, idx, c) from an events relation — shared by the
     * batch query and the streaming parity spec (a streaming `count`
@@ -127,8 +140,9 @@ object Sketches {
     */
   private[graft] def cmsCells(events: DataFrame): DataFrame =
     events
+      .select(md5(col("user_id").cast("string")).as("h"))
       .select(explode(array((0 until CmsDepth).map(i =>
-        struct(lit(i).as("r"), cmsRowIdx(i, col("user_id")).as("idx"))): _*)).as("cell"))
+        struct(lit(i).as("r"), cmsIdxFromHash(i, col("h")).as("idx"))): _*)).as("cell"))
       .select(col("cell.r").as("r"), col("cell.idx").as("idx"))
       .groupBy("r", "idx").agg(count(lit(1)).as("c"))
 
@@ -141,11 +155,14 @@ object Sketches {
     val cells = cmsCells(ev)
     // estimate side: hash the PER-KEY AGGREGATE, not the raw stream — the
     // distinct-key table is what we're estimating over, and computing the
-    // 4 row hashes there costs |keys|·depth md5s instead of |events|·depth
+    // row hashes there costs |keys| md5s instead of |events|
     val keys = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
-    val perRow = keys.select(col("user_id"), col("n_exact"),
-      explode(array((0 until CmsDepth).map(i =>
-        struct(lit(i).as("r"), cmsRowIdx(i, col("user_id")).as("idx"))): _*)).as("cell"))
+    val perRow = keys
+      .select(col("user_id"), col("n_exact"),
+        md5(col("user_id").cast("string")).as("h"))
+      .select(col("user_id"), col("n_exact"),
+        explode(array((0 until CmsDepth).map(i =>
+          struct(lit(i).as("r"), cmsIdxFromHash(i, col("h")).as("idx"))): _*)).as("cell"))
       .select(col("user_id"), col("n_exact"), col("cell.r").as("r"), col("cell.idx").as("idx"))
     perRow.join(broadcast(cells), Seq("r", "idx"))
       .groupBy("user_id").agg(max(col("n_exact")).as("n_exact"), min(col("c")).as("cms_est"))
@@ -154,8 +171,8 @@ object Sketches {
 
   val sketchCmsSql: String = {
     val idxCols = (0 until CmsDepth).map(i =>
-      s"""  CAST(list_reduce(list_transform(range(1, 16),
-         |    j -> strpos('0123456789abcdef', substr(md5('$i:' || CAST(user_id AS VARCHAR)), CAST(j AS INT), 1)) - 1),
+      s"""  CAST(list_reduce(list_transform(range(${8 * i + 1}, ${8 * i + 9}),
+         |    j -> strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), CAST(j AS INT), 1)) - 1),
          |    (a, b) -> a * 16 + b) AS BIGINT) % $CmsWidth AS idx$i""".stripMargin).mkString(",\n")
     val cellUnion = (0 until CmsDepth).map(i =>
       s"SELECT $i AS r, idx$i AS idx FROM h").mkString("\nUNION ALL\n")
@@ -207,9 +224,13 @@ object Sketches {
 
   def sketchBloom(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(spark, d)
-    val bits = ev.select(col("event_type"),
-      explode(array((0 until BloomK).map(j =>
-        bloomPos(col("user_id"), j)): _*)).as("pos"))
+    // md5 hoisted to its own projection before the explode (the cmsCells
+    // note: a generator re-evaluates its array argument per element)
+    val bits = ev
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"),
+        explode(array((0 until BloomK).map(j =>
+          conv(substring(col("h"), 3 * j + 1, 3), 16, 10).cast("long")): _*)).as("pos"))
       .distinct()
     val types = ev.select("event_type").distinct()
     // one-row corpus max → 20-probe band straddling the membership boundary
@@ -464,7 +485,12 @@ object Sketches {
     * inclusion–exclusion estimate against an in-process register
     * simulation on constructed user sets. */
   def sketchHllIntersectionFrom(ev: DataFrame): DataFrame = {
-    val regs = hllRegisters(ev)
+    // |types|×64-row aggregate with THREE consumers (per-type estimates,
+    // the type list, the pairwise max-merge) — each recompute was a full
+    // corpus scan + per-row md5 fold (r17 sf10 look: the entry's 9.2×
+    // ratio was 3 register passes, not the merge). Lazy localCheckpoint,
+    // the dsCusumFrom storage contract.
+    val regs = hllRegisters(ev).localCheckpoint(false)
     val perType = hllScaled(regs, Seq("event_type"))
       .select(col("event_type"), hllEstimate.as("est"))
     val types = regs.select("event_type").distinct()
