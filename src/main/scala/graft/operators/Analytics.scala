@@ -1127,7 +1127,16 @@ object Analytics {
   // distinct-self-join formulation, which at 100 TB would re-shuffle the
   // (user, type) relation twice and join it to itself.
   def qCooccurrence(spark: SparkSession, d: String): DataFrame = {
+    // explicit-N repartition on user_id (r17, the census-family
+    // AQE-coalesce guard): collect_set's per-user exchange compresses to
+    // <1 MB even at sf10, so AQE coalesced the reduce side — set building,
+    // pair expansion and the final count all ran in ONE task (2.5 s serial
+    // at sf10, StageTime). The user repartition satisfies the aggregate's
+    // clustering requirement and is never coalesced.
     val ut = Tables.events(spark, d)
+      .select("user_id", "event_type")
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("user_id"))
       .groupBy("user_id").agg(sort_array(collect_set(col("event_type"))).as("ts"))
     ut.select(explode(expr(
         """flatten(transform(ts, (a, i) ->

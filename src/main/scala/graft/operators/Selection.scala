@@ -180,10 +180,11 @@ object Selection {
       |ORDER BY event_id""".stripMargin
 
   // rect-A / rect-B / click parameters shared by select, antiselect, toggle
-  private def rectA(df: DataFrame): DataFrame =
-    df.filter(col("compound") === "error" &&
+  private def rectAPred: Column =
+    col("compound") === "error" &&
       col("cts") >= ts("2024-01-08 00:00:00") && col("cts") <= ts("2024-01-18 00:00:00") &&
-      col("value") >= 100.0 && col("value") <= 300.0)
+      col("value") >= 100.0 && col("value") <= 300.0
+  private def rectA(df: DataFrame): DataFrame = df.filter(rectAPred)
   private val RectASqlWhere =
     """compound = 'error'
       |  AND cts >= TIMESTAMP '2024-01-08 00:00:00' AND cts <= TIMESTAMP '2024-01-18 00:00:00'
@@ -226,13 +227,22 @@ object Selection {
   // Symmetric difference: clicking an already-selected point removes it,
   // clicking an unselected one adds it (index.js:510-534).
   def dsClickToggle(spark: SparkSession, d: String): DataFrame = {
-    val k = keyed(spark, d)
-    val a = rectA(k).select("sel_key").distinct()
-    val c = k.filter(col("compound") === "error" && col("event_id") % 7 === 0 &&
-        col("cts") >= ts("2024-01-05 00:00:00") && col("cts") <= ts("2024-01-25 00:00:00") &&
-        col("value") >= 50.0 && col("value") <= 320.0)
-      .select("sel_key").distinct()
-    a.except(c).union(c.except(a)).distinct()
+    // ONE corpus pass (r17): the EXCEPT/UNION formulation re-evaluated
+    // each set per set-op — four scans of the keyed stream for a
+    // symmetric difference (StageTime at sf10). Both memberships are
+    // row-level predicates over the same scan, so one combinable
+    // (sel_key → max flag) aggregate decides "in exactly one set"; the
+    // oracle keeps the textbook EXCEPT/UNION form.
+    val clickPred = col("compound") === "error" && col("event_id") % 7 === 0 &&
+      col("cts") >= ts("2024-01-05 00:00:00") && col("cts") <= ts("2024-01-25 00:00:00") &&
+      col("value") >= 50.0 && col("value") <= 320.0
+    keyed(spark, d)
+      .select(col("sel_key"),
+        when(rectAPred, 1L).otherwise(0L).as("a"),
+        when(clickPred, 1L).otherwise(0L).as("c"))
+      .filter(col("a") + col("c") > 0L)
+      .groupBy("sel_key").agg(max(col("a")).as("a"), max(col("c")).as("c"))
+      .filter(col("a") =!= col("c"))
       .select(lit("error").as("compound"), col("sel_key"))
       .orderBy("sel_key")
   }
