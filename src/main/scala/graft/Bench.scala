@@ -124,6 +124,7 @@ object Bench {
       // real deployment).
       graft.operators.Dedup.releaseCaches()
       graft.operators.Selection.releaseCaches()
+      graft.operators.Analytics.releaseCaches()
       spark.catalog.clearCache()
       // r15: the census-decomposed operators localCheckpoint their
       // bucketed streams, and checkpoint blocks pin until session end —

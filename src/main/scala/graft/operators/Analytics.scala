@@ -224,6 +224,13 @@ object Analytics {
   private def hasHeavyKeyMemo(spark: SparkSession, d: String): Boolean =
     heavyKeyCache.getOrElseUpdate((spark, d), hasHeavyKey(Tables.events(spark, d)))
 
+  /** Service-boundary invalidation (r17 advice): the heavy-key verdict is
+    * a fact about the corpus under `d`, so a corpus rebuilt under the same
+    * directory mid-session must be able to re-probe — and the map keys
+    * hold SparkSession references that would otherwise live for the JVM.
+    * Wired into the same boundary that calls Selection.releaseCaches(). */
+  def releaseCaches(): Unit = heavyKeyCache.clear()
+
   /** DataFrame-in core for [[qWindowRunning]] (events needs user_id,
     * event_id, ts, value). */
   def qWindowRunningFrom(events: DataFrame): DataFrame = {
@@ -1127,17 +1134,22 @@ object Analytics {
   // distinct-self-join formulation, which at 100 TB would re-shuffle the
   // (user, type) relation twice and join it to itself.
   def qCooccurrence(spark: SparkSession, d: String): DataFrame = {
-    // explicit-N repartition on user_id (r17, the census-family
-    // AQE-coalesce guard): collect_set's per-user exchange compresses to
-    // <1 MB even at sf10, so AQE coalesced the reduce side — set building,
-    // pair expansion and the final count all ran in ONE task (2.5 s serial
-    // at sf10, StageTime). The user repartition satisfies the aggregate's
-    // clustering requirement and is never coalesced.
+    // Parallelism guard, post-aggregate form (r17 advice): collect_set's
+    // per-user exchange compresses to <1 MB even at sf10, so AQE coalesced
+    // the reduce side — set building, pair expansion and the final count
+    // all ran in ONE task (2.5 s serial at sf10, StageTime). r17 first
+    // fixed it with a raw-side repartition on user_id, which pinned N
+    // tasks but carried raw (user_id, event_type) rows across the wire —
+    // a corpus-sized exchange in place of combiner-compressed partial
+    // sets, exactly the regression class that bites at 100 TB. The guard
+    // now sits AFTER the aggregate: partial collect_set state stays on
+    // the map side (the groupBy exchange carries <1 MB), and a cheap
+    // round-robin exchange of the |users|-row aggregate re-expands the
+    // coalesced output so the pair explosion + final count parallelize.
     val ut = Tables.events(spark, d)
       .select("user_id", "event_type")
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("user_id"))
       .groupBy("user_id").agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
     ut.select(explode(expr(
         """flatten(transform(ts, (a, i) ->
           |  transform(slice(ts, i + 2, size(ts)), b -> struct(a AS ta, b AS tb))))""".stripMargin))
@@ -2462,6 +2474,21 @@ object Analytics {
       .select(col("l_partkey"),
         year(col("l_shipdate")).as("sy"), month(col("l_shipdate")).as("sm"),
         (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
+    // FK guard (r17 advice): the join-free total is only equal to the old
+    // joined total if every l_partkey resolves into part. That contract is
+    // stated in the oracle comment, asserted on the test corpus by
+    // AnalyticsSpec, and — for arbitrary corpora — checkable here: debug
+    // mode fails loudly on an FK-violating corpus (e.g. a mis-offset
+    // replication) instead of silently shifting promo_share_pct.
+    if (spark.conf.get("spark.graft.debug.assertFk", "false").toBoolean) {
+      val orphans = l.select("l_partkey")
+        .join(Tables.part(spark, d).select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_anti").count()
+      require(orphans == 0L,
+        s"q_promo_share FK contract violated: $orphans lineitem rows have " +
+          "l_partkey not present in part — the join-free total would " +
+          "silently diverge from the joined formulation")
+    }
     val tot = l.groupBy("sy", "sm").agg(sum(col("rev")).as("tr"))
     val promoKeys = Tables.part(spark, d)
       .filter(col("p_type") === "PROMO").select(col("p_partkey"))

@@ -130,9 +130,6 @@ object Sketches {
   private def cmsIdxFromHash(i: Int, h: org.apache.spark.sql.Column) =
     conv(substring(h, 8 * i + 1, 8), 16, 10).cast("long") % CmsWidth
 
-  private def cmsRowIdx(i: Int, key: org.apache.spark.sql.Column) =
-    cmsIdxFromHash(i, md5(key.cast("string")))
-
   /** CMS counter table (r, idx, c) from an events relation — shared by the
     * batch query and the streaming parity spec (a streaming `count`
     * aggregate in complete mode maintains the SAME 4×64 counters: counter

@@ -21,6 +21,7 @@ object PhaseTime {
     for (_ <- 1 to passes) {
       graft.operators.Dedup.releaseCaches()
       graft.operators.Selection.releaseCaches()
+      graft.operators.Analytics.releaseCaches()
       spark.catalog.clearCache()
       try {
         graft.operators.Dedup.warmFamilyCaches(spark, sfDir)

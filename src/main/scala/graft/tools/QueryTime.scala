@@ -22,6 +22,7 @@ object QueryTime {
     for (_ <- 1 to passes) {
       graft.operators.Dedup.releaseCaches()
       graft.operators.Selection.releaseCaches()
+      graft.operators.Analytics.releaseCaches()
       spark.catalog.clearCache()
       try {
         graft.operators.Dedup.warmFamilyCaches(spark, sfDir)

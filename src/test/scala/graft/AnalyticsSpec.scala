@@ -1070,4 +1070,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("p50_min") === delays(rank(50)))
     assert(r.getAs[Long]("p90_min") === delays(rank(90)))
   }
+
+  test("q_promo_share FK contract: guard passes on the corpus, fails loudly on an orphan key") {
+    // The join-free total in qPromoShare assumes every l_partkey resolves
+    // into part (r17 advice). Assert the contract holds on the test
+    // corpus, then that the debug guard actually throws when it doesn't —
+    // an FK-violating corpus must fail, not silently shift the share.
+    import org.apache.spark.sql.functions._
+    val orphans = graft.sources.Tables.lineitem(spark, sf).select("l_partkey")
+      .join(graft.sources.Tables.part(spark, sf).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_anti").count()
+    assert(orphans === 0L, "testdata violates the lineitem→part FK contract")
+    spark.conf.set("spark.graft.debug.assertFk", "true")
+    try {
+      // guard on: the clean corpus still constructs (and computes) fine
+      assert(Analytics.qPromoShare(spark, sf).collect().nonEmpty)
+      // guard on + violating corpus: loud failure at construction
+      val dir = java.nio.file.Files.createTempDirectory("graft-fkviol-").toString
+      import spark.implicits._
+      graft.sources.Tables.lineitem(spark, sf)
+        .withColumn("l_partkey", col("l_partkey") + lit(1000000000L))
+        .write.parquet(s"$dir/lineitem.parquet")
+      graft.sources.Tables.part(spark, sf).write.parquet(s"$dir/part.parquet")
+      val e = intercept[IllegalArgumentException] {
+        Analytics.qPromoShare(spark, dir)
+      }
+      assert(e.getMessage.contains("FK contract violated"))
+    } finally spark.conf.set("spark.graft.debug.assertFk", "false")
+  }
 }

@@ -78,7 +78,7 @@ class SketchesSpec extends SparkSpec {
     def cmsCells(rs: Seq[(String, Long)]): Map[(Int, Long), Long] =
       rs.flatMap { case (_, uid) =>
         (0 until 4).map { i =>
-          // r17 carve: row i = hex chars [8i, 8i+8) of ONE md5 (mirrors cmsRowIdx)
+          // r17 carve: row i = hex chars [8i, 8i+8) of ONE md5 (mirrors cmsIdxFromHash)
           (i, java.lang.Long.parseLong(md5Hex(uid.toString).substring(8 * i, 8 * i + 8), 16) % 64) -> 1L
         }
       }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }

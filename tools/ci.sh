@@ -60,6 +60,26 @@ grep -rh "broadcast(" src/main/scala --include='*.scala' \
   || { echo "broadcast allowlist drift — audit the new call site"; exit 1; }
 
 
+echo "== bench-artifact staleness gate"
+# r17 verdict #1 (and r16 before it): the committed sf10 bench pair twice
+# shipped PREDATING the final optimization commits, so the round's perf
+# claims rested on commit messages instead of artifacts. Gate: every
+# committed bench_passes* artifact must be at least as new as the last
+# src/main change. "Fresh" = dirty in the working tree (just regenerated,
+# about to be committed alongside the code) or committed at/after the
+# newest src/main commit; uncommitted src/main edits count as "now".
+src_t=$(git log -1 --format=%ct -- src/main)
+if [[ -n "$(git status --porcelain src/main)" ]]; then src_t=$(date +%s); fi
+for art in bench_passes.json bench_passes_sf1.json bench_passes_sf10.json; do
+  [[ -f "$art" ]] || continue
+  if [[ -n "$(git status --porcelain "$art")" ]]; then continue; fi
+  art_t=$(git log -1 --format=%ct -- "$art")
+  if (( art_t < src_t )); then
+    echo "STALE bench artifact: $art predates the last src/main change — regenerate it"
+    exit 1
+  fi
+done
+
 echo "== bench (one JSON line)"
 SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '^{"metric'

@@ -66,9 +66,20 @@ def main():
     for name, sql in sorted(oracle.items()):
         for _ in range(passes):
             timer = None
+            # Track whether the timer actually FIRED (r17 advice): elapsed
+            # time alone mislabels a slow genuine error as a timeout, and a
+            # timer that fires in the gap between query completion and
+            # cancel() leaves a pending interrupt that can abort the NEXT
+            # query. The flag resolves the label; the drain below clears
+            # the stray interrupt.
+            fired = [False]
             if timeout_s > 0:
                 import threading
-                timer = threading.Timer(timeout_s, con.interrupt)
+
+                def _interrupt():
+                    fired[0] = True
+                    con.interrupt()
+                timer = threading.Timer(timeout_s, _interrupt)
                 timer.start()
             t0 = time.monotonic()
             try:
@@ -76,13 +87,21 @@ def main():
             except Exception as e:
                 dt = time.monotonic() - t0
                 msg = str(e)[:200]
-                if timeout_s > 0 and dt >= timeout_s:
+                if fired[0]:
                     msg = f"timeout after {dt:.1f}s (limit {timeout_s:.0f}s): " + msg
                 errors[name] = msg
                 break
             finally:
                 if timer is not None:
                     timer.cancel()
+                if fired[0] and name not in errors:
+                    # timer fired but the query had already completed —
+                    # drain the pending interrupt so it can't hit the next
+                    # statement (version-dependent in duckdb)
+                    try:
+                        con.sql("SELECT 1").df()
+                    except Exception:
+                        pass
             dt = time.monotonic() - t0
             if name not in best or dt < best[name]:
                 best[name] = dt
