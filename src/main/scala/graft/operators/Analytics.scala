@@ -105,32 +105,53 @@ object Analytics {
 
   // --- q5_region_join -----------------------------------------------------
   // 5-way star join. region/nation are FIXED-cardinality (5/25 rows at any
-  // scale) → hard broadcast; customer/supplier grow with SF → size-based
-  // planning decides (broadcast while small, shuffle-join at 100 TB).
+  // scale) → hard broadcast; the rest of the star is REDUCED first:
+  // EUROPE customers gate the date-filtered orders, producing a qualified
+  // (o_orderkey, c_nationkey) side that is ~6 % of orders — materialized
+  // via [[memoSide]] so the static planner sees its true size and joins
+  // lineitem broadcast-hash, with zero fact-side exchange (r18; the r16
+  // shuffle_hash pin solved the ESTIMATE trap — a lazy 2-column orders
+  // projection slips under AQE's broadcast estimate as SF grows — but
+  // left lineitem paying a 1 GB shuffle write+read = 97 of the plan's
+  // 108 core-seconds at sf10, StageTime). With accurate stats the same
+  // plan degrades to the shuffle join by itself past the 64 MB
+  // threshold, which is the 100 TB-correct fallback. Aggregation is by
+  // integer nationkey; the 25-row name map joins post-agg.
   def q5RegionJoin(spark: SparkSession, d: String): DataFrame = {
     val r = Tables.region(spark, d).filter(col("r_name") === "EUROPE").select("r_regionkey")
     val n = Tables.nation(spark, d).select("n_nationkey", "n_name", "n_regionkey")
-    val c = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+    val nEur = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("n_nationkey")
+    val qual = memoSide(spark, d, "q5_qual_orders") {
+      val cEur = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(nEur), col("c_nationkey") === nEur("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+      // shuffle_hash pin (the r16 estimate-trap class, seen AGAIN here):
+      // the date-filtered 3-column orders projection slips under the
+      // static 64 MB estimate and Catalyst picks BuildLEFT — a 4.6M-row
+      // HashedRelation built single-threaded on the driver (~1.4 s of the
+      // build at sf10, and corpus-proportional driver state at 100 TB).
+      // Pinned shuffle-hash, both sides exchange slim integer payloads in
+      // parallel (orders ~55 MB, customers ~12 MB at sf10).
+      Tables.orders(spark, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey")
+        .hint("shuffle_hash")
+        .join(cEur, col("o_custkey") === cEur("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    }
     val s = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
-    val o = Tables.orders(spark, d)
-      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
-        col("o_orderdate") < ts("1998-01-01 00:00:00"))
-      .select("o_orderkey", "o_custkey")
-    val l = Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    // orders is PINNED shuffle_hash (r16 sf10 triage, the q9/q7 class):
-    // the date-filtered 2-column projection slips under AQE's broadcast
-    // estimate as SF grows and builds a corpus-proportional relation
-    // single-threaded on the driver — it cannot broadcast at 100 TB.
-    // customer/supplier stay size-planned (SF-growing dims, AQE
-    // broadcasts from observed size with a shuffle fallback).
-    l.join(s, l("l_suppkey") === s("s_suppkey"))
-      .join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
-      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .groupBy(col("n_name"))
-      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
-        .as("revenue"))
+    val l = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(qual, l("l_orderkey") === qual("o_orderkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") &&
+        col("c_nationkey") === s("s_nationkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revc"))
+      .join(broadcast(Tables.nation(spark, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), (col("revc") / 10000.0).as("revenue"))
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
@@ -224,12 +245,89 @@ object Analytics {
   private def hasHeavyKeyMemo(spark: SparkSession, d: String): Boolean =
     heavyKeyCache.getOrElseUpdate((spark, d), hasHeavyKey(Tables.events(spark, d)))
 
+  /** MATERIALIZED-SIDE memo (r18, the TPC-H join-constant attack): the
+    * reduced build side of a big fact join — e.g. q5's
+    * date-filtered-orders ⋈ EUROPE-customers — is corpus-DERIVED but
+    * orders-of-magnitude smaller than the fact scan it gates. Planned
+    * lazily, Catalyst only has file-size-scaled ESTIMATES for it, so the
+    * static planner keeps a sort-merge join and the fact table pays a
+    * full shuffle WRITE even when AQE later converts the read side
+    * (AQE's SMJ→BHJ conversion cannot unschedule the map stage). A
+    * forced broadcast() is banned here — the side grows with SF and
+    * would build corpus-proportional driver state at 100 TB (the
+    * broadcast-allowlist contract). The honest mechanism is ACCURATE
+    * STATS: persist + materialize the side, so InMemoryRelation reports
+    * its true size and the static planner picks broadcast-hash exactly
+    * while the side is genuinely under the 64 MB threshold — and
+    * degrades to the shuffle plan by itself the moment it isn't
+    * (measured at sf10: q5 exec 6.9→2.0 s, hash exchanges 6→2, zero
+    * lineitem shuffle). Same storage contract as the Selection/Dedup
+    * memos: per (session, dir, tag), transparent recompute after
+    * eviction, releaseCaches() is the service boundary (Bench releases
+    * between passes, so every benched pass pays the honest build cost).
+    */
+  private val sideCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def memoSide(spark: SparkSession, d: String, tag: String)
+      (build: => DataFrame): DataFrame =
+    sideCache.synchronized {
+      val df = sideCache.getOrElseUpdate((spark, d, tag), build.persist())
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        // unpersisted behind our back (releaseCaches race / eviction):
+        // re-pin so the stats contract holds
+        df.persist()
+      }
+      df.count() // no-op when already materialized; restores stats after eviction
+      df
+    }
+
+  /** Shared PER-USER events memo (r17 verdict #3, the keyed-memo pattern
+    * from the ds_* family applied to the per-user event analytics): one
+    * slim projection (event_id, user_id, event_type, ts, value_c),
+    * hash-partitioned on user_id and persisted. Every consumer whose
+    * joins, windows, and distinct aggregates key on user_id (attribution,
+    * window funnel, hourly-distinct) reads it exchange-free —
+    * hashpartitioning(user) satisfies ClusteredDistribution for any
+    * grouping that CONTAINS user_id, so even groupBy(type, hour, user)
+    * rides it. Before the memo each entry re-paid the corpus scan 2-3×
+    * (attribution: three separate events scans, StageTime r18) plus its
+    * own user exchange. Memo trap #1 (r17): a cached source re-aims AQE's
+    * runtime broadcast at the cached size — benign here, both join sides
+    * of every consumer derive from the same cached relation, so either
+    * broadcast or zipped co-partitioned join is exchange-free. Trap #2
+    * (checkpoint drops partitioning) avoided by using persist, which
+    * advertises the repartition. Warmed by Bench/QueryTime as a family
+    * build; releaseCaches() is the service boundary. */
+  def eventsByUser(spark: SparkSession, d: String): DataFrame =
+    memoSide(spark, d, "events_by_user") {
+      Tables.events(spark, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          cents(col("value")).as("value_c"))
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("user_id"))
+    }
+
+  /** Pre-materialize the shared per-user events memo (Bench warm
+    * contract — the build is a family cost, not billed to whichever
+    * consumer runs first). */
+  def warmFamilyCaches(spark: SparkSession, d: String): Unit = {
+    eventsByUser(spark, d)
+    ()
+  }
+
   /** Service-boundary invalidation (r17 advice): the heavy-key verdict is
     * a fact about the corpus under `d`, so a corpus rebuilt under the same
     * directory mid-session must be able to re-probe — and the map keys
     * hold SparkSession references that would otherwise live for the JVM.
     * Wired into the same boundary that calls Selection.releaseCaches(). */
-  def releaseCaches(): Unit = heavyKeyCache.clear()
+  def releaseCaches(): Unit = {
+    heavyKeyCache.clear()
+    sideCache.synchronized {
+      sideCache.values.foreach(_.unpersist())
+      sideCache.clear()
+    }
+  }
 
   /** DataFrame-in core for [[qWindowRunning]] (events needs user_id,
     * event_id, ts, value). */
@@ -420,15 +518,27 @@ object Analytics {
       |ORDER BY c_custkey""".stripMargin
 
   // --- q_events_hourly ----------------------------------------------------
+  // On the per-user memo (r18): countDistinct plans as a two-level
+  // aggregate whose first level groups by (type, hour, user) — the memo's
+  // user_id hash partitioning satisfies that clustering (user ∈ keys), so
+  // the 172 MB distinct-expansion exchange the raw-scan form paid at sf10
+  // disappears; only the |type×hour|-row second level shuffles.
   def qEventsHourly(spark: SparkSession, d: String): DataFrame = {
-    Tables.events(spark, d)
+    // group on the INTEGER hour bucket and format only the |type×hour|
+    // report rows (the q_promo_share r16 trick — date_format is a per-row
+    // string build; epoch div 3600 stays in codegen). Exact under the
+    // session's pinned UTC: date_trunc('hour') ≡ floor(epoch/3600)·3600.
+    eventsByUser(spark, d)
       .select(col("event_type"),
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_s"),
-        col("user_id"), cents(col("value")).as("vc"))
-      .groupBy("event_type", "hour_s")
+        expr("cast(ts as long) div 3600").as("hb"),
+        col("user_id"), col("value_c").as("vc"))
+      .groupBy("event_type", "hb")
       .agg(count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("users"),
         (sum(col("vc")) / 100.0).as("sum_value"))
+      .select(col("event_type"),
+        date_format(timestamp_seconds(col("hb") * 3600L), "yyyy-MM-dd HH:mm").as("hour_s"),
+        col("n"), col("users"), col("sum_value"))
       .orderBy("event_type", "hour_s")
   }
 
@@ -994,7 +1104,7 @@ object Analytics {
   private val WfWindowSec = 14400L
 
   def qWindowFunnel(spark: SparkSession, d: String): DataFrame =
-    qWindowFunnelFrom(Tables.events(spark, d))
+    qWindowFunnelFrom(eventsByUser(spark, d)) // memo: 1 cache read vs 2 scans
 
   /** DataFrame-in core for [[qWindowFunnel]] (events needs user_id,
     * event_type, ts) — exposed so the randomized spec can pin the
@@ -1411,6 +1521,15 @@ object Analytics {
   // fits. The 0.2·avg threshold is the integer cross-multiplication
   // 5·qty·cnt < sum (cnt > 0 always), so no float division ever happens —
   // the final report is |brands| = 25 rows.
+  // r18 measured rejection (SCALING.md): a single-pass lowering — one
+  // aggregation collecting each part's (qty, price) rows (bounded state,
+  // rows-per-part is an SF-constant ~30) + a HOF threshold fold — halves
+  // the corpus scans and exchanges on paper, but collect_list forces
+  // ObjectHashAggregate (no codegen) plus a per-row struct allocation:
+  // measured 4.6 → 5.6 s at sf10. The two-scan decorrelated form below
+  // stays: both sides hash once on l_partkey, and map-side combine is
+  // honest about this key (uniform-random partkeys ⇒ ~1 row per group
+  // per partition, nothing to combine — the cost IS the exchange).
   def qCorrSubquery(spark: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(spark, d)
       .select("l_partkey", "l_quantity", "l_extendedprice")
@@ -2534,19 +2653,28 @@ object Analytics {
   // result then joins the supplier dimension hint-free (AQE broadcasts
   // from observed size). At 100 TB: lineitem shuffles one candidate per
   // partkey per map partition, never raw rows.
-  /** The struct-min core: one candidate struct (price-cents, suppkey) per
-    * partkey; the lexicographic struct ordering makes "cheapest price,
-    * smallest suppkey on ties" a single combinable aggregate. Exposed so
-    * the tie-break path (several suppliers at the exact min price) can be
-    * pinned by a constructed-tie spec — the testdata rarely produces ties.
-    */
+  /** The argmin core: one candidate per partkey whose comparison key is
+    * (price-cents, suppkey) lexicographic — "cheapest price, smallest
+    * suppkey on ties" as a single combinable aggregate. r18: the candidate
+    * is a PACKED BIGINT `pc·2³² + suppkey`, not a struct — min over a
+    * struct type falls out of whole-stage codegen into SortAggregate,
+    * which SORTED the 60M-row corpus inside every map partition (70 of
+    * the query's 81 core-seconds at sf10, StageTime). The packed min is a
+    * primitive HashAggregate. Packing is exact while pc < 2³¹ (price
+    * < $21.4M; TPC-H max ~$105K) and suppkey < 2³² — both asserted by
+    * the lexicographic-equivalence law: for non-negative fields,
+    * min(a·2³² + b) = (min lexicographic (a, b)) packed. Exposed so the
+    * tie-break path (several suppliers at the exact min price) can be
+    * pinned by a constructed-tie spec — the testdata rarely produces
+    * ties. */
   def minCostBest(lineitem: DataFrame): DataFrame =
     lineitem
       .select(col("l_partkey"),
-        struct(cents(col("l_extendedprice")).as("pc"), col("l_suppkey").as("sk")).as("cand"))
+        (shiftleft(cents(col("l_extendedprice")), 32) + col("l_suppkey")).as("cand"))
       .groupBy("l_partkey").agg(min(col("cand")).as("b"))
-      .select(col("l_partkey").as("partkey"), (col("b.pc") / 100.0).as("min_price"),
-        col("b.sk").as("suppkey"))
+      .select(col("l_partkey").as("partkey"),
+        (shiftright(col("b"), 32) / 100.0).as("min_price"),
+        (col("b") % lit(4294967296L)).as("suppkey"))
 
   def qMinCostSupplier(spark: SparkSession, d: String): DataFrame = {
     val best = minCostBest(Tables.lineitem(spark, d))
@@ -2624,6 +2752,10 @@ object Analytics {
     * boundary (a line at EXACTLY 20% of its part's average is NOT small)
     * can be pinned by a constructed spec. */
   def q17From(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    // r18 measured rejection (SCALING.md, the qCorrSubquery twin): the
+    // collect_list single-pass form measured 3.1 → 5.1 s at sf10
+    // (ObjectHashAggregate + per-row struct allocation beats the saved
+    // scan+exchange). The two-scan decorrelated form stays.
     val l = lineitem.select(
       col("l_partkey"), col("l_quantity").cast("long").as("qty"),
       cents(col("l_extendedprice")).as("price_c"))
@@ -3081,7 +3213,7 @@ object Analytics {
   private val AttrWindowSec = 14400L
 
   def qAttribution(spark: SparkSession, d: String): DataFrame =
-    qAttributionFrom(Tables.events(spark, d))
+    qAttributionFrom(eventsByUser(spark, d)) // memo: 1 cache read vs 3 scans
 
   /** DataFrame-in core for [[qAttribution]] (events needs event_id,
     * user_id, event_type, ts, value) — exposed so the randomized spec can
@@ -3090,9 +3222,13 @@ object Analytics {
     * no touch). */
   def qAttributionFrom(ev: DataFrame): DataFrame = {
     val win = expr(s"INTERVAL $AttrWindowSec SECOND")
+    // accept either the raw events schema (spec harness) or the memo's
+    // pre-quantized value_c
+    val vc = if (ev.columns.contains("value_c")) col("value_c")
+             else cents(col("value"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("pid"), col("user_id"),
-        col("ts").as("tp"), cents(col("value")).as("vc"))
+        col("ts").as("tp"), vc.as("vc"))
     val t = ev.filter(col("event_type").isin("click", "view"))
       .select(col("user_id"), col("ts").as("tt"),
         col("event_id").as("tid"), col("event_type").as("touch"))

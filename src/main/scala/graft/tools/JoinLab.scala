@@ -1,0 +1,191 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.sources.Tables
+
+/** Scratch lab for the r18 TPC-H join-constant attack: races q5 plan
+  * shapes at a given sfDir and prints exec time + whether the lineitem
+  * side still pays an exchange. Not part of the library surface.
+  *   sbt "runMain graft.tools.JoinLab <sfDir> <passes>"
+  */
+object JoinLab {
+  private def ts(s: String) = to_timestamp(lit(s))
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  // variant B: qualified-orders side built first, all joins hint-free —
+  // AQE broadcasts from observed size, shuffle fallback at scale
+  def q5Qual(spark: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(spark, d).filter(col("r_name") === "EUROPE").select("r_regionkey")
+    val n = Tables.nation(spark, d).select("n_nationkey", "n_name", "n_regionkey")
+    val nEur = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("n_nationkey")
+    val c = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+    val cEur = c.join(broadcast(nEur), c("c_nationkey") === nEur("n_nationkey"))
+      .select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val qual = o.join(cEur, o("o_custkey") === cEur("c_custkey"))
+      .select("o_orderkey", "c_nationkey")
+    val s = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+    val l = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(qual, l("l_orderkey") === qual("o_orderkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") &&
+        col("c_nationkey") === s("s_nationkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revc"))
+      .join(broadcast(Tables.nation(spark, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), (col("revc") / 10000.0).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  // variant C: same, but the qual side is persisted+materialized so the
+  // STATIC planner sees its true size and picks BHJ before any lineitem
+  // shuffle write is scheduled
+  def q5QualCached(spark: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(spark, d).filter(col("r_name") === "EUROPE").select("r_regionkey")
+    val n = Tables.nation(spark, d).select("n_nationkey", "n_name", "n_regionkey")
+    val nEur = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("n_nationkey")
+    val c = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+    val cEur = c.join(broadcast(nEur), c("c_nationkey") === nEur("n_nationkey"))
+      .select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val qual = o.join(cEur, o("o_custkey") === cEur("c_custkey"))
+      .select("o_orderkey", "c_nationkey")
+      .persist()
+    qual.count() // materialize: InMemoryRelation now reports true size
+    val s = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+    val l = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = l.join(qual, l("l_orderkey") === qual("o_orderkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") &&
+        col("c_nationkey") === s("s_nationkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revc"))
+      .join(broadcast(Tables.nation(spark, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), (col("revc") / 10000.0).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+    out
+  }
+
+  // time the q5 qualified-side build in isolation: scan+join vs persist cost
+  def buildProbe(spark: SparkSession, d: String): Unit = {
+    val r = Tables.region(spark, d).filter(col("r_name") === "EUROPE").select("r_regionkey")
+    val n = Tables.nation(spark, d).select("n_nationkey", "n_name", "n_regionkey")
+    val nEur = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("n_nationkey")
+    def qual = {
+      val cEur = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(nEur), col("c_nationkey") === nEur("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+      Tables.orders(spark, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey")
+        .join(cEur, col("o_custkey") === cEur("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    }
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val nRows = qual.count() // no persist: pure scan+join cost
+      val t1 = System.nanoTime()
+      val p = qual.persist()
+      p.count()
+      val t2 = System.nanoTime()
+      p.unpersist()
+      println(f"PROBE pass$i qual rows=$nRows plainCount=${(t1 - t0) / 1e9}%6.3f persistCount=${(t2 - t1) / 1e9}%6.3f")
+    }
+    val q = qual
+    q.queryExecution.toRdd.count()
+    println(q.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Exchange") ||
+        l.contains("Scan") || l.contains("Broadcast"))
+      .mkString("\n"))
+    // orders scan alone
+    for (i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val c = Tables.orders(spark, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey").count()
+      println(f"PROBE pass$i ordersScan rows=$c t=${(System.nanoTime() - t0) / 1e9}%6.3f")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val passes = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (args.length > 2 && args(2) == "probe") {
+      graft.SparkEntry.queries("q1_pricing_summary")(spark, sfDir).queryExecution.toRdd.count()
+      buildProbe(spark, sfDir)
+      spark.stop()
+      return
+    }
+    println("bloom filter conf: " +
+      spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled"))
+    // warm footers
+    graft.SparkEntry.queries("q5_region_join")(spark, sfDir).queryExecution.toRdd.count()
+
+    // q_corr_subquery, shared-exchange form: one repartition(partkey) feeds
+    // both the stats aggregate and the probe side — ReuseExchange (and
+    // AQE's stage reuse) materializes the shuffle once, no cache involved
+    def qCorrReuse(d: String): DataFrame = {
+      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val lp = Tables.lineitem(spark, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .repartition(n, col("l_partkey"))
+      val p = Tables.part(spark, d).select("p_partkey", "p_brand")
+      val stats = lp.groupBy(col("l_partkey").as("s_partkey"))
+        .agg(sum(cents(col("l_quantity"))).as("sq"), count(lit(1)).as("cq"))
+      lp.join(stats, lp("l_partkey") === stats("s_partkey"))
+        .filter(cents(col("l_quantity")) * col("cq") * lit(5L) < col("sq"))
+        .join(p, lp("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg((sum(cents(col("l_extendedprice"))) / 100.0).as("low_qty_revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("p_brand")
+    }
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "A_current" -> (() => graft.SparkEntry.queries("q_corr_subquery")(spark, sfDir)),
+      "D_reuse" -> (() => qCorrReuse(sfDir))
+    )
+    for ((name, mk) <- variants) {
+      var bestE = Double.MaxValue
+      var rows = 0L
+      var plan = ""
+      for (_ <- 1 to passes) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val df = mk()
+        val t1 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        rows = df.count()
+        val tE = (System.nanoTime() - t1) / 1e9
+        if (tE < bestE) bestE = tE
+        plan = df.queryExecution.executedPlan.toString
+      }
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+      println(f"LAB $name%-14s exec=$bestE%6.3f rows=$rows hashExchanges=$exchanges bhj=$bhj")
+      // print result head for parity eyeball
+      mk().collect().take(3).foreach(r => println(s"  $r"))
+    }
+    spark.stop()
+  }
+}

@@ -26,6 +26,7 @@ object PhaseTime {
       try {
         graft.operators.Dedup.warmFamilyCaches(spark, sfDir)
         graft.operators.Selection.warmQcCaches(spark, sfDir)
+          graft.operators.Analytics.warmFamilyCaches(spark, sfDir)
       } catch { case scala.util.control.NonFatal(_) => () }
       names.foreach { name =>
         System.gc()

@@ -27,6 +27,7 @@ object QueryTime {
       try {
         graft.operators.Dedup.warmFamilyCaches(spark, sfDir)
         graft.operators.Selection.warmQcCaches(spark, sfDir)
+          graft.operators.Analytics.warmFamilyCaches(spark, sfDir)
       } catch { case scala.util.control.NonFatal(_) => () }
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
