@@ -71,21 +71,40 @@ object Analytics {
   // forced broadcast would hit Spark's 8 GB relation limit at large SF.
   // Top-k is a total sort of |groups| rows only.
   def q3TopkRevenue(spark: SparkSession, d: String): DataFrame = {
-    val c = Tables.customer(spark, d)
-      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-    val o = Tables.orders(spark, d)
+    // r18 (the q5 memoSide shape): BUILDING customers gate the
+    // date-filtered orders into a materialized qualified side whose true
+    // size drives static broadcast-hash — the lazy form shuffled 499 MB
+    // of orders on custkey (49 of 70 core-seconds at sf10, StageTime)
+    // because the o⋈c estimate trap picked SMJ. Lineitem revenue also
+    // pre-aggregates per orderkey BEFORE the join (the group keys are
+    // functionally dependent on orderkey), so the post-filter fact
+    // exchange carries (orderkey, revc) partials, never joined rows.
+    // Only the BUILDING custkey SET is materialized (300K keys, ~3 MB at
+    // sf10) — caching or broadcasting the full 2.6M-row qualified-orders
+    // relation was measured and rejected (driver builds a 2.6M-entry
+    // HashedRelation single-threaded, exec 2.4→3.2 s). With accurate
+    // custkey stats the static planner broadcast-hashes it INTO the
+    // orders scan, so orders never exchanges; the qualified output then
+    // shuffle-hash joins the revenue partials co-partitioned on orderkey.
+    val cB = memoSide(spark, d, "q3_building_custkeys") {
+      Tables.customer(spark, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    }
+    val qual = Tables.orders(spark, d)
       .filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-    val l = Tables.lineitem(spark, d)
-      .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
-      .select("l_orderkey", "l_extendedprice", "l_discount")
-    l.join(o.join(c, o("o_custkey") === c("c_custkey")),
-        l("l_orderkey") === o("o_orderkey"))
-      .groupBy(col("l_orderkey"),
+      .join(cB, col("o_custkey") === cB("c_custkey"))
+      .select(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
         col("o_orderpriority"))
-      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
-        .as("revenue"))
+    val lr = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
+      .groupBy(col("l_orderkey")).agg(sum(col("rev")).as("revc"))
+    lr.join(qual.hint("shuffle_hash"), col("l_orderkey") === qual("o_orderkey"))
+      .select(col("l_orderkey"), col("o_orderdate_s"), col("o_orderpriority"),
+        (col("revc") / 10000.0).as("revenue"))
       .orderBy(desc("revenue"), asc("l_orderkey"))
       .limit(10)
   }
@@ -270,17 +289,26 @@ object Analytics {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   private def memoSide(spark: SparkSession, d: String, tag: String)
-      (build: => DataFrame): DataFrame =
-    sideCache.synchronized {
-      val df = sideCache.getOrElseUpdate((spark, d, tag), build.persist())
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      (build: => DataFrame): DataFrame = {
+    // lock covers only map update + persist REGISTRATION (no jobs):
+    // Verify drives queries from parallel futures, and holding the lock
+    // across the materializing count would serialize every memo build
+    // behind whichever runs first
+    val df = sideCache.synchronized {
+      val cached = sideCache.getOrElseUpdate((spark, d, tag), build.persist())
+      if (cached.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
         // unpersisted behind our back (releaseCaches race / eviction):
         // re-pin so the stats contract holds
-        df.persist()
+        cached.persist()
       }
-      df.count() // no-op when already materialized; restores stats after eviction
-      df
+      cached
     }
+    // cheap when already materialized; restores stats after eviction.
+    // Concurrent first-counts share per-block computation in the
+    // BlockManager, so a race costs duplicate scheduling, not 2× work.
+    df.count()
+    df
+  }
 
   /** Shared PER-USER events memo (r17 verdict #3, the keyed-memo pattern
     * from the ds_* family applied to the per-user event analytics): one
@@ -835,6 +863,13 @@ object Analytics {
   private val LargeOrderQtyC = 25000L // sum(l_quantity) > 250, in cents
 
   def q18LargeOrders(spark: SparkSession, d: String): DataFrame = {
+    // r18 measured rejection (SCALING.md): memoSide on the threshold
+    // survivors gives the joins accurate stats (orders' 203 MB exchange
+    // becomes a broadcast probe — exec dropped to 0.4 s), but the memo's
+    // eager materialization serializes the whole lineitem aggregate that
+    // AQE otherwise overlaps with the dimension scans: wall 3.97→4.12 s
+    // at sf10. The per-order aggregate IS the query's cost; the lazy
+    // form stays.
     val big = Tables.lineitem(spark, d)
       .groupBy(col("l_orderkey"))
       .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"))
@@ -2308,20 +2343,34 @@ object Analytics {
   // the only post-corpus shuffle carries pair keys onto ≤ T² reducers.
   // Same-operand IEEE division for jaccard; everything else integer.
   def qOverlapMatrix(spark: SparkSession, d: String): DataFrame = {
+    // r18 single-reduce lowering: the pair table and the per-type totals
+    // used to be TWO consumers of the ud exchange, each re-running the
+    // collect_set finalization (StageTime: 27 + 11.5 core-seconds on the
+    // same 119 MB read). The explode now starts each inner slice AT the
+    // element itself, so the diagonal (a, a) rides along as the per-type
+    // day-set counter — one explode, one reduce, and the totals fall out
+    // of the same 15-row result the pairs do (T(T+1)/2 structs per row
+    // vs 10 + a second pass).
     val ud = Tables.events(spark, d)
       .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"), col("event_type"))
       .groupBy("user_id", "day")
       .agg(sort_array(collect_set("event_type")).as("types"))
-    val pairs = ud.select(explode(expr(
+    // The totals attach via two windows over the T(T+1)/2-row cell table
+    // (each row's diagonal is in its type_a / type_b partition), keeping
+    // ONE linear pipeline — a tot-side self-join would make cells a
+    // multi-consumer aggregate, and those re-execute their whole subtree
+    // per consumer (the r17 hll_intersection lesson, re-measured here:
+    // two consumers re-ran the 43-core-second reduce twice).
+    val cells = ud.select(explode(expr(
         "flatten(transform(types, (a, i) -> " +
-          "transform(slice(types, i + 2, size(types)), b -> struct(a AS ta, b AS tb))))")).as("p"))
+          "transform(slice(types, i + 1, size(types) - i), b -> struct(a AS ta, b AS tb))))")).as("p"))
       .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
       .agg(count(lit(1)).as("n_both"))
-    val tot = ud.select(explode(col("types")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("n"))
-    pairs
-      .join(tot.select(col("t").as("ta_k"), col("n").as("n_a")), col("type_a") === col("ta_k"))
-      .join(tot.select(col("t").as("tb_k"), col("n").as("n_b")), col("type_b") === col("tb_k"))
+    val diag = when(col("type_a") === col("type_b"), col("n_both"))
+    cells
+      .withColumn("n_a", max(diag).over(Window.partitionBy("type_a")))
+      .withColumn("n_b", max(diag).over(Window.partitionBy("type_b")))
+      .filter(col("type_a") < col("type_b"))
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
         (col("n_both").cast("double") / (col("n_a") + col("n_b") - col("n_both")).cast("double"))
           .as("jaccard"))
@@ -2887,25 +2936,37 @@ object Analytics {
   private val Q8Type = "PROMO"
 
   def q8MarketShare(spark: SparkSession, d: String): DataFrame = {
+    // r18 (the q5 memoSide shape): ASIA customers gate the date-filtered
+    // orders into a materialized (o_orderkey, o_year) side — accurate
+    // stats drive static broadcast-hash, so the PROMO-filtered lineitem
+    // stream joins it with zero fact-side exchange; past the 64 MB
+    // threshold the same plan degrades to the shuffle join by itself.
+    // The memo's orders⋈customer join is pinned shuffle_hash (the q5
+    // estimate trap: never build an orders-side hash on the driver).
     val p = Tables.part(spark, d).filter(col("p_type") === Q8Type).select("p_partkey")
-    val o = Tables.orders(spark, d)
-      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
-        col("o_orderdate") < ts("1998-01-01 00:00:00"))
-      .select(col("o_orderkey"), col("o_custkey"),
-        year(col("o_orderdate")).cast("long").as("o_year"))
-    val c = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
-    val asiaN = Tables.nation(spark, d)
-      .join(Tables.region(spark, d).filter(col("r_name") === Q8Region),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey").as("cn_key"))
+    val qual = memoSide(spark, d, "q8_qual_orders") {
+      val asiaN = Tables.nation(spark, d)
+        .join(Tables.region(spark, d).filter(col("r_name") === Q8Region),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val cAsia = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(asiaN), col("c_nationkey") === col("cn_key"))
+        .select("c_custkey")
+      Tables.orders(spark, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .hint("shuffle_hash")
+        .join(cAsia, col("o_custkey") === cAsia("c_custkey"))
+        .select("o_orderkey", "o_year")
+    }
     val s = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
     val l = Tables.lineitem(spark, d).select(
       col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
       (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("vol"))
     val rep = l.join(p, l("l_partkey") === p("p_partkey"))
-      .join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .join(asiaN, c("c_nationkey") === col("cn_key"))
+      .join(qual, l("l_orderkey") === qual("o_orderkey"))
       .join(s, l("l_suppkey") === s("s_suppkey"))
       .groupBy(col("o_year"), col("s_nationkey"))
       .agg(sum(col("vol")).as("rc"))

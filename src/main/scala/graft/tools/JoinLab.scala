@@ -161,9 +161,52 @@ object JoinLab {
           count(lit(1)).as("n_rows"))
         .orderBy("p_brand")
     }
+    // q3 original (pre-r18) shape: lazy o+c join, post-join groupBy
+    def q3Orig(d: String): DataFrame = {
+      val c = Tables.customer(spark, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(spark, d)
+        .filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(spark, d)
+        .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o.join(c, o("o_custkey") === c("c_custkey")),
+          l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+          col("o_orderpriority"))
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }
+    // q_overlap_matrix pre-r18 shape: two consumers of the ud exchange
+    def omOrig(d: String): DataFrame = {
+      val ud = Tables.events(spark, d)
+        .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"), col("event_type"))
+        .groupBy("user_id", "day")
+        .agg(sort_array(collect_set("event_type")).as("types"))
+      val pairs = ud.select(explode(expr(
+          "flatten(transform(types, (a, i) -> " +
+            "transform(slice(types, i + 2, size(types)), b -> struct(a AS ta, b AS tb))))")).as("p"))
+        .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      val tot = ud.select(explode(col("types")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n"))
+      pairs
+        .join(tot.select(col("t").as("ta_k"), col("n").as("n_a")), col("type_a") === col("ta_k"))
+        .join(tot.select(col("t").as("tb_k"), col("n").as("n_b")), col("type_b") === col("tb_k"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+          (col("n_both").cast("double") / (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+            .as("jaccard"))
+        .orderBy("type_a", "type_b")
+    }
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "A_current" -> (() => graft.SparkEntry.queries("q_corr_subquery")(spark, sfDir)),
-      "D_reuse" -> (() => qCorrReuse(sfDir))
+      "A_om_orig" -> (() => omOrig(sfDir)),
+      "B_om_new" -> (() => graft.SparkEntry.queries("q_overlap_matrix")(spark, sfDir)),
+      "A2_om_orig" -> (() => omOrig(sfDir)),
+      "B2_om_new" -> (() => graft.SparkEntry.queries("q_overlap_matrix")(spark, sfDir))
     )
     for ((name, mk) <- variants) {
       var bestE = Double.MaxValue
