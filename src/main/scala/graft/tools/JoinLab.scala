@@ -202,30 +202,79 @@ object JoinLab {
             .as("jaccard"))
         .orderBy("type_a", "type_b")
     }
+    // q17 r18 attack: the raw 60M-row lineitem side pays a partkey
+    // exchange ONLY to meet the 2M-row per-part stats. Packing the stats
+    // into (partkey, sum_qty<<20 | cnt) keeps the side ~32 MB — under the
+    // 64 MB static threshold at sf10 — so a persisted+materialized memo
+    // static-broadcasts and the raw side never exchanges. At 100x SF the
+    // stats side outgrows the threshold and the same plan degrades to
+    // the shuffle join by itself (the memoSide contract).
+    def q17Packed(d: String, pin: Boolean): DataFrame = {
+      val l = Tables.lineitem(spark, d).select(
+        col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"))
+      var perPart = l.groupBy("l_partkey")
+        .agg((sum(col("qty")) * lit(1L << 20) + count(lit(1))).as("packed"))
+      if (pin) {
+        perPart = perPart.persist()
+        perPart.count()
+      }
+      val p = Tables.part(spark, d).select(col("p_partkey"), col("p_brand"))
+      l.join(perPart, Seq("l_partkey"))
+        .filter(col("qty") * lit(5L) * col("packed").bitwiseAND(lit((1L << 20) - 1)) <
+          shiftright(col("packed"), 20))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small_lines"),
+          (sum(col("price_c")) / 100.0).as("small_revenue"))
+        .orderBy("p_brand")
+    }
+    def q17Shj(d: String): DataFrame = {
+      val l = Tables.lineitem(spark, d).select(
+        col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"))
+      val perPart = l.groupBy("l_partkey")
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .hint("shuffle_hash")
+      val p = Tables.part(spark, d).select(col("p_partkey"), col("p_brand"))
+      l.join(perPart, Seq("l_partkey"))
+        .filter(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small_lines"),
+          (sum(col("price_c")) / 100.0).as("small_revenue"))
+        .orderBy("p_brand")
+    }
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "A_om_orig" -> (() => omOrig(sfDir)),
-      "B_om_new" -> (() => graft.SparkEntry.queries("q_overlap_matrix")(spark, sfDir)),
-      "A2_om_orig" -> (() => omOrig(sfDir)),
-      "B2_om_new" -> (() => graft.SparkEntry.queries("q_overlap_matrix")(spark, sfDir))
+      "A_q17_orig" -> (() => graft.SparkEntry.queries("q17_small_qty_revenue")(spark, sfDir)),
+      "B_q17_shj" -> (() => q17Shj(sfDir)),
+      "C_q17_bcast" -> (() => q17Packed(sfDir, pin = true)),
+      "D_q17_packlazy" -> (() => q17Packed(sfDir, pin = false)),
+      "A2_q17_orig" -> (() => graft.SparkEntry.queries("q17_small_qty_revenue")(spark, sfDir)),
+      "C2_q17_bcast" -> (() => q17Packed(sfDir, pin = true))
     )
     for ((name, mk) <- variants) {
+      var bestT = Double.MaxValue
       var bestE = Double.MaxValue
       var rows = 0L
       var plan = ""
       for (_ <- 1 to passes) {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        val df = mk()
+        val df = mk() // memo variants persist+materialize inside: build cost lands here
         val t1 = System.nanoTime()
         df.queryExecution.toRdd.count()
         rows = df.count()
-        val tE = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val tE = (t2 - t1) / 1e9
+        val tT = (t2 - t0) / 1e9
         if (tE < bestE) bestE = tE
+        if (tT < bestT) bestT = tT // build+exec: the number Bench would see
         plan = df.queryExecution.executedPlan.toString
       }
       val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
       val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
-      println(f"LAB $name%-14s exec=$bestE%6.3f rows=$rows hashExchanges=$exchanges bhj=$bhj")
+      println(f"LAB $name%-14s total=$bestT%6.3f exec=$bestE%6.3f rows=$rows hashExchanges=$exchanges bhj=$bhj")
       // print result head for parity eyeball
       mk().collect().take(3).foreach(r => println(s"  $r"))
     }
