@@ -2800,19 +2800,39 @@ object Analytics {
     * part needs p_partkey/p_brand) — exposed so the strict-inequality
     * boundary (a line at EXACTLY 20% of its part's average is NOT small)
     * can be pinned by a constructed spec. */
-  def q17From(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    // r18 measured rejection (SCALING.md, the qCorrSubquery twin): the
-    // collect_list single-pass form measured 3.1 → 5.1 s at sf10
-    // (ObjectHashAggregate + per-row struct allocation beats the saved
-    // scan+exchange). The two-scan decorrelated form stays.
+  def q17From(lineitem: DataFrame, part: DataFrame): DataFrame =
+    q17Core(lineitem, part, identity)
+
+  /** Shared core; `pin` lets the registered entry materialize the packed
+    * per-part stats through [[memoSide]] while the spec path stays lazy.
+    *
+    * r18 lowering (JoinLab race, sf10): the raw 60M-row fact side used
+    * to pay a partkey exchange + SMJ sort ONLY to meet the 2M-row
+    * per-part stats (in-bench 4.5 s; the sort buffers also made it the
+    * first victim of pass-wide memo storage pressure). Packing the
+    * stats to ONE BIGINT — sum_qty·2²⁴ | cnt — keeps the side ~32 MB,
+    * under the 64 MB static threshold at sf10, so the materialized memo
+    * static-broadcasts and the fact side never exchanges or sorts:
+    * total 2.3 s incl. the memo build vs 7.3-8.9 s for the lazy form
+    * and 5.6 s for a shuffle_hash pin (same race). Past the threshold
+    * the identical plan degrades to the shuffle join by itself (the
+    * memoSide contract). Packing bound: cnt < 2²⁴ lines per part (TPC-H
+    * holds ~30 at every SF) and sum_qty < 2³⁹ (≤ 50·cnt) — both orders
+    * of magnitude above any honest corpus; the quantities are
+    * non-negative so the packed compare is exact integer arithmetic
+    * (qty·5·cnt < sum_qty ⇔ qty·5·(packed & (2²⁴−1)) < packed >> 24).
+    */
+  private def q17Core(lineitem: DataFrame, part: DataFrame,
+      pin: DataFrame => DataFrame): DataFrame = {
     val l = lineitem.select(
       col("l_partkey"), col("l_quantity").cast("long").as("qty"),
       cents(col("l_extendedprice")).as("price_c"))
-    val perPart = l.groupBy("l_partkey")
-      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    val perPart = pin(l.groupBy("l_partkey")
+      .agg((sum(col("qty")) * lit(1L << 24) + count(lit(1))).as("packed")))
     val p = part.select(col("p_partkey"), col("p_brand"))
     l.join(perPart, Seq("l_partkey"))
-      .filter(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
+      .filter(col("qty") * lit(5L) * col("packed").bitwiseAND(lit((1L << 24) - 1)) <
+        shiftright(col("packed"), 24))
       .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_small_lines"),
@@ -2821,7 +2841,8 @@ object Analytics {
   }
 
   def q17SmallQtyRevenue(spark: SparkSession, d: String): DataFrame =
-    q17From(Tables.lineitem(spark, d), Tables.part(spark, d))
+    q17Core(Tables.lineitem(spark, d), Tables.part(spark, d),
+      memoSide(spark, d, "q17_perpart_packed")(_))
 
   val q17SmallQtyRevenueSql: String =
     """WITH l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
