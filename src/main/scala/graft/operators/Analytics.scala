@@ -20,7 +20,10 @@ import graft.sources.Tables
 object Analytics {
 
   /** Dollars-as-double column → exact integer cents. */
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  // r18: the cast-form quantizer — Round's per-row BigDecimal cost the
+  // four-column money scan 2.8 s vs 0.26 s at sf10 (FloorProbe; contract
+  // and exactness argument in graft.functions.FastRound).
+  private def cents(c: Column): Column = graft.functions.FastRound.cents(c)
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
@@ -1565,14 +1568,24 @@ object Analytics {
   // stays: both sides hash once on l_partkey, and map-side combine is
   // honest about this key (uniform-random partkeys ⇒ ~1 row per group
   // per partition, nothing to combine — the cost IS the exchange).
+  // r18 follow-up (the q17Core lowering, same race): pack the per-part
+  // stats to ONE BIGINT — sum_qc·2²⁰ | cnt — and materialize through
+  // [[memoSide]], so the static planner broadcast-hashes the ~32 MB side
+  // and the 60M-row fact stream never exchanges or sorts. Packing bound:
+  // cnt < 2²⁰ lines per part (TPC-H holds ~30 at every SF) and
+  // sum_qc ≤ 5000·cnt cents < 2⁴³ — exact integer compare throughout
+  // (qc·5·cnt < sum_qc ⇔ qc·5·(packed & (2²⁰−1)) < packed >> 20).
   def qCorrSubquery(spark: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(spark, d)
       .select("l_partkey", "l_quantity", "l_extendedprice")
     val p = Tables.part(spark, d).select("p_partkey", "p_brand")
-    val stats = l.groupBy(col("l_partkey").as("s_partkey"))
-      .agg(sum(cents(col("l_quantity"))).as("sq"), count(lit(1)).as("cq"))
+    val stats = memoSide(spark, d, "qcorr_perpart_packed") {
+      l.groupBy(col("l_partkey").as("s_partkey"))
+        .agg((sum(cents(col("l_quantity"))) * lit(1L << 20) + count(lit(1))).as("packed"))
+    }
     l.join(stats, l("l_partkey") === stats("s_partkey"))
-      .filter(cents(col("l_quantity")) * col("cq") * lit(5L) < col("sq"))
+      .filter(cents(col("l_quantity")) * col("packed").bitwiseAND(lit((1L << 20) - 1)) * lit(5L) <
+        shiftright(col("packed"), 20))
       .join(p, l("l_partkey") === p("p_partkey"))
       .groupBy("p_brand")
       .agg((sum(cents(col("l_extendedprice"))) / 100.0).as("low_qty_revenue"),
@@ -2657,13 +2670,22 @@ object Analytics {
           "l_partkey not present in part — the join-free total would " +
           "silently diverge from the joined formulation")
     }
-    val tot = l.groupBy("sy", "sm").agg(sum(col("rev")).as("tr"))
-    val promoKeys = Tables.part(spark, d)
-      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
-    val pr = l.join(promoKeys, col("l_partkey") === col("p_partkey"))
-      .groupBy("sy", "sm").agg(sum(col("rev")).as("pr0"))
-    tot.join(pr, Seq("sy", "sm"), "left")
-      .withColumn("pr", coalesce(col("pr0"), lit(0L)))
+    // r18: ONE scan with a conditional promo sum instead of two (total
+    // from scan 1, promo slice from scan 2 + an aggregate join). The
+    // PROMO sixth of the key list is memoized so the static planner
+    // broadcast-hashes it (LEFT outer, BuildRight); the fact stream
+    // flows through a single map-side-combinable (year, month) aggregate
+    // carrying both sums. Zero-promo months fall out as exact 0 from the
+    // `otherwise`, matching the old coalesce.
+    val promoKeys = memoSide(spark, d, "promo_partkeys") {
+      Tables.part(spark, d)
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    }
+    val byMonth = l.join(promoKeys, col("l_partkey") === col("p_partkey"), "left")
+      .groupBy("sy", "sm")
+      .agg(sum(col("rev")).as("tr"),
+        sum(when(col("p_partkey").isNotNull, col("rev")).otherwise(lit(0L))).as("pr"))
+    byMonth
       // The share divides the two already-converted doubles (never the raw
       // BIGINT cents-lattice sums times 100): the integer lattice has
       // ~2^63-cents² headroom per month, and an extra ×100 inside it is the
@@ -3053,7 +3075,7 @@ object Analytics {
     val l = Tables.lineitem(spark, d).select(
       col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
       (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c4"),
-      round(col("l_quantity")).cast("long").as("qtyl"))
+      graft.functions.FastRound.roundL(col("l_quantity")).as("qtyl"))
     l.join(p, l("l_partkey") === p("p_partkey"))
       .join(s, l("l_suppkey") === s("s_suppkey"))
       .join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
@@ -3103,7 +3125,7 @@ object Analytics {
       .select(col("p_partkey"), cents(col("p_retailprice")).as("rpc"))
     val g = Tables.lineitem(spark, d)
       .select(col("l_partkey"), col("l_suppkey"),
-        round(col("l_quantity")).cast("long").as("qtyl"))
+        graft.functions.FastRound.roundL(col("l_quantity")).as("qtyl"))
       .join(sup, col("l_suppkey") === sup("s_suppkey"))
       .join(p, col("l_partkey") === p("p_partkey"))
       .groupBy(col("l_partkey"))
@@ -3252,7 +3274,7 @@ object Analytics {
       .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
         col("l_shipdate") < ts("1998-01-01 00:00:00"))
       .select(col("l_partkey"), col("l_suppkey"),
-        round(col("l_quantity")).cast("long").as("qtyl"))
+        graft.functions.FastRound.roundL(col("l_quantity")).as("qtyl"))
       .join(p, col("l_partkey") === p("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("qtyl")).as("q"))

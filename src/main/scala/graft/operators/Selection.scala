@@ -1085,7 +1085,7 @@ object Selection {
   def interpFrom(kIn: DataFrame, idCol: String): DataFrame = {
     val k = kIn
       .select(col(idCol), col("compound"), col("cts"),
-        round(col("value") * 100).cast("long").as("vc"))
+        graft.functions.FastRound.cents(col("value")).as("vc"))
       .withColumn("sec", unix_timestamp(col("cts")))
     val spans = k.groupBy("compound").agg(
       (max(col("sec")) - min(col("sec"))).as("span"), count(lit(1)).as("n"),
@@ -1267,7 +1267,7 @@ object Selection {
   def changepointFrom(kIn: DataFrame, idCol: String): DataFrame = {
     val k0 = kIn
       .select(col("compound"), col(idCol), col("cts"),
-        round(col("value") * 100).cast("long").as("vc"))
+        graft.functions.FastRound.cents(col("value")).as("vc"))
       .withColumn("tu", unix_micros(col("cts")))
     val stats = k0.groupBy("compound").agg(
       count(lit(1)).as("n"), sum(col("vc")).as("sn"),
@@ -1551,7 +1551,7 @@ object Selection {
 
   def dsHistogram2d(spark: SparkSession, d: String): DataFrame = {
     val k = keyed(spark, d).select(col("compound"), col("ms"),
-      round(col("value") * 100).cast("long").as("vc"), col("value"))
+      graft.functions.FastRound.cents(col("value")).as("vc"), col("value"))
     val bounds = k.groupBy("compound").agg(
       min(col("ms")).as("tlo"), max(col("ms")).as("thi"),
       (floor(min(col("value")) / 50) * 50 * 100).cast("long").as("vlo"),
@@ -1609,7 +1609,7 @@ object Selection {
   // aggregate — then windows over the ≤|compounds|×20-row bin table.
   def dsDrift(spark: SparkSession, d: String): DataFrame = {
     val k = keyed(spark, d).select(col("compound"), col("ms"),
-      round(col("value") * 100).cast("long").as("vc"), col("value"))
+      graft.functions.FastRound.cents(col("value")).as("vc"), col("value"))
     val bounds = k.groupBy("compound").agg(
       min(col("ms")).as("tlo"), max(col("ms")).as("thi"),
       (floor(min(col("value")) / 50) * 50 * 100).cast("long").as("vlo"),
@@ -1676,7 +1676,7 @@ object Selection {
     // bounded-stats pin (see the memo scaladoc and outlierMadFrom)
     val k = keyedQc(spark, d)
       .select(col("compound"), col("ms"), col("event_id"),
-        round(col("value") * 100).cast("long").as("vc"))
+        graft.functions.FastRound.cents(col("value")).as("vc"))
     val spans = k.groupBy("compound").agg(
       min(col("ms")).as("tmin"), max(col("ms")).as("tmax"))
     val rows = k.join(broadcast(spans), Seq("compound"))
@@ -1730,7 +1730,7 @@ object Selection {
     val w = Window.partitionBy("compound")
     keyed(spark, d)
       .groupBy(col("compound"), hour(col("cts")).as("hod"))
-      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sc"))
+      .agg(count(lit(1)).as("n"), sum(graft.functions.FastRound.cents(col("value"))).as("sc"))
       .withColumn("tn", sum(col("n")).over(w))
       .withColumn("ts_", sum(col("sc")).over(w))
       .select(col("compound"), col("hod"), col("n"),
@@ -1765,7 +1765,7 @@ object Selection {
   // combinable groupBy over ≤|compounds|·9 keys + a share division of
   // identical exact integers over the report table.
   def dsBenford(spark: SparkSession, d: String): DataFrame = {
-    val ac = abs(round(col("value") * 100).cast("long"))
+    val ac = abs(graft.functions.FastRound.cents(col("value")))
     keyed(spark, d)
       .select(col("compound"), ac.as("ac"))
       .filter(col("ac") > 0)
@@ -1802,7 +1802,7 @@ object Selection {
   def dsCrosscorr(spark: SparkSession, d: String): DataFrame = {
     val grid = keyed(spark, d)
       .groupBy(col("compound"), date_trunc("hour", col("cts")).as("hr"))
-      .agg(sum(round(col("value") * 100).cast("long")).as("s"))
+      .agg(sum(graft.functions.FastRound.cents(col("value"))).as("s"))
     val a = grid.select(col("compound").as("c1"), col("hr"), col("s").as("x"))
     val b = grid.select(col("compound").as("c2"), col("hr").as("hr2"), col("s").as("y"))
     a.join(b, col("hr") === col("hr2") && col("c1") < col("c2"))
@@ -1868,7 +1868,7 @@ object Selection {
     // serialization ds_cusum's fix removed, eliminated here instead of
     // decomposed because the aggregates never needed row identity at all.
     val hist = keyed(spark, d)
-      .select(col("compound"), round(col("value") * 100).cast("long").as("vc"))
+      .select(col("compound"), graft.functions.FastRound.cents(col("value")).as("vc"))
       .groupBy("compound", "vc").agg(count(lit(1)).as("cnt"))
     val cw = Window.partitionBy("compound").orderBy("vc")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2047,7 +2047,7 @@ object Selection {
 
   def dsFlatlineFrom(k: DataFrame): DataFrame = {
     val k0 = k.select(col("compound"), col("ms"), col("event_id"),
-      round(col("value") * 100).cast("long").as("vc"))
+      graft.functions.FastRound.cents(col("value")).as("vc"))
     val spans = k0.groupBy("compound").agg(
       min(col("ms")).as("tmin"), max(col("ms")).as("tmax"))
     // broadcast(spans): |compounds|-row aggregate — see outlierMadFrom
@@ -2225,7 +2225,7 @@ object Selection {
     * `k` needs (compound, value). */
   def resolutionFrom(k: DataFrame): DataFrame = {
     val base = k
-      .select(col("compound"), round(col("value") * 100).cast("long").as("vc"))
+      .select(col("compound"), graft.functions.FastRound.cents(col("value")).as("vc"))
     val per = base.groupBy("compound").agg(
       count(lit(1)).as("n"),
       sum(when(col("vc") % 10 === 0, 1L).otherwise(0L)).as("n_tenth"))
@@ -2348,7 +2348,7 @@ object Selection {
   private def latticeOf(kIn: DataFrame): DataFrame = {
     val k0 = kIn
       .select(col("event_id"), col("compound"), col("cts"),
-        round(col("value") * 100).cast("long").as("vc"))
+        graft.functions.FastRound.cents(col("value")).as("vc"))
       .withColumn("tu", unix_micros(col("cts")))
     val stats = k0.groupBy("compound").agg(
       count(lit(1)).as("n"), sum(col("vc")).as("sv"),

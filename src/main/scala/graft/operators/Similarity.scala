@@ -1134,7 +1134,7 @@ object Similarity {
   def embedKmeansStep(spark: SparkSession, d: String): DataFrame = {
     val e = vectors(spark, d)
     val qcols = (0 until Dim).map(i =>
-      round(element_at(col("v"), i + 1) * KmQ).cast("long").as(s"q$i"))
+      graft.functions.FastRound.roundL(element_at(col("v"), i + 1), KmQ).as(s"q$i"))
     val assigned = e
       .select(col("v"), bestCentroid(seedCentroids(spark, d)).as("b"))
       .select((-col("b.ncid")).cast("long").as("cid") +: qcols: _*)
@@ -1259,8 +1259,8 @@ object Similarity {
     val e = vectors(spark, d)
     val dotE = expr(s"aggregate(v, 0D, (a, x) -> a + x * $PowSeed)")
     val qcols = (0 until Dim).map(i =>
-      round(element_at(col("v"), i + 1) * PowQ).cast("long").as(s"q$i"))
-    val rows = e.select(round(dotE * PowQ).cast("long").as("qd") +: qcols: _*)
+      graft.functions.FastRound.roundL(element_at(col("v"), i + 1), PowQ).as(s"q$i"))
+    val rows = e.select(graft.functions.FastRound.roundL(dotE, PowQ).as("qd") +: qcols: _*)
     val sums = rows.agg(
       sum(col("qd") * col("q0")).as("s0"),
       (1 until Dim).map(i => sum(col("qd") * col(s"q$i")).as(s"s$i")): _*)
@@ -1440,7 +1440,7 @@ object Similarity {
   def embedDimStats(spark: SparkSession, d: String): DataFrame = {
     val e = vectors(spark, d)
     val qcols = (0 until Dim).map(i =>
-      round(element_at(col("v"), i + 1) * KmQ).cast("long").as(s"q$i"))
+      graft.functions.FastRound.roundL(element_at(col("v"), i + 1), KmQ).as(s"q$i"))
     val rows = e.select(qcols: _*)
     val aggs = (0 until Dim).flatMap(i => Seq(
       sum(col(s"q$i")).as(s"s$i"), min(col(s"q$i")).as(s"lo$i"),
@@ -1495,7 +1495,7 @@ object Similarity {
   def embedSourceDivergence(spark: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(spark, d).select(
       col("label").cast("long").as("label"),
-      expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $KmQ) AS BIGINT))").as("q"))
+      expr(s"transform(embedding, x -> ${graft.functions.FastRound.roundLSql("CAST(x AS DOUBLE)", s"$KmQ")})").as("q"))
     val dims = e.select(col("label"), posexplode(col("q")).as(Seq("i", "qi")))
     val means = dims.groupBy(col("label"), col("i"))
       .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
@@ -1875,7 +1875,7 @@ object Similarity {
     val q = emb
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(expr(
-      s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $GramQ) AS BIGINT))").as("q"))
+      s"transform(embedding, x -> ${graft.functions.FastRound.roundLSql("CAST(x AS DOUBLE)", s"$GramQ")})").as("q"))
     val sumP =
       if (decimalSums) sum(col("p").cast("decimal(38,0)")) else sum(col("p"))
     val agg = q

@@ -820,12 +820,18 @@ object Sketches {
   // a sample or never, same stance as dedup_recall's truth join.
   def sketchJaccardCalib(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(spark, d)
-    val users = ev.select(col("event_type"),
-      concat_ws(":", col("user_id").cast("string"),
-        date_format(col("ts"), "yyyy-MM-dd")).as("user_id")).distinct()
+    // r18: the truth sets key on (user_id, day) as INTEGERS — the old
+    // `uid:day` concat built 10M strings only to hash/compare them in
+    // the distinct and the self-join; (user_id, day) is the same
+    // identity (cast-int:date is injective) at a fraction of the
+    // exchange payload and with primitive-key hash joins throughout.
+    // The self-join equijoins on BOTH columns; counts are unchanged.
+    val users = ev.select(col("event_type"), col("user_id"),
+      to_date(col("ts")).as("day")).distinct()
     val usizes = users.groupBy("event_type").agg(count(lit(1)).as("mu"))
     val uinter = users.as("a").join(users.as("b"),
-        col("a.user_id") === col("b.user_id") && col("a.event_type") < col("b.event_type"))
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
       .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
       .agg(count(lit(1)).as("nu"))
     jaccardEst(ev)
@@ -879,7 +885,7 @@ object Sketches {
     def rank(p: Int) = expr(s"(n * $p + 99) div 100")
     val c = Tables.lineitem(spark, d)
       .select(col("l_returnflag"),
-        round(col("l_extendedprice") * 100).cast("long").as("c"))
+        graft.functions.FastRound.cents(col("l_extendedprice")).as("c"))
       .withColumn("e", (length(expr("bin(c)")) - 1).cast("long"))
       .withColumn("sub",
         when(col("e") >= 2, expr("c div shiftleft(CAST(1 AS BIGINT), CAST(e - 2 AS INT)) - 4"))

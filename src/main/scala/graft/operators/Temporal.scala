@@ -156,7 +156,7 @@ object Temporal {
     // stream 0 values: event times (count + cents-sum weights)
     // stream 1 values: first-in-window lower bounds lo (count weight only)
     val tVals = e.select(lit(0).as("strm"), col("t").as("x"), lit(0).as("isq"),
-      lit(1L).as("c"), round(col("value") * 100).cast("long").as("s"),
+      lit(1L).as("c"), graft.functions.FastRound.cents(col("value")).as("s"),
       lit(null).cast("long").as("a_id"), lit(null).cast("string").as("pt"))
     // NULL user_ids contribute NOTHING to count(DISTINCT user_id) in the
     // oracle, but lag over partitionBy(user_id) would group all NULLs into

@@ -339,7 +339,7 @@ object EventStream {
     val W = org.apache.spark.sql.expressions.Window
     val k0 = Tables.events(spark, d)
       .select(col("event_type"), col("event_id"), col("ts"),
-        round(col("value") * 100).cast("long").as("vc"))
+        graft.functions.FastRound.cents(col("value")).as("vc"))
       .withColumn("tu", unix_micros(col("ts")))
     val spans = k0.groupBy("event_type").agg(
       min(col("tu")).as("tmin"), max(col("tu")).as("tmax"))
@@ -459,8 +459,8 @@ object EventStream {
     events
       .select(col("event_type"), window(col("ts"), "1 hour").as("w"),
         struct(col("ts"), col("event_id"),
-          round(col("value") * 100).cast("long").as("vc")).as("r"),
-        round(col("value") * 100).cast("long").as("vc"))
+          graft.functions.FastRound.cents(col("value")).as("vc")).as("r"),
+        graft.functions.FastRound.cents(col("value")).as("vc"))
       .groupBy("event_type", "w")
       .agg(min(col("r")).as("o"), max(col("r")).as("c"),
         (max(col("vc")) / 100.0).as("high"), (min(col("vc")) / 100.0).as("low"),

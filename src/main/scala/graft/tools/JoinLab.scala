@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
@@ -245,13 +246,62 @@ object JoinLab {
           (sum(col("price_c")) / 100.0).as("small_revenue"))
         .orderBy("p_brand")
     }
+    // sketch_jaccard_calib truth-join shapes: string concat key (pre-r18)
+    // vs (user_id, day) integer keys vs overlap-style set explode
+    def calibStr(d: String): DataFrame = {
+      val ev = Tables.events(spark, d)
+      val users = ev.select(col("event_type"),
+        concat_ws(":", col("user_id").cast("string"),
+          date_format(col("ts"), "yyyy-MM-dd")).as("user_id")).distinct()
+      val usizes = users.groupBy("event_type").agg(count(lit(1)).as("mu"))
+      val uinter = users.as("a").join(users.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("nu"))
+      uinter.join(usizes.select(col("event_type").as("t1"), col("mu").as("mu1")), Seq("t1"))
+        .join(usizes.select(col("event_type").as("t2"), col("mu").as("mu2")), Seq("t2"))
+        .orderBy("t1", "t2")
+    }
+    def calibInt(d: String): DataFrame = {
+      val ev = Tables.events(spark, d)
+      val users = ev.select(col("event_type"), col("user_id"),
+        to_date(col("ts")).as("day")).distinct()
+      val usizes = users.groupBy("event_type").agg(count(lit(1)).as("mu"))
+      val uinter = users.as("a").join(users.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("nu"))
+      uinter.join(usizes.select(col("event_type").as("t1"), col("mu").as("mu1")), Seq("t1"))
+        .join(usizes.select(col("event_type").as("t2"), col("mu").as("mu2")), Seq("t2"))
+        .orderBy("t1", "t2")
+    }
+    // overlap-matrix lowering: ONE (user_id, day) exchange, set explode
+    // with the diagonal as the per-type total
+    def calibSet(d: String): DataFrame = {
+      val ud = Tables.events(spark, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy("user_id", "day")
+        .agg(sort_array(collect_set("event_type")).as("types"))
+      val cells = ud.select(explode(expr(
+          "flatten(transform(types, (a, i) -> " +
+            "transform(slice(types, i + 1, size(types) - i), b -> struct(a AS ta, b AS tb))))")).as("p"))
+        .groupBy(col("p.ta").as("t1"), col("p.tb").as("t2"))
+        .agg(count(lit(1)).as("nu"))
+      val diag = when(col("t1") === col("t2"), col("nu"))
+      cells
+        .withColumn("mu1", max(diag).over(Window.partitionBy("t1")))
+        .withColumn("mu2", max(diag).over(Window.partitionBy("t2")))
+        .filter(col("t1") < col("t2"))
+        .orderBy("t1", "t2")
+    }
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "A_q17_orig" -> (() => graft.SparkEntry.queries("q17_small_qty_revenue")(spark, sfDir)),
-      "B_q17_shj" -> (() => q17Shj(sfDir)),
-      "C_q17_bcast" -> (() => q17Packed(sfDir, pin = true)),
-      "D_q17_packlazy" -> (() => q17Packed(sfDir, pin = false)),
-      "A2_q17_orig" -> (() => graft.SparkEntry.queries("q17_small_qty_revenue")(spark, sfDir)),
-      "C2_q17_bcast" -> (() => q17Packed(sfDir, pin = true))
+      "A_calib_str" -> (() => calibStr(sfDir)),
+      "B_calib_int" -> (() => calibInt(sfDir)),
+      "C_calib_set" -> (() => calibSet(sfDir)),
+      "A2_calib_str" -> (() => calibStr(sfDir)),
+      "B2_calib_int" -> (() => calibInt(sfDir)),
+      "C2_calib_set" -> (() => calibSet(sfDir))
     )
     for ((name, mk) <- variants) {
       var bestT = Double.MaxValue
