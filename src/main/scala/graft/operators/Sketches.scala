@@ -223,11 +223,20 @@ object Sketches {
     val ev = Tables.events(spark, d)
     // md5 hoisted to its own projection before the explode (the cmsCells
     // note: a generator re-evaluates its array argument per element)
+    // r18: a generator re-evaluates its array argument PER ELEMENT (the
+    // r17 md5-hoist lesson, finished): with conv(substring(h,...)) inside
+    // the explode the 4-entry array cost 16 string parses per row. The
+    // first 12 hex chars now parse ONCE into a 48-bit long in their own
+    // projection, and the explode emits shift/mask slices — the re-
+    // evaluated-per-element exprs are two integer ops. Position values
+    // are bit-identical (digits [3j+1,3j+3] == (hb >> 12·(3−j)) & 0xFFF).
     val bits = ev
       .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
       .select(col("event_type"),
+        conv(substring(col("h"), 1, 3 * BloomK), 16, 10).cast("long").as("hb"))
+      .select(col("event_type"),
         explode(array((0 until BloomK).map(j =>
-          conv(substring(col("h"), 3 * j + 1, 3), 16, 10).cast("long")): _*)).as("pos"))
+          shiftright(col("hb"), 12 * (BloomK - 1 - j)).bitwiseAND(lit(0xFFFL))): _*)).as("pos"))
       .distinct()
     val types = ev.select("event_type").distinct()
     // one-row corpus max → 20-probe band straddling the membership boundary
