@@ -1781,8 +1781,14 @@ object Analytics {
   private val ExistsLagDays = 60
 
   def qExistsSubquery(spark: SparkSession, d: String): DataFrame = {
+    // r18 (the q12 race, same class): both sides are |orders|-sized, so
+    // the planner's SMJ sorted 15M + 15M rows; shuffle_hash keeps the
+    // same exchanges sort-free, with the 2-col aggregate as build side.
+    // The aggregate's own exchange already satisfies the join
+    // distribution on the key, so only orders re-partitions.
     val lmax = Tables.lineitem(spark, d)
       .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("max_ship"))
+      .hint("shuffle_hash")
     Tables.orders(spark, d)
       .join(lmax, col("o_orderkey") === col("l_orderkey"))
       .where(col("max_ship") > col("o_orderdate") + expr(s"INTERVAL $ExistsLagDays DAY"))
@@ -3162,17 +3168,29 @@ object Analytics {
   // the conditional counts are fully map-side-combinable onto ≤3 keys.
   // Pure BIGINT counts — no division at all.
   def q12LatePriority(spark: SparkSession, d: String): DataFrame = {
+    // r18 (JoinLab race): both sides are fact-sized, so the planner's SMJ
+    // sorted 17M + 15M rows just to meet on an integer key — pinning
+    // shuffle_hash (build = orders, the smaller side) runs the identical
+    // exchanges without either sort: 10.4 → 4.0 s in-lab, 2.4 → 1.1 s
+    // QueryTime. The priority predicate also collapses to a pre-exchange
+    // boolean so the orders payload ships 1 bit instead of the string.
+    // At 100 TB both sides still hash-partition on the natural key; the
+    // per-partition orders build is |orders|/shuffle-partitions rows —
+    // AQE splits skewed partitions, and the bucket-at-ingest layout
+    // (BucketJoinSpec) removes even these exchanges when the deployment
+    // owns the table layout.
     val l = Tables.lineitem(spark, d)
       .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
         col("l_shipdate") < ts("1998-01-01 00:00:00"))
       .select("l_orderkey", "l_returnflag", "l_shipdate")
-    val o = Tables.orders(spark, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
-    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val o = Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderdate"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("hi"))
+      .hint("shuffle_hash")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .groupBy(col("l_returnflag"))
-      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
-        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .agg(sum(when(col("hi"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("hi"), 0L).otherwise(1L)).as("low_line_count"))
       .orderBy("l_returnflag")
   }
 

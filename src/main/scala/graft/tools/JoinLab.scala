@@ -295,13 +295,30 @@ object JoinLab {
         .filter(col("t1") < col("t2"))
         .orderBy("t1", "t2")
     }
+    // q12 shapes: payload-trimmed orders side (hi computed pre-exchange)
+    // and shuffle_hash vs the planner's SMJ
+    def q12Trim(d: String, shj: Boolean): DataFrame = {
+      val l = Tables.lineitem(spark, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+      var o = Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("hi"))
+      if (shj) o = o.hint("shuffle_hash")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("hi"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("hi"), 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "A_calib_str" -> (() => calibStr(sfDir)),
-      "B_calib_int" -> (() => calibInt(sfDir)),
-      "C_calib_set" -> (() => calibSet(sfDir)),
-      "A2_calib_str" -> (() => calibStr(sfDir)),
-      "B2_calib_int" -> (() => calibInt(sfDir)),
-      "C2_calib_set" -> (() => calibSet(sfDir))
+      "A_q12_orig" -> (() => graft.SparkEntry.queries("q12_late_priority")(spark, sfDir)),
+      "B_q12_trim" -> (() => q12Trim(sfDir, shj = false)),
+      "C_q12_trim_shj" -> (() => q12Trim(sfDir, shj = true)),
+      "A2_q12_orig" -> (() => graft.SparkEntry.queries("q12_late_priority")(spark, sfDir)),
+      "B2_q12_trim" -> (() => q12Trim(sfDir, shj = false)),
+      "C2_q12_trim_shj" -> (() => q12Trim(sfDir, shj = true))
     )
     for ((name, mk) <- variants) {
       var bestT = Double.MaxValue
