@@ -332,11 +332,37 @@ object Analytics {
     * build; releaseCaches() is the service boundary. */
   def eventsByUser(spark: SparkSession, d: String): DataFrame =
     memoSide(spark, d, "events_by_user") {
-      Tables.events(spark, d)
+      val slim = Tables.events(spark, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
           cents(col("value")).as("value_c"))
-        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
-          col("user_id"))
+      // Scale-adaptive memo partitioning (guide §2.2/§2.5, r18): a fixed
+      // N = shuffle.partitions pinned 32 partitions onto a 2 MB corpus at
+      // sf0.1 — the per-partition task/columnar-batch constant across every
+      // consumer stage cost more than the exchange the memo removes
+      // (q_attribution 0.46→0.91 s isolated). Derive N from the SLIM
+      // projection's plan stats (file bytes × column-prune ratio) at the
+      // AQE advisory partition size, capped at shuffle.partitions — the
+      // same sizing AQE would coalesce a shuffle to, except a persisted
+      // memo has no AQE boundary so it must be sized at build time. At
+      // sf10 (~1 GB slim) this lands back at the cap; at 100 TB the cap is
+      // the deployment's shuffle.partitions, as before.
+      // Sizing law (measured, sf0.1/sf1 A/B): the memo partition count sets
+      // the COMPUTE parallelism of every consumer's first stage (a cached
+      // relation has no AQE boundary and no parquet row-group splits), while
+      // each extra partition costs only a ~2-3 ms task/batch constant per
+      // consumer stage. So partitions stay small (~1 MB of scan-stat bytes)
+      // until the shuffle.partitions cap: sf0.1 (2 MB) → 2, sf1 (20 MB) →
+      // 20, sf10+ → cap, where the fixed-N behaviour this replaces was
+      // measured correct. Fixed N=cap at sf0.1 cost +1.3 s across the three
+      // consumers; bytes/64MB (N=1-2) cost +1.6 s at sf1 from the lost scan
+      // parallelism.
+      val perPart = 1L << 20
+      val bytes = slim.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+      val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val n = math.max(1, math.min(cap.toLong,
+        (bytes + perPart - 1) / perPart).toInt)
+      slim.repartition(n, col("user_id"))
     }
 
   /** Pre-materialize the shared per-user events memo (Bench warm
@@ -1998,7 +2024,17 @@ object Analytics {
 
   def qMultiExists(spark: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderdate"))
+    // r18 one-exchange lowering (guide §2.4): the natural groupBy(ok, sk)
+    // hashes the fact side on BOTH keys, then the orders join re-hashes its
+    // output on ok — two corpus exchanges for one pass, and the (ok, sk)
+    // partial aggregation collapses almost nothing (TPC-H lineitem has
+    // ~1 line per (order, supplier)). Hashing on ok ALONE up front satisfies
+    // every downstream clustering — groupBy(ok, sk) (subset rule), the
+    // orders join, and the per-order aggregate — so the fact side crosses
+    // the wire exactly once.
     val perOs = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("l_shipdate")).as("max_ship"))
       .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))

@@ -721,17 +721,28 @@ object Sketches {
     "md5(CAST(user_id AS VARCHAR) || ':' || strftime(CAST(ts AS DATE), '%Y-%m-%d'))"
 
   def sketchTheta(spark: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(spark, d)
-    val retained = ev.select(col("event_type"), userDayHash.as("h"))
-      .where(substring(col("h"), 1, 1) === "0")
+    // r18 single-pass lowering (guide §2.3/§2.4): the two-branch form paid
+    // two full scans (md5 over every RAW row on one, countDistinct's
+    // two-level expansion on the other) plus two corpus-keyed exchanges.
+    // Both outputs are functions of the DISTINCT (type, user, day) set —
+    // exact = its size, retained = members whose md5 lands in the kept
+    // nibble (h is a pure function of (user, day), so distinct triples map
+    // 1:1 to the old distinct (type, h) pairs) — so ONE distinct feeds both
+    // as a conditional count, md5 runs on distinct survivors only, and the
+    // fact scan is paid once. isNotNull mirrors countDistinct's null-skip.
+    val dd = Tables.events(spark, d)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-      .groupBy("event_type").agg(count(lit(1)).as("n_retained"))
-    val exact = ev.groupBy("event_type")
-      .agg(countDistinct(col("user_id"), to_date(col("ts"))).as("exact_distinct"))
-    exact.join(retained, Seq("event_type"), "left")
-      .select(col("event_type"),
-        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
-        (coalesce(col("n_retained"), lit(0L)) * ThetaInv).as("est_distinct"),
+    dd.select(col("event_type"),
+        md5(concat_ws(":", col("user_id").cast("string"),
+          date_format(col("day"), "yyyy-MM-dd"))).as("h"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("exact_distinct"),
+        sum(when(substring(col("h"), 1, 1) === "0", 1L).otherwise(0L))
+          .as("n_retained"))
+      .select(col("event_type"), col("n_retained"),
+        (col("n_retained") * ThetaInv).as("est_distinct"),
         col("exact_distinct"))
       .orderBy("event_type")
   }
