@@ -291,7 +291,58 @@ object Analytics {
   private val sideCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Sum of the build plan's LEAF relation stat bytes (parquet file bytes ×
+    * column-prune ratio — the same measured quantity the eventsByUser sizing
+    * law reads). This is what the memo's cost AND its payoff both scale
+    * with: the persist's build job re-scans exactly these leaves, and the
+    * fact exchange the accurate stats remove is bounded by them. Join/agg
+    * OUTPUT stats are useless here — without CBO column stats Catalyst
+    * multiplies join children, so a 2 MB o⋈c side "estimates" at hundreds
+    * of GB at any SF. */
+  private def leafStatBytes(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong)
+      .foldLeft(0L)((a, b) => if (a + b < 0) Long.MaxValue else a + b)
+
+  /** r19 (r18 verdict #2): below this many leaf bytes the memo choreography
+    * (persist registration + materializing count() job + per-consumer
+    * InMemoryTableScan) costs more than the exchange it removes — measured
+    * at sf0.1 (11 MB lineitem): q8 0.76×, q3 0.89×, q17 ~0.75× vs the lazy
+    * r17 shapes. Below the gate the LAZY side is returned: at that scale
+    * the static planner's file-size estimates are themselves under the
+    * 64 MB broadcast threshold, so the plan keeps the broadcast-hash shape
+    * without paying the persist. Above it (sf1's 176 MB lineitem, sf10,
+    * any production corpus) the persist is the mechanism that earns the
+    * static BHJ — unchanged. Deployment knob, bytes. */
+  private def memoSideMinBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.memoSide.minLeafBytes")
+      .map(_.toLong).getOrElse(16L * 1024 * 1024)
+
   private def memoSide(spark: SparkSession, d: String, tag: String)
+      (build: => DataFrame): DataFrame = {
+    val lazySide = build
+    if (leafStatBytes(lazySide) < memoSideMinBytes(spark)) return lazySide
+    memoSideAlways(spark, d, tag)(lazySide)
+  }
+
+  /** r19 (r18 verdict #5): conditional SHUFFLE_HASH pin. The r18 pins on
+    * the q12/q_exists fact-fact joins removed the SMJ sorts at sf10
+    * (JoinLab 10.4→4.0 s) but were UNCONDITIONAL — a join-strategy hint
+    * outranks size-based planning, so at small SF they traded a natural
+    * broadcast-hash away for two exchanges (the sf0.01 plan dumps show
+    * BHJ→SHJ). Pin only while the side's optimized-plan estimate exceeds
+    * the session broadcast threshold: below it the planner broadcasts
+    * statically (no exchange at all — strictly better than SHJ); above it
+    * the pin keeps the exchanges sort-free exactly as in r18. The estimate
+    * here is scan-derived (projection of a parquet scan / aggregate of
+    * one), the one case file-size stats are trustworthy for. */
+  private def shuffleHashWhenBig(df: DataFrame): DataFrame = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (thr >= 0 && est <= BigInt(thr)) df else df.hint("shuffle_hash")
+  }
+
+  private def memoSideAlways(spark: SparkSession, d: String, tag: String)
       (build: => DataFrame): DataFrame = {
     // lock covers only map update + persist REGISTRATION (no jobs):
     // Verify drives queries from parallel futures, and holding the lock
@@ -331,7 +382,13 @@ object Analytics {
     * advertises the repartition. Warmed by Bench/QueryTime as a family
     * build; releaseCaches() is the service boundary. */
   def eventsByUser(spark: SparkSession, d: String): DataFrame =
-    memoSide(spark, d, "events_by_user") {
+    // memoSideAlways, not the size-gated memoSide: consumers reference this
+    // frame SEVERAL times inside one plan (attribution reads it 3×), so an
+    // unpersisted memo would re-scan per reference; and the family-build
+    // contract (warmFamilyCaches / family_build_s) bills the build outside
+    // per-query timers, so the r18 sizing law (2 partitions at sf0.1)
+    // already bounds its small-SF cost.
+    memoSideAlways(spark, d, "events_by_user") {
       val slim = Tables.events(spark, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
           cents(col("value")).as("value_c"))
@@ -1812,9 +1869,8 @@ object Analytics {
     // same exchanges sort-free, with the 2-col aggregate as build side.
     // The aggregate's own exchange already satisfies the join
     // distribution on the key, so only orders re-partitions.
-    val lmax = Tables.lineitem(spark, d)
-      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("max_ship"))
-      .hint("shuffle_hash")
+    val lmax = shuffleHashWhenBig(Tables.lineitem(spark, d)
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("max_ship")))
     Tables.orders(spark, d)
       .join(lmax, col("o_orderkey") === col("l_orderkey"))
       .where(col("max_ship") > col("o_orderdate") + expr(s"INTERVAL $ExistsLagDays DAY"))
@@ -3219,9 +3275,9 @@ object Analytics {
       .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
         col("l_shipdate") < ts("1998-01-01 00:00:00"))
       .select("l_orderkey", "l_returnflag", "l_shipdate")
-    val o = Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderdate"),
-      col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("hi"))
-      .hint("shuffle_hash")
+    val o = shuffleHashWhenBig(
+      Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("hi")))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .groupBy(col("l_returnflag"))

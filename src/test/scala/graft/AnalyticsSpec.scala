@@ -1098,4 +1098,35 @@ class AnalyticsSpec extends SparkSpec {
       assert(e.getMessage.contains("FK contract violated"))
     } finally spark.conf.set("spark.graft.debug.assertFk", "false")
   }
+
+  test("memoSide gate: lazy below the leaf-byte floor, memoized when forced; " +
+    "SHJ pin yields to broadcast below the threshold") {
+    // r19 (r18 verdict #2/#5): sf0.001 leaves are KBs — far below the
+    // 16 MB default gate — so q17's per-part stats side must stay LAZY
+    // (no persist, no InMemoryTableScan) and q12's probe side must keep
+    // the static broadcast. Forcing the gate to 0 re-enables the memo;
+    // disabling auto-broadcast re-engages the SHUFFLE_HASH pin (the
+    // 100 TB shape the r18 JoinLab race measured).
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    graft.operators.Analytics.releaseCaches()
+    assert(!planOf("q17_small_qty_revenue").contains("InMemoryTableScan"),
+      "q17 side should be lazy below the gate")
+    assert(planOf("q12_late_priority").contains("BroadcastHashJoin"),
+      "q12 should broadcast below the threshold")
+    try {
+      spark.conf.set("spark.graft.memoSide.minLeafBytes", "0")
+      graft.operators.Analytics.releaseCaches()
+      assert(planOf("q17_small_qty_revenue").contains("InMemoryTableScan"),
+        "gate=0 must restore the memoized side")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(planOf("q12_late_priority").contains("ShuffledHashJoin"),
+        "past the threshold the SHJ pin must hold (no SMJ sorts)")
+    } finally {
+      spark.conf.unset("spark.graft.memoSide.minLeafBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (64 * 1024 * 1024).toString)
+      graft.operators.Analytics.releaseCaches()
+    }
+  }
 }
