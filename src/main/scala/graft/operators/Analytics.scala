@@ -422,6 +422,22 @@ object Analytics {
       slim.repartition(n, col("user_id"))
     }
 
+  /** The memo's 5-column events projection, scale-dispatched (r19): BELOW
+    * the memoSide leaf-byte gate a single-consumer per-user window query
+    * is faster reading the raw scan (the InMemoryTableScan constant plus
+    * the sizing law's ~2 memo partitions beat a 2 MB scan's exchange —
+    * QueryTime sf0.1: q_twap 0.36 raw vs 0.48 memo); ABOVE it the memo's
+    * pre-paid user_id exchange dominates (sf10: q_twap 1.06 memo vs 1.68
+    * raw). Multi-reference consumers (attribution reads it 3×) stay on
+    * [[eventsByUser]] unconditionally. */
+  private def eventsSlim(spark: SparkSession, d: String): DataFrame = {
+    val slim = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        cents(col("value")).as("value_c"))
+    if (leafStatBytes(slim) < memoSideMinBytes(spark)) slim
+    else eventsByUser(spark, d)
+  }
+
   /** Pre-materialize the shared per-user events memo (Bench warm
     * contract — the build is a family cost, not billed to whichever
     * consumer runs first). */
@@ -680,7 +696,9 @@ object Analytics {
   private[graft] def sessionsUnordered(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, d)
+    // r19: eventsSlim — memo above the size gate (pre-paid user exchange),
+    // raw scan below it
+    eventsSlim(spark, d)
       .select("user_id", "event_id", "ts")
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_sess",
@@ -1588,7 +1606,8 @@ object Analytics {
   def pipelineSessions(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, d)
+    // r19: eventsSlim — memo above the size gate, raw scan below it
+    eventsSlim(spark, d)
       .select("user_id", "event_id", "ts")
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_sess",
@@ -1829,7 +1848,11 @@ object Analytics {
   // doubles match bit-for-bit.
   def qMarkovTransitions(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(spark, d).select("user_id", "ts", "event_id", "event_type")
+    // r19: ride the eventsByUser memo above the size gate (same family as
+    // q_attribution — r8 family-build contract): the memo is already
+    // hash-partitioned on user_id, so the per-user lag window starts at
+    // the sort — no events scan, no exchange. Below the gate: raw scan.
+    eventsSlim(spark, d).select("user_id", "ts", "event_id", "event_type")
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
@@ -2173,7 +2196,8 @@ object Analytics {
   def qRuns(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val prev = lag(col("event_type"), 1).over(w)
-    val runs = Tables.events(spark, d)
+    // r19: eventsSlim — memo above the size gate, raw scan below it
+    val runs = eventsSlim(spark, d)
       .select("user_id", "ts", "event_id", "event_type")
       .withColumn("chg", when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
       .withColumn("run_id",
@@ -3490,7 +3514,8 @@ object Analytics {
   def qSessionPaths(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = Tables.events(spark, d)
+    // r19: eventsSlim — memo above the size gate, raw scan below it
+    val sess = eventsSlim(spark, d)
       .select("user_id", "event_id", "ts", "event_type")
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_sess",
@@ -3552,9 +3577,13 @@ object Analytics {
   // no global state, output = per-user report rows.
   def qTwap(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(spark, d)
+    // r19: ride the eventsByUser memo above the size gate (value_c IS
+    // cents(value) — the memo's projection): partitioned on user_id
+    // already, so the lead window needs no exchange and events is not
+    // re-scanned. Below the gate: raw scan (see eventsSlim).
+    eventsSlim(spark, d)
       .select(col("user_id"), col("event_id"), col("ts"),
-        cents(col("value")).as("vc"))
+        col("value_c").as("vc"))
       .withColumn("dur", lead(col("ts"), 1).over(w).cast("long") - col("ts").cast("long"))
       .filter(col("dur").isNotNull)
       .groupBy("user_id")
