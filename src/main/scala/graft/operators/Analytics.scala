@@ -927,10 +927,20 @@ object Analytics {
       .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"),
         (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c4"))
-    val o = Tables.orders(spark, d)
-      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
-        col("o_orderdate") < ts("1996-07-01 00:00:00"))
-      .select(col("o_orderkey"), col("o_custkey"))
+    // r19 (the q5/q8 memoSide shape): the 6-month order window is ~7% of
+    // orders, 2 narrow columns — memoized, the static planner sees its
+    // TRUE size and broadcast-hashes it, so the R-lineitem probe side
+    // never exchanges for the join (PhaseTime sf10: exec 3.98 s, the
+    // fact-fact orderkey exchange pair dominated). Below the leaf gate
+    // (sf0.1) the lazy side broadcasts off file stats anyway; past the
+    // 64 MB threshold at ~100× this window the memo degrades to the
+    // shuffle join it replaced.
+    val o = memoSide(spark, d, "q10_window_orders") {
+      Tables.orders(spark, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1996-07-01 00:00:00"))
+        .select(col("o_orderkey"), col("o_custkey"))
+    }
     val per = l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("custkey"))
       .agg(sum(col("rev_c4")).as("revenue_c4"))
