@@ -298,11 +298,8 @@ object Analytics {
     * fact exchange the accurate stats remove is bounded by them. Join/agg
     * OUTPUT stats are useless here — without CBO column stats Catalyst
     * multiplies join children, so a 2 MB o⋈c side "estimates" at hundreds
-    * of GB at any SF. */
-  private def leafStatBytes(df: DataFrame): Long =
-    df.queryExecution.optimizedPlan.collectLeaves()
-      .map(_.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong)
-      .foldLeft(0L)((a, b) => if (a + b < 0) Long.MaxValue else a + b)
+    * of GB at any SF. (Shared impl: [[PlanStats]].) */
+  private def leafStatBytes(df: DataFrame): Long = PlanStats.leafStatBytes(df)
 
   /** r19 (r18 verdict #2): below this many leaf bytes the memo choreography
     * (persist registration + materializing count() job + per-consumer
@@ -315,8 +312,7 @@ object Analytics {
     * any production corpus) the persist is the mechanism that earns the
     * static BHJ — unchanged. Deployment knob, bytes. */
   private def memoSideMinBytes(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.memoSide.minLeafBytes")
-      .map(_.toLong).getOrElse(16L * 1024 * 1024)
+    PlanStats.minLeafBytes(spark)
 
   private def memoSide(spark: SparkSession, d: String, tag: String)
       (build: => DataFrame): DataFrame = {

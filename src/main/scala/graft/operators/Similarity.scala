@@ -637,7 +637,36 @@ object Similarity {
   // reproducible — at scale this runs on a sampled query set while the
   // index serves the rest.
   def annRecall(spark: SparkSession, d: String): DataFrame = {
-    val exact = annBruteforce(spark, d).select(col("qid"), col("vec_id"))
+    // r19 (guide §2.3 — don't compute things twice): the exact baseline is
+    // the semi-join build side of all FIVE method branches, and an
+    // unpersisted subtree re-runs the full bruteforce (corpus × queries
+    // cosine top-k) once per branch — QueryTime sf10 measured 10.9 s, ~5×
+    // one bruteforce pass. Persist + count materializes it ONCE; the
+    // relation is NumQueries×K rows (report-sized at any SF — the query
+    // set is static), and the pass-boundary clearCache is the release.
+    // Size-gated like memoSide: below the leaf floor the five redundant
+    // bruteforces run CONCURRENTLY across idle cores and beat the
+    // serialized persist (sf0.1: 2.60 lazy vs 3.14 persisted).
+    val exactLazy = annBruteforce(spark, d).select(col("qid"), col("vec_id"))
+    val gatePersist = PlanStats.leafStatBytes(exactLazy) >= PlanStats.minLeafBytes(spark)
+    def once(df: DataFrame): DataFrame = if (!gatePersist) df else df.persist()
+    val exact = once(exactLazy)
+    // The PQ ranking feeds BOTH the pq branch (rank ≤ K) and the refine
+    // shortlist (rank ≤ RefineM ≥ K — same window, deeper cut), so one
+    // shared ranking replaces two full PQ pipelines (encode + corpus ×
+    // queries ADC scoring). Report-sized: NumQueries × RefineM rows.
+    val pqTop = once(pqRanked(spark, d, RefineM).select("qid", "vec_id", "rank"))
+    if (gatePersist) {
+      // materialize the two memos CONCURRENTLY (guide §2.6 — overlap
+      // independent jobs): bruteforce and the PQ pipeline are independent
+      // full-corpus passes; serialized counts cost their SUM on the wall,
+      // overlapped they cost the max.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(exact, pqTop).map(p =>
+        Future(p.count()))), Duration.Inf)
+    }
     // Every query appears in the report even when the index returned NOTHING
     // that overlaps the exact top-k — recall-0 queries are the exact ones an
     // ANN evaluation exists to surface, and a groupBy over the hit rows
@@ -656,8 +685,9 @@ object Similarity {
     recallOf(annLsh(spark, d), "lsh")
       .unionByName(recallOf(annIvf(spark, d), "ivf"))
       .unionByName(recallOf(annQuantized(spark, d), "quantized"))
-      .unionByName(recallOf(annPq(spark, d), "pq"))
-      .unionByName(recallOf(annRefine(spark, d), "pq_refine"))
+      .unionByName(recallOf(pqTop.filter(col("rank") <= K), "pq"))
+      .unionByName(recallOf(
+        annRefineFrom(spark, d, pqTop.select("qid", "vec_id")), "pq_refine"))
       .orderBy("method", "qid")
   }
 
@@ -979,11 +1009,17 @@ object Similarity {
   // shortlist back to the vector table hashed on vec_id — AQE broadcasts
   // the shortlist from observed size; full vectors are touched only for
   // shortlisted ids (a columnar scan prunes the rest).
-  def annRefine(spark: SparkSession, d: String): DataFrame = {
+  def annRefine(spark: SparkSession, d: String): DataFrame =
+    annRefineFrom(spark, d, pqRanked(spark, d, RefineM).select("qid", "vec_id"))
+
+  /** Exact rerank of a (qid, vec_id) shortlist — annRefine's second stage,
+    * factored out so ann_recall can feed it the SHARED pq ranking instead
+    * of re-running the whole PQ pipeline (r19). */
+  private def annRefineFrom(spark: SparkSession, d: String,
+      shortlist: DataFrame): DataFrame = {
     val e = vectors(spark, d)
     val qs = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val shortlist = pqRanked(spark, d, RefineM).select("qid", "vec_id")
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
     shortlist
       .join(e, Seq("vec_id"))
