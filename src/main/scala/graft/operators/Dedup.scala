@@ -450,10 +450,23 @@ object Dedup {
     require(sampleMod >= 2 && sampleRem >= 0 && sampleRem < sampleMod,
       s"dedup_lsh_tune is an audit-slice job: need 2 <= sampleMod (got $sampleMod), " +
         "0 <= sampleRem < sampleMod — the uncapped geometry sweep must never see a full corpus")
-    val sig = Tables.documents(spark, d)
+    // r19 (guide §2.3 — don't compute things twice): the signature table
+    // fed all four geometry branches as an unpersisted subtree (4 full
+    // minhash passes over the document slice — QueryTime sf10 measured
+    // 28 s standalone), and each config's candidate self-join ran TWICE
+    // (once under count, once under the recall semi-join). Persist sig
+    // above the leaf-byte gate (|slice| rows × 16 ints — corpus-bounded
+    // but narrow), and fold count + recall into ONE pass per config: a
+    // left join against the verified set (unique per (da, db) by
+    // construction, one row per candidate pair) marks hits, a single
+    // aggregate counts both.
+    val sigLazy = Tables.documents(spark, d)
       .filter(col("doc_id") % sampleMod === sampleRem)
       .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
       .filter(col("sig").isNotNull)
+    val sig =
+      if (PlanStats.leafStatBytes(sigLazy) < PlanStats.minLeafBytes(spark)) sigLazy
+      else { val p = sigLazy.persist(); p.count(); p }
     val truePairs = lshShared(spark, d).verified
       .filter(col("da") % sampleMod === sampleRem && col("db") % sampleMod === sampleRem)
       .select("da", "db")
@@ -466,9 +479,9 @@ object Dedup {
           col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(cand.join(truePairs, Seq("da", "db"), "left_semi")
-          .agg(count(lit(1)).as("n_recovered")))
+      cand.join(truePairs.withColumn("hit", lit(1L)), Seq("da", "db"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_recovered"))
         .select(lit(r.toLong).as("rows_per_band"), lit(b.toLong).as("n_bands"),
           col("n_candidates"), col("n_recovered"))
     }.reduce(_ unionAll _)
