@@ -989,6 +989,21 @@ object Selection {
   private def bucketLag1(rows: DataFrame, ordCols: Seq[String],
       lagCols: Seq[String]): DataFrame = {
     val ord = ordCols.map(col)
+    // r19 size dispatch (same gate as memoSide/dsTrend): below the leaf
+    // floor the decomposition's constants — the checkpoint's construction-
+    // time toRdd planning pass, the census window, the handoff join —
+    // cost more than they save, and a plain per-compound window is exact
+    // (li = bucket-local rank degenerates to the global rank when the
+    // whole compound is one bucket; no external consumer reads li).
+    // Above it the bucketed form stays: per-compound corpus windows are
+    // the 100 TB single-task skew hazard this decomposition removes.
+    if (PlanStats.leafStatBytes(rows) < PlanStats.minLeafBytes(rows.sparkSession)) {
+      val w = Window.partitionBy("compound").orderBy(ord: _*)
+      return lagCols.foldLeft(
+        rows.withColumn("li", row_number().over(w))) {
+        (df, c) => df.withColumn(s"prev_$c", lag(col(c), 1).over(w))
+      }
+    }
     val lw = Window.partitionBy("compound", "b").orderBy(ord: _*)
     // Window BEFORE the checkpoint (r17; was checkpoint-then-window): a
     // checkpoint's LogicalRDD does not advertise the repartition's hash
@@ -1941,6 +1956,16 @@ object Selection {
     * but not the median) is pinned on a constructed series. */
   def dsTrendFrom(k: DataFrame): DataFrame = {
     val k0 = k.select(col("compound"), col("ms"), col("event_id"), col("value"))
+    // r19 size dispatch: below the leaf-byte gate the radix-selection
+    // machinery (two bucketed levels, three lazy checkpoints — each one a
+    // construction-time toRdd planning pass) costs ~1.6 s of CONSTANTS at
+    // sf0.1 against a 0.1 s corpus; the plain per-compound window median
+    // is exact there (the discrete median is the VALUE at rank ⌈n/2⌉,
+    // invariant to equal-slope tie order — same argument the radix form
+    // relies on). Above the gate the radix path stays: per-compound
+    // corpus windows are the 100 TB skew hazard it exists to avoid.
+    if (PlanStats.leafStatBytes(k0) < PlanStats.minLeafBytes(k.sparkSession))
+      return dsTrendNaive(k0)
     val spans = k0.groupBy("compound").agg(
       min(col("ms")).as("tmin"), max(col("ms")).as("tmax"))
     // broadcast(spans): |compounds|-row aggregate — see outlierMadFrom
@@ -2002,6 +2027,29 @@ object Selection {
       .withColumn("rn", row_number().over(
         Window.partitionBy("compound").orderBy("slope")).cast("long"))
       .filter(col("rn") === col("rr2"))
+      .select(col("compound"), col("n").as("n_slopes"), col("slope").as("med_slope"))
+      .orderBy("compound")
+  }
+
+  /** Small-corpus exact form: one per-compound lag window for slopes, one
+    * per-compound rank window for the discrete median — the oracle's own
+    * shape. Value-identical to the radix path (value-at-rank is invariant
+    * to equal-slope tie order). */
+  private def dsTrendNaive(k0: DataFrame): DataFrame = {
+    val w = Window.partitionBy("compound").orderBy("ms", "event_id")
+    val slopes = k0
+      .withColumn("pms", lag(col("ms"), 1).over(w))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .filter(col("pms").isNotNull && col("ms") > col("pms"))
+      .select(col("compound"),
+        ((col("value") - col("pv")) / (col("ms") - col("pms")).cast("double")
+          * lit(1000.0)).as("slope"))
+    val wc = Window.partitionBy("compound")
+    slopes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("compound").orderBy("slope")).cast("long"))
+      .withColumn("n", count(lit(1)).over(wc))
+      .filter(col("rn") === expr("(n + 1) div 2"))
       .select(col("compound"), col("n").as("n_slopes"), col("slope").as("med_slope"))
       .orderBy("compound")
   }
