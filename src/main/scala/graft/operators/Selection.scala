@@ -1176,47 +1176,65 @@ object Selection {
     * stream takes a lazy localCheckpoint (the dsCusumFrom storage
     * contract: blocks pin on first action until releaseCaches). */
   def rollingZFrom(k: DataFrame, idCol: String): DataFrame = {
-    val k0 = k.withColumn("tu", unix_micros(col("cts")))
-    val stats = k0.groupBy("compound").agg(
-      min(col("tu")).as("tmin"), max(col("tu")).as("tmax"))
-    // broadcast(stats): |compounds|-row aggregate — see outlierMadFrom
-    val rows = k0.join(broadcast(stats), Seq("compound"))
-      .withColumn("b", expr(s"(tu - tmin) * $SeriesBuckets div (tmax - tmin + 1)"))
-      .drop("tmin", "tmax", "tu")
-    val lw = Window.partitionBy("compound", "b").orderBy(col("cts"), col(idCol))
-    // localCheckpoint: `local` feeds the census AND the join-back.
-    // explicit-N bucket repartition (r17, the latticeOf/bucketLag1 guard):
-    // without it AQE coalesces the window's well-compressed
-    // ENSURE_REQUIREMENTS exchange toward ONE partition, the checkpoint
-    // inherits that partitioning, and every consumer runs serial
-    val local = rows
-      .repartition(rows.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions").toInt, col("compound"), col("b"))
-      .withColumn("li", row_number().over(lw).cast("long"))
-      .localCheckpoint(false)
-    val cw = Window.partitionBy("compound").orderBy("b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val census = local.groupBy("compound", "b").agg(count(lit(1)).as("cb"))
-      .withColumn("start", coalesce(sum(col("cb")).over(cw), lit(0L)) + 1L)
-      .select("compound", "b", "start", "cb")
-    val own = local.join(census, Seq("compound", "b"))
-      .withColumn("i", col("start") + col("li") - 1L)
-    val baseCols = Seq(col("compound"), col(idCol), col("value"), col("cts"), col("i"))
-    val ownK = own.select(baseCols :+ col("b").as("gb") :+ lit(false).as("ctx"): _*)
-    val ctxK = own.filter(col("li") > col("cb") - (RollW - 1))
-      .withColumn("tstart", explode(expr(s"sequence(i + 1, i + ${RollW - 1})")))
-      .join(census.select(col("compound"), col("start").as("tstart"), col("b").as("tb")),
-        Seq("compound", "tstart"))
-      .select(baseCols :+ col("tb").as("gb") :+ lit(true).as("ctx"): _*)
-    val ord = Window.partitionBy("compound", "gb").orderBy("i")
-    val withLags = (1 until RollW).foldLeft(ownK.union(ctxK)) { (df, j) =>
-      df.withColumn(s"l$j", lag(col("value"), j).over(ord))
-    }
+    // r19 size dispatch (same gate as memoSide/dsTrend/bucketLag1): below
+    // the leaf floor the boundary-context decomposition's constants (the
+    // checkpoint's construction-time toRdd planning pass, the census, the
+    // context explode-join) dwarf the corpus, and a plain per-compound
+    // window produces the IDENTICAL lag chain (the 16-term IEEE fold is
+    // the same expression tree either way). Above it the decomposition
+    // stays — a per-compound corpus window is the 100 TB single-task
+    // hazard it removes.
+    val lagged: DataFrame =
+      if (PlanStats.leafStatBytes(k) < PlanStats.minLeafBytes(k.sparkSession)) {
+        val w = Window.partitionBy("compound").orderBy(col("cts"), col(idCol))
+        (1 until RollW).foldLeft(
+          k.select(col("compound"), col(idCol), col("value"), col("cts"))
+            .withColumn("i", row_number().over(w).cast("long"))) {
+          (df, j) => df.withColumn(s"l$j", lag(col("value"), j).over(w))
+        }
+      } else {
+        val k0 = k.withColumn("tu", unix_micros(col("cts")))
+        val stats = k0.groupBy("compound").agg(
+          min(col("tu")).as("tmin"), max(col("tu")).as("tmax"))
+        // broadcast(stats): |compounds|-row aggregate — see outlierMadFrom
+        val rows = k0.join(broadcast(stats), Seq("compound"))
+          .withColumn("b", expr(s"(tu - tmin) * $SeriesBuckets div (tmax - tmin + 1)"))
+          .drop("tmin", "tmax", "tu")
+        val lw = Window.partitionBy("compound", "b").orderBy(col("cts"), col(idCol))
+        // localCheckpoint: `local` feeds the census AND the join-back.
+        // explicit-N bucket repartition (r17, the latticeOf/bucketLag1 guard):
+        // without it AQE coalesces the window's well-compressed
+        // ENSURE_REQUIREMENTS exchange toward ONE partition, the checkpoint
+        // inherits that partitioning, and every consumer runs serial
+        val local = rows
+          .repartition(rows.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions").toInt, col("compound"), col("b"))
+          .withColumn("li", row_number().over(lw).cast("long"))
+          .localCheckpoint(false)
+        val cw = Window.partitionBy("compound").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val census = local.groupBy("compound", "b").agg(count(lit(1)).as("cb"))
+          .withColumn("start", coalesce(sum(col("cb")).over(cw), lit(0L)) + 1L)
+          .select("compound", "b", "start", "cb")
+        val own = local.join(census, Seq("compound", "b"))
+          .withColumn("i", col("start") + col("li") - 1L)
+        val baseCols = Seq(col("compound"), col(idCol), col("value"), col("cts"), col("i"))
+        val ownK = own.select(baseCols :+ col("b").as("gb") :+ lit(false).as("ctx"): _*)
+        val ctxK = own.filter(col("li") > col("cb") - (RollW - 1))
+          .withColumn("tstart", explode(expr(s"sequence(i + 1, i + ${RollW - 1})")))
+          .join(census.select(col("compound"), col("start").as("tstart"), col("b").as("tb")),
+            Seq("compound", "tstart"))
+          .select(baseCols :+ col("tb").as("gb") :+ lit(true).as("ctx"): _*)
+        val ord = Window.partitionBy("compound", "gb").orderBy("i")
+        (1 until RollW).foldLeft(ownK.union(ctxK)) { (df, j) =>
+          df.withColumn(s"l$j", lag(col("value"), j).over(ord))
+        }.filter(!col("ctx"))
+      }
     val nD = RollW.toDouble
     val s = (1 until RollW).foldLeft(col("value"))((acc, j) => acc + col(s"l$j"))
     val ss = (1 until RollW).foldLeft(col("value") * col("value"))(
       (acc, j) => acc + col(s"l$j") * col(s"l$j"))
-    withLags.filter(!col("ctx") && col("i") >= RollW)
+    lagged.filter(col("i") >= RollW)
       .withColumn("s", s).withColumn("ss", ss)
       .withColumn("mean", col("s") / nD)
       .withColumn("dev", col("value") - col("mean"))
@@ -2453,6 +2471,30 @@ object Selection {
       .withColumn("h", expr("madx * 4"))
       .withColumn("dh", col("vc") - col("t") - col("k"))
       .withColumn("dl", col("t") - col("k") - col("vc"))
+    // r19 size dispatch (same gate as memoSide/dsTrend/rollingZ/spc):
+    // below the leaf floor the prefix-sum/prefix-min closed form runs as
+    // ONE per-compound window — no checkpoint (a construction-time toRdd
+    // planning pass), no census, no join-back; above it the bucket
+    // decomposition stays (per-compound corpus windows are the 100 TB
+    // single-task hazard).
+    if (PlanStats.leafStatBytes(rows) <
+        PlanStats.minLeafBytes(lattice.sparkSession)) {
+      val w = Window.partitionBy("compound").orderBy("cts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return rows
+        .withColumn("ph", sum(col("dh")).over(w))
+        .withColumn("pl", sum(col("dl")).over(w))
+        .withColumn("sh", col("ph") - least(min(col("ph")).over(w), lit(0L)))
+        .withColumn("sl", col("pl") - least(min(col("pl")).over(w), lit(0L)))
+        .select(col("compound"), col("event_id"), col("h"),
+          explode(array(
+            struct(lit("high").as("side"), col("sh").as("s")),
+            struct(lit("low").as("side"), col("sl").as("s")))).as("x"))
+        .select(col("compound"), col("event_id"),
+          col("x.side").as("side"), col("x.s").as("s"), col("h"))
+        .filter(col("s") > col("h"))
+        .orderBy("compound", "event_id", "side")
+    }
     val lw = Window.partitionBy("compound", "b").orderBy("cts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // localCheckpoint: `local` feeds BOTH the census and the join-back —
@@ -2571,6 +2613,36 @@ object Selection {
     val rows = lattice.withColumn("side",
       when(col("vc") > col("t"), lit(1L))
         .when(col("vc") < col("t"), lit(-1L)).otherwise(lit(0L)))
+    // r19 size dispatch (same gate as memoSide/dsTrend/rollingZ): below
+    // the leaf floor the plain per-compound sort evaluates the identical
+    // ROWS-bounded run windows without the two checkpoints (each a
+    // construction-time toRdd planning pass), the census, or the context
+    // explode-join; above it the decomposition stays (per-compound corpus
+    // windows are the 100 TB single-task hazard).
+    if (PlanStats.leafStatBytes(rows) <
+        PlanStats.minLeafBytes(lattice.sparkSession)) {
+      val ord = Window.partitionBy("compound").orderBy("cts", "event_id")
+      val w8 = ord.rowsBetween(-7, Window.currentRow)
+      val w6 = ord.rowsBetween(-5, Window.currentRow)
+      return rows
+        .withColumn("i", row_number().over(ord).cast("long"))
+        .withColumn("prev", lag(col("vc"), 1).over(ord))
+        .withColumn("mv",
+          when(col("prev").isNull, lit(0L))
+            .when(col("vc") > col("prev"), lit(1L))
+            .when(col("vc") < col("prev"), lit(-1L)).otherwise(lit(0L)))
+        .withColumn("s8", sum(col("side")).over(w8))
+        .withColumn("m6", sum(col("mv")).over(w6))
+        .groupBy("compound").agg(
+          count(lit(1)).as("n_points"),
+          sum(when(abs(col("vc") - col("t")) > col("madx") * 3, 1L)
+            .otherwise(0L)).as("n_rule1"),
+          sum(when(col("i") >= 8 && abs(col("s8")) === 8, 1L)
+            .otherwise(0L)).as("n_rule2"),
+          sum(when(col("i") >= 7 && abs(col("m6")) === 6, 1L)
+            .otherwise(0L)).as("n_rule3"))
+        .orderBy("compound")
+    }
     val lw = Window.partitionBy("compound", "b").orderBy("cts", "event_id")
     // localCheckpoint on the two shared stages (census + join-back, then
     // scoring rows + exploded context candidates): without it each
