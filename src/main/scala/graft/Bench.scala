@@ -186,6 +186,12 @@ object Bench {
         // (sf1 aggregate 177.8->199.6). QueryTime keeps the gc() — it
         // measures ISOLATED minima; the bench measures the workload as a
         // workload, GC debt included.
+        // guide §1.5 (r19): label the jobs and drop a stderr breadcrumb so
+        // a mid-pass JVM death (the sf10 OOM this round) is attributable
+        // to a query from the log — measurement-neutral; stdout keeps the
+        // one-JSON-line contract (breadcrumbs go to stderr only)
+        spark.sparkContext.setJobDescription(s"bench: $name")
+        Console.err.println(s"bench pass=$passIdx query=$name")
         val t0 = System.nanoTime()
         try {
           // Execute the AUDITED plan (queryExecution.toRdd = the exact

@@ -657,15 +657,14 @@ object Similarity {
     // queries ADC scoring). Report-sized: NumQueries × RefineM rows.
     val pqTop = once(pqRanked(spark, d, RefineM).select("qid", "vec_id", "rank"))
     if (gatePersist) {
-      // materialize the two memos CONCURRENTLY (guide §2.6 — overlap
-      // independent jobs): bruteforce and the PQ pipeline are independent
-      // full-corpus passes; serialized counts cost their SUM on the wall,
-      // overlapped they cost the max.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence(Seq(exact, pqTop).map(p =>
-        Future(p.count()))), Duration.Inf)
+      // materialize SEQUENTIALLY. The concurrent variant (guide §2.6,
+      // two futures — costs max instead of sum on the wall, 8.6→6.5 s
+      // standalone at sf10) OOMed the 12 GB bench JVM at sf10: bruteforce
+      // and the PQ window pipeline peaking together on top of the warm
+      // family memos exceeded the heap the whole 259-query workload is
+      // sized for. Isolated-JVM wins that blow the shared budget are not
+      // wins (r19 sf10 bench, OutOfMemoryError at pass 1).
+      exact.count(); pqTop.count()
     }
     // Every query appears in the report even when the index returned NOTHING
     // that overlaps the exact top-k — recall-0 queries are the exact ones an
